@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
+import graft.plans.IntervalJoinStrategy
+
+/**
+ * Session bootstrap for the graft engine.
+ *
+ * The reference engine (sequila-native) installs its extension by rebuilding
+ * the DataFusion session: it drops the built-in `join_selection` physical rule
+ * and appends its interval-join rewrite
+ * (reference: sequila/sequila-core/src/session_context.rs:16-48).
+ *
+ * Spark needs none of that surgery: planner strategies injected via
+ * `SparkSessionExtensions` (or `spark.experimental.extraStrategies`) are
+ * consulted *before* Spark's own `JoinSelection`, so claiming the `Join`
+ * logical node pre-empts the built-in hash/nested-loop plans naturally.
+ */
+class GraftSparkSessionExtension extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectPlannerStrategy(session => IntervalJoinStrategy(session))
+  }
+}
+
+object GraftSession {
+
+  /** Conf keys (mirrors the 3 session options of the reference,
+    * sequila/sequila-core/src/session_context.rs:50-60). */
+  val PreferIntervalJoin = "spark.graft.intervalJoin.enabled"
+  val IntervalJoinAlgorithm = "spark.graft.intervalJoin.algorithm"
+  val IntervalJoinLowMemory = "spark.graft.intervalJoin.lowMemory"
+
+  /** Idempotently install the graft planner strategies on an existing
+    * session (covers driver-created sessions that did not pass
+    * `.withExtensions`). */
+  def install(spark: SparkSession): SparkSession = synchronized {
+    val already = spark.experimental.extraStrategies.exists(
+      _.isInstanceOf[IntervalJoinStrategy])
+    if (!already) {
+      spark.experimental.extraStrategies =
+        IntervalJoinStrategy(spark) +: spark.experimental.extraStrategies
+    }
+    spark
+  }
+
+  /** Builder for standalone use / tests. */
+  def builder(master: String = "local[*]"): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftSparkSessionExtension)
+}
+
+/** Uniform access to the driver-generated parquet tables (TESTDATA.md). */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Register every table as a temp view so `spark.sql` mirrors the
+    * DuckDB-oracle naming exactly. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}

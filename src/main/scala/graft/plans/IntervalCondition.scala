@@ -1,0 +1,108 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types._
+
+/**
+ * Recognized interval-overlap join condition:
+ * equi-keys + (leftStart <= rightEnd AND leftEnd >= rightStart)
+ * over closed (end-inclusive) intervals, plus whatever conjuncts were left
+ * over (`residual`, applied as a post-join filter).
+ *
+ * Spark-side equivalent of the reference's range-filter parser
+ * (reference: sequila/sequila-core/src/physical_planner/intervals.rs:30-138):
+ * it accepts all 8 orderings of `{<, <=, >, >=}` comparisons between the
+ * two sides and normalizes strict ops to inclusive ones by shifting the
+ * bound by 1 (`x < y` ⇒ `x <= y - 1`, `x > y` ⇒ `x - 1 >= y`; reference
+ * `minus_one`, intervals.rs:67-69). Side resolution uses Catalyst
+ * attribute sets instead of the reference's filter-schema index juggling
+ * (intervals.rs:39-65).
+ */
+case class IntervalCondition(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftStart: Expression,
+    leftEnd: Expression,
+    rightStart: Expression,
+    rightEnd: Expression,
+    residual: Option[Expression])
+
+object IntervalCondition extends PredicateHelper {
+
+  private def integral(e: Expression): Boolean = e.dataType match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  private def minusOne(e: Expression): Expression =
+    Subtract(e, Cast(Literal(1), e.dataType))
+
+  /** Try to recognize `cond` (the full Inner-join condition) as an
+    * interval overlap between `left` and `right`. */
+  def extract(cond: Expression, left: LogicalPlan, right: LogicalPlan)
+      : Option[IntervalCondition] = {
+    val conjuncts = splitConjunctivePredicates(cond)
+
+    def fromLeft(e: Expression) =
+      e.references.nonEmpty && e.references.subsetOf(left.outputSet)
+    def fromRight(e: Expression) =
+      e.references.nonEmpty && e.references.subsetOf(right.outputSet)
+
+    // Canonical range form: (l, r, strict, dir) meaning
+    //   dir = LE: l <= r (after strictness shift)    [l = a start, r = a end]
+    //   dir = GE: l >= r (after strictness shift)    [l = an end, r = a start]
+    sealed trait Dir; case object LE extends Dir; case object GE extends Dir
+    case class Range(l: Expression, r: Expression, dir: Dir)
+
+    def asRange(c: Expression): Option[Range] = c match {
+      case LessThanOrEqual(a, b) if fromLeft(a) && fromRight(b) &&
+          integral(a) && integral(b) => Some(Range(a, b, LE))
+      case LessThanOrEqual(a, b) if fromRight(a) && fromLeft(b) &&
+          integral(a) && integral(b) => Some(Range(b, a, GE))
+      case GreaterThanOrEqual(a, b) if fromLeft(a) && fromRight(b) &&
+          integral(a) && integral(b) => Some(Range(a, b, GE))
+      case GreaterThanOrEqual(a, b) if fromRight(a) && fromLeft(b) &&
+          integral(a) && integral(b) => Some(Range(b, a, LE))
+      // strict ops: x < y  ⇒  x <= y-1 ;  x > y  ⇒  x-1 >= y
+      case LessThan(a, b) if fromLeft(a) && fromRight(b) &&
+          integral(a) && integral(b) => Some(Range(a, minusOne(b), LE))
+      case LessThan(a, b) if fromRight(a) && fromLeft(b) &&
+          integral(a) && integral(b) => Some(Range(b, minusOne(a), GE))
+      case GreaterThan(a, b) if fromLeft(a) && fromRight(b) &&
+          integral(a) && integral(b) => Some(Range(minusOne(a), b, GE))
+      case GreaterThan(a, b) if fromRight(a) && fromLeft(b) &&
+          integral(a) && integral(b) => Some(Range(minusOne(b), a, LE))
+      case _ => None
+    }
+
+    var leftKeys = Vector.empty[Expression]
+    var rightKeys = Vector.empty[Expression]
+    var les = Vector.empty[Range]
+    var ges = Vector.empty[Range]
+    var residual = Vector.empty[Expression]
+
+    conjuncts.foreach {
+      case EqualTo(a, b) if fromLeft(a) && fromRight(b) =>
+        leftKeys :+= a; rightKeys :+= b
+      case EqualTo(a, b) if fromRight(a) && fromLeft(b) =>
+        leftKeys :+= b; rightKeys :+= a
+      case c => asRange(c) match {
+        case Some(r @ Range(_, _, LE)) if les.isEmpty => les :+= r
+        case Some(r @ Range(_, _, GE)) if ges.isEmpty => ges :+= r
+        case _ => residual :+= c
+      }
+    }
+
+    if (les.isEmpty || ges.isEmpty) None
+    else {
+      val le = les.head // leftStart <= rightEnd
+      val ge = ges.head // leftEnd   >= rightStart
+      Some(IntervalCondition(
+        leftKeys, rightKeys,
+        leftStart = le.l, leftEnd = ge.l,
+        rightStart = ge.r, rightEnd = le.r,
+        residual = residual.reduceOption(And)))
+    }
+  }
+}

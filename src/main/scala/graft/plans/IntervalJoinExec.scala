@@ -1,0 +1,271 @@
+package graft.plans
+
+import graft.rangejoin.{IntervalIndex, SuperIntervalsIndex}
+
+import org.apache.spark.TaskContext
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.physical._
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+import org.apache.spark.sql.types.LongType
+
+import scala.collection.mutable
+
+/** How the build (left) side reaches the probe tasks. */
+sealed trait IntervalJoinMode extends Serializable
+/** Build side collected once and broadcast — analogue of the reference's
+  * CollectLeft (reference: interval_join.rs:472-487). */
+case object BroadcastMode extends IntervalJoinMode
+/** Both sides hash-partitioned on the equi-keys; per-partition index —
+  * analogue of the reference's Partitioned mode (interval_join.rs:488-503).
+  * This is the 100-TB path: no single node ever sees the whole build side. */
+case object PartitionedMode extends IntervalJoinMode
+
+/** Join semantics. */
+sealed trait IntervalJoinType extends Serializable
+/** Emit every overlapping (build, probe) pair — inner join. */
+case object OverlapJoin extends IntervalJoinType
+/** Emit exactly one row per probe row: the best (deterministic) nearest
+  * build interval, NULL-padded left side when the key has no build rows —
+  * analogue of the reference's CoitreesNearest (interval_join.rs:909-990),
+  * made deterministic: overlap with min (start, end), else min distance
+  * with ties broken by (start, end). */
+case object NearestJoin extends IntervalJoinType
+
+/** Per-key interval indexes + the build rows they point into. */
+private[graft] class IntervalBuildSide(
+    val keyed: java.util.HashMap[UnsafeRow, IntervalIndex],
+    val rows: Array[InternalRow]) extends Serializable
+
+/**
+ * Serializable build/probe kernel shared by both distribution modes; holds
+ * only expressions, schemas and metrics — never the SparkPlan itself — so
+ * it is safe to capture in RDD closures and broadcast.
+ */
+private[graft] class IntervalJoinRunner(
+    leftOutput: Seq[Attribute],
+    rightOutput: Seq[Attribute],
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftStart: Expression,
+    leftEnd: Expression,
+    rightStart: Expression,
+    rightEnd: Expression,
+    residual: Option[Expression],
+    joinType: IntervalJoinType,
+    algorithm: String,
+    numOutputRows: SQLMetric) extends Serializable {
+
+  private def outputAttrs: Seq[Attribute] = joinType match {
+    case OverlapJoin => leftOutput ++ rightOutput
+    case NearestJoin => leftOutput.map(_.withNullability(true)) ++ rightOutput
+  }
+
+  /** Checked narrowing matching the reference's failure-on-overflow Int32
+    * coercion (interval_join.rs:1661-1672, pinned at :1927-1968). */
+  private def toIntChecked(v: Long): Int = {
+    if (v < Int.MinValue || v > Int.MaxValue) {
+      throw new ArithmeticException(
+        s"[GRAFT_INTERVAL_JOIN] Can't cast value $v to type Int")
+    }
+    v.toInt
+  }
+
+  private def boundEval(e: Expression, schema: Seq[Attribute])
+      : InternalRow => java.lang.Long = {
+    val bound = BindReferences.bindReference(Cast(e, LongType), schema)
+    row => bound.eval(row).asInstanceOf[java.lang.Long]
+  }
+
+  def buildSide(rows: Iterator[InternalRow]): IntervalBuildSide = {
+    val keyProj = UnsafeProjection.create(leftKeys, leftOutput)
+    val rowProj = UnsafeProjection.create(leftOutput, leftOutput)
+    val startEval = boundEval(leftStart, leftOutput)
+    val endEval = boundEval(leftEnd, leftOutput)
+
+    final class Acc {
+      val starts = new mutable.ArrayBuffer[Int]
+      val ends = new mutable.ArrayBuffer[Int]
+      val positions = new mutable.ArrayBuffer[Int]
+    }
+    val groups = new java.util.HashMap[UnsafeRow, Acc]
+    val stored = new mutable.ArrayBuffer[InternalRow]
+    rows.foreach { row =>
+      val s = startEval(row)
+      val e = endEval(row)
+      if (s != null && e != null) {
+        val pos = stored.length
+        stored += rowProj(row).copy()
+        val key = keyProj(row)
+        var acc = groups.get(key)
+        if (acc == null) { acc = new Acc; groups.put(key.copy(), acc) }
+        acc.starts += toIntChecked(s)
+        acc.ends += toIntChecked(e)
+        acc.positions += pos
+      }
+    }
+    val alg = if (joinType == NearestJoin) "superintervals" else algorithm
+    val keyed = new java.util.HashMap[UnsafeRow, IntervalIndex](
+      math.max(16, groups.size() * 2))
+    groups.forEach { (k, acc) =>
+      keyed.put(k,
+        IntervalIndex.build(alg, acc.starts.toArray, acc.ends.toArray,
+          acc.positions.toArray))
+    }
+    new IntervalBuildSide(keyed, stored.toArray)
+  }
+
+  def probe(build: IntervalBuildSide, iter: Iterator[InternalRow],
+            partitionIndex: Int): Iterator[InternalRow] = {
+    val keyProj = UnsafeProjection.create(rightKeys, rightOutput)
+    val startEval = boundEval(rightStart, rightOutput)
+    val endEval = boundEval(rightEnd, rightOutput)
+    val joined = new JoinedRow
+    val resultProj = UnsafeProjection.create(
+      outputAttrs, leftOutput.map(_.withNullability(true)) ++ rightOutput)
+    resultProj.initialize(partitionIndex)
+    val residualPred = residual.map { r =>
+      val p = Predicate.create(r, leftOutput ++ rightOutput)
+      p.initialize(partitionIndex)
+      p
+    }
+    val nullLeft = new GenericInternalRow(leftOutput.size)
+    val rows = numOutputRows
+
+    joinType match {
+      case OverlapJoin =>
+        val matches = new mutable.ArrayBuffer[Int]
+        iter.flatMap { rrow =>
+          val s = startEval(rrow)
+          val e = endEval(rrow)
+          if (s == null || e == null) Iterator.empty
+          else {
+            val idx = build.keyed.get(keyProj(rrow))
+            if (idx == null) Iterator.empty
+            else {
+              matches.clear()
+              idx.query(toIntChecked(s), toIntChecked(e))(matches += _)
+              // matches is reused across probe rows; materialize emission
+              // eagerly into the flatMap via an indexed iterator over a
+              // snapshot-free buffer (safe: flatMap drains before next row)
+              matches.iterator
+                .map(pos => joined(build.rows(pos), rrow))
+                .filter(j => residualPred.forall(_.eval(j)))
+                .map { j => rows += 1; resultProj(j) }
+            }
+          }
+        }
+      case NearestJoin =>
+        iter.map { rrow =>
+          val s = startEval(rrow)
+          val e = endEval(rrow)
+          val idx0 = if (s == null || e == null) null
+                     else build.keyed.get(keyProj(rrow))
+          val pos = idx0 match {
+            case si: SuperIntervalsIndex =>
+              si.nearest(toIntChecked(s), toIntChecked(e))
+            case _ => -1
+          }
+          rows += 1
+          if (pos < 0) resultProj(joined(nullLeft, rrow))
+          else resultProj(joined(build.rows(pos), rrow))
+        }
+    }
+  }
+}
+
+/**
+ * Interval (overlap / nearest) join operator.
+ *
+ * Build/probe scheme of the reference's `IntervalJoinExec`
+ * (reference: sequila/sequila-core/src/physical_planner/joins/interval_join.rs:110-172):
+ * hash build rows by equi-key into per-key interval indexes, stream probe
+ * rows against the index of their key. Differences from the reference,
+ * both deliberate:
+ *  - keys are compared by value (UnsafeRow equality), not trusted 64-bit
+ *    hashes (reference hashes only, interval_join.rs:1043-1047);
+ *  - Spark's pull-based row iterators replace the hand-rolled async state
+ *    machine (interval_join.rs:1053-1167) and make low-memory mode moot —
+ *    join output is never materialized per-batch.
+ */
+case class IntervalJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftStart: Expression,
+    leftEnd: Expression,
+    rightStart: Expression,
+    rightEnd: Expression,
+    residual: Option[Expression],
+    joinType: IntervalJoinType,
+    mode: IntervalJoinMode,
+    algorithm: String) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = joinType match {
+    case OverlapJoin => left.output ++ right.output
+    case NearestJoin => left.output.map(_.withNullability(true)) ++ right.output
+  }
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "output rows"),
+    "buildRows" -> SQLMetrics.createMetric(sparkContext, "build rows"),
+    "buildTime" -> SQLMetrics.createTimingMetric(sparkContext, "build time"))
+
+  override def requiredChildDistribution: Seq[Distribution] = mode match {
+    case BroadcastMode => Seq(UnspecifiedDistribution, UnspecifiedDistribution)
+    case PartitionedMode =>
+      Seq(ClusteredDistribution(leftKeys), ClusteredDistribution(rightKeys))
+  }
+
+  override def outputPartitioning: Partitioning = (mode, joinType) match {
+    case (BroadcastMode, _) => right.outputPartitioning
+    case (PartitionedMode, OverlapJoin) =>
+      PartitioningCollection(
+        Seq(left.outputPartitioning, right.outputPartitioning))
+    case (PartitionedMode, NearestJoin) => right.outputPartitioning
+  }
+
+  override def simpleString(maxFields: Int): String =
+    s"IntervalJoinExec mode=$mode, join=$joinType, alg=$algorithm, " +
+      s"on=[${leftKeys.zip(rightKeys).map { case (a, b) => s"$a = $b" }.mkString(", ")}], " +
+      s"intervals=[($leftStart,$leftEnd) x ($rightStart,$rightEnd)]" +
+      residual.map(r => s", residual=$r").getOrElse("")
+
+  private def runner: IntervalJoinRunner = new IntervalJoinRunner(
+    left.output, right.output, leftKeys, rightKeys,
+    leftStart, leftEnd, rightStart, rightEnd,
+    residual, joinType, algorithm, longMetric("numOutputRows"))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val run = runner
+    mode match {
+      case BroadcastMode =>
+        val t0 = System.nanoTime()
+        val built = run.buildSide(left.executeCollect().iterator)
+        longMetric("buildTime") += (System.nanoTime() - t0) / 1000000
+        longMetric("buildRows") += built.rows.length
+        val bc: Broadcast[IntervalBuildSide] = sparkContext.broadcast(built)
+        right.execute().mapPartitionsWithIndex({ (pi, iter) =>
+          run.probe(bc.value, iter, pi)
+        }, preservesPartitioning = true)
+      case PartitionedMode =>
+        val buildTime = longMetric("buildTime")
+        val buildRows = longMetric("buildRows")
+        left.execute().zipPartitions(right.execute()) { (liter, riter) =>
+          val t0 = System.nanoTime()
+          val built = run.buildSide(liter)
+          buildTime += (System.nanoTime() - t0) / 1000000
+          buildRows += built.rows.length
+          run.probe(built, riter, TaskContext.getPartitionId())
+        }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): IntervalJoinExec =
+    copy(left = newLeft, right = newRight)
+}

@@ -1,0 +1,65 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.Strategy
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+import org.apache.spark.sql.execution.SparkPlan
+
+/**
+ * Planner strategy: claim Inner `Join` nodes whose condition is an interval
+ * overlap (equi-keys + two opposite range predicates) and plan them as
+ * [[IntervalJoinExec]].
+ *
+ * This replaces the reference's physical-optimizer rewrite of
+ * HashJoinExec/NestedLoopJoinExec
+ * (reference: sequila/sequila-core/src/physical_planner/sequila_physical_planner.rs:27-148).
+ * Spark has no post-physical rewrite hook, but injected strategies are
+ * consulted *before* the built-in `JoinSelection`, so claiming the logical
+ * Join here achieves the same effect without the reference's
+ * `join_selection`-removal surgery (session_context.rs:30-32).
+ *
+ * Mode selection: build (left) side below `spark.sql.autoBroadcastJoinThreshold`
+ * → broadcast (reference CollectLeft); else hash-partitioned on the
+ * equi-keys (reference Partitioned). A pure range join (no equi-keys) has
+ * nothing to partition on — it always broadcasts, mirroring the reference's
+ * NestedLoopJoin conversion that injects the dummy key `lit(1) = lit(1)`
+ * (sequila_physical_planner.rs:127-148).
+ */
+case class IntervalJoinStrategy(session: SparkSession) extends Strategy {
+
+  private def conf(key: String, default: String): String =
+    session.conf.get(key, default)
+
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case Join(l, r, Inner, Some(cond), hint)
+        if conf(graft.GraftSession.PreferIntervalJoin, "true").toBoolean =>
+      IntervalCondition.extract(cond, l, r) match {
+        case Some(ic) =>
+          val algorithm =
+            conf(graft.GraftSession.IntervalJoinAlgorithm, "superintervals")
+          val nearest = algorithm.toLowerCase == "nearest"
+          if (nearest && ic.residual.nonEmpty) {
+            // nearest semantics with extra filters is ill-defined — fall
+            // back to Spark's built-in join planning
+            Nil
+          } else {
+            val threshold = session.sessionState.conf.autoBroadcastJoinThreshold
+            val leftSize = l.stats.sizeInBytes
+            val mode =
+              if (ic.leftKeys.isEmpty) BroadcastMode
+              else if (threshold > 0 && leftSize <= threshold) BroadcastMode
+              else PartitionedMode
+            val joinType = if (nearest) NearestJoin else OverlapJoin
+            IntervalJoinExec(
+              planLater(l), planLater(r),
+              ic.leftKeys, ic.rightKeys,
+              ic.leftStart, ic.leftEnd, ic.rightStart, ic.rightEnd,
+              ic.residual, joinType, mode,
+              if (nearest) "superintervals" else algorithm) :: Nil
+          }
+        case None => Nil
+      }
+    case _ => Nil
+  }
+}

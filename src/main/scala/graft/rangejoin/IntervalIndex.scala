@@ -1,0 +1,314 @@
+package graft.rangejoin
+
+import scala.collection.mutable.ArrayBuffer
+
+/**
+ * Read-only index over a set of closed (end-inclusive) integer intervals,
+ * each carrying an opaque `position` (row offset into the build side).
+ *
+ * This is the Spark-side analogue of the reference's pluggable
+ * `IntervalJoinAlgorithm` (reference:
+ * sequila/sequila-core/src/physical_planner/joins/interval_join.rs:720-1021).
+ * All implementations are plain primitive-array structures: cheap to
+ * serialize into a broadcast variable, no boxing in the hot probe loop.
+ */
+sealed trait IntervalIndex extends Serializable {
+  /** Invoke `f(position)` for every stored interval overlapping [s, e]
+    * (closed/closed). */
+  def query(s: Int, e: Int)(f: Int => Unit): Unit
+
+  /** Count stored intervals overlapping [s, e]. */
+  def count(s: Int, e: Int): Long = {
+    var n = 0L
+    query(s, e)(_ => n += 1)
+    n
+  }
+
+  def size: Int
+}
+
+object IntervalIndex {
+  /** Build the index named by `algorithm` (conf
+    * `spark.graft.intervalJoin.algorithm`). Mirrors `Algorithm::from_str`
+    * (reference: sequila/sequila-core/src/session_context.rs:85-104). */
+  def build(algorithm: String, starts: Array[Int], ends: Array[Int],
+            positions: Array[Int]): IntervalIndex =
+    algorithm.toLowerCase match {
+      case "superintervals" | "coitrees" | "default" =>
+        SuperIntervalsIndex.build(starts, ends, positions)
+      case "ailist" | "intervaltree" | "arrayintervaltree" =>
+        AIListIndex.build(starts, ends, positions)
+      case "naive" | "linear" =>
+        new NaiveIntervalIndex(starts, ends, positions)
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown interval-join algorithm: $other " +
+            "(expected superintervals | ailist | naive)")
+    }
+}
+
+/** O(n) scan — correctness oracle for the real indexes and fallback for
+  * tiny build sides. */
+final class NaiveIntervalIndex(
+    starts: Array[Int], ends: Array[Int], positions: Array[Int])
+  extends IntervalIndex {
+  override def query(s: Int, e: Int)(f: Int => Unit): Unit = {
+    var i = 0
+    val n = starts.length
+    while (i < n) {
+      if (starts(i) <= e && ends(i) >= s) f(positions(i))
+      i += 1
+    }
+  }
+  override def size: Int = starts.length
+}
+
+/**
+ * Sorted-array interval index in the style of the "superintervals" design
+ * the reference vendors (reference:
+ * sequila/sequila-core/superintervals/src/superintervals.rs:121-305):
+ * intervals sorted by (start asc, end desc); `branch(i)` points to the
+ * nearest earlier interval whose end covers this one's end, so a probe can
+ * skip whole runs of non-overlapping intervals instead of scanning one by
+ * one. Query = binary-search the last start <= probe end, then walk left,
+ * jumping via `branch` on the first miss.
+ *
+ * Pure `Array[Int]`s: serializable, cache-friendly, JIT-vectorizable.
+ */
+final class SuperIntervalsIndex private (
+    val starts: Array[Int], val ends: Array[Int],
+    val positions: Array[Int], branch: Array[Int])
+  extends IntervalIndex {
+
+  override def size: Int = starts.length
+
+  /** Largest index i with starts(i) <= v, or -1. */
+  private def upperBound(v: Int): Int = {
+    var lo = 0
+    var hi = starts.length // exclusive
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (starts(mid) <= v) lo = mid + 1 else hi = mid
+    }
+    lo - 1
+  }
+
+  override def query(s: Int, e: Int)(f: Int => Unit): Unit = {
+    var i = upperBound(e)
+    while (i >= 0) {
+      if (ends(i) >= s) {
+        f(positions(i))
+        i -= 1
+      } else {
+        // ends are not sorted, but branch(i) is the nearest earlier
+        // interval with end >= ends(i); anything between cannot reach s
+        // either only when their ends are < ends(i) — the branch chain is
+        // exactly the set of candidates that can still overlap.
+        i = branch(i)
+      }
+    }
+  }
+
+  /** Nearest-mode support: single best match for [s, e] — the overlapping
+    * interval with the smallest (start, end), else the interval minimizing
+    * genomic distance (gap to s or e), ties broken by (start, end).
+    * Returns -1 when the index is empty.
+    * (Deterministic variant of the reference's CoitreesNearest,
+    * interval_join.rs:909-956, which returns an arbitrary first overlap.) */
+  def nearest(s: Int, e: Int): Int = {
+    if (starts.length == 0) return -1
+    var best = -1
+    var bestStart = Int.MaxValue
+    var bestEnd = Int.MaxValue
+    // Overlap pass with tie-break on (start, end): walk the query traversal
+    // but keep the argmin instead of emitting.
+    var i = upperBound(e)
+    while (i >= 0) {
+      if (ends(i) >= s) {
+        if (starts(i) < bestStart ||
+            (starts(i) == bestStart && ends(i) < bestEnd)) {
+          best = i; bestStart = starts(i); bestEnd = ends(i)
+        }
+        i -= 1
+      } else i = branch(i)
+    }
+    if (best >= 0) return positions(best)
+
+    // No overlap: candidates are the interval with max end among starts <= s
+    // (gap = s - end) and the first start > e (gap = start - e).
+    var bestDist = Long.MaxValue
+    var bestIdx = -1
+    val leftIdx = upperBound(s)
+    if (leftIdx >= 0) {
+      // prefixMaxEnd gives the closest end from the left side
+      val j = prefixMaxEndIdx(leftIdx)
+      val d = s.toLong - ends(j).toLong
+      bestDist = d; bestIdx = j
+    }
+    var rightIdx = upperBound(e) + 1 // first start > e
+    if (rightIdx < starts.length) {
+      // equal starts are sorted end-desc; tie-break wants the smallest
+      // (start, end), i.e. the last of the equal-start run
+      while (rightIdx + 1 < starts.length &&
+             starts(rightIdx + 1) == starts(rightIdx)) rightIdx += 1
+      val d = starts(rightIdx).toLong - e.toLong
+      if (d < bestDist || (d == bestDist && bestIdx >= 0 &&
+          (starts(rightIdx) < starts(bestIdx) ||
+           (starts(rightIdx) == starts(bestIdx) &&
+            ends(rightIdx) < ends(bestIdx))))) {
+        bestDist = d; bestIdx = rightIdx
+      }
+    }
+    if (bestIdx < 0) -1 else positions(bestIdx)
+  }
+
+  // prefixMaxEndIdx(i) = index j <= i maximizing ends(j) (ties: smaller
+  // (start, end) wins since earlier j has smaller start). Lazily built —
+  // only nearest-mode pays for it.
+  @transient private lazy val prefixMaxEndIdxArr: Array[Int] = {
+    val n = starts.length
+    val arr = new Array[Int](n)
+    var bi = 0
+    var i = 0
+    while (i < n) {
+      if (ends(i) > ends(bi)) bi = i
+      arr(i) = bi
+      i += 1
+    }
+    arr
+  }
+  private def prefixMaxEndIdx(i: Int): Int = prefixMaxEndIdxArr(i)
+}
+
+object SuperIntervalsIndex {
+  def build(starts0: Array[Int], ends0: Array[Int],
+            positions0: Array[Int]): SuperIntervalsIndex = {
+    val n = starts0.length
+    val order = Array.range(0, n).sortWith { (a, b) =>
+      if (starts0(a) != starts0(b)) starts0(a) < starts0(b)
+      else ends0(a) > ends0(b)
+    }
+    val starts = new Array[Int](n)
+    val ends = new Array[Int](n)
+    val positions = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val o = order(i)
+      starts(i) = starts0(o); ends(i) = ends0(o); positions(i) = positions0(o)
+      i += 1
+    }
+    // branch(i) = nearest j < i with ends(j) >= ends(i), else -1
+    val branch = new Array[Int](n)
+    val stack = new ArrayBuffer[Int](16)
+    i = 0
+    while (i < n) {
+      while (stack.nonEmpty && ends(stack(stack.length - 1)) < ends(i))
+        stack.remove(stack.length - 1)
+      branch(i) = if (stack.isEmpty) -1 else stack(stack.length - 1)
+      stack += i
+      i += 1
+    }
+    new SuperIntervalsIndex(starts, ends, positions, branch)
+  }
+}
+
+/**
+ * AIList-style index (augmented interval list; Feng et al. 2019, public
+ * algorithm): intervals sorted by start and decomposed into a few
+ * components, each with a running max-end array so a query scans backward
+ * from the binary-searched position and stops as soon as maxEnd < s.
+ * Covers the reference's `IntervalTree`/`ArrayIntervalTree` algorithm slots
+ * (reference: interval_join.rs:816-841) with an array-friendly design.
+ */
+final class AIListIndex private (
+    compStarts: Array[Array[Int]], compEnds: Array[Array[Int]],
+    compMaxEnds: Array[Array[Int]], compPositions: Array[Array[Int]])
+  extends IntervalIndex {
+
+  override val size: Int = compStarts.iterator.map(_.length).sum
+
+  override def query(s: Int, e: Int)(f: Int => Unit): Unit = {
+    var c = 0
+    while (c < compStarts.length) {
+      val starts = compStarts(c); val ends = compEnds(c)
+      val maxEnds = compMaxEnds(c); val positions = compPositions(c)
+      // binary search: last i with starts(i) <= e
+      var lo = 0; var hi = starts.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (starts(mid) <= e) lo = mid + 1 else hi = mid
+      }
+      var i = lo - 1
+      while (i >= 0 && maxEnds(i) >= s) {
+        if (ends(i) >= s) f(positions(i))
+        i -= 1
+      }
+      c += 1
+    }
+  }
+}
+
+object AIListIndex {
+  private val MaxComps = 8
+  private val MinCompLen = 64
+  private val CovCutoff = 10
+
+  def build(starts0: Array[Int], ends0: Array[Int],
+            positions0: Array[Int]): AIListIndex = {
+    val n = starts0.length
+    val order = Array.range(0, n).sortWith { (a, b) =>
+      if (starts0(a) != starts0(b)) starts0(a) < starts0(b)
+      else ends0(a) > ends0(b)
+    }
+    var curS = order.map(starts0)
+    var curE = order.map(ends0)
+    var curP = order.map(positions0)
+
+    val compS = ArrayBuffer[Array[Int]]()
+    val compE = ArrayBuffer[Array[Int]]()
+    val compP = ArrayBuffer[Array[Int]]()
+    var iter = 0
+    while (curS.nonEmpty && iter < MaxComps - 1 && curS.length > MinCompLen) {
+      // extract intervals covered by >= CovCutoff of the next few — they
+      // destroy the early-stop property; move them to their own component
+      val keepIdx = ArrayBuffer[Int]()
+      val moveIdx = ArrayBuffer[Int]()
+      val m = curS.length
+      var i = 0
+      while (i < m) {
+        var cov = 0
+        var j = i + 1
+        val lim = math.min(m, i + 1 + 2 * CovCutoff)
+        while (j < lim && cov < CovCutoff) {
+          if (curE(j) <= curE(i)) cov += 1
+          j += 1
+        }
+        if (cov >= CovCutoff) moveIdx += i else keepIdx += i
+        i += 1
+      }
+      if (moveIdx.isEmpty || keepIdx.isEmpty) {
+        compS += curS; compE += curE; compP += curP
+        curS = Array.empty; curE = Array.empty; curP = Array.empty
+      } else {
+        compS += keepIdx.map(curS).toArray
+        compE += keepIdx.map(curE).toArray
+        compP += keepIdx.map(curP).toArray
+        curS = moveIdx.map(curS).toArray
+        curE = moveIdx.map(curE).toArray
+        curP = moveIdx.map(curP).toArray
+      }
+      iter += 1
+    }
+    if (curS.nonEmpty) { compS += curS; compE += curE; compP += curP }
+
+    val maxEnds = compE.map { ends =>
+      val me = new Array[Int](ends.length)
+      var mx = Int.MinValue
+      var i = 0
+      while (i < ends.length) { mx = math.max(mx, ends(i)); me(i) = mx; i += 1 }
+      me
+    }
+    new AIListIndex(compS.toArray, compE.toArray, maxEnds.toArray,
+      compP.toArray)
+  }
+}
