@@ -28,7 +28,11 @@ object GraftSession {
     * sequila/sequila-core/src/session_context.rs:50-60). */
   val PreferIntervalJoin = "spark.graft.intervalJoin.enabled"
   val IntervalJoinAlgorithm = "spark.graft.intervalJoin.algorithm"
-  val IntervalJoinLowMemory = "spark.graft.intervalJoin.lowMemory"
+  /** "" (auto) | "broadcast" | "partitioned" — pin the distribution mode;
+    * used by tests and verification entries. (The reference's third option,
+    * `interval_join_low_memory`, is moot here: Spark's pull-based row
+    * iterators never materialize join output per-batch.) */
+  val IntervalJoinForceMode = "spark.graft.intervalJoin.forceMode"
 
   /** Idempotently install the graft planner strategies on an existing
     * session (covers driver-created sessions that did not pass
@@ -61,8 +65,18 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark only reads as a
+    // raw Long; re-expose it as a proper (microsecond) timestamp so SQL
+    // over the view matches DuckDB's native nanosecond read.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    } else df
+  }
 
   /** Register every table as a temp view so `spark.sql` mirrors the
     * DuckDB-oracle naming exactly. */

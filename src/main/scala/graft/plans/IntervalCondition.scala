@@ -35,8 +35,11 @@ object IntervalCondition extends PredicateHelper {
     case _ => false
   }
 
+  /** `e - 1`, widened to Long first so a bound at the narrow type's min
+    * value cannot wrap (non-ANSI) or throw (ANSI). The join kernel casts
+    * every bound to Long before the checked Int narrowing anyway. */
   private def minusOne(e: Expression): Expression =
-    Subtract(e, Cast(Literal(1), e.dataType))
+    Subtract(Cast(e, LongType), Literal(1L))
 
   /** Try to recognize `cond` (the full Inner-join condition) as an
     * interval overlap between `left` and `right`. */
@@ -67,12 +70,15 @@ object IntervalCondition extends PredicateHelper {
       // strict ops: x < y  ⇒  x <= y-1 ;  x > y  ⇒  x-1 >= y
       case LessThan(a, b) if fromLeft(a) && fromRight(b) &&
           integral(a) && integral(b) => Some(Range(a, minusOne(b), LE))
+      // `rs < le` ⇔ `le > rs` ⇔ `le - 1 >= rs` (shift the LEFT operand;
+      // reference intervals.rs:99-129 applies minus_one to the gt side)
       case LessThan(a, b) if fromRight(a) && fromLeft(b) &&
-          integral(a) && integral(b) => Some(Range(b, minusOne(a), GE))
+          integral(a) && integral(b) => Some(Range(minusOne(b), a, GE))
       case GreaterThan(a, b) if fromLeft(a) && fromRight(b) &&
           integral(a) && integral(b) => Some(Range(minusOne(a), b, GE))
+      // `re > ls` ⇔ `ls < re` ⇔ `ls <= re - 1` (shift the RIGHT operand)
       case GreaterThan(a, b) if fromRight(a) && fromLeft(b) &&
-          integral(a) && integral(b) => Some(Range(minusOne(b), a, LE))
+          integral(a) && integral(b) => Some(Range(b, minusOne(a), LE))
       case _ => None
     }
 

@@ -93,10 +93,15 @@ private[graft] class IntervalJoinRunner(
     }
     val groups = new java.util.HashMap[UnsafeRow, Acc]
     val stored = new mutable.ArrayBuffer[InternalRow]
+    val hasKeys = leftKeys.nonEmpty
     rows.foreach { row =>
       val s = startEval(row)
       val e = endEval(row)
-      if (s != null && e != null) {
+      // Rows with a NULL bound can never overlap; rows with a NULL equi-key
+      // must not match anything (SQL `NULL = NULL` is not true — the
+      // reference constructs the join with null_equals_null=false,
+      // interval_join.rs ctor). Skip both at build time.
+      if (s != null && e != null && !(hasKeys && keyProj(row).anyNull)) {
         val pos = stored.length
         stored += rowProj(row).copy()
         val key = keyProj(row)
@@ -135,6 +140,8 @@ private[graft] class IntervalJoinRunner(
     val nullLeft = new GenericInternalRow(leftOutput.size)
     val rows = numOutputRows
 
+    val hasKeys = rightKeys.nonEmpty
+
     joinType match {
       case OverlapJoin =>
         val matches = new mutable.ArrayBuffer[Int]
@@ -143,7 +150,9 @@ private[graft] class IntervalJoinRunner(
           val e = endEval(rrow)
           if (s == null || e == null) Iterator.empty
           else {
-            val idx = build.keyed.get(keyProj(rrow))
+            val key = keyProj(rrow)
+            // NULL probe keys match nothing (null_equals_null=false).
+            val idx = if (hasKeys && key.anyNull) null else build.keyed.get(key)
             if (idx == null) Iterator.empty
             else {
               matches.clear()
@@ -162,8 +171,15 @@ private[graft] class IntervalJoinRunner(
         iter.map { rrow =>
           val s = startEval(rrow)
           val e = endEval(rrow)
+          // A NULL probe key (or bound) matches no build rows → NULL-padded
+          // output row, same as an unmatched key (reference pads NULL for
+          // key misses, interval_join.rs:1453-1465).
           val idx0 = if (s == null || e == null) null
-                     else build.keyed.get(keyProj(rrow))
+                     else {
+                       val key = keyProj(rrow)
+                       if (hasKeys && key.anyNull) null
+                       else build.keyed.get(key)
+                     }
           val pos = idx0 match {
             case si: SuperIntervalsIndex =>
               si.nearest(toIntChecked(s), toIntChecked(e))

@@ -1,10 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.Strategy
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
-import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
 
 /**
  * Planner strategy: claim Inner `Join` nodes whose condition is an interval
@@ -26,7 +25,7 @@ import org.apache.spark.sql.execution.SparkPlan
  * NestedLoopJoin conversion that injects the dummy key `lit(1) = lit(1)`
  * (sequila_physical_planner.rs:127-148).
  */
-case class IntervalJoinStrategy(session: SparkSession) extends Strategy {
+case class IntervalJoinStrategy(session: SparkSession) extends SparkStrategy {
 
   private def conf(key: String, default: String): String =
     session.conf.get(key, default)
@@ -46,17 +45,36 @@ case class IntervalJoinStrategy(session: SparkSession) extends Strategy {
           } else {
             val threshold = session.sessionState.conf.autoBroadcastJoinThreshold
             val leftSize = l.stats.sizeInBytes
-            val mode =
-              if (ic.leftKeys.isEmpty) BroadcastMode
-              else if (threshold > 0 && leftSize <= threshold) BroadcastMode
-              else PartitionedMode
+            val fitsBroadcast = threshold > 0 && leftSize <= threshold
+            // Mode selection; `forceMode` exists so tests / verification
+            // entries can pin the partitioned code path deterministically.
+            val mode: Option[IntervalJoinMode] =
+              conf(graft.GraftSession.IntervalJoinForceMode, "").toLowerCase match {
+                case "broadcast" => Some(BroadcastMode)
+                case "partitioned" if ic.leftKeys.nonEmpty => Some(PartitionedMode)
+                case _ =>
+                  if (ic.leftKeys.nonEmpty)
+                    Some(if (fitsBroadcast) BroadcastMode else PartitionedMode)
+                  else if (fitsBroadcast) Some(BroadcastMode)
+                  // A keyless range join with a big build side cannot be
+                  // broadcast (driver OOM at scale) and has no key to
+                  // partition on — decline and let Spark plan it (BNLJ):
+                  // correct, just slower. The reference unconditionally
+                  // converts NLJ (sequila_physical_planner.rs:127-148); we
+                  // deliberately guard it.
+                  else None
+              }
             val joinType = if (nearest) NearestJoin else OverlapJoin
-            IntervalJoinExec(
-              planLater(l), planLater(r),
-              ic.leftKeys, ic.rightKeys,
-              ic.leftStart, ic.leftEnd, ic.rightStart, ic.rightEnd,
-              ic.residual, joinType, mode,
-              if (nearest) "superintervals" else algorithm) :: Nil
+            mode match {
+              case None => Nil
+              case Some(m) =>
+                IntervalJoinExec(
+                  planLater(l), planLater(r),
+                  ic.leftKeys, ic.rightKeys,
+                  ic.leftStart, ic.leftEnd, ic.rightStart, ic.rightEnd,
+                  ic.residual, joinType, m,
+                  if (nearest) "superintervals" else algorithm) :: Nil
+            }
           }
         case None => Nil
       }

@@ -1,0 +1,119 @@
+package graft
+
+import graft.rangejoin.{IntervalIndex, SuperIntervalsIndex}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.collection.mutable.ArrayBuffer
+import scala.util.Random
+
+/**
+ * Randomized equivalence tests: each real index must agree with the O(n)
+ * naive scan on random interval sets (strictly stronger than the
+ * reference's fixed fixtures, SURVEY §5 port plan). Seeded → deterministic.
+ */
+class IntervalIndexSpec extends AnyFunSuite {
+
+  private def randomIntervals(rnd: Random, n: Int): Array[(Int, Int)] =
+    Array.fill(n) {
+      val s = rnd.nextInt(1100) - 50
+      (s, s + rnd.nextInt(121))
+    }
+
+  private def results(idx: IntervalIndex, s: Int, e: Int): Seq[Int] = {
+    val buf = ArrayBuffer[Int]()
+    idx.query(s, e)(buf += _)
+    buf.sorted.toSeq
+  }
+
+  private def build(name: String, iv: Array[(Int, Int)]): IntervalIndex =
+    IntervalIndex.build(name, iv.map(_._1), iv.map(_._2),
+      Array.range(0, iv.length))
+
+  for (alg <- Seq("superintervals", "ailist")) {
+    test(s"$alg ≡ naive on 200 random interval sets") {
+      val rnd = new Random(42)
+      for (trial <- 0 until 200) {
+        val iv = randomIntervals(rnd, rnd.nextInt(200))
+        val naive = build("naive", iv)
+        val real = build(alg, iv)
+        for (_ <- 0 until 20) {
+          val s = rnd.nextInt(1300) - 100
+          val e = s + rnd.nextInt(151)
+          assert(results(real, s, e) == results(naive, s, e),
+            s"trial=$trial probe=[$s,$e]")
+        }
+      }
+    }
+  }
+
+  test("count matches query emission count") {
+    val rnd = new Random(1)
+    val iv = randomIntervals(rnd, 500)
+    val idx = build("superintervals", iv)
+    for (_ <- 0 until 100) {
+      val s = rnd.nextInt(1300) - 100
+      val e = s + rnd.nextInt(151)
+      assert(idx.count(s, e) == results(idx, s, e).size)
+    }
+  }
+
+  test("nearest: overlap argmin-(start,end), else min distance, " +
+       "deterministic ties") {
+    val rnd = new Random(9)
+    for (trial <- 0 until 300) {
+      val iv = randomIntervals(rnd, 1 + rnd.nextInt(120))
+      val idx = build("superintervals", iv).asInstanceOf[SuperIntervalsIndex]
+      for (_ <- 0 until 10) {
+        val s = rnd.nextInt(1300) - 100
+        val e = s + rnd.nextInt(151)
+        val got = idx.nearest(s, e)
+        val overl = iv.zipWithIndex.filter { case ((a, b), _) => a <= e && b >= s }
+        val expected =
+          if (overl.nonEmpty) overl.minBy { case ((a, b), _) => (a, b) }._2
+          else iv.zipWithIndex.minBy { case ((a, b), _) =>
+            val d = if (a > e) a.toLong - e else s.toLong - b
+            (d, a.toLong, b.toLong)
+          }._2
+        // duplicate (start,end) intervals are interchangeable
+        assert(iv(got) == iv(expected),
+          s"trial=$trial nearest($s,$e): got ${iv(got)} exp ${iv(expected)}")
+      }
+    }
+  }
+
+  test("point intervals and touching endpoints") {
+    val iv = Array((5, 10), (10, 10), (11, 11), (0, 4))
+    for (alg <- Seq("superintervals", "ailist", "naive")) {
+      val idx = build(alg, iv)
+      assert(results(idx, 10, 10) == Seq(0, 1))
+      assert(results(idx, 11, 11) == Seq(2))
+      assert(results(idx, 4, 5) == Seq(0, 3))
+      assert(results(idx, 12, 100).isEmpty)
+    }
+  }
+
+  test("empty index") {
+    val idx = build("superintervals", Array.empty)
+    assert(results(idx, 0, 100).isEmpty)
+    assert(idx.asInstanceOf[SuperIntervalsIndex].nearest(0, 100) == -1)
+  }
+
+  test("unknown algorithm rejected") {
+    intercept[IllegalArgumentException] {
+      IntervalIndex.build("nope", Array(1), Array(2), Array(0))
+    }
+  }
+
+  test("ailist handles adversarial containment sets") {
+    // many long intervals containing short ones — the shape AIList's
+    // decomposition exists for (Feng et al. 2019)
+    val iv = Array.tabulate(2000) { i =>
+      if (i % 10 == 0) (0, 100000) else (i * 37 % 5000, i * 37 % 5000 + 10)
+    }
+    val naive = build("naive", iv)
+    val ail = build("ailist", iv)
+    for ((s, e) <- Seq((0, 0), (4999, 5010), (100000, 100001), (-5, 120000)))
+      assert(results(ail, s, e) == results(naive, s, e))
+  }
+}

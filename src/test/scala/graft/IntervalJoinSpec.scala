@@ -1,0 +1,256 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterEach
+
+/**
+ * End-to-end tests of the interval join operator, porting the reference's
+ * integration suite (reference: sequila-core/tests/integration_test.rs) to
+ * the FIXTURES.md tables: reads × targets golden results, the 12-row
+ * boundary micro-fixture (inclusive=10 / strict=6 matches), nearest join
+ * with NULL padding, NULL equi-keys, overflow pinning, plan-shape
+ * assertions, and equivalence with the stock Spark join.
+ */
+class IntervalJoinSpec extends SparkTestBase with BeforeAndAfterEach {
+
+  import spark.implicits._
+
+  override def beforeEach(): Unit = {
+    spark.conf.set(GraftSession.PreferIntervalJoin, "true")
+    spark.conf.set(GraftSession.IntervalJoinAlgorithm, "superintervals")
+    spark.conf.set(GraftSession.IntervalJoinForceMode, "")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  // FIXTURES.md §1 — reads (12 rows) and targets (10 rows)
+  private def reads: DataFrame = Seq(
+    ("chr1", 150, 250), ("chr1", 190, 300), ("chr1", 300, 501),
+    ("chr1", 500, 700), ("chr1", 22000, 22300), ("chr1", 15000, 15000),
+    ("chr2", 150, 250), ("chr2", 190, 300), ("chr2", 300, 500),
+    ("chr2", 500, 700), ("chr2", 22000, 22300), ("chr2", 15000, 15000)
+  ).toDF("contig", "pos_start", "pos_end")
+
+  private def targets: DataFrame = Seq(
+    ("chr1", 100, 190), ("chr1", 200, 290), ("chr1", 400, 600),
+    ("chr1", 10000, 20000), ("chr1", 22100, 22100),
+    ("chr2", 100, 190), ("chr2", 200, 290), ("chr2", 400, 600),
+    ("chr2", 10000, 20000), ("chr2", 22100, 22100)
+  ).toDF("contig", "pos_start", "pos_end")
+
+  private def overlapJoin(a: DataFrame, b: DataFrame,
+      withKey: Boolean = true, strict: Boolean = false): DataFrame = {
+    val al = a.select($"contig".as("a_contig"), $"pos_start".as("a_start"),
+      $"pos_end".as("a_end"))
+    val bl = b.select($"contig".as("b_contig"), $"pos_start".as("b_start"),
+      $"pos_end".as("b_end"))
+    val range =
+      if (strict) $"a_start" < $"b_end" && $"a_end" > $"b_start"
+      else $"a_start" <= $"b_end" && $"a_end" >= $"b_start"
+    val cond = if (withKey) $"a_contig" === $"b_contig" && range else range
+    al.join(bl, cond)
+  }
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def assertUsesIntervalJoin(df: DataFrame): Unit =
+    assert(planOf(df).contains("IntervalJoinExec"),
+      s"expected IntervalJoinExec in plan:\n${planOf(df)}")
+
+  private def stockResult(a: DataFrame, b: DataFrame, withKey: Boolean,
+      strict: Boolean = false): Set[Seq[Any]] = {
+    spark.conf.set(GraftSession.PreferIntervalJoin, "false")
+    val res = overlapJoin(a, b, withKey, strict).collect()
+      .map(_.toSeq).toSet
+    spark.conf.set(GraftSession.PreferIntervalJoin, "true")
+    res
+  }
+
+  test("reads × targets equi+range golden result (16 rows)") {
+    val df = overlapJoin(targets, reads)
+    assertUsesIntervalJoin(df)
+    val got = df.collect().map(_.toSeq).toSet
+    assert(df.count() == 16) // integration_test.rs:42-65
+    assert(got == stockResult(targets, reads, withKey = true))
+  }
+
+  test("reads × targets pure-range golden result (32 rows)") {
+    val df = overlapJoin(targets, reads, withKey = false)
+    assertUsesIntervalJoin(df)
+    assert(df.count() == 32) // integration_test.rs:120-160
+    assert(df.collect().map(_.toSeq).toSet ==
+      stockResult(targets, reads, withKey = false))
+  }
+
+  // FIXTURES.md §2 — boundary micro-fixture
+  private def aOne: DataFrame = Seq(("a", 5, 10)).toDF("contig", "pos_start", "pos_end")
+  private def bSweep: DataFrame = Seq(
+    ("a", 11, 15), ("a", 10, 15), ("a", 10, 10), ("a", 9, 15), ("a", 5, 15),
+    ("a", 4, 15), ("a", 4, 10), ("a", 6, 8), ("a", 4, 8), ("a", 4, 5),
+    ("a", 5, 5), ("a", 4, 4)
+  ).toDF("contig", "pos_start", "pos_end")
+
+  test("boundary semantics: inclusive predicates match 10 of 12") {
+    val df = overlapJoin(aOne, bSweep)
+    assertUsesIntervalJoin(df)
+    assert(df.count() == 10) // integration_test.rs:261-276
+    assert(df.collect().map(_.toSeq).toSet ==
+      stockResult(aOne, bSweep, withKey = true))
+  }
+
+  test("boundary semantics: strict predicates match 6 of 12") {
+    val df = overlapJoin(aOne, bSweep, strict = true)
+    assertUsesIntervalJoin(df)
+    assert(df.count() == 6) // integration_test.rs:330-341
+    assert(df.collect().map(_.toSeq).toSet ==
+      stockResult(aOne, bSweep, withKey = true, strict = true))
+  }
+
+  test("all 8 condition orderings plan to IntervalJoinExec and agree") {
+    val al = targets.select($"contig".as("a_contig"),
+      $"pos_start".as("a_start"), $"pos_end".as("a_end"))
+    val bl = reads.select($"contig".as("b_contig"),
+      $"pos_start".as("b_start"), $"pos_end".as("b_end"))
+    val conds = Seq(
+      $"a_start" <= $"b_end" && $"a_end" >= $"b_start",
+      $"b_end" >= $"a_start" && $"a_end" >= $"b_start",
+      $"a_start" <= $"b_end" && $"b_start" <= $"a_end",
+      $"b_end" >= $"a_start" && $"b_start" <= $"a_end",
+      $"a_end" >= $"b_start" && $"a_start" <= $"b_end",
+      $"b_start" <= $"a_end" && $"b_end" >= $"a_start")
+    for (c <- conds) {
+      val df = al.join(bl, $"a_contig" === $"b_contig" && c)
+      assertUsesIntervalJoin(df)
+      assert(df.count() == 16, s"cond: $c")
+    }
+    val strictConds = Seq(
+      $"a_start" < $"b_end" && $"a_end" > $"b_start",
+      $"b_end" > $"a_start" && $"b_start" < $"a_end")
+    for (c <- strictConds) {
+      val df = al.join(bl, $"a_contig" === $"b_contig" && c)
+      assertUsesIntervalJoin(df)
+      val stock = stockResult(targets, reads, withKey = true, strict = true)
+      assert(df.collect().map(_.toSeq).toSet == stock, s"cond: $c")
+    }
+  }
+
+  // FIXTURES.md §3 — nearest join, two equi-keys, NULL padding
+  test("nearest join: one row per probe, NULL-padded unmatched keys") {
+    spark.conf.set(GraftSession.IntervalJoinAlgorithm, "nearest")
+    // Option[Int] → nullable int columns: the logical Inner join's schema
+    // governs deserialization, so NULL-padding requires nullable inputs on
+    // the conf-gated path (like the reference's CSV-sourced fixture).
+    val a = Seq(("a", "s", Option(5), Option(10)))
+      .toDF("contig", "strand", "pos_start", "pos_end")
+    val b = Seq(("a", "s", Option(11), Option(13)),
+      ("a", "s", Option(20), Option(21)), ("a", "x", Option(0), Option(1)),
+      ("b", "s", Option(1), Option(2)))
+      .toDF("contig", "strand", "pos_start", "pos_end")
+    val al = a.select($"contig".as("ac"), $"strand".as("as"),
+      $"pos_start".as("a_start"), $"pos_end".as("a_end"))
+    val bl = b.select($"contig".as("bc"), $"strand".as("bs"),
+      $"pos_start".as("b_start"), $"pos_end".as("b_end"))
+    val df = al.join(bl, $"ac" === $"bc" && $"as" === $"bs" &&
+      $"a_start" < $"b_end" && $"a_end" > $"b_start")
+    assertUsesIntervalJoin(df)
+    val rows = df.collect().map(_.toSeq).toSet
+    assert(rows.size == 4) // one per probe row (integration_test.rs:385-396)
+    assert(rows.contains(Seq("a", "s", 5, 10, "a", "s", 11, 13)))
+    assert(rows.contains(Seq("a", "s", 5, 10, "a", "s", 20, 21)))
+    assert(rows.contains(Seq(null, null, null, null, "a", "x", 0, 1)))
+    assert(rows.contains(Seq(null, null, null, null, "b", "s", 1, 2)))
+  }
+
+  test("NULL equi-keys do not match each other") {
+    val a = Seq(("chr1", 5, 10), (null, 5, 10), (null, 6, 12))
+      .toDF("contig", "pos_start", "pos_end")
+    val b = Seq(("chr1", 8, 20), (null, 8, 20))
+      .toDF("contig", "pos_start", "pos_end")
+    val df = overlapJoin(a, b)
+    // stock Spark answer: only the chr1×chr1 row
+    assert(df.count() == 1)
+    assert(df.count() == stockResult(a, b, withKey = true).size)
+  }
+
+  test("interval bound overflowing Int32 fails (reference overflow pinning)") {
+    val a = Seq(("chr1", 5L, 2147483648L)).toDF("contig", "pos_start", "pos_end")
+    val b = Seq(("chr1", 8L, 20L)).toDF("contig", "pos_start", "pos_end")
+    val df = overlapJoin(a, b)
+    assertUsesIntervalJoin(df)
+    val ex = intercept[Exception] { df.count() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: msgs(t.getCause)
+    assert(msgs(ex).exists(m => m != null && m.contains("2147483648")),
+      s"expected overflow message, got: ${msgs(ex)}")
+  }
+
+  test("partitioned mode: forced, correct, and contains exchanges") {
+    spark.conf.set(GraftSession.IntervalJoinForceMode, "partitioned")
+    val df = overlapJoin(targets, reads)
+    assertUsesIntervalJoin(df)
+    assert(df.count() == 16)
+    assert(df.collect().map(_.toSeq).toSet ==
+      stockResult(targets, reads, withKey = true))
+  }
+
+  test("AQE off: still plans IntervalJoinExec with same result") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val df = overlapJoin(targets, reads)
+    assertUsesIntervalJoin(df)
+    assert(df.count() == 16)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("disabled conf falls back to stock Spark join") {
+    spark.conf.set(GraftSession.PreferIntervalJoin, "false")
+    val df = overlapJoin(targets, reads)
+    assert(!planOf(df).contains("IntervalJoinExec"))
+    assert(df.count() == 16)
+  }
+
+  test("keyless join above broadcast threshold falls back to stock plan") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = overlapJoin(targets, reads, withKey = false)
+      assert(!planOf(df).contains("IntervalJoinExec"))
+      assert(df.count() == 32)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+  }
+
+  test("randomized equivalence with stock join (inclusive + strict)") {
+    val rnd = new scala.util.Random(7)
+    def randomTable(n: Int): DataFrame =
+      (0 until n).map { _ =>
+        val s = rnd.nextInt(1000)
+        (s"chr${rnd.nextInt(4)}", s, s + rnd.nextInt(100))
+      }.toDF("contig", "pos_start", "pos_end")
+    for (_ <- 0 until 3) {
+      val a = randomTable(300)
+      val b = randomTable(300)
+      a.cache(); b.cache()
+      for (strict <- Seq(false, true); withKey <- Seq(true, false)) {
+        val df = overlapJoin(a, b, withKey, strict)
+        assert(df.collect().map(_.toSeq).toSet ==
+          stockResult(a, b, withKey, strict), s"strict=$strict key=$withKey")
+      }
+      a.unpersist(); b.unpersist()
+    }
+  }
+
+  test("residual predicate is applied on top of the interval match") {
+    // cross-side non-range conjunct → must survive as a post-match filter
+    val al = targets.select($"contig".as("a_contig"),
+      $"pos_start".as("a_start"), $"pos_end".as("a_end"))
+    val bl = reads.select($"contig".as("b_contig"),
+      $"pos_start".as("b_start"), $"pos_end".as("b_end"))
+    val df = al.join(bl, $"a_contig" === $"b_contig" &&
+      $"a_start" <= $"b_end" && $"a_end" >= $"b_start" &&
+      ($"a_start" + $"b_start") % 2 === 0)
+    assertUsesIntervalJoin(df)
+    val stock = stockResult(targets, reads, withKey = true).filter { r =>
+      (r(1).asInstanceOf[Int] + r(4).asInstanceOf[Int]) % 2 == 0
+    }
+    assert(df.collect().map(_.toSeq).toSet == stock)
+  }
+}
