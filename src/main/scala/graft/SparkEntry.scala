@@ -1,6 +1,9 @@
 package graft
 
+import graft.operators.{Dedup, Similarity, TextStats}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /**
  * Driver contract — one entry per implemented operator from SURVEY.md §2,
@@ -146,6 +149,64 @@ object SparkEntry {
       |SELECT b.b_id, b.contig, b.pos_start, b.pos_end, NULL, NULL
       |FROM b WHERE NOT EXISTS (SELECT 1 FROM a WHERE a.contig = b.contig)""".stripMargin
 
+  // ---- LLM-pipeline operators over documents/embeddings ----------------
+
+  /** Deterministic duplicate corpus: documents ∪ exact copies (ids
+    * +1000000, every 5th doc) ∪ optionally near copies (ids +2000000,
+    * every 7th doc, 3 words appended). The driver's documents table has
+    * no duplicates, so dedup queries construct their own — identically in
+    * Spark and the DuckDB oracle. */
+  private def dupCorpus(spark: SparkSession, sfDir: String,
+      near: Boolean): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    val exact = docs.where(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+    val nearDf = docs.where(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 2000000).as("doc_id"),
+        concat(col("text"), lit(" graft dup marker")).as("text"))
+    if (near) docs.union(exact).union(nearDf) else docs.union(exact)
+  }
+
+  private val corpusCte: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+      |)""".stripMargin
+
+  private val corpusNearCte: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000 AS doc_id, text || ' graft dup marker' AS text
+      |  FROM documents WHERE doc_id % 7 = 0
+      |)""".stripMargin
+
+  /** Oracle for exact-duplicate pairs over the constructed corpus. */
+  private val exactDupOracle: String = corpusCte +
+    """
+      |SELECT a.doc_id AS id1, b.doc_id AS id2
+      |FROM corpus a JOIN corpus b ON a.text = b.text AND a.doc_id < b.doc_id""".stripMargin
+
+  /** Verify candidate pairs by exact text equality (precision filter;
+    * recall 1 on exact dups since identical text ⇒ identical
+    * signature/hash ⇒ same buckets). */
+  private def verifyByEquality(pairs: DataFrame, corpus: DataFrame): DataFrame = {
+    val t = corpus.select(col("doc_id"), col("text"))
+    pairs
+      .join(t.select(col("doc_id").as("id1"), col("text").as("t1")), "id1")
+      .join(t.select(col("doc_id").as("id2"), col("text").as("t2")), "id2")
+      .where(col("t1") === col("t2"))
+      .select(col("id1"), col("id2"))
+  }
+
+  private def prep(spark: SparkSession, sfDir: String): Unit = {
+    Tables.registerAll(spark, sfDir)
+    GraftSession.install(spark)
+  }
+
   private def run(sql: String, confs: (String, String)*)
       : (SparkSession, String) => DataFrame = { (spark, sfDir) =>
     Tables.registerAll(spark, sfDir)
@@ -183,15 +244,136 @@ object SparkEntry {
     "q14_interval_nearest" -> run(nearestSparkSql,
       GraftSession.IntervalJoinAlgorithm -> "nearest"),
     "q15_interval_ailist" -> run(sharedSql("q15_interval_ailist"),
-      GraftSession.IntervalJoinAlgorithm -> "ailist")
+      GraftSession.IntervalJoinAlgorithm -> "ailist"),
+    // ---- LLM-pipeline operators ----------------------------------------
+    "q20_dedup_exact" -> ((s, dir) => { prep(s, dir)
+      Dedup.exactDupPairs(dupCorpus(s, dir, near = false), "doc_id", "text") }),
+    "q21_dedup_minhash" -> ((s, dir) => { prep(s, dir)
+      val c = dupCorpus(s, dir, near = false)
+      verifyByEquality(Dedup.lshCandidatePairs(c, "doc_id", "text"), c) }),
+    "q22_dedup_simhash" -> ((s, dir) => { prep(s, dir)
+      val c = dupCorpus(s, dir, near = false)
+      verifyByEquality(
+        Dedup.simhashDupPairs(c, "doc_id", "text", maxHamming = 0)
+          .select(col("id1"), col("id2")), c) }),
+    "q23_dedup_jaccard" -> ((s, dir) => { prep(s, dir)
+      Dedup.minhashDupPairs(dupCorpus(s, dir, near = true), "doc_id", "text",
+        threshold = 0.8) }),
+    "q24_text_stats" -> ((s, dir) => { prep(s, dir)
+      val d = Tables.load(s, dir, "documents")
+      d.select(col("doc_id"),
+        TextStats.tokenCount(col("text")).as("n_tokens"),
+        TextStats.punctRatio(col("text")).as("punct_ratio"),
+        TextStats.digitRatio(col("text")).as("digit_ratio"),
+        TextStats.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextStats.qualityScore(col("text")).as("quality")) }),
+    "q25_langid" -> ((s, dir) => { prep(s, dir)
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TextStats.langId(col("text")).as("lang_pred")) }),
+    "q27_fingerprint" -> ((s, dir) => { prep(s, dir)
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp")) }),
+    "q30_ann_topk" -> ((s, dir) => { prep(s, dir)
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.orderBy("vec_id").select("embedding").head()
+        .getSeq[Float](0).toArray
+      val top = Similarity.cosineTopK(emb, "vec_id", "embedding", q, 10)
+      import org.apache.spark.sql.expressions.Window
+      top.withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("vec_id"))))
+        .select(col("vec_id"), col("rank")) }),
+    "q31_ann_lsh" -> ((s, dir) => { prep(s, dir)
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.orderBy("vec_id").select("embedding").head()
+        .getSeq[Float](0).toArray
+      val top = Similarity.lshTopK(emb, "vec_id", "embedding", q, 10)
+      import org.apache.spark.sql.expressions.Window
+      top.withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("vec_id"))))
+        .select(col("vec_id"), col("rank")) })
   )
 
-  /** DuckDB-equivalent SQL per query (same parquet-backed table names). */
+  private val jaccardOracle: String = corpusNearCte +
+    """,
+      |w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM corpus),
+      |s AS (SELECT doc_id,
+      |        CASE WHEN len(ws) >= 3
+      |             THEN list_distinct(list_transform(range(1, len(ws) - 1),
+      |                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+      |             ELSE [array_to_string(ws, ' ')] END AS sh
+      |      FROM w)
+      |SELECT a.doc_id AS id1, b.doc_id AS id2,
+      |       round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+      |             len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+      |FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+      |            len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.8""".stripMargin
+
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  private val textStatsOracle: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, text,
+       |    regexp_split_to_array(lower(trim(text)), '\\s+') AS ws,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+       |    round(CASE WHEN length(text) = 0 THEN 0.0
+       |      ELSE (length(text) - length(regexp_replace(text, '[\\.,;:!\\?''"()\\[\\]{}-]', '', 'g'))) * 1.0 / length(text) END, 6) AS punct_ratio,
+       |    round(CASE WHEN length(text) = 0 THEN 0.0
+       |      ELSE (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / length(text) END, 6) AS digit_ratio
+       |  FROM documents
+       |), st AS (
+       |  SELECT *, round(CASE WHEN len(ws) = 0 THEN 0.0
+       |    ELSE len(list_filter(ws, x -> x IN ${sqlList(TextStats.enStopList)})) * 1.0 / len(ws) END, 6) AS stopword_ratio
+       |  FROM base
+       |)
+       |SELECT doc_id, n_tokens, punct_ratio, digit_ratio, stopword_ratio,
+       |  round((least(n_tokens / 64.0, 1.0) + least(stopword_ratio * 4.0, 1.0)
+       |         + greatest(1.0 - (punct_ratio + digit_ratio) * 4.0, 0.0)) / 3.0, 6) AS quality
+       |FROM st""".stripMargin
+
+  private val langIdOracle: String =
+    s"""WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents),
+       |h AS (SELECT doc_id,
+       |  len(list_filter(ws, x -> x IN ${sqlList(TextStats.deStopList)})) AS de,
+       |  len(list_filter(ws, x -> x IN ${sqlList(TextStats.enStopList)})) AS en,
+       |  len(list_filter(ws, x -> x IN ${sqlList(TextStats.esStopList)})) AS es,
+       |  len(list_filter(ws, x -> x IN ${sqlList(TextStats.frStopList)})) AS fr
+       |  FROM w)
+       |SELECT doc_id, CASE
+       |  WHEN greatest(de, en, es, fr) <= 0 THEN 'und'
+       |  WHEN fr >= de AND fr >= en AND fr >= es THEN 'fr'
+       |  WHEN es >= de AND es >= en THEN 'es'
+       |  WHEN en >= de THEN 'en'
+       |  ELSE 'de' END AS lang_pred
+       |FROM h""".stripMargin
+
+  private val annTopkOracle: String =
+    """SELECT vec_id, rank FROM (
+      |  SELECT vec_id, row_number() OVER (
+      |    ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+      |      (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+      |       ORDER BY vec_id LIMIT 1)) DESC, vec_id) AS rank
+      |  FROM embeddings) t
+      |WHERE rank <= 10""".stripMargin
+
+  /** DuckDB-equivalent SQL per query (same parquet-backed table names).
+    * q27/q31 are omitted deliberately: xxhash64-based fingerprints and
+    * approximate LSH recall are not expressible in DuckDB → the driver
+    * records the weaker rows-only check for them. */
   def oracleSql: Map[String, String] =
     (sharedSql - "q13_interval_partitioned" - "q15_interval_ailist") ++ Map(
       // same result as q10 — different execution mode / index algorithm
       "q13_interval_partitioned" -> sharedSql("q10_interval_join"),
       "q15_interval_ailist" -> sharedSql("q10_interval_join"),
-      "q14_interval_nearest" -> nearestOracleSql
+      "q14_interval_nearest" -> nearestOracleSql,
+      "q20_dedup_exact" -> exactDupOracle,
+      "q21_dedup_minhash" -> exactDupOracle,
+      "q22_dedup_simhash" -> exactDupOracle,
+      "q23_dedup_jaccard" -> jaccardOracle,
+      "q24_text_stats" -> textStatsOracle,
+      "q25_langid" -> langIdOracle,
+      "q30_ann_topk" -> annTopkOracle
     )
 }

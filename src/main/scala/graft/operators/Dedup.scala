@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Document deduplication operators for large-scale training-data
+ * pipelines: exact (hash group-by), MinHash + LSH banding, SimHash, and
+ * n-gram Jaccard verification.
+ *
+ * Scale design (100 TB): every candidate-generation path is a *bucketed
+ * shuffle* — group by (band, bandHash) / (chunk, chunkValue) / text hash —
+ * never an all-pairs crossJoin. Within-bucket pair expansion is quadratic
+ * only in the bucket size, which LSH keeps small by construction. All
+ * column logic uses built-in codegen'd functions (no UDFs).
+ */
+object Dedup {
+
+  /** Lower-cased whitespace tokens. */
+  def words(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Distinct word n-gram shingles; documents shorter than `n` words
+    * collapse to a single whole-document shingle. */
+  def wordShingles(text: Column, n: Int = 3): Column = {
+    val ws = words(text)
+    when(size(ws) >= n,
+      array_distinct(transform(sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", slice(ws, i + 1, lit(n))))))
+      .otherwise(array(concat_ws(" ", ws)))
+  }
+
+  /** MinHash signature: for each of `numHashes` hash functions, the min
+    * over shingles of a salted 64-bit hash. One pass per hash function,
+    * all inside whole-stage codegen. */
+  def minhashSignature(shingles: Column, numHashes: Int = 64): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      h => array_min(transform(shingles,
+        s => xxhash64(concat(cast_str(h), lit(":"), s)))))
+
+  private def cast_str(c: Column): Column = c.cast("string")
+
+  /** LSH banding: split the signature into `bands` bands and hash each —
+    * identical signatures land in identical buckets in every band
+    * (recall 1 on exact duplicates), near-identical signatures collide in
+    * at least one band with high probability. */
+  def lshBands(signature: Column, numHashes: Int, bands: Int): Column = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"),
+        xxhash64(cast_str(slice(signature, b * rows + 1, lit(rows)))).as("bucket")))
+  }
+
+  /**
+   * Candidate duplicate pairs (id1 < id2) via MinHash-LSH banding.
+   * Shuffle shape: explode bands → groupBy(band, bucket) → within-bucket
+   * pair expansion → distinct. No crossJoin anywhere.
+   */
+  def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val sig = docs.select(col(idCol).as("id"),
+      minhashSignature(wordShingles(col(textCol), shingleSize), numHashes)
+        .as("sig"))
+    val banded = sig.select(col("id"),
+      explode(lshBands(col("sig"), numHashes, bands)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.bucket").as("bucket"))
+    val buckets = banded.groupBy("band", "bucket")
+      .agg(collect_list("id").as("ids"))
+      .where(size(col("ids")) > 1)
+    buckets
+      .select(explode(col("ids")).as("id1"), col("ids"))
+      .select(col("id1"), explode(col("ids")).as("id2"))
+      .where(col("id1") < col("id2"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity between two shingle-array columns. */
+  def jaccard(a: Column, b: Column): Column =
+    when(size(array_union(a, b)) === 0, lit(1.0))
+      .otherwise(size(array_intersect(a, b)).cast("double") /
+        size(array_union(a, b)).cast("double"))
+
+  /**
+   * MinHash-LSH near-duplicate pairs, verified with exact n-gram Jaccard
+   * >= `threshold`. The verification join re-derives shingles from the
+   * original docs (2 hash-joins on id — broadcastable when docs is small,
+   * shuffle-on-id at scale).
+   */
+  def minhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleSize: Int = 3, numHashes: Int = 64,
+      bands: Int = 16): DataFrame = {
+    val cands = lshCandidatePairs(docs, idCol, textCol, shingleSize,
+      numHashes, bands)
+    val sh = docs.select(col(idCol).as("id"),
+      wordShingles(col(textCol), shingleSize).as("sh"))
+    cands
+      .join(sh.withColumnRenamed("id", "id1").withColumnRenamed("sh", "sh1"), "id1")
+      .join(sh.withColumnRenamed("id", "id2").withColumnRenamed("sh", "sh2"), "id2")
+      .select(col("id1"), col("id2"),
+        round(jaccard(col("sh1"), col("sh2")), 6).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Exact duplicate pairs (identical `textCol`), id1 < id2. Shuffle
+    * shape: one groupBy on the text (hash-partitioned), pair expansion
+    * within groups — never a self-join on the full table. */
+  def exactDupPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), col(textCol).as("t"))
+      .groupBy("t").agg(sort_array(collect_list("id")).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id1"), col("ids"))
+      .select(col("id1"), explode(col("ids")).as("id2"))
+      .where(col("id1") < col("id2"))
+
+  /** `shiftright` with a Column shift amount (the Scala helper only
+    * accepts a literal Int). */
+  private def shr(v: Column, bits: Column): Column =
+    call_function("shiftright", v, bits.cast("int"))
+  private def shl(v: Column, bits: Column): Column =
+    call_function("shiftleft", v, bits.cast("int"))
+
+  /** 64-bit SimHash over shingles: per-bit majority vote of shingle
+    * hashes, folded into one BIGINT. Pure codegen'd expressions. */
+  def simhash64(shingles: Column): Column = {
+    val hashes = transform(shingles, s => xxhash64(s))
+    val bitSums = aggregate(hashes,
+      transform(sequence(lit(0), lit(63)), _ => lit(0L)),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
+        (a, i) => a + when(shr(h, i).bitwiseAND(lit(1L)) =!= 0, lit(1L))
+          .otherwise(lit(-1L))))
+    // fold sign bits into a single long: OR of 2^i where bitSum(i) > 0
+    aggregate(zip_with(bitSums, sequence(lit(0), lit(63)),
+      (s, i) => when(s > 0, shl(lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (a, x) => a.bitwiseOR(x))
+  }
+
+  /** SimHash near-duplicate candidate pairs: pigeonhole the 64-bit hash
+    * into 4 × 16-bit chunks — any pair within Hamming distance 3 shares
+    * at least one chunk — then verify `bit_count(xor) <= maxHamming`. */
+  def simhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, shingleSize: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      simhash64(wordShingles(col(textCol), shingleSize)).as("sh"))
+    val chunked = sh.select(col("id"), col("sh"),
+      explode(transform(sequence(lit(0), lit(3)),
+        c => struct(c.as("chunk"),
+          shr(col("sh"), c * 16).bitwiseAND(lit(0xFFFFL)).as("v")))).as("c"))
+      .select(col("id"), col("sh"), col("c.chunk").as("chunk"), col("c.v").as("v"))
+    val buckets = chunked.groupBy("chunk", "v")
+      .agg(collect_list(struct(col("id"), col("sh"))).as("xs"))
+      .where(size(col("xs")) > 1)
+    buckets
+      .select(explode(col("xs")).as("x1"), col("xs"))
+      .select(col("x1"), explode(col("xs")).as("x2"))
+      .where(col("x1.id") < col("x2.id"))
+      .select(col("x1.id").as("id1"), col("x2.id").as("id2"),
+        bit_count(col("x1.sh").bitwiseXOR(col("x2.sh"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,121 @@
+package graft
+
+import graft.operators.{Dedup, Similarity, TextStats}
+
+import org.apache.spark.sql.functions._
+
+/** Unit tests for the LLM-pipeline operators (dedup / text stats /
+  * similarity). */
+class OperatorsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (3L, "a completely different document about spark query engines and joins"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bend"),
+    (5L, "der hund läuft durch die stadt und ist nicht müde"),
+    (6L, "le chat est dans la maison et il ne dort pas")
+  ).toDF("doc_id", "text")
+
+  test("exactDupPairs finds identical texts only") {
+    val pairs = Dedup.exactDupPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("minhash-LSH candidates have recall 1 on exact duplicates") {
+    val cands = Dedup.lshCandidatePairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)))
+  }
+
+  test("minhashDupPairs: exact dup has jaccard 1.0, near dup found high") {
+    val pairs = Dedup.minhashDupPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    // docs 1/4 differ in the last word: jaccard just below 1
+    assert(pairs.contains((1L, 4L)) && pairs((1L, 4L)) > 0.6 && pairs((1L, 4L)) < 1.0)
+    assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("simhash: identical texts → hamming 0; near dup within 3 bits") {
+    val pairs = Dedup.simhashDupPairs(docs, "doc_id", "text", maxHamming = 63)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((1L, 2L)) == 0)
+  }
+
+  test("jaccard column: intersect/union semantics") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d")))
+      .toDF("x", "y")
+      .select(Dedup.jaccard($"x", $"y").as("j"))
+    assert(df.head().getDouble(0) == 0.5)
+  }
+
+  test("tokenCount edge cases") {
+    val df = Seq("", "   ", "one", "  two  words ", "a\tb\nc")
+      .toDF("t").select(TextStats.tokenCount($"t").as("n"))
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(0, 0, 1, 2, 3))
+  }
+
+  test("ratios are bounded and deterministic") {
+    val r = docs.select(
+      TextStats.punctRatio($"text").as("p"),
+      TextStats.digitRatio($"text").as("d"),
+      TextStats.stopwordRatio($"text").as("s"),
+      TextStats.qualityScore($"text").as("q")).collect()
+    r.foreach { row =>
+      (0 until 4).foreach { i =>
+        val v = row.getDouble(i)
+        assert(v >= 0.0 && v <= 1.0)
+      }
+    }
+  }
+
+  test("langId picks the right stopword profile") {
+    val preds = docs.select($"doc_id", TextStats.langId($"text").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(preds(1L) == "en")
+    assert(preds(5L) == "de")
+    assert(preds(6L) == "fr")
+  }
+
+  test("fingerprint: equal texts equal, stable across evaluation") {
+    val fps = docs.select($"doc_id", TextStats.fingerprint($"text").as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L))
+    val fps2 = docs.select($"doc_id", TextStats.fingerprint($"text").as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps == fps2)
+  }
+
+  private def vecs: Seq[(Long, Seq[Float])] = {
+    val rnd = new scala.util.Random(3)
+    (0L until 50L).map(i => i -> Seq.fill(16)(rnd.nextFloat() * 2 - 1))
+  }
+
+  test("cosineTopK matches a driver-side brute force") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = vecs.head._2.toArray
+    val got = Similarity.cosineTopK(df, "vec_id", "embedding", q, 5)
+      .collect().map(_.getLong(0)).toSeq
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val exp = vecs.map { case (id, v) => (id, cos(v, q.toSeq)) }
+      .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1)
+    assert(got == exp)
+    assert(got.head == 0L) // self-similarity = 1
+  }
+
+  test("lshTopK retrieves the query vector itself at rank 1") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = vecs.head._2.toArray
+    val got = Similarity.lshTopK(df, "vec_id", "embedding", q, 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got.nonEmpty && got.head == 0L)
+  }
+}
