@@ -282,6 +282,21 @@ object SparkEntry {
       top.withColumn("rank", row_number().over(
           Window.orderBy(col("score").desc, col("vec_id"))))
         .select(col("vec_id"), col("rank")) }),
+    "q40_multimodal" -> ((s, dir) => { prep(s, dir)
+      // binary-column plumbing: documents text bytes as the opaque payload
+      val media = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("media"))
+      media.select(col("doc_id"),
+        length(col("media")).cast("long").as("n_bytes"),
+        graft.operators.Multimodal.frameCount(col("media"), 256).as("n_frames"),
+        size(graft.operators.Multimodal.frameSample(col("media"), 256, 2))
+          .as("n_sampled")) }),
+    "q41_media_decode" -> ((s, dir) => { prep(s, dir)
+      val media = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("media"))
+      graft.operators.Multimodal.decodeImages(
+        graft.operators.Multimodal.asMedia(media, "doc_id", "media"))
+        .toDF().select(col("id"), col("width"), col("height"), col("nBytes")) }),
     "q31_ann_lsh" -> ((s, dir) => { prep(s, dir)
       val emb = Tables.load(s, dir, "embeddings")
       val q = emb.orderBy("vec_id").select("embedding").head()
@@ -374,6 +389,12 @@ object SparkEntry {
       "q23_dedup_jaccard" -> jaccardOracle,
       "q24_text_stats" -> textStatsOracle,
       "q25_langid" -> langIdOracle,
-      "q30_ann_topk" -> annTopkOracle
+      "q30_ann_topk" -> annTopkOracle,
+      "q40_multimodal" ->
+        """SELECT doc_id,
+          |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+          |  CAST(ceil(octet_length(CAST(text AS BLOB)) / 256.0) AS INTEGER) AS n_frames,
+          |  CAST(ceil(ceil(octet_length(CAST(text AS BLOB)) / 256.0) / 2.0) AS INTEGER) AS n_sampled
+          |FROM documents""".stripMargin
     )
 }

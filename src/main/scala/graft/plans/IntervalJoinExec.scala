@@ -144,7 +144,15 @@ private[graft] class IntervalJoinRunner(
 
     joinType match {
       case OverlapJoin =>
-        val matches = new mutable.ArrayBuffer[Int]
+        // primitive growable buffer — no Int boxing in the probe hot loop
+        var matchBuf = new Array[Int](64)
+        var matchLen = 0
+        val add: Int => Unit = { pos =>
+          if (matchLen == matchBuf.length)
+            matchBuf = java.util.Arrays.copyOf(matchBuf, matchLen * 2)
+          matchBuf(matchLen) = pos
+          matchLen += 1
+        }
         iter.flatMap { rrow =>
           val s = startEval(rrow)
           val e = endEval(rrow)
@@ -155,14 +163,22 @@ private[graft] class IntervalJoinRunner(
             val idx = if (hasKeys && key.anyNull) null else build.keyed.get(key)
             if (idx == null) Iterator.empty
             else {
-              matches.clear()
-              idx.query(toIntChecked(s), toIntChecked(e))(matches += _)
-              // matches is reused across probe rows; materialize emission
-              // eagerly into the flatMap via an indexed iterator over a
-              // snapshot-free buffer (safe: flatMap drains before next row)
-              matches.iterator
-                .map(pos => joined(build.rows(pos), rrow))
-                .filter(j => residualPred.forall(_.eval(j)))
+              matchLen = 0
+              idx.query(toIntChecked(s), toIntChecked(e))(add)
+              // buffer is reused across probe rows — safe because flatMap
+              // drains each returned iterator before pulling the next row
+              val n = matchLen
+              val it = new Iterator[InternalRow] {
+                private var i = 0
+                def hasNext: Boolean = i < n
+                def next(): InternalRow = {
+                  val j = joined(build.rows(matchBuf(i)), rrow)
+                  i += 1
+                  j
+                }
+              }
+              (if (residualPred.isEmpty) it
+               else it.filter(j => residualPred.get.eval(j)))
                 .map { j => rows += 1; resultProj(j) }
             }
           }

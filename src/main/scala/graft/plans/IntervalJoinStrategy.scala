@@ -31,6 +31,22 @@ case class IntervalJoinStrategy(session: SparkSession) extends SparkStrategy {
     session.conf.get(key, default)
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    // explicit nearest-join node (graft.operators.NearestJoin API)
+    case NearestIntervalJoin(l, r, cond) =>
+      IntervalCondition.extract(cond, l, r) match {
+        case Some(ic) if ic.residual.isEmpty =>
+          val threshold = session.sessionState.conf.autoBroadcastJoinThreshold
+          val fitsBroadcast = threshold > 0 && l.stats.sizeInBytes <= threshold
+          val mode =
+            if (ic.leftKeys.isEmpty || fitsBroadcast) BroadcastMode
+            else PartitionedMode
+          IntervalJoinExec(
+            planLater(l), planLater(r),
+            ic.leftKeys, ic.rightKeys,
+            ic.leftStart, ic.leftEnd, ic.rightStart, ic.rightEnd,
+            None, NearestJoin, mode, "superintervals") :: Nil
+        case _ => Nil // unreachable — NearestJoin.apply validates eagerly
+      }
     case Join(l, r, Inner, Some(cond), hint)
         if conf(graft.GraftSession.PreferIntervalJoin, "true").toBoolean =>
       IntervalCondition.extract(cond, l, r) match {

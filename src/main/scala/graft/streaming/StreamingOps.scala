@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Structured-Streaming operators for the events stream shape
+ * `(event_id, ts, user_id, event_type, value, props)`.
+ *
+ * The reference engine is batch-only (both join children must be bounded,
+ * reference: sequila-core joins/utils.rs:35-63); these are the streaming
+ * counterparts a large-scale ingest pipeline needs, built on watermarks +
+ * built-in stateful operators so state is bounded and sharded by key —
+ * the 100-TB-friendly shape (state lives partitioned in the state store,
+ * no driver-side accumulation).
+ */
+object StreamingOps {
+
+  /** Exact-dedup on a stream: watermarked drop-duplicates on the id —
+    * state for an id is dropped once the watermark passes it. Works on
+    * both streaming and batch DataFrames. */
+  def dedupStream(events: DataFrame, idCol: String, tsCol: String,
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicates(Seq(idCol))
+
+  /** Sliding-window per-type counts + value sums. */
+  def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
+      windowLen: String = "1 hour", slide: String = "15 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen, slide), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+
+  /** Session windows per user (gap-based), emitting session span + event
+    * count — built-in session_window keeps state per (user, open session)
+    * only. */
+  def sessionize(events: DataFrame, tsCol: String, userCol: String,
+      gap: String = "30 minutes", watermark: String = "2 hours"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(userCol))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+}

@@ -1,0 +1,19 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.{Dataset => CDataset, SparkSession => CSparkSession}
+
+/** Minimal bridge into `private[sql]` Dataset construction and Column ↔
+  * Expression conversion — the standard mechanism for Spark extensions
+  * that add their own logical operators. */
+object GraftSqlShim {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    CDataset.ofRows(spark.asInstanceOf[CSparkSession], plan)
+
+  /** Eagerly convert a Column to a Catalyst Expression via the session's
+    * converter (ExpressionUtils.expression returns a lazy placeholder that
+    * only resolves during analysis). */
+  def expression(spark: SparkSession, c: Column): Expression =
+    spark.asInstanceOf[CSparkSession].expression(c)
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.streaming.StreamingOps
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("streaming dedup drops repeated ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "value")
+    input.addData((1L, ts(0), 1.0), (1L, ts(1), 2.0), (2L, ts(2), 3.0),
+      (2L, ts(2), 3.0), (3L, ts(3), 4.0))
+    val q = StreamingOps.dedupStream(events, "event_id", "ts")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_out").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("windowed counts aggregate by sliding window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    input.addData((ts(1), "click", 1.0), (ts(2), "click", 2.0),
+      (ts(11), "click", 4.0), (ts(3), "view", 8.0))
+    val q = StreamingOps.windowedCounts(events, "ts", "event_type",
+        windowLen = "10 minutes", slide = "10 minutes")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("win_out")
+      .selectExpr("event_type", "n_events", "sum_value")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got == Set(("click", 2L, 3.0), ("click", 1L, 4.0), ("view", 1L, 8.0)))
+  }
+
+  test("sessionize groups events within the gap into one session") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "value")
+    // user 7: events at 10:01, 10:03 (one session), 10:30 (a second one)
+    input.addData((ts(1), 7L, 1.0), (ts(3), 7L, 1.0), (ts(30), 7L, 1.0))
+    val q = StreamingOps.sessionize(events, "ts", "user_id", gap = "5 minutes")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess_out").selectExpr("n_events")
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(1L, 2L))
+  }
+}
