@@ -19,6 +19,7 @@ import graft.plans.IntervalJoinStrategy
 class GraftSparkSessionExtension extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(session => IntervalJoinStrategy(session))
+    e.injectFunction(graft.functions.CosineSimilarity.functionDescription)
   }
 }
 
@@ -44,6 +45,9 @@ object GraftSession {
       spark.experimental.extraStrategies =
         IntervalJoinStrategy(spark) +: spark.experimental.extraStrategies
     }
+    val (ident, info, builder) =
+      graft.functions.CosineSimilarity.functionDescription
+    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     spark
   }
 

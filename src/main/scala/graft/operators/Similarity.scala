@@ -25,8 +25,14 @@ object Similarity {
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Cosine similarity — backed by the codegen'd [[graft.functions.CosineSimilarity]]
+    * expression (one fused loop, no intermediate arrays; the declarative
+    * zip_with/aggregate form is ~10× slower per row). */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (l2norm(a) * l2norm(b))
+    org.apache.spark.sql.GraftSqlShim.column(
+      graft.functions.CosineSimilarity(
+        org.apache.spark.sql.GraftSqlShim.lazyExpression(a),
+        org.apache.spark.sql.GraftSqlShim.lazyExpression(b)))
 
   /** Exact top-k rows by cosine similarity to `query`. Deterministic
     * tie-break on id. */

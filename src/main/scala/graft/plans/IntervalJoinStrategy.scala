@@ -53,7 +53,8 @@ case class IntervalJoinStrategy(session: SparkSession) extends SparkStrategy {
         case Some(ic) =>
           val algorithm =
             conf(graft.GraftSession.IntervalJoinAlgorithm, "superintervals")
-          val nearest = algorithm.toLowerCase == "nearest"
+          val nearest = algorithm.toLowerCase == "nearest" ||
+            algorithm.toLowerCase == "coitreesnearest" // reference's name
           if (nearest && ic.residual.nonEmpty) {
             // nearest semantics with extra filters is ill-defined — fall
             // back to Spark's built-in join planning

@@ -36,7 +36,10 @@ object IntervalIndex {
     algorithm.toLowerCase match {
       case "superintervals" | "coitrees" | "default" =>
         SuperIntervalsIndex.build(starts, ends, positions)
-      case "ailist" | "intervaltree" | "arrayintervaltree" =>
+      // reference's IntervalTree/ArrayIntervalTree/Lapper slots (augmented
+      // trees / NCList) are served by the AIList design — same early-stop
+      // probe profile, array-friendly
+      case "ailist" | "intervaltree" | "arrayintervaltree" | "lapper" =>
         AIListIndex.build(starts, ends, positions)
       case "naive" | "linear" =>
         new NaiveIntervalIndex(starts, ends, positions)

@@ -16,4 +16,12 @@ object GraftSqlShim {
     * only resolves during analysis). */
   def expression(spark: SparkSession, c: Column): Expression =
     spark.asInstanceOf[CSparkSession].expression(c)
+
+  /** Lazy Column → Expression (resolves during analysis) — for embedding
+    * user columns inside custom expressions. */
+  def lazyExpression(c: Column): Expression =
+    classic.ExpressionUtils.expression(c)
+
+  /** Wrap a Catalyst Expression back into a Column. */
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
 }
