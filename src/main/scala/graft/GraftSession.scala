@@ -19,6 +19,7 @@ import graft.plans.IntervalJoinStrategy
 class GraftSparkSessionExtension extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(session => IntervalJoinStrategy(session))
+    e.injectOptimizerRule(session => graft.plans.IntervalCountRewrite(session))
     e.injectFunction(graft.functions.CosineSimilarity.functionDescription)
   }
 }
@@ -44,6 +45,9 @@ object GraftSession {
     if (!already) {
       spark.experimental.extraStrategies =
         IntervalJoinStrategy(spark) +: spark.experimental.extraStrategies
+      spark.experimental.extraOptimizations =
+        graft.plans.IntervalCountRewrite(spark) +:
+          spark.experimental.extraOptimizations
     }
     val (ident, info, builder) =
       graft.functions.CosineSimilarity.functionDescription

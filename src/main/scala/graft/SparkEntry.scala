@@ -106,6 +106,13 @@ object SparkEntry {
         |FROM a JOIN b ON a.contig = b.contig
         | AND a.pos_start <= b.pos_end AND a.pos_end >= b.pos_start
         |GROUP BY a.contig""".stripMargin),
+    // flagship baseline shape (reference queries/q1-coitrees.sql): global
+    // overlap count — exercises the COUNT(*) aggregate pushdown
+    "q16_interval_count" -> (cteAB +
+      """
+        |SELECT COUNT(*) AS cnt
+        |FROM a JOIN b ON a.contig = b.contig
+        | AND a.pos_start <= b.pos_end AND a.pos_end >= b.pos_start""".stripMargin),
     "q15_interval_ailist" -> (cteAB +
       """
         |SELECT a.contig AS contig, COUNT(*) AS cnt
@@ -245,6 +252,7 @@ object SparkEntry {
       GraftSession.IntervalJoinAlgorithm -> "nearest"),
     "q15_interval_ailist" -> run(sharedSql("q15_interval_ailist"),
       GraftSession.IntervalJoinAlgorithm -> "ailist"),
+    "q16_interval_count" -> run(sharedSql("q16_interval_count")),
     // ---- LLM-pipeline operators ----------------------------------------
     "q20_dedup_exact" -> ((s, dir) => { prep(s, dir)
       Dedup.exactDupPairs(dupCorpus(s, dir, near = false), "doc_id", "text") }),

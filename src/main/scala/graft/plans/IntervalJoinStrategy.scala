@@ -31,6 +31,27 @@ case class IntervalJoinStrategy(session: SparkSession) extends SparkStrategy {
     session.conf.get(key, default)
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    // overlap-count node (from IntervalCountRewrite's aggregate pushdown)
+    case IntervalCountPlan(l, r, cond, groupAttrs, countAttr) =>
+      IntervalCondition.extract(cond, l, r) match {
+        case Some(ic) if ic.residual.isEmpty =>
+          val threshold = session.sessionState.conf.autoBroadcastJoinThreshold
+          val fitsBroadcast = threshold > 0 && l.stats.sizeInBytes <= threshold
+          val mode =
+            conf(graft.GraftSession.IntervalJoinForceMode, "").toLowerCase match {
+              case "broadcast" => BroadcastMode
+              case "partitioned" if ic.leftKeys.nonEmpty => PartitionedMode
+              case _ =>
+                if (ic.leftKeys.isEmpty || fitsBroadcast) BroadcastMode
+                else PartitionedMode
+            }
+          IntervalCountExec(
+            planLater(l), planLater(r),
+            ic.leftKeys, ic.rightKeys,
+            ic.leftStart, ic.leftEnd, ic.rightStart, ic.rightEnd,
+            mode, groupAttrs, countAttr) :: Nil
+        case _ => Nil // unreachable — the rewrite only fires on extractable conditions
+      }
     // explicit nearest-join node (graft.operators.NearestJoin API)
     case NearestIntervalJoin(l, r, cond) =>
       IntervalCondition.extract(cond, l, r) match {

@@ -1,44 +1,45 @@
 package graft.tools
 
 import graft.GraftSession
-import graft.operators.NearestJoin
-import graft.streaming.StreamingOps
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.streaming.Trigger
-import java.sql.Timestamp
+import org.apache.spark.sql.functions._
 
-/** Throwaway surface-drive harness (not part of the driver contract). */
+/** Throwaway perf harness: reference-scale interval join (~100M output
+  * pairs) with custom join vs stock Spark, broadcast vs partitioned. */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.builder("local[4]").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
-
-    // 1. nearest-join public API end-to-end, plan + rows
-    val a = Seq(("chr1", 100, 200), ("chr1", 500, 600)).toDF("contig", "s", "e")
-    val b = Seq(("chr1", 250, 260), ("chr1", 90, 110), ("chr2", 1, 2))
-      .toDF("contig", "s", "e")
-    val nj = NearestJoin(
-      a.select($"contig".as("ac"), $"s".as("as_"), $"e".as("ae")),
-      b.select($"contig".as("bc"), $"s".as("bs"), $"e".as("be")),
-      $"ac" === $"bc" && $"as_" <= $"be" && $"ae" >= $"bs")
-    println("PLAN-HAS-INTERVALJOIN=" +
-      nj.queryExecution.executedPlan.toString.contains("IntervalJoinExec"))
-    nj.collect().foreach(r => println("NJ-ROW " + r))
-
-    // 2. streaming dedup through the public operator, driven by a memory
-    // stream source
-    implicit val sqlCtx = spark.sqlContext
-    val input = MemoryStream[(Long, Timestamp, Double)]
-    input.addData((1L, Timestamp.valueOf("2026-01-01 10:00:00"), 1.0),
-      (1L, Timestamp.valueOf("2026-01-01 10:01:00"), 2.0),
-      (2L, Timestamp.valueOf("2026-01-01 10:02:00"), 3.0))
-    val q = StreamingOps.dedupStream(
-        input.toDF().toDF("event_id", "ts", "value"), "event_id", "ts")
-      .writeStream.format("memory").queryName("scr_out")
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.processAllAvailable(); q.stop()
-    spark.table("scr_out").collect().foreach(r => println("STREAM-ROW " + r))
+    val spark = GraftSession.builder("local[32]").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val ev = graft.Tables.load(spark, "/root/testdata/sf0.1", "events")
+      .select("event_id", "user_id")
+    def tbl(mult: Int, width: Int) = ev.select(
+      (col("user_id") % 20).cast("int").as("contig"),
+      ((col("event_id") * mult) % 100000).cast("int").as("pos_start"),
+      ((col("event_id") * mult) % 100000 + col("event_id") % width * 20)
+        .cast("int").as("pos_end"))
+    val a = tbl(37, 1000).cache(); val b = tbl(53, 700).cache()
+    a.count(); b.count()
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$name%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s  (rows=$n)")
+    }
+    val cond = a("contig") === b("contig") &&
+      a("pos_start") <= b("pos_end") && a("pos_end") >= b("pos_start")
+    spark.conf.set(GraftSession.PreferIntervalJoin, "true")
+    spark.conf.set(GraftSession.IntervalJoinForceMode, "")
+    time("graft broadcast, 32 cores")(a.join(b, cond).count())
+    time("graft broadcast, run 2")(a.join(b, cond).count())
+    spark.conf.set(GraftSession.IntervalJoinForceMode, "partitioned")
+    time("graft partitioned, 32 cores")(a.join(b, cond).count())
+    spark.conf.set(GraftSession.IntervalJoinForceMode, "")
+    println("count plan: " + a.join(b, cond).groupBy().count()
+      .queryExecution.executedPlan.toString.linesIterator
+      .filter(l => l.contains("IntervalCount") || l.contains("IntervalJoin"))
+      .mkString(" | "))
+    time("graft count-pushdown")(a.join(b, cond).count())
+    time("graft count-pushdown, run 2")(a.join(b, cond).count())
+    spark.conf.set(GraftSession.PreferIntervalJoin, "false")
+    time("stock spark (hash join+filter)")(a.join(b, cond).count())
     spark.stop()
   }
 }

@@ -1,0 +1,24 @@
+package graft.tools
+
+import graft.GraftSession
+import org.apache.spark.sql.functions._
+
+object Scratch2 {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.builder("local[4]").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val a = Seq(("c1", 1, 5), ("c1", 3, 9)).toDF("contig", "pos_start", "pos_end")
+    val b = Seq(("c1", 4, 6)).toDF("contig", "pos_start", "pos_end")
+    val al = a.select($"contig".as("ac"), $"pos_start".as("as_"), $"pos_end".as("ae"))
+    val bl = b.select($"contig".as("bc"), $"pos_start".as("bs"), $"pos_end".as("be"))
+    val cond = $"ac" === $"bc" && $"as_" <= $"be" && $"ae" >= $"bs"
+    val df = al.join(bl, cond).groupBy().count()
+    println("=== OPTIMIZED ===")
+    println(df.queryExecution.optimizedPlan.treeString)
+    println("=== PHYSICAL ===")
+    println(df.queryExecution.executedPlan.treeString)
+    println("=== RESULT === " + df.head().getLong(0))
+    spark.stop()
+  }
+}

@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterEach
+
+/** Tests of the COUNT(*) aggregate pushdown (IntervalCountRewrite →
+  * IntervalCountExec): equivalence with the stock plan, grouped variants,
+  * and plan-shape assertions. */
+class IntervalCountSpec extends SparkTestBase with BeforeAndAfterEach {
+
+  import spark.implicits._
+
+  override def beforeEach(): Unit = {
+    spark.conf.set(GraftSession.PreferIntervalJoin, "true")
+    spark.conf.set(GraftSession.IntervalJoinAlgorithm, "superintervals")
+    spark.conf.set(GraftSession.IntervalJoinForceMode, "")
+  }
+
+  private def randomTable(seed: Int, n: Int): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { _ =>
+      val s = rnd.nextInt(1000)
+      (s"chr${rnd.nextInt(4)}", s, s + rnd.nextInt(100))
+    }.toDF("contig", "pos_start", "pos_end")
+  }
+
+  private def joined(a: DataFrame, b: DataFrame, withKey: Boolean = true,
+      strict: Boolean = false): DataFrame = {
+    val al = a.select($"contig".as("ac"), $"pos_start".as("as_"),
+      $"pos_end".as("ae"))
+    val bl = b.select($"contig".as("bc"), $"pos_start".as("bs"),
+      $"pos_end".as("be"))
+    val range = if (strict) $"as_" < $"be" && $"ae" > $"bs"
+                else $"as_" <= $"be" && $"ae" >= $"bs"
+    al.join(bl, if (withKey) $"ac" === $"bc" && range else range)
+  }
+
+  private def stockCount(df: => DataFrame): Long = {
+    spark.conf.set(GraftSession.PreferIntervalJoin, "false")
+    val c = df.count()
+    spark.conf.set(GraftSession.PreferIntervalJoin, "true")
+    c
+  }
+
+  test("global count uses IntervalCountExec and matches stock") {
+    val a = randomTable(1, 500)
+    val b = randomTable(2, 500)
+    a.cache().count(); b.cache().count()
+    val df = joined(a, b).groupBy().count()
+    assert(df.queryExecution.executedPlan.toString.contains("IntervalCountExec"))
+    assert(df.head().getLong(0) == stockCount(joined(a, b)))
+    a.unpersist(); b.unpersist()
+  }
+
+  test("strict-op count matches stock") {
+    val a = randomTable(3, 400)
+    val b = randomTable(4, 400)
+    a.cache().count(); b.cache().count()
+    val df = joined(a, b, strict = true).groupBy().count()
+    assert(df.queryExecution.executedPlan.toString.contains("IntervalCountExec"))
+    assert(df.head().getLong(0) == stockCount(joined(a, b, strict = true)))
+    a.unpersist(); b.unpersist()
+  }
+
+  test("keyless count matches stock") {
+    val a = randomTable(5, 150)
+    val b = randomTable(6, 150)
+    a.cache().count(); b.cache().count()
+    val df = joined(a, b, withKey = false).groupBy().count()
+    assert(df.queryExecution.executedPlan.toString.contains("IntervalCountExec"))
+    assert(df.head().getLong(0) == stockCount(joined(a, b, withKey = false)))
+    a.unpersist(); b.unpersist()
+  }
+
+  test("grouped count by left-side key matches stock (incl. empty groups)") {
+    // chr9 exists only in a — its group must not appear (inner join)
+    val a = randomTable(7, 300).union(Seq(("chr9", 1, 2)).toDF())
+    val b = randomTable(8, 300)
+    a.cache().count(); b.cache().count()
+    val df = joined(a, b).groupBy($"ac").count()
+    assert(df.queryExecution.executedPlan.toString.contains("IntervalCountExec"))
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    spark.conf.set(GraftSession.PreferIntervalJoin, "false")
+    val exp = joined(a, b).groupBy($"ac").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    spark.conf.set(GraftSession.PreferIntervalJoin, "true")
+    assert(got == exp)
+    assert(!got.contains("chr9"))
+    a.unpersist(); b.unpersist()
+  }
+
+  test("grouped count by right-side key matches stock") {
+    val a = randomTable(9, 300)
+    val b = randomTable(10, 300)
+    a.cache().count(); b.cache().count()
+    val df = joined(a, b).groupBy($"bc").count()
+    assert(df.queryExecution.executedPlan.toString.contains("IntervalCountExec"))
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    spark.conf.set(GraftSession.PreferIntervalJoin, "false")
+    val exp = joined(a, b).groupBy($"bc").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    spark.conf.set(GraftSession.PreferIntervalJoin, "true")
+    assert(got == exp)
+    a.unpersist(); b.unpersist()
+  }
+
+  test("count over empty result is 0") {
+    val a = Seq(("c1", 1, 2)).toDF("contig", "pos_start", "pos_end")
+    val b = Seq(("c1", 10, 20)).toDF("contig", "pos_start", "pos_end")
+    assert(joined(a, b).count() == 0L)
+  }
+
+  test("grouping by a non-key column does not rewrite") {
+    val a = randomTable(11, 50)
+    val b = randomTable(12, 50)
+    val df = joined(a, b).groupBy($"as_").count()
+    assert(!df.queryExecution.executedPlan.toString.contains("IntervalCountExec"))
+  }
+
+  test("NULL keys excluded from count") {
+    val a = Seq((Some("c1"), 1, 10), (None, 1, 10))
+      .toDF("contig", "pos_start", "pos_end")
+    val b = Seq((Some("c1"), 5, 6), (None, 5, 6))
+      .toDF("contig", "pos_start", "pos_end")
+    assert(joined(a, b).count() == 1L)
+  }
+
+  test("partitioned mode count matches") {
+    spark.conf.set(GraftSession.IntervalJoinForceMode, "partitioned")
+    val a = randomTable(13, 400)
+    val b = randomTable(14, 400)
+    a.cache().count(); b.cache().count()
+    val got = joined(a, b).count()
+    assert(got == stockCount(joined(a, b)))
+    a.unpersist(); b.unpersist()
+  }
+
+  test("rewrite disabled with conf off") {
+    spark.conf.set(GraftSession.PreferIntervalJoin, "false")
+    val a = randomTable(15, 50)
+    val b = randomTable(16, 50)
+    val df = joined(a, b).groupBy().count()
+    assert(!df.queryExecution.executedPlan.toString.contains("IntervalCountExec"))
+  }
+}
