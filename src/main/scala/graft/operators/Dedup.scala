@@ -37,23 +37,35 @@ object Dedup {
     Seq.fill(numHashes)(rnd.nextLong())
   }
 
+  /** Sorted distinct 64-bit shingle hashes in ONE compiled pass — the
+    * preferred input to MinHash/SimHash/Jaccard (see
+    * [[graft.functions.ShingleHashes]]; ~10× faster than the declarative
+    * shingle-string pipeline). */
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    org.apache.spark.sql.GraftSqlShim.column(
+      graft.functions.ShingleHashes(
+        org.apache.spark.sql.GraftSqlShim.lazyExpression(text), n))
+
   /**
-   * MinHash signature: each shingle is hashed once (xxhash64), then the
-   * signature is one `aggregate` pass carrying a numHashes-wide running-min
-   * state, re-hashing the base hash with per-function salts embedded as a
-   * literal array (xxhash64 mixing — branchless and safe under ANSI mode,
-   * unlike a·x+b which overflows). Single evaluation of the shingle
-   * pipeline — the naive nested-transform formulation re-derives shingles
-   * numHashes times and is ~20× slower.
+   * MinHash signature over pre-hashed shingles: one `aggregate` pass
+   * carrying a numHashes-wide running-min state, re-hashing each base
+   * hash with per-function salts embedded as a literal array (xxhash64
+   * mixing — branchless and safe under ANSI mode, unlike a·x+b which
+   * overflows). The naive nested-transform formulation re-derives the
+   * shingle pipeline numHashes times and is ~20× slower.
    */
-  def minhashSignature(shingles: Column, numHashes: Int = 64): Column = {
+  def minhashSignatureFromHashes(hashes: Column, numHashes: Int = 64): Column = {
     val salts = typedlit(mixSalts(numHashes))
-    val hashes = transform(shingles, s => xxhash64(s))
     aggregate(hashes,
       transform(sequence(lit(0), lit(numHashes - 1)), _ => lit(Long.MaxValue)),
       (acc, x) => zip_with(acc, salts,
         (m, b) => least(m, xxhash64(x, b))))
   }
+
+  /** MinHash signature from shingle STRINGS (compat form; prefer
+    * [[shingleHashes]] + [[minhashSignatureFromHashes]]). */
+  def minhashSignature(shingles: Column, numHashes: Int = 64): Column =
+    minhashSignatureFromHashes(transform(shingles, s => xxhash64(s)), numHashes)
 
   private def cast_str(c: Column): Column = c.cast("string")
 
@@ -77,8 +89,8 @@ object Dedup {
   def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
     val sig = docs.select(col(idCol).as("id"),
-      minhashSignature(wordShingles(col(textCol), shingleSize), numHashes)
-        .as("sig"))
+      minhashSignatureFromHashes(shingleHashes(col(textCol), shingleSize),
+        numHashes).as("sig"))
     val banded = sig.select(col("id"),
       explode(lshBands(col("sig"), numHashes, bands)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.bucket").as("bucket"))
@@ -109,8 +121,10 @@ object Dedup {
       bands: Int = 16): DataFrame = {
     val cands = lshCandidatePairs(docs, idCol, textCol, shingleSize,
       numHashes, bands)
+    // Jaccard over shingle-hash sets == Jaccard over shingle-string sets
+    // (64-bit hashing is injective modulo negligible collisions)
     val sh = docs.select(col(idCol).as("id"),
-      wordShingles(col(textCol), shingleSize).as("sh"))
+      shingleHashes(col(textCol), shingleSize).as("sh"))
     cands
       .join(sh.withColumnRenamed("id", "id1").withColumnRenamed("sh", "sh1"), "id1")
       .join(sh.withColumnRenamed("id", "id2").withColumnRenamed("sh", "sh2"), "id2")
@@ -137,10 +151,14 @@ object Dedup {
   private def shl(v: Column, bits: Column): Column =
     call_function("shiftleft", v, bits.cast("int"))
 
-  /** 64-bit SimHash over shingles: per-bit majority vote of shingle
-    * hashes, folded into one BIGINT. Pure codegen'd expressions. */
-  def simhash64(shingles: Column): Column = {
-    val hashes = transform(shingles, s => xxhash64(s))
+  /** 64-bit SimHash over shingle STRINGS (compat form; prefer
+    * [[shingleHashes]] + [[simhash64FromHashes]]). */
+  def simhash64(shingles: Column): Column =
+    simhash64FromHashes(transform(shingles, s => xxhash64(s)))
+
+  /** 64-bit SimHash over pre-hashed shingles: per-bit majority vote,
+    * folded into one BIGINT. Pure codegen'd expressions. */
+  def simhash64FromHashes(hashes: Column): Column = {
     val bitSums = aggregate(hashes,
       transform(sequence(lit(0), lit(63)), _ => lit(0L)),
       (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
@@ -158,7 +176,7 @@ object Dedup {
   def simhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, shingleSize: Int = 3): DataFrame = {
     val sh = docs.select(col(idCol).as("id"),
-      simhash64(wordShingles(col(textCol), shingleSize)).as("sh"))
+      simhash64FromHashes(shingleHashes(col(textCol), shingleSize)).as("sh"))
     val chunked = sh.select(col("id"), col("sh"),
       explode(transform(sequence(lit(0), lit(3)),
         c => struct(c.as("chunk"),
