@@ -86,8 +86,17 @@ object Tables {
     } else df
   }
 
+  private val registeredDir =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
   /** Register every table as a temp view so `spark.sql` mirrors the
-    * DuckDB-oracle naming exactly. */
-  def registerAll(spark: SparkSession, sfDir: String): Unit =
-    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+    * DuckDB-oracle naming exactly. Idempotent per (session, sfDir) — each
+    * query fn calls this, and re-reading 10 parquet footers per query
+    * would dominate small-query bench times. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit = {
+    if (registeredDir.get(spark) != sfDir) {
+      names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+      registeredDir.put(spark, sfDir)
+    }
+  }
 }

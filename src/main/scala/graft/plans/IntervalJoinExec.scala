@@ -57,7 +57,8 @@ private[graft] class IntervalJoinRunner(
     residual: Option[Expression],
     joinType: IntervalJoinType,
     algorithm: String,
-    numOutputRows: SQLMetric) extends Serializable {
+    numOutputRows: SQLMetric,
+    probeRows: SQLMetric) extends Serializable {
 
   private def outputAttrs: Seq[Attribute] = joinType match {
     case OverlapJoin => leftOutput ++ rightOutput
@@ -154,6 +155,7 @@ private[graft] class IntervalJoinRunner(
           matchLen += 1
         }
         iter.flatMap { rrow =>
+          probeRows += 1
           val s = startEval(rrow)
           val e = endEval(rrow)
           if (s == null || e == null) Iterator.empty
@@ -185,6 +187,7 @@ private[graft] class IntervalJoinRunner(
         }
       case NearestJoin =>
         iter.map { rrow =>
+          probeRows += 1
           val s = startEval(rrow)
           val e = endEval(rrow)
           // A NULL probe key (or bound) matches no build rows → NULL-padded
@@ -242,10 +245,13 @@ case class IntervalJoinExec(
     case NearestJoin => left.output.map(_.withNullability(true)) ++ right.output
   }
 
+  // mirrors the reference's BuildProbeJoinMetrics (joins/utils.rs:439-495)
   override lazy val metrics = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "output rows"),
     "buildRows" -> SQLMetrics.createMetric(sparkContext, "build rows"),
-    "buildTime" -> SQLMetrics.createTimingMetric(sparkContext, "build time"))
+    "buildKeys" -> SQLMetrics.createMetric(sparkContext, "build distinct keys"),
+    "buildTime" -> SQLMetrics.createTimingMetric(sparkContext, "build time"),
+    "probeRows" -> SQLMetrics.createMetric(sparkContext, "probe rows"))
 
   override def requiredChildDistribution: Seq[Distribution] = mode match {
     case BroadcastMode => Seq(UnspecifiedDistribution, UnspecifiedDistribution)
@@ -270,7 +276,8 @@ case class IntervalJoinExec(
   private def runner: IntervalJoinRunner = new IntervalJoinRunner(
     left.output, right.output, leftKeys, rightKeys,
     leftStart, leftEnd, rightStart, rightEnd,
-    residual, joinType, algorithm, longMetric("numOutputRows"))
+    residual, joinType, algorithm, longMetric("numOutputRows"),
+    longMetric("probeRows"))
 
   override protected def doExecute(): RDD[InternalRow] = {
     val run = runner
@@ -280,6 +287,7 @@ case class IntervalJoinExec(
         val built = run.buildSide(left.executeCollect().iterator)
         longMetric("buildTime") += (System.nanoTime() - t0) / 1000000
         longMetric("buildRows") += built.rows.length
+        longMetric("buildKeys") += built.keyed.size()
         val bc: Broadcast[IntervalBuildSide] = sparkContext.broadcast(built)
         right.execute().mapPartitionsWithIndex({ (pi, iter) =>
           run.probe(bc.value, iter, pi)
@@ -287,11 +295,13 @@ case class IntervalJoinExec(
       case PartitionedMode =>
         val buildTime = longMetric("buildTime")
         val buildRows = longMetric("buildRows")
+        val buildKeys = longMetric("buildKeys")
         left.execute().zipPartitions(right.execute()) { (liter, riter) =>
           val t0 = System.nanoTime()
           val built = run.buildSide(liter)
           buildTime += (System.nanoTime() - t0) / 1000000
           buildRows += built.rows.length
+          buildKeys += built.keyed.size()
           run.probe(built, riter, TaskContext.getPartitionId())
         }
     }

@@ -194,6 +194,35 @@ class IntervalJoinSpec extends SparkTestBase with BeforeAndAfterEach {
       stockResult(targets, reads, withKey = true))
   }
 
+  test("two equi-keys, partitioned mode: co-partitioning is correct") {
+    // guards the zipPartitions alignment assumption: EnsureRequirements
+    // must cluster BOTH sides on the full key set (contig, strand)
+    spark.conf.set(GraftSession.IntervalJoinForceMode, "partitioned")
+    val rnd = new scala.util.Random(21)
+    def table(n: Int) = (0 until n).map { _ =>
+      val s = rnd.nextInt(500)
+      (s"chr${rnd.nextInt(3)}", if (rnd.nextBoolean()) "+" else "-",
+        s, s + rnd.nextInt(60))
+    }.toDF("contig", "strand", "pos_start", "pos_end")
+    val a = table(400).cache()
+    val b = table(400).cache()
+    a.count(); b.count()
+    val al = a.select($"contig".as("ac"), $"strand".as("as2"),
+      $"pos_start".as("a_start"), $"pos_end".as("a_end"))
+    val bl = b.select($"contig".as("bc"), $"strand".as("bs2"),
+      $"pos_start".as("b_start"), $"pos_end".as("b_end"))
+    val cond = $"ac" === $"bc" && $"as2" === $"bs2" &&
+      $"a_start" <= $"b_end" && $"a_end" >= $"b_start"
+    val df = al.join(bl, cond)
+    assertUsesIntervalJoin(df)
+    val got = df.collect().map(_.toSeq).toSet
+    spark.conf.set(GraftSession.PreferIntervalJoin, "false")
+    val exp = al.join(bl, cond).collect().map(_.toSeq).toSet
+    spark.conf.set(GraftSession.PreferIntervalJoin, "true")
+    assert(got == exp)
+    a.unpersist(); b.unpersist()
+  }
+
   test("AQE off: still plans IntervalJoinExec with same result") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     val df = overlapJoin(targets, reads)
