@@ -7,8 +7,9 @@ import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, GenerateUnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.physical._
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.types.LongType
 
@@ -238,7 +239,7 @@ case class IntervalJoinExec(
     residual: Option[Expression],
     joinType: IntervalJoinType,
     mode: IntervalJoinMode,
-    algorithm: String) extends BinaryExecNode {
+    algorithm: String) extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] = joinType match {
     case OverlapJoin => left.output ++ right.output
@@ -279,16 +280,22 @@ case class IntervalJoinExec(
     residual, joinType, algorithm, longMetric("numOutputRows"),
     longMetric("probeRows"))
 
+  /** Build once per query, shared between the interpreted and codegen'd
+    * broadcast paths. */
+  @transient private lazy val broadcastBuild: Broadcast[IntervalBuildSide] = {
+    val t0 = System.nanoTime()
+    val built = runner.buildSide(left.executeCollect().iterator)
+    longMetric("buildTime") += (System.nanoTime() - t0) / 1000000
+    longMetric("buildRows") += built.rows.length
+    longMetric("buildKeys") += built.keyed.size()
+    sparkContext.broadcast(built)
+  }
+
   override protected def doExecute(): RDD[InternalRow] = {
     val run = runner
     mode match {
       case BroadcastMode =>
-        val t0 = System.nanoTime()
-        val built = run.buildSide(left.executeCollect().iterator)
-        longMetric("buildTime") += (System.nanoTime() - t0) / 1000000
-        longMetric("buildRows") += built.rows.length
-        longMetric("buildKeys") += built.keyed.size()
-        val bc: Broadcast[IntervalBuildSide] = sparkContext.broadcast(built)
+        val bc: Broadcast[IntervalBuildSide] = broadcastBuild
         right.execute().mapPartitionsWithIndex({ (pi, iter) =>
           run.probe(bc.value, iter, pi)
         }, preservesPartitioning = true)
@@ -305,6 +312,101 @@ case class IntervalJoinExec(
           run.probe(built, riter, TaskContext.getPartitionId())
         }
     }
+  }
+
+  // ---- whole-stage codegen (broadcast overlap mode) ---------------------
+  //
+  // Modeled on Spark's BroadcastHashJoinExec: the probe (right) side
+  // streams through generated code; per probe row the generated Java looks
+  // up its key's interval index, fills a reusable primitive match buffer,
+  // and loops the matching build rows as local variables — no JoinedRow,
+  // no per-pair UnsafeProjection, and the parent operator (filter/agg/
+  // project) fuses into the same loop.
+
+  override def supportCodegen: Boolean =
+    mode == BroadcastMode && joinType == OverlapJoin && residual.isEmpty
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    right.asInstanceOf[CodegenSupport].inputRDDs()
+
+  override protected def doProduce(ctx: CodegenContext): String =
+    right.asInstanceOf[CodegenSupport].produce(ctx, this)
+
+  // one probe row fans out to many output rows — downstream buffering
+  // operators must copy
+  override def needCopyResult: Boolean = true
+
+  override def doConsume(ctx: CodegenContext, input: Seq[ExprCode],
+      row: ExprCode): String = {
+    val buildRef = ctx.addReferenceObj("intervalBuildBc", broadcastBuild,
+      classOf[Broadcast[IntervalBuildSide]].getName)
+    val buildTerm = ctx.addMutableState(
+      classOf[IntervalBuildSide].getName, "intervalBuild",
+      v => s"$v = (${classOf[IntervalBuildSide].getName}) $buildRef.value();",
+      forceInline = true)
+    val rowsTerm = ctx.addMutableState("InternalRow[]", "intervalBuildRows",
+      v => s"$v = $buildTerm.rows();", forceInline = true)
+    val bufTerm = ctx.addMutableState(
+      classOf[graft.rangejoin.IntMatchBuffer].getName, "intervalMatchBuf",
+      v => s"$v = new ${classOf[graft.rangejoin.IntMatchBuffer].getName}();",
+      forceInline = true)
+
+    // probe-side expressions evaluated from the streamed input variables
+    ctx.currentVars = input
+    val keyEv = GenerateUnsafeProjection.createCode(ctx,
+      rightKeys.map(BindReferences.bindReference(_, right.output)))
+    val sEv = BindReferences.bindReference(
+      Cast(rightStart, LongType), right.output).genCode(ctx)
+    val eEv = BindReferences.bindReference(
+      Cast(rightEnd, LongType), right.output).genCode(ctx)
+
+    // build-row column variables, read lazily inside the match loop
+    val leftRowTerm = ctx.freshName("intervalLeftRow")
+    ctx.currentVars = null
+    ctx.INPUT_ROW = leftRowTerm
+    val leftVars = left.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    ctx.INPUT_ROW = null
+
+    val numOutput = metricTerm(ctx, "numOutputRows")
+    val probeRows = metricTerm(ctx, "probeRows")
+    val idxTerm = ctx.freshName("intervalIdx")
+    val sL = ctx.freshName("sLong")
+    val eL = ctx.freshName("eLong")
+    val nTerm = ctx.freshName("nMatches")
+    val iTerm = ctx.freshName("im")
+    val idxCls = classOf[graft.rangejoin.IntervalIndex].getName
+    val keyNullCheck =
+      if (rightKeys.nonEmpty) s"&& !${keyEv.value}.anyNull()" else ""
+    val consumed = consume(ctx, leftVars ++ input)
+
+    s"""
+       |$probeRows.add(1);
+       |${keyEv.code}
+       |${sEv.code}
+       |${eEv.code}
+       |if (!${sEv.isNull} && !${eEv.isNull} $keyNullCheck) {
+       |  $idxCls $idxTerm = ($idxCls) $buildTerm.keyed().get(${keyEv.value});
+       |  if ($idxTerm != null) {
+       |    long $sL = ${sEv.value};
+       |    long $eL = ${eEv.value};
+       |    if ($sL < Integer.MIN_VALUE || $sL > Integer.MAX_VALUE ||
+       |        $eL < Integer.MIN_VALUE || $eL > Integer.MAX_VALUE) {
+       |      throw new ArithmeticException(
+       |        "[GRAFT_INTERVAL_JOIN] Can't cast value " +
+       |        ($sL < Integer.MIN_VALUE || $sL > Integer.MAX_VALUE ? $sL : $eL) +
+       |        " to type Int");
+       |    }
+       |    int $nTerm = $idxTerm.queryInto((int) $sL, (int) $eL, $bufTerm);
+       |    for (int $iTerm = 0; $iTerm < $nTerm; $iTerm++) {
+       |      InternalRow $leftRowTerm = $rowsTerm[$bufTerm.get($iTerm)];
+       |      $numOutput.add(1);
+       |      $consumed
+       |    }
+       |  }
+       |}
+     """.stripMargin
   }
 
   override protected def withNewChildrenInternal(

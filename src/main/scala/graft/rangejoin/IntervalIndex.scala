@@ -24,7 +24,29 @@ sealed trait IntervalIndex extends Serializable {
     n
   }
 
+  /** Codegen-friendly probe: fill `buf` with the matching positions and
+    * return the match count (generated Java can't pass closures). */
+  def queryInto(s: Int, e: Int, buf: IntMatchBuffer): Int = {
+    buf.reset()
+    query(s, e)(buf.addF)
+    buf.size
+  }
+
   def size: Int
+}
+
+/** Reusable growable primitive int buffer for codegen'd probe loops. */
+final class IntMatchBuffer {
+  private var arr = new Array[Int](64)
+  var size: Int = 0
+  def reset(): Unit = size = 0
+  def add(p: Int): Unit = {
+    if (size == arr.length) arr = java.util.Arrays.copyOf(arr, size * 2)
+    arr(size) = p
+    size += 1
+  }
+  val addF: Int => Unit = add
+  def get(i: Int): Int = arr(i)
 }
 
 object IntervalIndex {

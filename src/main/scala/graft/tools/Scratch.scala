@@ -38,8 +38,16 @@ object Scratch {
       .mkString(" | "))
     time("graft count-pushdown")(a.join(b, cond).count())
     time("graft count-pushdown, run 2")(a.join(b, cond).count())
+    spark.conf.set(GraftSession.PreferIntervalJoin, "true")
+    // pair-materializing path (sum is not rewritten to the count operator)
+    def sumQ() = { a.join(b, cond).agg(sum(b("pos_start"))).head().getLong(0) }
+    time("graft join+sum (codegen)")(sumQ())
+    time("graft join+sum run 2")(sumQ())
+    spark.conf.set(GraftSession.IntervalJoinForceMode, "partitioned")
+    time("graft join+sum partitioned")(sumQ())
+    spark.conf.set(GraftSession.IntervalJoinForceMode, "")
     spark.conf.set(GraftSession.PreferIntervalJoin, "false")
-    time("stock spark (hash join+filter)")(a.join(b, cond).count())
+    time("stock spark join+sum")(sumQ())
     spark.stop()
   }
 }
