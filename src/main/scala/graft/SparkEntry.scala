@@ -253,6 +253,8 @@ object SparkEntry {
     "q15_interval_ailist" -> run(sharedSql("q15_interval_ailist"),
       GraftSession.IntervalJoinAlgorithm -> "ailist"),
     "q16_interval_count" -> run(sharedSql("q16_interval_count")),
+    "q17_interval_lapper" -> run(sharedSql("q15_interval_ailist"),
+      GraftSession.IntervalJoinAlgorithm -> "lapper"),
     // ---- LLM-pipeline operators ----------------------------------------
     "q20_dedup_exact" -> ((s, dir) => { prep(s, dir)
       Dedup.exactDupPairs(dupCorpus(s, dir, near = false), "doc_id", "text") }),
@@ -390,6 +392,7 @@ object SparkEntry {
       // same result as q10 — different execution mode / index algorithm
       "q13_interval_partitioned" -> sharedSql("q10_interval_join"),
       "q15_interval_ailist" -> sharedSql("q10_interval_join"),
+      "q17_interval_lapper" -> sharedSql("q10_interval_join"),
       "q14_interval_nearest" -> nearestOracleSql,
       "q20_dedup_exact" -> exactDupOracle,
       "q21_dedup_minhash" -> exactDupOracle,

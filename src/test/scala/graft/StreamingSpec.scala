@@ -48,6 +48,30 @@ class StreamingSpec extends SparkTestBase {
     assert(got == Set(("click", 2L, 3.0), ("click", 1L, 4.0), ("view", 1L, 8.0)))
   }
 
+  test("stream-static interval join plans through IntervalJoinExec") {
+    // beyond the (batch-only) reference: a micro-batch stream probed
+    // against a static broadcast interval index
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set(GraftSession.PreferIntervalJoin, "true")
+    val static = Seq(("c1", 100, 200), ("c1", 300, 400), ("c2", 100, 200))
+      .toDF("contig", "pos_start", "pos_end")
+      .select($"contig".as("ac"), $"pos_start".as("a_start"),
+        $"pos_end".as("a_end"))
+    val input = MemoryStream[(String, Int, Int)]
+    input.addData(("c1", 150, 160), ("c1", 250, 260), ("c2", 180, 310))
+    val probe = input.toDF().toDF("bc", "b_start", "b_end")
+    val joined = static.join(probe, $"ac" === $"bc" &&
+      $"a_start" <= $"b_end" && $"a_end" >= $"b_start")
+    val q = joined.writeStream.format("memory").queryName("sij_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sij_out").collect().map(_.toSeq).toSet
+    assert(got == Set(
+      Seq("c1", 100, 200, "c1", 150, 160),
+      Seq("c2", 100, 200, "c2", 180, 310)))
+  }
+
   test("sessionize groups events within the gap into one session") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Double)]
