@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Shared bits for kernels over `array<long>` shingle hashes. */
+trait LongArrayKernel extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<bigint>, got ${other.simpleString}")
+  }
+}
+
+object HashKernels {
+  /** splitmix64 finalizer — a strong, branchless 64-bit mixer (public
+    * domain constant set; Steele et al., "Fast splittable pseudorandom
+    * number generators"). */
+  @inline def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic per-function salts (fixed seed → identical on every
+    * executor and run). */
+  def salts(numHashes: Int): Array[Long] = {
+    val rnd = new java.util.SplittableRandom(0x67726166744c5348L) // "graftLSH"
+    Array.fill(numHashes)(rnd.nextLong())
+  }
+}
+
+/**
+ * MinHash signature kernel: `sig[i] = min over shingle hashes h of
+ * mix64(h + salt_i)` — one compiled double loop, no per-element lambda
+ * interpretation or intermediate arrays (the declarative
+ * aggregate/zip_with formulation allocates a 64-wide array per shingle).
+ */
+case class MinHashSignature(child: Expression, numHashes: Int)
+  extends LongArrayKernel with CodegenFallback {
+
+  require(numHashes >= 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  @transient private lazy val salts = HashKernels.salts(numHashes)
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val out = Array.fill(numHashes)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val h = hs.getLong(j)
+      var i = 0
+      while (i < numHashes) {
+        val v = HashKernels.mix64(h + salts(i))
+        if (v < out(i)) out(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/**
+ * SimHash kernel: 64-bit per-bit majority vote over shingle hashes,
+ * folded into one BIGINT — one compiled loop (the declarative form
+ * interprets 64 lambda evaluations per shingle).
+ */
+case class SimHash64(child: Expression)
+  extends LongArrayKernel with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val votes = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      val h = hs.getLong(j)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) != 0L) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) {
+      if (votes(i) > 0) out |= (1L << i)
+      i += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}

@@ -29,14 +29,6 @@ object Dedup {
       .otherwise(array(concat_ws(" ", ws)))
   }
 
-  /** Deterministic per-function salts for the MinHash family
-    * h_i(x) = xxhash64(x, salt_i) over the 64-bit base shingle hash.
-    * Fixed seed → identical on every executor and run. */
-  private def mixSalts(numHashes: Int): Seq[Long] = {
-    val rnd = new java.util.SplittableRandom(0x67726166744c5348L) // "graftLSH"
-    Seq.fill(numHashes)(rnd.nextLong())
-  }
-
   /** Sorted distinct 64-bit shingle hashes in ONE compiled pass — the
     * preferred input to MinHash/SimHash/Jaccard (see
     * [[graft.functions.ShingleHashes]]; ~10× faster than the declarative
@@ -46,21 +38,13 @@ object Dedup {
       graft.functions.ShingleHashes(
         org.apache.spark.sql.GraftSqlShim.lazyExpression(text), n))
 
-  /**
-   * MinHash signature over pre-hashed shingles: one `aggregate` pass
-   * carrying a numHashes-wide running-min state, re-hashing each base
-   * hash with per-function salts embedded as a literal array (xxhash64
-   * mixing — branchless and safe under ANSI mode, unlike a·x+b which
-   * overflows). The naive nested-transform formulation re-derives the
-   * shingle pipeline numHashes times and is ~20× slower.
-   */
-  def minhashSignatureFromHashes(hashes: Column, numHashes: Int = 64): Column = {
-    val salts = typedlit(mixSalts(numHashes))
-    aggregate(hashes,
-      transform(sequence(lit(0), lit(numHashes - 1)), _ => lit(Long.MaxValue)),
-      (acc, x) => zip_with(acc, salts,
-        (m, b) => least(m, xxhash64(x, b))))
-  }
+  /** MinHash signature over pre-hashed shingles — compiled kernel (see
+    * [[graft.functions.MinHashSignature]]): min of salted splitmix64 mixes
+    * per hash function, one double loop per document. */
+  def minhashSignatureFromHashes(hashes: Column, numHashes: Int = 64): Column =
+    org.apache.spark.sql.GraftSqlShim.column(
+      graft.functions.MinHashSignature(
+        org.apache.spark.sql.GraftSqlShim.lazyExpression(hashes), numHashes))
 
   /** MinHash signature from shingle STRINGS (compat form; prefer
     * [[shingleHashes]] + [[minhashSignatureFromHashes]]). */
@@ -148,8 +132,6 @@ object Dedup {
     * accepts a literal Int). */
   private def shr(v: Column, bits: Column): Column =
     call_function("shiftright", v, bits.cast("int"))
-  private def shl(v: Column, bits: Column): Column =
-    call_function("shiftleft", v, bits.cast("int"))
 
   /** 64-bit SimHash over shingle STRINGS (compat form; prefer
     * [[shingleHashes]] + [[simhash64FromHashes]]). */
@@ -157,18 +139,11 @@ object Dedup {
     simhash64FromHashes(transform(shingles, s => xxhash64(s)))
 
   /** 64-bit SimHash over pre-hashed shingles: per-bit majority vote,
-    * folded into one BIGINT. Pure codegen'd expressions. */
-  def simhash64FromHashes(hashes: Column): Column = {
-    val bitSums = aggregate(hashes,
-      transform(sequence(lit(0), lit(63)), _ => lit(0L)),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
-        (a, i) => a + when(shr(h, i).bitwiseAND(lit(1L)) =!= 0, lit(1L))
-          .otherwise(lit(-1L))))
-    // fold sign bits into a single long: OR of 2^i where bitSum(i) > 0
-    aggregate(zip_with(bitSums, sequence(lit(0), lit(63)),
-      (s, i) => when(s > 0, shl(lit(1L), i)).otherwise(lit(0L))),
-      lit(0L), (a, x) => a.bitwiseOR(x))
-  }
+    * folded into one BIGINT (compiled kernel). */
+  def simhash64FromHashes(hashes: Column): Column =
+    org.apache.spark.sql.GraftSqlShim.column(
+      graft.functions.SimHash64(
+        org.apache.spark.sql.GraftSqlShim.lazyExpression(hashes)))
 
   /** SimHash near-duplicate candidate pairs: pigeonhole the 64-bit hash
     * into 4 × 16-bit chunks — any pair within Hamming distance 3 shares
