@@ -280,6 +280,17 @@ object SparkEntry {
     "q25_langid" -> ((s, dir) => { prep(s, dir)
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), TextStats.langId(col("text")).as("lang_pred")) }),
+    "q26_curation" -> ((s, dir) => { prep(s, dir)
+      // end-to-end curation: dedup (keep lowest id per text) + language
+      // + quality gate — the composed training-data pipeline
+      import org.apache.spark.sql.expressions.Window
+      val c = dupCorpus(s, dir, near = false)
+      c.withColumn("rn", row_number().over(
+          Window.partitionBy(col("text")).orderBy(col("doc_id"))))
+        .where(col("rn") === 1)
+        .where(TextStats.langId(col("text")) === "en")
+        .where(TextStats.qualityScore(col("text")) >= 0.5)
+        .select(col("doc_id")) }),
     "q27_fingerprint" -> ((s, dir) => { prep(s, dir)
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp")) }),
@@ -374,6 +385,44 @@ object SparkEntry {
        |  ELSE 'de' END AS lang_pred
        |FROM h""".stripMargin
 
+  private val curationOracle: String = corpusCte +
+    s""",
+       |dedup AS (
+       |  SELECT doc_id, text,
+       |         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+       |  FROM corpus
+       |),
+       |base AS (
+       |  SELECT doc_id, text,
+       |    regexp_split_to_array(lower(trim(text)), '\\s+') AS ws,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+       |    round(CASE WHEN length(text) = 0 THEN 0.0
+       |      ELSE (length(text) - length(regexp_replace(text, '[\\.,;:!\\?''"()\\[\\]{}-]', '', 'g'))) * 1.0 / length(text) END, 6) AS punct_ratio,
+       |    round(CASE WHEN length(text) = 0 THEN 0.0
+       |      ELSE (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / length(text) END, 6) AS digit_ratio
+       |  FROM dedup WHERE rn = 1
+       |),
+       |st AS (
+       |  SELECT *,
+       |    round(CASE WHEN len(ws) = 0 THEN 0.0
+       |      ELSE len(list_filter(ws, x -> x IN ${sqlList(TextStats.enStopList)})) * 1.0 / len(ws) END, 6) AS sw,
+       |    len(list_filter(ws, x -> x IN ${sqlList(TextStats.deStopList)})) AS de,
+       |    len(list_filter(ws, x -> x IN ${sqlList(TextStats.enStopList)})) AS en,
+       |    len(list_filter(ws, x -> x IN ${sqlList(TextStats.esStopList)})) AS es,
+       |    len(list_filter(ws, x -> x IN ${sqlList(TextStats.frStopList)})) AS fr
+       |  FROM base
+       |)
+       |SELECT doc_id FROM st
+       |WHERE (CASE
+       |    WHEN greatest(de, en, es, fr) <= 0 THEN 'und'
+       |    WHEN fr >= de AND fr >= en AND fr >= es THEN 'fr'
+       |    WHEN es >= de AND es >= en THEN 'es'
+       |    WHEN en >= de THEN 'en'
+       |    ELSE 'de' END) = 'en'
+       |  AND round((least(n_tokens / 64.0, 1.0) + least(sw * 4.0, 1.0)
+       |       + greatest(1.0 - (punct_ratio + digit_ratio) * 4.0, 0.0)) / 3.0, 6) >= 0.5""".stripMargin
+
   private val annTopkOracle: String =
     """SELECT vec_id, rank FROM (
       |  SELECT vec_id, row_number() OVER (
@@ -400,6 +449,7 @@ object SparkEntry {
       "q23_dedup_jaccard" -> jaccardOracle,
       "q24_text_stats" -> textStatsOracle,
       "q25_langid" -> langIdOracle,
+      "q26_curation" -> curationOracle,
       "q30_ann_topk" -> annTopkOracle,
       "q40_multimodal" ->
         """SELECT doc_id,

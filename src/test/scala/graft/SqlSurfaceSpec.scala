@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Smoke tests of the inherited SQL surface the reference exposes through
+  * its CLI (SURVEY §2b): catalog, SET, EXPLAIN — plus a skew test
+  * documenting the broadcast-mode answer to hot keys. */
+class SqlSurfaceSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("catalog: temp views are listable and queryable") {
+    Seq((1, "x")).toDF("id", "v").createOrReplaceTempView("surface_t1")
+    val tables = spark.sql("SHOW TABLES").collect().map(_.getString(1))
+    assert(tables.contains("surface_t1"))
+    assert(spark.sql("SELECT count(*) FROM surface_t1").head().getLong(0) == 1)
+  }
+
+  test("SET statements drive the graft confs") {
+    spark.sql(s"SET ${GraftSession.PreferIntervalJoin}=false")
+    assert(spark.conf.get(GraftSession.PreferIntervalJoin) == "false")
+    spark.sql(s"SET ${GraftSession.PreferIntervalJoin}=true")
+    assert(spark.conf.get(GraftSession.PreferIntervalJoin) == "true")
+  }
+
+  test("EXPLAIN surfaces the custom operator") {
+    Seq(("c1", 1, 5)).toDF("contig", "pos_start", "pos_end")
+      .createOrReplaceTempView("surface_a")
+    Seq(("c1", 2, 3)).toDF("contig", "pos_start", "pos_end")
+      .createOrReplaceTempView("surface_b")
+    val explain = spark.sql(
+      """EXPLAIN SELECT * FROM surface_a a JOIN surface_b b
+        |ON a.contig = b.contig AND a.pos_start <= b.pos_end
+        |AND a.pos_end >= b.pos_start""".stripMargin)
+      .head().getString(0)
+    assert(explain.contains("IntervalJoinExec"), explain)
+  }
+
+  test("heavy key skew: broadcast mode keeps probe parallelism") {
+    // 90% of rows on one key — broadcast mode is the documented answer:
+    // the index ships everywhere, the probe side stays embarrassingly
+    // parallel regardless of key distribution
+    val rnd = new scala.util.Random(33)
+    def tbl(n: Int) = (0 until n).map { i =>
+      val contig = if (i % 10 != 0) "chrHOT" else s"chr${rnd.nextInt(5)}"
+      val s = rnd.nextInt(2000)
+      (contig, s, s + rnd.nextInt(50))
+    }.toDF("contig", "pos_start", "pos_end")
+    val a = tbl(2000).cache()
+    val b = tbl(2000).cache()
+    a.count(); b.count()
+    val al = a.select($"contig".as("ac"), $"pos_start".as("as_"), $"pos_end".as("ae"))
+    val bl = b.select($"contig".as("bc"), $"pos_start".as("bs"), $"pos_end".as("be"))
+    val cond = $"ac" === $"bc" && $"as_" <= $"be" && $"ae" >= $"bs"
+    val fast = al.join(bl, cond).count()
+    spark.conf.set(GraftSession.PreferIntervalJoin, "false")
+    val slow = al.join(bl, cond).count()
+    spark.conf.set(GraftSession.PreferIntervalJoin, "true")
+    assert(fast == slow && fast > 0)
+    a.unpersist(); b.unpersist()
+  }
+}
