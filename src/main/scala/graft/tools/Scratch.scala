@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
   * pairs) with custom join vs stock Spark, broadcast vs partitioned. */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.builder("local[32]").getOrCreate()
+    val spark = GraftSession.builder(sys.env.getOrElse("SCRATCH_MASTER", "local[32]")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val ev = graft.Tables.load(spark, "/root/testdata/sf0.1", "events")
       .select("event_id", "user_id")

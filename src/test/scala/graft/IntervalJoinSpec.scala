@@ -267,6 +267,23 @@ class IntervalJoinSpec extends SparkTestBase with BeforeAndAfterEach {
     }
   }
 
+  test("projection variants through the join (reference smoke tests)") {
+    // reference: interval_join.rs:1814-1843 — *, left-only, right-only,
+    // mixed projections must all work through the custom operator
+    val al = targets.select($"contig".as("a_contig"),
+      $"pos_start".as("a_start"), $"pos_end".as("a_end"))
+    val bl = reads.select($"contig".as("b_contig"),
+      $"pos_start".as("b_start"), $"pos_end".as("b_end"))
+    val df = al.join(bl, $"a_contig" === $"b_contig" &&
+      $"a_start" <= $"b_end" && $"a_end" >= $"b_start")
+    assert(df.select("*").count() == 16)
+    assert(df.select($"a_contig", $"a_start").distinct().count() > 0)
+    assert(df.select($"b_start", $"b_end").count() == 16)
+    val mixed = df.select($"a_contig", $"b_start", ($"a_end" - $"b_start").as("d"))
+    assertUsesIntervalJoin(mixed)
+    assert(mixed.count() == 16)
+  }
+
   test("residual predicate is applied on top of the interval match") {
     // cross-side non-range conjunct → must survive as a post-match filter
     val al = targets.select($"contig".as("a_contig"),
