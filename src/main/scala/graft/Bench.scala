@@ -18,9 +18,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.install(spark)
-    // warmup: register views, touch every table once
+    // warmup: register views, touch every table once, and run the cheapest
+    // interval query untimed so JIT/codegen warmup isn't billed to the
+    // alphabetically-first timed query
     Tables.registerAll(spark, sfDir)
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
+    SparkEntry.queries("q16_interval_count")(spark, sfDir).count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

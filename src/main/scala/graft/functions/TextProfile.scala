@@ -1,0 +1,103 @@
+package graft.functions
+
+import graft.operators.TextStats
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * One-pass text profile: character-class counts, token counts, per-language
+ * stopword hits and the language-ID verdict, in a single compiled scan.
+ *
+ * Semantics replicate the declarative [[TextStats]] formulas exactly (the
+ * DuckDB oracles depend on it): punctuation class `[.,;:!?'"()\[\]{}-]`,
+ * digits `[0-9]`, uppercase `[A-Z]`, whitespace tokenization of the
+ * trimmed text, stopword matching on lower-cased tokens, subwords =
+ * `max(ceil(len/4), 1)` per token, and the langid argmax with
+ * ties-toward-later-language (fr > es > en > de) and `und` on zero hits.
+ */
+case class TextProfile(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = TextProfile.schema
+
+  override def prettyName: String = "text_profile"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var punct = 0; var digit = 0; var upper = 0; var ws = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (TextProfile.punctSet(c)) punct += 1
+      if (c >= '0' && c <= '9') digit += 1
+      if (c >= 'A' && c <= 'Z') upper += 1
+      if (Character.isWhitespace(c)) ws += 1
+      i += 1
+    }
+    // tokenize the lower-cased text
+    val lower = s.toLowerCase
+    var nTokens = 0; var nSubwords = 0
+    var en = 0; var de = 0; var es = 0; var fr = 0
+    i = 0
+    while (i < lower.length) {
+      while (i < lower.length && Character.isWhitespace(lower.charAt(i))) i += 1
+      val start = i
+      while (i < lower.length && !Character.isWhitespace(lower.charAt(i))) i += 1
+      if (i > start) {
+        nTokens += 1
+        val len = i - start
+        nSubwords += math.max((len + 3) / 4, 1)
+        val w = lower.substring(start, i)
+        if (TextProfile.enSet(w)) en += 1
+        if (TextProfile.deSet(w)) de += 1
+        if (TextProfile.esSet(w)) es += 1
+        if (TextProfile.frSet(w)) fr += 1
+      }
+    }
+    val lang =
+      if (math.max(math.max(de, en), math.max(es, fr)) <= 0) "und"
+      else if (fr >= de && fr >= en && fr >= es) "fr"
+      else if (es >= de && es >= en) "es"
+      else if (en >= de) "en"
+      else "de"
+    InternalRow(s.length, nTokens, nSubwords, punct, digit, upper, ws,
+      en, de, es, fr, UTF8String.fromString(lang))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TextProfile =
+    copy(child = newChild)
+}
+
+object TextProfile {
+  val schema: StructType = StructType(Seq(
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_subwords", IntegerType, nullable = false),
+    StructField("n_punct", IntegerType, nullable = false),
+    StructField("n_digit", IntegerType, nullable = false),
+    StructField("n_upper", IntegerType, nullable = false),
+    StructField("n_ws", IntegerType, nullable = false),
+    StructField("sw_en", IntegerType, nullable = false),
+    StructField("sw_de", IntegerType, nullable = false),
+    StructField("sw_es", IntegerType, nullable = false),
+    StructField("sw_fr", IntegerType, nullable = false),
+    StructField("lang_pred", StringType, nullable = false)))
+
+  // mirrors TextStats.punctRatio's regex class [.,;:!?'"()\[\]{}-]
+  private val punctSet: Set[Char] = ".,;:!?'\"()[]{}-".toSet
+  private val enSet = TextStats.enStopList.toSet
+  private val deSet = TextStats.deStopList.toSet
+  private val esSet = TextStats.esStopList.toSet
+  private val frSet = TextStats.frStopList.toSet
+}
