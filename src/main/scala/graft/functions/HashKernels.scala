@@ -73,6 +73,52 @@ case class MinHashSignature(child: Expression, numHashes: Int)
 }
 
 /**
+ * Sign-random-projection bucket kernel over an `array<float>` embedding:
+ * bit p of the result = sign of `Σ_d (±1)·vec[d]`, with the ±1 plane
+ * components derived from mix64(p·dim + d) parity — deterministic, no
+ * stored model, one compiled double loop (the declarative nested-lambda
+ * form interprets planes × dims element evaluations per row).
+ */
+case class SrpBucket(child: Expression, planes: Int, dim: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(planes >= 1 && planes <= 63)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "srp_bucket"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(dim, v.numElements())
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      var s = 0.0
+      var d = 0
+      while (d < n) {
+        val x = v.getFloat(d).toDouble
+        if ((HashKernels.mix64(p.toLong * dim + d) & 1L) != 0L) s += x
+        else s -= x
+        d += 1
+      }
+      if (s > 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SrpBucket =
+    copy(child = newChild)
+}
+
+/**
  * SimHash kernel: 64-bit per-bit majority vote over shingle hashes,
  * folded into one BIGINT — one compiled loop (the declarative form
  * interprets 64 lambda evaluations per shingle).

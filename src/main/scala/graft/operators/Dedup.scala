@@ -117,6 +117,19 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Corpus cleaning: drop every document that is the higher-id member of
+    * a detected duplicate pair (keeps the first occurrence of each text;
+    * for near-dups this is the standard greedy LSH-dedup policy). One
+    * anti-join against the distinct higher ids — no row explosion. */
+  def dropDuplicateDocs(docs: DataFrame, idCol: String, textCol: String,
+      jaccardThreshold: Double = 1.0): DataFrame = {
+    val pairs =
+      if (jaccardThreshold >= 1.0) exactDupPairs(docs, idCol, textCol)
+      else minhashDupPairs(docs, idCol, textCol, jaccardThreshold)
+    docs.join(pairs.select(col("id2")).distinct(),
+      docs(idCol) === col("id2"), "left_anti")
+  }
+
   /** Exact duplicate pairs (identical `textCol`), id1 < id2. Shuffle
     * shape: one groupBy on the text (hash-partitioned), pair expansion
     * within groups — never a self-join on the full table. */

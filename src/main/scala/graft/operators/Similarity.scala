@@ -45,38 +45,48 @@ object Similarity {
   }
 
   /** Sign-random-projection bucket id from `planes` pseudo-random
-    * hyperplanes. Plane components are ±1 derived from xxhash64(plane,
-    * dim) parity — deterministic, no stored model, identical on every
-    * executor. */
-  def srpBucket(vec: Column, planes: Int, dim: Int): Column = {
-    val bits = transform(sequence(lit(0), lit(planes - 1)), p => {
-      val s = aggregate(zip_with(vec, sequence(lit(0), lit(dim - 1)),
-        (x, d) => when(xxhash64(p * dim + d).bitwiseAND(lit(1L)) =!= 0,
-          x.cast("double")).otherwise(-x.cast("double"))),
-        lit(0.0), (acc, v) => acc + v)
-      when(s > 0, lit(1)).otherwise(lit(0))
-    })
-    aggregate(zip_with(bits, sequence(lit(0), lit(planes - 1)),
-      (bit, i) => bit.cast("long") * call_function("shiftleft", lit(1L),
-        i.cast("int"))),
-      lit(0L), (a, x) => a + x)
+    * hyperplanes — compiled kernel (see [[graft.functions.SrpBucket]]);
+    * plane components are ±1 from mix64(plane·dim + dim) parity —
+    * deterministic, no stored model, identical on every executor. */
+  def srpBucket(vec: Column, planes: Int, dim: Int): Column =
+    org.apache.spark.sql.GraftSqlShim.column(
+      graft.functions.SrpBucket(
+        org.apache.spark.sql.GraftSqlShim.lazyExpression(vec), planes, dim))
+
+  /** Driver-side twin of [[srpBucket]] for query vectors. */
+  def srpBucketOf(vec: Array[Float], planes: Int): Long = {
+    val dim = vec.length
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      var s = 0.0
+      var d = 0
+      while (d < dim) {
+        val x = vec(d).toDouble
+        if ((graft.functions.HashKernels.mix64(p.toLong * dim + d) & 1L) != 0L)
+          s += x
+        else s -= x
+        d += 1
+      }
+      if (s > 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
   }
 
   /** Approximate top-k: candidates = rows whose SRP bucket equals the
     * query's bucket or differs in exactly one bit (multi-probe), exact
-    * cosine re-rank within candidates. */
+    * cosine re-rank within candidates. The probe bucket set is computed
+    * once on the driver and shipped as a literal. */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
       query: Array[Float], k: Int, planes: Int = 8): DataFrame = {
     val dim = query.length
     val q = typedlit(query.toSeq)
-    // query bucket + 1-bit neighbors, computed once as a literal-free
-    // expression (evaluates per-row but constant-folds on the query side)
-    val qBucket = srpBucket(q, planes, dim)
-    val probes = array((qBucket +:
-      (0 until planes).map(b => qBucket.bitwiseXOR(lit(1L << b)))): _*)
+    val qBucket = srpBucketOf(query, planes)
+    val probes = qBucket +: (0 until planes).map(b => qBucket ^ (1L << b))
     emb.select(col(idCol), col(vecCol),
         srpBucket(col(vecCol), planes, dim).as("bucket"))
-      .where(array_contains(probes, col("bucket")))
+      .where(col("bucket").isInCollection(probes))
       .select(col(idCol), cosine(col(vecCol), q).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)

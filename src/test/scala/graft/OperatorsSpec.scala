@@ -90,6 +90,18 @@ class OperatorsSpec extends SparkTestBase {
     assert(fps == fps2)
   }
 
+  test("dropDuplicateDocs keeps the first occurrence of each text") {
+    val cleaned = graft.operators.Dedup
+      .dropDuplicateDocs(docs, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(cleaned == Set(1L, 3L, 4L, 5L, 6L)) // doc 2 == doc 1 dropped
+    val nearCleaned = graft.operators.Dedup
+      .dropDuplicateDocs(docs, "doc_id", "text", jaccardThreshold = 0.6)
+      .collect().map(_.getLong(0)).toSet
+    assert(!nearCleaned.contains(2L) && !nearCleaned.contains(4L)) // near dup of 1
+    assert(nearCleaned.contains(1L) && nearCleaned.contains(3L))
+  }
+
   private def vecs: Seq[(Long, Seq[Float])] = {
     val rnd = new scala.util.Random(3)
     (0L until 50L).map(i => i -> Seq.fill(16)(rnd.nextFloat() * 2 - 1))
