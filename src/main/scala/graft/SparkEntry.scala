@@ -106,6 +106,21 @@ object SparkEntry {
         |FROM a JOIN b ON a.contig = b.contig
         | AND a.pos_start <= b.pos_end AND a.pos_end >= b.pos_start
         |GROUP BY a.contig""".stripMargin),
+    "q18_interval_outer" -> (cteAB +
+      """
+        |SELECT b.b_id AS b_id, b.pos_start AS b_start, b.pos_end AS b_end,
+        |       a.pos_start AS a_start, a.pos_end AS a_end
+        |FROM a RIGHT JOIN b ON a.contig = b.contig
+        | AND a.pos_start <= b.pos_end AND a.pos_end >= b.pos_start""".stripMargin),
+    "q19_interval_semi_anti" -> (cteAB +
+      """
+        |SELECT
+        |  (SELECT COUNT(*) FROM b WHERE EXISTS (
+        |     SELECT 1 FROM a WHERE a.contig = b.contig
+        |       AND a.pos_start <= b.pos_end AND a.pos_end >= b.pos_start)) AS n_semi,
+        |  (SELECT COUNT(*) FROM b WHERE NOT EXISTS (
+        |     SELECT 1 FROM a WHERE a.contig = b.contig
+        |       AND a.pos_start <= b.pos_end AND a.pos_end >= b.pos_start)) AS n_anti""".stripMargin),
     // flagship baseline shape (reference queries/q1-coitrees.sql): global
     // overlap count — exercises the COUNT(*) aggregate pushdown
     "q16_interval_count" -> (cteAB +
@@ -255,6 +270,8 @@ object SparkEntry {
     "q16_interval_count" -> run(sharedSql("q16_interval_count")),
     "q17_interval_lapper" -> run(sharedSql("q15_interval_ailist"),
       GraftSession.IntervalJoinAlgorithm -> "lapper"),
+    "q18_interval_outer" -> run(sharedSql("q18_interval_outer")),
+    "q19_interval_semi_anti" -> run(sharedSql("q19_interval_semi_anti")),
     // ---- LLM-pipeline operators ----------------------------------------
     "q20_dedup_exact" -> ((s, dir) => { prep(s, dir)
       Dedup.exactDupPairs(dupCorpus(s, dir, near = false), "doc_id", "text") }),

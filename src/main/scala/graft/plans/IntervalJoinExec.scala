@@ -25,10 +25,23 @@ case object BroadcastMode extends IntervalJoinMode
   * This is the 100-TB path: no single node ever sees the whole build side. */
 case object PartitionedMode extends IntervalJoinMode
 
-/** Join semantics. */
+/** Join semantics. The reference implements Inner only
+  * (interval_join.rs plumbs other types but never emits them); the
+  * probe-side variants below are Spark-first extensions — all emission
+  * decisions are per-probe-row, so they work in both distribution modes
+  * with no build-side match tracking. */
 sealed trait IntervalJoinType extends Serializable
 /** Emit every overlapping (build, probe) pair — inner join. */
 case object OverlapJoin extends IntervalJoinType
+/** Inner pairs + NULL-padded build side for probe rows with no match —
+  * the probe-side outer join (logical RightOuter when build = left). */
+case object RightOuterJoin extends IntervalJoinType
+/** Emit each probe row once iff it has ≥1 match (logical LeftSemi with
+  * sides swapped: build = the filtering side). */
+case object SemiJoin extends IntervalJoinType
+/** Emit each probe row once iff it has NO match (logical LeftAnti with
+  * sides swapped). */
+case object AntiJoin extends IntervalJoinType
 /** Emit exactly one row per probe row: the best (deterministic) nearest
   * build interval, NULL-padded left side when the key has no build rows —
   * analogue of the reference's CoitreesNearest (interval_join.rs:909-990),
@@ -63,7 +76,9 @@ private[graft] class IntervalJoinRunner(
 
   private def outputAttrs: Seq[Attribute] = joinType match {
     case OverlapJoin => leftOutput ++ rightOutput
-    case NearestJoin => leftOutput.map(_.withNullability(true)) ++ rightOutput
+    case RightOuterJoin | NearestJoin =>
+      leftOutput.map(_.withNullability(true)) ++ rightOutput
+    case SemiJoin | AntiJoin => rightOutput
   }
 
   /** Checked narrowing matching the reference's failure-on-overflow Int32
@@ -144,6 +159,38 @@ private[graft] class IntervalJoinRunner(
 
     val hasKeys = rightKeys.nonEmpty
 
+    // shared probe: fill matchBuf with positions whose pair passes the
+    // residual; returns match count (0 for NULL bounds/keys)
+    var sharedBuf = new Array[Int](64)
+    def collectMatches(rrow: InternalRow): Int = {
+      val s = startEval(rrow)
+      val e = endEval(rrow)
+      if (s == null || e == null) return 0
+      val key = keyProj(rrow)
+      val idx = if (hasKeys && key.anyNull) null else build.keyed.get(key)
+      if (idx == null) return 0
+      var n = 0
+      idx.query(toIntChecked(s), toIntChecked(e)) { pos =>
+        if (n == sharedBuf.length)
+          sharedBuf = java.util.Arrays.copyOf(sharedBuf, n * 2)
+        sharedBuf(n) = pos
+        n += 1
+      }
+      residualPred match {
+        case None => n
+        case Some(p) =>
+          var kept = 0
+          var i = 0
+          while (i < n) {
+            if (p.eval(joined(build.rows(sharedBuf(i)), rrow))) {
+              sharedBuf(kept) = sharedBuf(i); kept += 1
+            }
+            i += 1
+          }
+          kept
+      }
+    }
+
     joinType match {
       case OverlapJoin =>
         // primitive growable buffer — no Int boxing in the probe hot loop
@@ -186,6 +233,37 @@ private[graft] class IntervalJoinRunner(
             }
           }
         }
+      case RightOuterJoin =>
+        iter.flatMap { rrow =>
+          probeRows += 1
+          val n = collectMatches(rrow)
+          if (n == 0) {
+            rows += 1
+            Iterator.single(resultProj(joined(nullLeft, rrow)))
+          } else new Iterator[InternalRow] {
+            private var i = 0
+            def hasNext: Boolean = i < n
+            def next(): InternalRow = {
+              rows += 1
+              val j = joined(build.rows(sharedBuf(i)), rrow)
+              i += 1
+              resultProj(j)
+            }
+          }
+        }
+
+      case SemiJoin =>
+        iter.filter { rrow =>
+          probeRows += 1
+          collectMatches(rrow) > 0
+        }.map { rrow => rows += 1; resultProj(joined(nullLeft, rrow)) }
+
+      case AntiJoin =>
+        iter.filter { rrow =>
+          probeRows += 1
+          collectMatches(rrow) == 0
+        }.map { rrow => rows += 1; resultProj(joined(nullLeft, rrow)) }
+
       case NearestJoin =>
         iter.map { rrow =>
           probeRows += 1
@@ -243,7 +321,9 @@ case class IntervalJoinExec(
 
   override def output: Seq[Attribute] = joinType match {
     case OverlapJoin => left.output ++ right.output
-    case NearestJoin => left.output.map(_.withNullability(true)) ++ right.output
+    case RightOuterJoin | NearestJoin =>
+      left.output.map(_.withNullability(true)) ++ right.output
+    case SemiJoin | AntiJoin => right.output
   }
 
   // mirrors the reference's BuildProbeJoinMetrics (joins/utils.rs:439-495)
@@ -265,7 +345,7 @@ case class IntervalJoinExec(
     case (PartitionedMode, OverlapJoin) =>
       PartitioningCollection(
         Seq(left.outputPartitioning, right.outputPartitioning))
-    case (PartitionedMode, NearestJoin) => right.outputPartitioning
+    case (PartitionedMode, _) => right.outputPartitioning
   }
 
   override def simpleString(maxFields: Int): String =

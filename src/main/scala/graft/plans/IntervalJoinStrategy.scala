@@ -1,9 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{ProjectExec, SparkPlan, SparkStrategy}
 
 /**
  * Planner strategy: claim Inner `Join` nodes whose condition is an interval
@@ -29,6 +29,24 @@ case class IntervalJoinStrategy(session: SparkSession) extends SparkStrategy {
 
   private def conf(key: String, default: String): String =
     session.conf.get(key, default)
+
+  private def enabled: Boolean =
+    conf(graft.GraftSession.PreferIntervalJoin, "true").toBoolean
+
+  /** Shared mode selection for probe-side variants (build side given). */
+  private def pickMode(build: LogicalPlan, hasKeys: Boolean)
+      : Option[IntervalJoinMode] = {
+    val threshold = session.sessionState.conf.autoBroadcastJoinThreshold
+    val fitsBroadcast = threshold > 0 && build.stats.sizeInBytes <= threshold
+    conf(graft.GraftSession.IntervalJoinForceMode, "").toLowerCase match {
+      case "broadcast" => Some(BroadcastMode)
+      case "partitioned" if hasKeys => Some(PartitionedMode)
+      case _ =>
+        if (hasKeys) Some(if (fitsBroadcast) BroadcastMode else PartitionedMode)
+        else if (fitsBroadcast) Some(BroadcastMode)
+        else None
+    }
+  }
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     // overlap-count node (from IntervalCountRewrite's aggregate pushdown)
@@ -67,6 +85,58 @@ case class IntervalJoinStrategy(session: SparkSession) extends SparkStrategy {
             ic.leftStart, ic.leftEnd, ic.rightStart, ic.rightEnd,
             None, NearestJoin, mode, "superintervals") :: Nil
         case _ => Nil // unreachable — NearestJoin.apply validates eagerly
+      }
+    // probe-side variants — all beyond the reference's Inner-only support.
+    // RightOuter: build = left, NULL-pad probe rows with no match.
+    case Join(l, r, RightOuter, Some(cond), _) if enabled =>
+      IntervalCondition.extract(cond, l, r) match {
+        case Some(ic) =>
+          pickMode(l, ic.leftKeys.nonEmpty).map { m =>
+            IntervalJoinExec(planLater(l), planLater(r),
+              ic.leftKeys, ic.rightKeys,
+              ic.leftStart, ic.leftEnd, ic.rightStart, ic.rightEnd,
+              ic.residual, RightOuterJoin, m, "superintervals") :: Nil
+          }.getOrElse(Nil)
+        case None => Nil
+      }
+    // LeftOuter ≡ RightOuter with sides swapped + a reorder projection.
+    case Join(l, r, LeftOuter, Some(cond), _) if enabled =>
+      IntervalCondition.extract(cond, l, r) match {
+        case Some(ic) =>
+          pickMode(r, ic.leftKeys.nonEmpty).map { m =>
+            val swapped = IntervalJoinExec(planLater(r), planLater(l),
+              ic.rightKeys, ic.leftKeys,
+              ic.rightStart, ic.rightEnd, ic.leftStart, ic.leftEnd,
+              ic.residual, RightOuterJoin, m, "superintervals")
+            ProjectExec(
+              (l.output ++ r.output.map(_.withNullability(true)))
+                .map(a => a: org.apache.spark.sql.catalyst.expressions.NamedExpression),
+              swapped) :: Nil
+          }.getOrElse(Nil)
+        case None => Nil
+      }
+    // LeftSemi/LeftAnti: preserved side = probe, filtering side = build.
+    case Join(l, r, LeftSemi, Some(cond), _) if enabled =>
+      IntervalCondition.extract(cond, l, r) match {
+        case Some(ic) =>
+          pickMode(r, ic.leftKeys.nonEmpty).map { m =>
+            IntervalJoinExec(planLater(r), planLater(l),
+              ic.rightKeys, ic.leftKeys,
+              ic.rightStart, ic.rightEnd, ic.leftStart, ic.leftEnd,
+              ic.residual, SemiJoin, m, "superintervals") :: Nil
+          }.getOrElse(Nil)
+        case None => Nil
+      }
+    case Join(l, r, LeftAnti, Some(cond), _) if enabled =>
+      IntervalCondition.extract(cond, l, r) match {
+        case Some(ic) =>
+          pickMode(r, ic.leftKeys.nonEmpty).map { m =>
+            IntervalJoinExec(planLater(r), planLater(l),
+              ic.rightKeys, ic.leftKeys,
+              ic.rightStart, ic.rightEnd, ic.leftStart, ic.leftEnd,
+              ic.residual, AntiJoin, m, "superintervals") :: Nil
+          }.getOrElse(Nil)
+        case None => Nil
       }
     case Join(l, r, Inner, Some(cond), hint)
         if conf(graft.GraftSession.PreferIntervalJoin, "true").toBoolean =>

@@ -267,6 +267,43 @@ class IntervalJoinSpec extends SparkTestBase with BeforeAndAfterEach {
     }
   }
 
+  test("right outer / left outer / semi / anti join types match stock") {
+    // probe-side variants — beyond the reference's Inner-only support
+    val rnd = new scala.util.Random(17)
+    def table(n: Int) = (0 until n).map { _ =>
+      val s = rnd.nextInt(800)
+      (s"chr${rnd.nextInt(3)}", s, s + rnd.nextInt(80))
+    }.toDF("contig", "pos_start", "pos_end")
+    val a = table(250).cache()
+    val b = table(250).cache()
+    a.count(); b.count()
+    val al = a.select($"contig".as("ac"), $"pos_start".as("as_"), $"pos_end".as("ae"))
+    val bl = b.select($"contig".as("bc"), $"pos_start".as("bs"), $"pos_end".as("be"))
+    val cond = $"ac" === $"bc" && $"as_" <= $"be" && $"ae" >= $"bs"
+    for (jt <- Seq("right_outer", "left_outer", "left_semi", "left_anti")) {
+      val df = al.join(bl, cond, jt)
+      assert(planOf(df).contains("IntervalJoinExec"), s"$jt plan:\n${planOf(df)}")
+      val got = df.collect().map(_.toSeq).toSet
+      spark.conf.set(GraftSession.PreferIntervalJoin, "false")
+      val exp = al.join(bl, cond, jt).collect().map(_.toSeq).toSet
+      spark.conf.set(GraftSession.PreferIntervalJoin, "true")
+      assert(got == exp, s"join type $jt")
+    }
+    // partitioned mode too
+    spark.conf.set(GraftSession.IntervalJoinForceMode, "partitioned")
+    for (jt <- Seq("right_outer", "left_semi", "left_anti")) {
+      val df = al.join(bl, cond, jt)
+      assert(planOf(df).contains("IntervalJoinExec"))
+      val got = df.collect().map(_.toSeq).toSet
+      spark.conf.set(GraftSession.PreferIntervalJoin, "false")
+      val exp = al.join(bl, cond, jt).collect().map(_.toSeq).toSet
+      spark.conf.set(GraftSession.PreferIntervalJoin, "true")
+      assert(got == exp, s"partitioned join type $jt")
+    }
+    spark.conf.set(GraftSession.IntervalJoinForceMode, "")
+    a.unpersist(); b.unpersist()
+  }
+
   test("projection variants through the join (reference smoke tests)") {
     // reference: interval_join.rs:1814-1843 — *, left-only, right-only,
     // mixed projections must all work through the custom operator
