@@ -56,7 +56,8 @@ case class TextProfile(child: Expression)
       while (i < lower.length && !Character.isWhitespace(lower.charAt(i))) i += 1
       if (i > start) {
         nTokens += 1
-        val len = i - start
+        // token length in codepoints, matching DuckDB/Spark length()
+        val len = lower.codePointCount(start, i)
         nSubwords += math.max((len + 3) / 4, 1)
         val w = lower.substring(start, i)
         if (TextProfile.enSet(w)) en += 1
@@ -71,8 +72,12 @@ case class TextProfile(child: Expression)
       else if (es >= de && es >= en) "es"
       else if (en >= de) "en"
       else "de"
-    InternalRow(s.length, nTokens, nSubwords, punct, digit, upper, ws,
-      en, de, es, fr, UTF8String.fromString(lang))
+    // n_chars counts CODEPOINTS (= DuckDB length(), Spark length()), not
+    // UTF-16 units — keeps ratios oracle-exact for non-BMP text (emoji).
+    // The class counters above are unaffected: punct/digit/upper/whitespace
+    // are all BMP classes and surrogate halves match none of them.
+    InternalRow(s.codePointCount(0, s.length), nTokens, nSubwords,
+      punct, digit, upper, ws, en, de, es, fr, UTF8String.fromString(lang))
   }
 
   override protected def withNewChildInternal(newChild: Expression): TextProfile =

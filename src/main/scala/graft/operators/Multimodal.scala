@@ -76,10 +76,13 @@ object Multimodal {
     * codegen'd expression (substring works on binary). */
   def frameSample(media: Column, frameBytes: Int, everyN: Int): Column = {
     val nFrames = ceil(length(media).cast("double") / frameBytes).cast("int")
-    filter(
-      transform(sequence(lit(0), greatest(nFrames - 1, lit(0))),
-        i => substring(media, (i * frameBytes + 1).cast("int"), lit(frameBytes))),
-      (_, i) => i % everyN === 0)
+    // empty payload ⇒ zero frames (sequence(0, greatest(-1, 0)) would
+    // otherwise emit one zero-length frame)
+    when(length(media) === 0, array().cast("array<binary>")).otherwise(
+      filter(
+        transform(sequence(lit(0), greatest(nFrames - 1, lit(0))),
+          i => substring(media, (i * frameBytes + 1).cast("int"), lit(frameBytes))),
+        (_, i) => i % everyN === 0))
   }
 
   /** Frame count for a fixed frame size — metadata-only, no decode. */

@@ -10,9 +10,27 @@ import org.apache.spark.sql.types.{DataType, LongType}
 
 import scala.collection.mutable
 
-/** Per-key sorted bound arrays for O(log n) overlap counting. */
+/**
+ * Per-key bound arrays for O(log n) overlap counting.
+ *
+ * `starts` is sorted ascending with `endsByStart` co-permuted (the original
+ * (start, end) pairs in start order); `sortedEnds` is the ends sorted
+ * independently. The fast path uses `starts` + `sortedEnds`; `endsByStart`
+ * exists so an INVERTED probe interval (s > e) — for which the
+ * two-binary-search identity does not hold — can be counted exactly with a
+ * bounded scan. Inverted BUILD intervals (start > end) break the identity
+ * for every probe, so they are kept out of the arrays entirely and checked
+ * linearly from `invStarts`/`invEnds` (normally empty).
+ */
+private[graft] class CountBuildEntry(
+    val starts: Array[Int],
+    val endsByStart: Array[Int],
+    val sortedEnds: Array[Int],
+    val invStarts: Array[Int],
+    val invEnds: Array[Int]) extends Serializable
+
 private[graft] class CountBuildSide(
-    val keyed: java.util.HashMap[UnsafeRow, (Array[Int], Array[Int])])
+    val keyed: java.util.HashMap[UnsafeRow, CountBuildEntry])
   extends Serializable
 
 /**
@@ -54,6 +72,8 @@ private[graft] class IntervalCountRunner(
     final class Acc {
       val starts = new mutable.ArrayBuffer[Int]
       val ends = new mutable.ArrayBuffer[Int]
+      val invStarts = new mutable.ArrayBuffer[Int]
+      val invEnds = new mutable.ArrayBuffer[Int]
     }
     val groups = new java.util.HashMap[UnsafeRow, Acc]
     rows.foreach { row =>
@@ -63,16 +83,23 @@ private[graft] class IntervalCountRunner(
         val key = keyProj(row)
         var acc = groups.get(key)
         if (acc == null) { acc = new Acc; groups.put(key.copy(), acc) }
-        acc.starts += toIntChecked(s)
-        acc.ends += toIntChecked(e)
+        val si = toIntChecked(s); val ei = toIntChecked(e)
+        if (si <= ei) { acc.starts += si; acc.ends += ei }
+        else { acc.invStarts += si; acc.invEnds += ei }
       }
     }
-    val keyed = new java.util.HashMap[UnsafeRow, (Array[Int], Array[Int])](
+    val keyed = new java.util.HashMap[UnsafeRow, CountBuildEntry](
       math.max(16, groups.size() * 2))
     groups.forEach { (k, acc) =>
-      val st = acc.starts.toArray; java.util.Arrays.sort(st)
-      val en = acc.ends.toArray; java.util.Arrays.sort(en)
-      keyed.put(k, (st, en))
+      // sort (start, end) pairs by start, keep ends co-permuted
+      val n = acc.starts.length
+      val st0 = acc.starts.toArray; val en0 = acc.ends.toArray
+      val idx = Array.tabulate(n)(identity).sortBy(st0)
+      val st = Array.tabulate(n)(i => st0(idx(i)))
+      val enByStart = Array.tabulate(n)(i => en0(idx(i)))
+      val en = en0.clone(); java.util.Arrays.sort(en)
+      keyed.put(k, new CountBuildEntry(st, enByStart, en,
+        acc.invStarts.toArray, acc.invEnds.toArray))
     }
     new CountBuildSide(keyed)
   }
@@ -88,6 +115,33 @@ private[graft] class IntervalCountRunner(
       else hi = mid
     }
     lo
+  }
+
+  /** Exact overlap count of probe [s, e] against one key's build set,
+    * valid for inverted intervals on either side (predicate semantics:
+    * `start <= e && end >= s`, exactly what the join path evaluates). */
+  private def countFor(entry: CountBuildEntry, s: Int, e: Int): Long = {
+    var cnt = 0L
+    if (s <= e) {
+      // well-formed probe over well-formed builds: {end < s} ⊆ {start <= e},
+      // so the two-search identity holds
+      cnt += countBelow(entry.starts, e, strict = false) -
+        countBelow(entry.sortedEnds, s, strict = true)
+    } else {
+      // inverted probe: identity fails (end < s no longer implies
+      // start <= e); scan the start-bounded prefix of the pairs instead
+      val k = countBelow(entry.starts, e, strict = false)
+      var i = 0
+      while (i < k) { if (entry.endsByStart(i) >= s) cnt += 1; i += 1 }
+    }
+    // inverted build intervals were excluded from the arrays — evaluate
+    // the raw predicate on each (normally an empty loop)
+    var j = 0
+    while (j < entry.invStarts.length) {
+      if (entry.invStarts(j) <= e && entry.invEnds(j) >= s) cnt += 1
+      j += 1
+    }
+    cnt
   }
 
   /** Grouping attributes evaluated FROM THE PROBE ROW: a right-side attr
@@ -122,9 +176,7 @@ private[graft] class IntervalCountRunner(
           val key = keyProj(rrow)
           val entry = if (hasKeys && key.anyNull) null else build.keyed.get(key)
           if (entry != null) {
-            // overlap count = #(start <= e) − #(end < s)
-            total += countBelow(entry._1, toIntChecked(e), strict = false) -
-              countBelow(entry._2, toIntChecked(s), strict = true)
+            total += countFor(entry, toIntChecked(s), toIntChecked(e))
           }
         }
       }
@@ -140,8 +192,7 @@ private[graft] class IntervalCountRunner(
           val key = keyProj(rrow)
           val entry = if (hasKeys && key.anyNull) null else build.keyed.get(key)
           if (entry != null) {
-            val cnt = countBelow(entry._1, toIntChecked(e), strict = false) -
-              countBelow(entry._2, toIntChecked(s), strict = true)
+            val cnt = countFor(entry, toIntChecked(s), toIntChecked(e))
             // zero-count probes emit nothing — matches inner-join groups
             if (cnt > 0) {
               val g = groupProj(rrow)

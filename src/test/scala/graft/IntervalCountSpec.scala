@@ -136,6 +136,71 @@ class IntervalCountSpec extends SparkTestBase with BeforeAndAfterEach {
     a.unpersist(); b.unpersist()
   }
 
+  /** Like randomTable but ~30% of intervals are INVERTED (start > end) —
+    * the count pushdown's two-binary-search identity fails on these, so
+    * they exercise the guarded slow paths. */
+  private def messyTable(seed: Int, n: Int): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { _ =>
+      val s = rnd.nextInt(1000)
+      val w = rnd.nextInt(100)
+      val (lo, hi) = if (rnd.nextInt(10) < 3) (s + w, s) else (s, s + w)
+      (s"chr${rnd.nextInt(4)}", lo, hi)
+    }.toDF("contig", "pos_start", "pos_end")
+  }
+
+  test("inverted build intervals count exactly like the join path") {
+    val a = messyTable(17, 400) // build side has start > end rows
+    val b = randomTable(18, 400)
+    a.cache().count(); b.cache().count()
+    val df = joined(a, b).groupBy().count()
+    assert(df.queryExecution.executedPlan.toString.contains("IntervalCountExec"))
+    assert(df.head().getLong(0) == stockCount(joined(a, b)))
+    a.unpersist(); b.unpersist()
+  }
+
+  test("inverted probe intervals count exactly like the join path") {
+    val a = randomTable(19, 400)
+    val b = messyTable(20, 400) // probe side has s > e rows
+    a.cache().count(); b.cache().count()
+    val df = joined(a, b).groupBy().count()
+    assert(df.queryExecution.executedPlan.toString.contains("IntervalCountExec"))
+    assert(df.head().getLong(0) == stockCount(joined(a, b)))
+    a.unpersist(); b.unpersist()
+  }
+
+  test("inverted intervals on both sides, grouped, match stock") {
+    val a = messyTable(21, 300)
+    val b = messyTable(22, 300)
+    a.cache().count(); b.cache().count()
+    val df = joined(a, b).groupBy($"ac").count()
+    assert(df.queryExecution.executedPlan.toString.contains("IntervalCountExec"))
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    spark.conf.set(GraftSession.PreferIntervalJoin, "false")
+    val exp = joined(a, b).groupBy($"ac").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    spark.conf.set(GraftSession.PreferIntervalJoin, "true")
+    assert(got == exp)
+    a.unpersist(); b.unpersist()
+  }
+
+  test("keyless count skips rewrite when build side exceeds broadcast threshold") {
+    val a = randomTable(23, 200)
+    val b = randomTable(24, 200)
+    a.cache().count(); b.cache().count()
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+      val df = joined(a, b, withKey = false).groupBy().count()
+      // no key to partition on + build side over threshold → no rewrite
+      assert(!df.queryExecution.executedPlan.toString.contains("IntervalCountExec"))
+      assert(df.head().getLong(0) == stockCount(joined(a, b, withKey = false)))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      a.unpersist(); b.unpersist()
+    }
+  }
+
   test("rewrite disabled with conf off") {
     spark.conf.set(GraftSession.PreferIntervalJoin, "false")
     val a = randomTable(15, 50)
