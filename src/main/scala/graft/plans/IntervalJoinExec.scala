@@ -394,23 +394,129 @@ case class IntervalJoinExec(
     }
   }
 
-  // ---- whole-stage codegen (broadcast overlap mode) ---------------------
+  // ---- whole-stage codegen (overlap mode, both distributions) -----------
   //
-  // Modeled on Spark's BroadcastHashJoinExec: the probe (right) side
-  // streams through generated code; per probe row the generated Java looks
-  // up its key's interval index, fills a reusable primitive match buffer,
-  // and loops the matching build rows as local variables — no JoinedRow,
-  // no per-pair UnsafeProjection, and the parent operator (filter/agg/
-  // project) fuses into the same loop.
+  // BroadcastMode is modeled on Spark's BroadcastHashJoinExec: the probe
+  // (right) side streams through generated code; per probe row the
+  // generated Java looks up its key's interval index, fills a reusable
+  // primitive match buffer, and loops the matching build rows as local
+  // variables — no JoinedRow, no per-pair UnsafeProjection, and the parent
+  // operator (filter/agg/project) fuses into the same loop.
+  //
+  // PartitionedMode is modeled on SortMergeJoinExec's two-input-RDD shape:
+  // WholeStageCodegenExec zips the two shuffled inputs; the generated code
+  // drains the build iterator into the per-partition index once, then
+  // streams probe rows through the same fused match loop. The probe-side
+  // child pipeline is not fused below us (it arrives as an exchange
+  // anyway), but everything ABOVE the join — the hot per-pair path — is.
 
   override def supportCodegen: Boolean =
-    mode == BroadcastMode && joinType == OverlapJoin && residual.isEmpty
+    joinType == OverlapJoin && residual.isEmpty
 
-  override def inputRDDs(): Seq[RDD[InternalRow]] =
-    right.asInstanceOf[CodegenSupport].inputRDDs()
+  override def inputRDDs(): Seq[RDD[InternalRow]] = mode match {
+    case BroadcastMode => right.asInstanceOf[CodegenSupport].inputRDDs()
+    case PartitionedMode => left.execute() :: right.execute() :: Nil
+  }
 
-  override protected def doProduce(ctx: CodegenContext): String =
-    right.asInstanceOf[CodegenSupport].produce(ctx, this)
+  override protected def doProduce(ctx: CodegenContext): String = mode match {
+    case BroadcastMode => right.asInstanceOf[CodegenSupport].produce(ctx, this)
+    case PartitionedMode => doProducePartitioned(ctx)
+  }
+
+  private def doProducePartitioned(ctx: CodegenContext): String = {
+    // the two zipped per-partition iterators (see WholeStageCodegenExec)
+    val leftInput = ctx.addMutableState("scala.collection.Iterator",
+      "intervalLeftInput", v => s"$v = inputs[0];", forceInline = true)
+    val rightInput = ctx.addMutableState("scala.collection.Iterator",
+      "intervalRightInput", v => s"$v = inputs[1];", forceInline = true)
+    val runnerCls = classOf[IntervalJoinRunner].getName
+    val runnerRef = ctx.addReferenceObj("intervalRunner", runner, runnerCls)
+    val buildCls = classOf[IntervalBuildSide].getName
+    val buildTerm = ctx.addMutableState(buildCls, "intervalBuild",
+      forceInline = true)
+    val rowsTerm = ctx.addMutableState("InternalRow[]", "intervalBuildRows",
+      forceInline = true)
+    val bufTerm = ctx.addMutableState(
+      classOf[graft.rangejoin.IntMatchBuffer].getName, "intervalMatchBuf",
+      v => s"$v = new ${classOf[graft.rangejoin.IntMatchBuffer].getName}();",
+      forceInline = true)
+
+    val probeRow = ctx.freshName("probeRow")
+    ctx.currentVars = null
+    ctx.INPUT_ROW = probeRow
+    val keyEv = GenerateUnsafeProjection.createCode(ctx,
+      rightKeys.map(BindReferences.bindReference(_, right.output)))
+    val sEv = BindReferences.bindReference(
+      Cast(rightStart, LongType), right.output).genCode(ctx)
+    val eEv = BindReferences.bindReference(
+      Cast(rightEnd, LongType), right.output).genCode(ctx)
+    // probe-side columns, read lazily at the consume point (inside the
+    // match loop, where probeRow is still the current row)
+    val rightVars = right.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    val leftRowTerm = ctx.freshName("intervalLeftRow")
+    ctx.INPUT_ROW = leftRowTerm
+    val leftVars = left.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    ctx.INPUT_ROW = null
+
+    val buildTime = metricTerm(ctx, "buildTime")
+    val buildRows = metricTerm(ctx, "buildRows")
+    val buildKeys = metricTerm(ctx, "buildKeys")
+    val numOutput = metricTerm(ctx, "numOutputRows")
+    val probeRowsM = metricTerm(ctx, "probeRows")
+    val idxTerm = ctx.freshName("intervalIdx")
+    val t0 = ctx.freshName("buildT0")
+    val sL = ctx.freshName("sLong")
+    val eL = ctx.freshName("eLong")
+    val nTerm = ctx.freshName("nMatches")
+    val iTerm = ctx.freshName("im")
+    val idxCls = classOf[graft.rangejoin.IntervalIndex].getName
+    val keyNullCheck =
+      if (rightKeys.nonEmpty) s"&& !${keyEv.value}.anyNull()" else ""
+    val consumed = consume(ctx, leftVars ++ rightVars)
+
+    s"""
+       |if ($buildTerm == null) {
+       |  long $t0 = System.nanoTime();
+       |  $buildTerm = ($buildCls) $runnerRef.buildSide($leftInput);
+       |  $buildTime.add((System.nanoTime() - $t0) / 1000000L);
+       |  $rowsTerm = $buildTerm.rows();
+       |  $buildRows.add($rowsTerm.length);
+       |  $buildKeys.add($buildTerm.keyed().size());
+       |}
+       |while ($rightInput.hasNext()) {
+       |  InternalRow $probeRow = (InternalRow) $rightInput.next();
+       |  $probeRowsM.add(1);
+       |  ${keyEv.code}
+       |  ${sEv.code}
+       |  ${eEv.code}
+       |  if (!${sEv.isNull} && !${eEv.isNull} $keyNullCheck) {
+       |    $idxCls $idxTerm = ($idxCls) $buildTerm.keyed().get(${keyEv.value});
+       |    if ($idxTerm != null) {
+       |      long $sL = ${sEv.value};
+       |      long $eL = ${eEv.value};
+       |      if ($sL < Integer.MIN_VALUE || $sL > Integer.MAX_VALUE ||
+       |          $eL < Integer.MIN_VALUE || $eL > Integer.MAX_VALUE) {
+       |        throw new ArithmeticException(
+       |          "[GRAFT_INTERVAL_JOIN] Can't cast value " +
+       |          ($sL < Integer.MIN_VALUE || $sL > Integer.MAX_VALUE ? $sL : $eL) +
+       |          " to type Int");
+       |      }
+       |      int $nTerm = $idxTerm.queryInto((int) $sL, (int) $eL, $bufTerm);
+       |      for (int $iTerm = 0; $iTerm < $nTerm; $iTerm++) {
+       |        InternalRow $leftRowTerm = $rowsTerm[$bufTerm.get($iTerm)];
+       |        $numOutput.add(1);
+       |        $consumed
+       |      }
+       |    }
+       |  }
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
+  }
 
   // one probe row fans out to many output rows — downstream buffering
   // operators must copy

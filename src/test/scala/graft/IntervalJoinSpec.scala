@@ -194,6 +194,32 @@ class IntervalJoinSpec extends SparkTestBase with BeforeAndAfterEach {
       stockResult(targets, reads, withKey = true))
   }
 
+  test("partitioned mode joins inside whole-stage codegen") {
+    spark.conf.set(GraftSession.IntervalJoinForceMode, "partitioned")
+    // a codegen bug must fail loudly, not silently fall back
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = overlapJoin(targets, reads)
+      assert(df.collect().map(_.toSeq).toSet ==
+        stockResult(targets, reads, withKey = true))
+      val plan = df.queryExecution.executedPlan.toString
+      assert("""\*\(\d+\) IntervalJoinExec""".r.findFirstIn(plan).isDefined,
+        s"expected IntervalJoinExec inside WholeStageCodegen:\n$plan")
+      // fused aggregation above the partitioned join
+      val agg = overlapJoin(targets, reads).groupBy($"b_contig")
+        .agg(sum($"b_start").as("s"))
+      val aggGot = agg.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      spark.conf.set(GraftSession.PreferIntervalJoin, "false")
+      val aggExp = overlapJoin(targets, reads).groupBy($"b_contig")
+        .agg(sum($"b_start").as("s"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      spark.conf.set(GraftSession.PreferIntervalJoin, "true")
+      assert(aggGot == aggExp)
+    } finally {
+      spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
   test("two equi-keys, partitioned mode: co-partitioning is correct") {
     // guards the zipPartitions alignment assumption: EnsureRequirements
     // must cluster BOTH sides on the full key set (contig, strand)
