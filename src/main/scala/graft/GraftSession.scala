@@ -20,6 +20,7 @@ class GraftSparkSessionExtension extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(session => IntervalJoinStrategy(session))
     e.injectOptimizerRule(session => graft.plans.IntervalCountRewrite(session))
+    e.injectOptimizerRule(session => graft.plans.AutoBinIntervalJoin(session))
     e.injectFunction(graft.functions.CosineSimilarity.functionDescription)
   }
 }
@@ -35,6 +36,12 @@ object GraftSession {
     * `interval_join_low_memory`, is moot here: Spark's pull-based row
     * iterators never materialize join output per-batch.) */
   val IntervalJoinForceMode = "spark.graft.intervalJoin.forceMode"
+  /** "auto" (default) | "force" | "off" — skew-proof binned rewrite of
+    * interval joins (see [[graft.plans.AutoBinIntervalJoin]]). */
+  val AutoBin = "spark.graft.intervalJoin.autoBin"
+  /** Bin width (coordinate units) for the binned rewrite; ~10× the typical
+    * interval span is a good setting (1e6 for genome coordinates). */
+  val BinSize = "spark.graft.intervalJoin.binSize"
 
   /** Idempotently install the graft planner strategies on an existing
     * session (covers driver-created sessions that did not pass
@@ -47,6 +54,7 @@ object GraftSession {
         IntervalJoinStrategy(spark) +: spark.experimental.extraStrategies
       spark.experimental.extraOptimizations =
         graft.plans.IntervalCountRewrite(spark) +:
+          graft.plans.AutoBinIntervalJoin(spark) +:
           spark.experimental.extraOptimizations
     }
     val (ident, info, builder) =

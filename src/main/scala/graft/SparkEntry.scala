@@ -133,7 +133,33 @@ object SparkEntry {
         |SELECT a.contig AS contig, COUNT(*) AS cnt
         |FROM a JOIN b ON a.contig = b.contig
         | AND a.pos_start <= b.pos_end AND a.pos_end >= b.pos_start
-        |GROUP BY a.contig""".stripMargin)
+        |GROUP BY a.contig""".stripMargin),
+    // hot-key skew shape: ~90% of rows share contig 0, so an unbinned
+    // hash-clustered join caps at one task for that key; runs under the
+    // binned rewrite (autoBin) in partitioned mode. SUM keeps the query
+    // off the COUNT(*) pushdown so the materializing join is exercised.
+    "q42_interval_skew" ->
+      """WITH a AS (
+        |  SELECT event_id AS a_id,
+        |         CAST(CASE WHEN event_id % 10 < 9 THEN 0
+        |              ELSE CAST(user_id % 20 AS INT) END AS INT) AS contig,
+        |         CAST((event_id * 37) % 100000 AS INT) AS pos_start,
+        |         CAST((event_id * 37) % 100000 + event_id % 1000 AS INT) AS pos_end
+        |  FROM events
+        |), b AS (
+        |  SELECT event_id AS b_id,
+        |         CAST(CASE WHEN event_id % 10 < 9 THEN 0
+        |              ELSE CAST(user_id % 20 AS INT) END AS INT) AS contig,
+        |         CAST((event_id * 53) % 100000 AS INT) AS pos_start,
+        |         CAST((event_id * 53) % 100000 + event_id % 700 AS INT) AS pos_end
+        |  FROM events
+        |)
+        |SELECT a.contig AS contig, COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(b.pos_start AS BIGINT)) AS BIGINT) AS sum_bs
+        |FROM a JOIN b ON a.contig = b.contig
+        | AND a.pos_start <= b.pos_end AND a.pos_end >= b.pos_start
+        |WHERE a.pos_start < 50000 AND b.pos_start < 50000
+        |GROUP BY a.contig""".stripMargin
   )
 
   /** Spark text for the nearest join: plain overlap join run under
@@ -238,6 +264,8 @@ object SparkEntry {
     spark.conf.set(GraftSession.PreferIntervalJoin, "true")
     spark.conf.set(GraftSession.IntervalJoinAlgorithm, "superintervals")
     spark.conf.set(GraftSession.IntervalJoinForceMode, "")
+    spark.conf.set(GraftSession.AutoBin, "auto")
+    spark.conf.set(GraftSession.BinSize, "1000000")
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
     spark.sql(sql)
   }
@@ -272,6 +300,10 @@ object SparkEntry {
       GraftSession.IntervalJoinAlgorithm -> "lapper"),
     "q18_interval_outer" -> run(sharedSql("q18_interval_outer")),
     "q19_interval_semi_anti" -> run(sharedSql("q19_interval_semi_anti")),
+    "q42_interval_skew" -> run(sharedSql("q42_interval_skew"),
+      GraftSession.IntervalJoinForceMode -> "partitioned",
+      GraftSession.AutoBin -> "force",
+      GraftSession.BinSize -> "5000"),
     // ---- LLM-pipeline operators ----------------------------------------
     "q20_dedup_exact" -> ((s, dir) => { prep(s, dir)
       Dedup.exactDupPairs(dupCorpus(s, dir, near = false), "doc_id", "text") }),

@@ -37,10 +37,13 @@ object BinnedIntervalJoin {
       binSize: Int): DataFrame = {
     require(binSize > 0, "binSize must be positive")
 
-    def withBins(df: DataFrame, start: String, end: String, binCol: String) =
-      df.withColumn(binCol, explode(sequence(
-        floor(col(start).cast("long") / binSize).cast("long"),
-        floor(col(end).cast("long") / binSize).cast("long"))))
+    // least/greatest keeps the span set correct for inverted (start > end)
+    // intervals, which the unbinned join matches via the raw predicate
+    def withBins(df: DataFrame, start: String, end: String, binCol: String) = {
+      val bs = floor(col(start).cast("long") / binSize).cast("long")
+      val be = floor(col(end).cast("long") / binSize).cast("long")
+      df.withColumn(binCol, explode(sequence(least(bs, be), greatest(bs, be))))
+    }
 
     val l = withBins(left, leftStart, leftEnd, "__bin_l")
     val r = withBins(right, rightStart, rightEnd, "__bin_r")

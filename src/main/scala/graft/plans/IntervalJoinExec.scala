@@ -410,8 +410,7 @@ case class IntervalJoinExec(
   // child pipeline is not fused below us (it arrives as an exchange
   // anyway), but everything ABOVE the join — the hot per-pair path — is.
 
-  override def supportCodegen: Boolean =
-    joinType == OverlapJoin && residual.isEmpty
+  override def supportCodegen: Boolean = joinType == OverlapJoin
 
   override def inputRDDs(): Seq[RDD[InternalRow]] = mode match {
     case BroadcastMode => right.asInstanceOf[CodegenSupport].inputRDDs()
@@ -421,6 +420,40 @@ case class IntervalJoinExec(
   override protected def doProduce(ctx: CodegenContext): String = mode match {
     case BroadcastMode => right.asInstanceOf[CodegenSupport].produce(ctx, this)
     case PartitionedMode => doProducePartitioned(ctx)
+  }
+
+  /** Generate the per-match tail: evaluate the residual predicate (if any)
+    * on the current (build, probe) pair — mirroring
+    * BroadcastHashJoinExec's getJoinCondition pattern: force-evaluate only
+    * the columns the residual reads (clearing their code so consume()
+    * doesn't evaluate them twice), then gate the consume on it. */
+  private def consumeMatch(ctx: CodegenContext, leftVars: Seq[ExprCode],
+      rightVars: Seq[ExprCode], numOutput: String): String = residual match {
+    case None =>
+      val consumed = consume(ctx, leftVars ++ rightVars)
+      s"""
+         |$numOutput.add(1);
+         |$consumed
+       """.stripMargin
+    case Some(r) =>
+      val evalLeft =
+        evaluateRequiredVariables(left.output, leftVars, r.references)
+      val evalRight =
+        evaluateRequiredVariables(right.output, rightVars, r.references)
+      ctx.currentVars = leftVars ++ rightVars
+      val ev = BindReferences.bindReference(r, left.output ++ right.output)
+        .genCode(ctx)
+      ctx.currentVars = null
+      val consumed = consume(ctx, leftVars ++ rightVars)
+      s"""
+         |$evalLeft
+         |$evalRight
+         |${ev.code}
+         |if (!${ev.isNull} && ${ev.value}) {
+         |  $numOutput.add(1);
+         |  $consumed
+         |}
+       """.stripMargin
   }
 
   private def doProducePartitioned(ctx: CodegenContext): String = {
@@ -476,7 +509,7 @@ case class IntervalJoinExec(
     val idxCls = classOf[graft.rangejoin.IntervalIndex].getName
     val keyNullCheck =
       if (rightKeys.nonEmpty) s"&& !${keyEv.value}.anyNull()" else ""
-    val consumed = consume(ctx, leftVars ++ rightVars)
+    val matchTail = consumeMatch(ctx, leftVars, rightVars, numOutput)
 
     s"""
        |if ($buildTerm == null) {
@@ -508,8 +541,7 @@ case class IntervalJoinExec(
        |      int $nTerm = $idxTerm.queryInto((int) $sL, (int) $eL, $bufTerm);
        |      for (int $iTerm = 0; $iTerm < $nTerm; $iTerm++) {
        |        InternalRow $leftRowTerm = $rowsTerm[$bufTerm.get($iTerm)];
-       |        $numOutput.add(1);
-       |        $consumed
+       |        $matchTail
        |      }
        |    }
        |  }
@@ -565,7 +597,7 @@ case class IntervalJoinExec(
     val idxCls = classOf[graft.rangejoin.IntervalIndex].getName
     val keyNullCheck =
       if (rightKeys.nonEmpty) s"&& !${keyEv.value}.anyNull()" else ""
-    val consumed = consume(ctx, leftVars ++ input)
+    val matchTail = consumeMatch(ctx, leftVars, input, numOutput)
 
     s"""
        |$probeRows.add(1);
@@ -587,8 +619,7 @@ case class IntervalJoinExec(
        |    int $nTerm = $idxTerm.queryInto((int) $sL, (int) $eL, $bufTerm);
        |    for (int $iTerm = 0; $iTerm < $nTerm; $iTerm++) {
        |      InternalRow $leftRowTerm = $rowsTerm[$bufTerm.get($iTerm)];
-       |      $numOutput.add(1);
-       |      $consumed
+       |      $matchTail
        |    }
        |  }
        |}

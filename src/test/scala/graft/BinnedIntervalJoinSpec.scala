@@ -70,6 +70,126 @@ class BinnedIntervalJoinSpec extends SparkTestBase {
     a.unpersist(); b.unpersist()
   }
 
+  private def overlapDf(a: DataFrame, b: DataFrame, withKey: Boolean = true) = {
+    val al = a.select($"contig".as("ac"), $"pos_start".as("as_"), $"pos_end".as("ae"))
+    val bl = b.select($"contig".as("bc"), $"pos_start".as("bs"), $"pos_end".as("be"))
+    val range = $"as_" <= $"be" && $"ae" >= $"bs"
+    al.join(bl, if (withKey) $"ac" === $"bc" && range else range)
+  }
+
+  test("autoBin=force rewrites a plain join to the binned form, same result") {
+    spark.conf.set(GraftSession.AutoBin, "force")
+    spark.conf.set(GraftSession.BinSize, "100")
+    spark.conf.set(GraftSession.IntervalJoinForceMode, "partitioned")
+    try {
+      val a = randomTable(5, 400, hot = true).cache()
+      val b = randomTable(6, 400, hot = true).cache()
+      a.count(); b.count()
+      val df = overlapDf(a, b)
+      val got = df.collect().map(_.toSeq).toSet
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("__graft_bin"), plan)
+      assert(plan.contains("IntervalJoinExec"), plan)
+      spark.conf.set(GraftSession.AutoBin, "off")
+      val exp = overlapDf(a, b).collect().map(_.toSeq).toSet
+      assert(got == exp)
+      a.unpersist(); b.unpersist()
+    } finally {
+      spark.conf.set(GraftSession.AutoBin, "auto")
+      spark.conf.set(GraftSession.IntervalJoinForceMode, "")
+    }
+  }
+
+  test("binned partitioned join spreads ONE hot key over multiple tasks") {
+    spark.conf.set(GraftSession.AutoBin, "force")
+    spark.conf.set(GraftSession.BinSize, "100")
+    spark.conf.set(GraftSession.IntervalJoinForceMode, "partitioned")
+    // AQE would coalesce this tiny shuffle back to one partition; the
+    // assertion is about the partitioning KEY space, so pin it off
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      // every row shares a single key: unbinned hash clustering would put
+      // ALL probe work in one task
+      val a = randomTable(7, 300, hot = true)
+        .withColumn("contig", org.apache.spark.sql.functions.lit("chrHOT")).cache()
+      val b = randomTable(8, 300, hot = true)
+        .withColumn("contig", org.apache.spark.sql.functions.lit("chrHOT")).cache()
+      a.count(); b.count()
+      val binned = overlapDf(a, b)
+      val busyBinned = binned.rdd
+        .mapPartitions(it => Iterator.single(if (it.hasNext) 1 else 0)).sum()
+      assert(busyBinned > 1,
+        s"expected the hot key spread over >1 task, got $busyBinned")
+      spark.conf.set(GraftSession.AutoBin, "off")
+      val exp = overlapDf(a, b).collect().map(_.toSeq).toSet
+      spark.conf.set(GraftSession.AutoBin, "force")
+      assert(binned.collect().map(_.toSeq).toSet == exp)
+      a.unpersist(); b.unpersist()
+    } finally {
+      spark.conf.set(GraftSession.AutoBin, "auto")
+      spark.conf.set(GraftSession.IntervalJoinForceMode, "")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    }
+  }
+
+  test("autoBin=auto bins a keyless join that exceeds the broadcast threshold") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set(GraftSession.AutoBin, "auto")
+    spark.conf.set(GraftSession.BinSize, "100")
+    try {
+      val a = randomTable(9, 150, hot = false).cache()
+      val b = randomTable(10, 150, hot = false).cache()
+      a.count(); b.count()
+      val exp = overlapDf(a, b, withKey = false).collect().map(_.toSeq).toSet
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+      val df = overlapDf(a, b, withKey = false)
+      val plan = df.queryExecution.executedPlan.toString
+      // previously this shape was declined entirely (stock BNLJ at scale)
+      assert(plan.contains("__graft_bin"), plan)
+      assert(plan.contains("IntervalJoinExec"), plan)
+      assert(df.collect().map(_.toSeq).toSet == exp)
+      a.unpersist(); b.unpersist()
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("autoBin=auto bins a keyed join when column stats show low key NDV") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set(GraftSession.AutoBin, "auto")
+    spark.conf.set(GraftSession.BinSize, "100")
+    try {
+      val rnd = new scala.util.Random(11)
+      val rows = (0 until 400).map { i =>
+        val s = rnd.nextInt(5000)
+        (if (i % 5 == 0) "chrX" else "chrHOT", s, s + rnd.nextInt(800))
+      }
+      rows.toDF("contig", "pos_start", "pos_end")
+        .write.mode("overwrite").saveAsTable("graft_skew_a")
+      rows.reverse.toDF("contig", "pos_start", "pos_end")
+        .write.mode("overwrite").saveAsTable("graft_skew_b")
+      spark.sql("ANALYZE TABLE graft_skew_a COMPUTE STATISTICS FOR COLUMNS contig")
+      spark.sql("ANALYZE TABLE graft_skew_b COMPUTE STATISTICS FOR COLUMNS contig")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val a = spark.table("graft_skew_a")
+      val b = spark.table("graft_skew_b")
+      val exp = overlapDf(a, b).collect().map(_.toSeq).toSet
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+      val df = overlapDf(a, b)
+      val plan = df.queryExecution.executedPlan.toString
+      // NDV(contig)=2 < 4 shuffle partitions → binned automatically
+      assert(plan.contains("__graft_bin"), plan)
+      assert(df.collect().map(_.toSeq).toSet == exp)
+      // high-NDV guard: without stats-below-parallelism, no rewrite
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      val plain = overlapDf(a, b)
+      assert(!plain.queryExecution.executedPlan.toString.contains("__graft_bin"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      spark.sql("DROP TABLE IF EXISTS graft_skew_a")
+      spark.sql("DROP TABLE IF EXISTS graft_skew_b")
+    }
+  }
+
   test("binned join plans through IntervalJoinExec with bin equi-key") {
     val a = Seq(("c1", 1, 250)).toDF("k", "s", "e")
     val b = Seq(("c1", 200, 260)).toDF("k", "s2", "e2")

@@ -264,13 +264,24 @@ class IntervalJoinSpec extends SparkTestBase with BeforeAndAfterEach {
     assert(df.count() == 16)
   }
 
-  test("keyless join above broadcast threshold falls back to stock plan") {
+  test("keyless join above broadcast threshold gets the binned plan (or stock when off)") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
+      // autoBin rescues the keyless+too-big case that used to be declined:
+      // binning manufactures the partitioning key a pure range join lacks
       val df = overlapJoin(targets, reads, withKey = false)
-      assert(!planOf(df).contains("IntervalJoinExec"))
+      assert(planOf(df).contains("__graft_bin"), planOf(df))
+      assert(planOf(df).contains("IntervalJoinExec"), planOf(df))
       assert(df.count() == 32)
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+      // with the rewrite off, decline entirely: stock BNLJ, still correct
+      spark.conf.set(GraftSession.AutoBin, "off")
+      val plain = overlapJoin(targets, reads, withKey = false)
+      assert(!planOf(plain).contains("IntervalJoinExec"))
+      assert(plain.count() == 32)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+      spark.conf.set(GraftSession.AutoBin, "auto")
+    }
   }
 
   test("randomized equivalence with stock join (inclusive + strict)") {
