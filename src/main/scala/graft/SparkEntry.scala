@@ -298,6 +298,8 @@ object SparkEntry {
     "q16_interval_count" -> run(sharedSql("q16_interval_count")),
     "q17_interval_lapper" -> run(sharedSql("q15_interval_ailist"),
       GraftSession.IntervalJoinAlgorithm -> "lapper"),
+    "q43_interval_tree" -> run(sharedSql("q15_interval_ailist"),
+      GraftSession.IntervalJoinAlgorithm -> "intervaltree"),
     "q18_interval_outer" -> run(sharedSql("q18_interval_outer")),
     "q19_interval_semi_anti" -> run(sharedSql("q19_interval_semi_anti")),
     "q42_interval_skew" -> run(sharedSql("q42_interval_skew"),
@@ -491,6 +493,7 @@ object SparkEntry {
       "q13_interval_partitioned" -> sharedSql("q10_interval_join"),
       "q15_interval_ailist" -> sharedSql("q10_interval_join"),
       "q17_interval_lapper" -> sharedSql("q10_interval_join"),
+      "q43_interval_tree" -> sharedSql("q10_interval_join"),
       "q14_interval_nearest" -> nearestOracleSql,
       "q20_dedup_exact" -> exactDupOracle,
       "q21_dedup_minhash" -> exactDupOracle,

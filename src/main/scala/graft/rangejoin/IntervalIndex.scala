@@ -56,19 +56,26 @@ object IntervalIndex {
   def build(algorithm: String, starts: Array[Int], ends: Array[Int],
             positions: Array[Int]): IntervalIndex =
     algorithm.toLowerCase match {
+      // the superintervals design serves the Coitrees (default) slot — a
+      // sorted array with branch skips has the same cache-linear profile
+      // the vEB-layout COITree targets (SURVEY §2 #6 allows this)
       case "superintervals" | "coitrees" | "default" =>
         SuperIntervalsIndex.build(starts, ends, positions)
-      // reference's IntervalTree/ArrayIntervalTree/Lapper slots (augmented
-      // trees / NCList) are served by the AIList design — same early-stop
-      // probe profile, array-friendly
-      case "ailist" | "intervaltree" | "arrayintervaltree" | "lapper" =>
+      case "ailist" =>
         AIListIndex.build(starts, ends, positions)
+      // real augmented interval tree (reference's IntervalTree /
+      // ArrayIntervalTree slots, rust-bio style — interval_join.rs:816-841)
+      case "intervaltree" | "arrayintervaltree" =>
+        AugmentedTreeIndex.build(starts, ends, positions)
+      // real Lapper (reference's Lapper slot, interval_join.rs:842-857)
+      case "lapper" | "nclist" =>
+        LapperIndex.build(starts, ends, positions)
       case "naive" | "linear" =>
         new NaiveIntervalIndex(starts, ends, positions)
       case other =>
         throw new IllegalArgumentException(
-          s"unknown interval-join algorithm: $other " +
-            "(expected superintervals | ailist | naive)")
+          s"unknown interval-join algorithm: $other (expected " +
+            "superintervals | ailist | intervaltree | lapper | naive)")
     }
 }
 
@@ -270,6 +277,128 @@ final class AIListIndex private (
       }
       c += 1
     }
+  }
+}
+
+/**
+ * Lapper index (public design: Brent Pedersen's nim-lapper and its
+ * rust-lapper port — the structure behind the reference's Lapper slot,
+ * reference: interval_join.rs:842-857): intervals sorted by (start, end);
+ * a probe binary-searches the first interval whose start could still reach
+ * `s` (start >= s − maxLen, where maxLen is the longest stored interval)
+ * and scans FORWARD while start <= e, emitting on end >= s. Simple, branch-
+ * predictable, excellent when interval lengths are fairly uniform;
+ * degrades when one giant interval inflates maxLen — which is exactly the
+ * profile difference that makes it worth A/B-testing against the others.
+ */
+final class LapperIndex private (
+    starts: Array[Int], ends: Array[Int], positions: Array[Int],
+    maxLen: Long) extends IntervalIndex {
+
+  override def size: Int = starts.length
+
+  override def query(s: Int, e: Int)(f: Int => Unit): Unit = {
+    val n = starts.length
+    // first i with starts(i) >= s - maxLen (Long math: no underflow)
+    val cutoff = s.toLong - maxLen
+    var lo = 0
+    var hi = n
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (starts(mid).toLong < cutoff) lo = mid + 1 else hi = mid
+    }
+    while (lo < n && starts(lo) <= e) {
+      if (ends(lo) >= s) f(positions(lo))
+      lo += 1
+    }
+  }
+}
+
+object LapperIndex {
+  def build(starts0: Array[Int], ends0: Array[Int],
+            positions0: Array[Int]): LapperIndex = {
+    val n = starts0.length
+    val order = Array.range(0, n).sortWith { (a, b) =>
+      if (starts0(a) != starts0(b)) starts0(a) < starts0(b)
+      else ends0(a) < ends0(b)
+    }
+    val starts = new Array[Int](n)
+    val ends = new Array[Int](n)
+    val positions = new Array[Int](n)
+    var maxLen = 0L
+    var i = 0
+    while (i < n) {
+      val o = order(i)
+      starts(i) = starts0(o); ends(i) = ends0(o); positions(i) = positions0(o)
+      // inverted intervals (end < start) contribute no positive length but
+      // must still be reachable: length floor 0 keeps cutoff <= start
+      maxLen = math.max(maxLen, ends(i).toLong - starts(i).toLong)
+      i += 1
+    }
+    new LapperIndex(starts, ends, positions, math.max(maxLen, 0L))
+  }
+}
+
+/**
+ * Augmented interval tree over a sorted array (the classic CLRS structure,
+ * array-backed like rust-bio's ArrayBackedIntervalTree — the reference's
+ * IntervalTree / ArrayIntervalTree slots, reference:
+ * interval_join.rs:816-841): an implicit balanced BST where node = middle
+ * of its range and every node stores its subtree's max end, letting a
+ * probe prune whole subtrees whose max end < s. No pointers — three
+ * primitive arrays plus the augmentation, broadcast-friendly.
+ */
+final class AugmentedTreeIndex private (
+    starts: Array[Int], ends: Array[Int], positions: Array[Int],
+    subtreeMax: Array[Int]) extends IntervalIndex {
+
+  override def size: Int = starts.length
+
+  override def query(s: Int, e: Int)(f: Int => Unit): Unit =
+    visit(0, starts.length, s, e, f)
+
+  /** In-order traversal of the implicit tree on [lo, hi), pruning on the
+    * subtree max-end (left of a start > e nothing can start <= e; below a
+    * subtreeMax < s nothing can end >= s). Depth is log2(n). */
+  private def visit(lo: Int, hi: Int, s: Int, e: Int, f: Int => Unit): Unit = {
+    if (lo >= hi) return
+    val mid = (lo + hi) >>> 1
+    if (subtreeMax(mid) < s) return
+    visit(lo, mid, s, e, f)
+    if (starts(mid) <= e) {
+      if (ends(mid) >= s) f(positions(mid))
+      visit(mid + 1, hi, s, e, f)
+    }
+  }
+}
+
+object AugmentedTreeIndex {
+  def build(starts0: Array[Int], ends0: Array[Int],
+            positions0: Array[Int]): AugmentedTreeIndex = {
+    val n = starts0.length
+    val order = Array.range(0, n).sortWith { (a, b) =>
+      if (starts0(a) != starts0(b)) starts0(a) < starts0(b)
+      else ends0(a) < ends0(b)
+    }
+    val starts = new Array[Int](n)
+    val ends = new Array[Int](n)
+    val positions = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val o = order(i)
+      starts(i) = starts0(o); ends(i) = ends0(o); positions(i) = positions0(o)
+      i += 1
+    }
+    val subtreeMax = new Array[Int](math.max(n, 1))
+    def fill(lo: Int, hi: Int): Int = {
+      if (lo >= hi) return Int.MinValue
+      val mid = (lo + hi) >>> 1
+      val m = math.max(ends(mid), math.max(fill(lo, mid), fill(mid + 1, hi)))
+      subtreeMax(mid) = m
+      m
+    }
+    fill(0, n)
+    new AugmentedTreeIndex(starts, ends, positions, subtreeMax)
   }
 }
 

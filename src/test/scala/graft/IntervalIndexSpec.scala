@@ -30,7 +30,7 @@ class IntervalIndexSpec extends AnyFunSuite {
     IntervalIndex.build(name, iv.map(_._1), iv.map(_._2),
       Array.range(0, iv.length))
 
-  for (alg <- Seq("superintervals", "ailist")) {
+  for (alg <- Seq("superintervals", "ailist", "lapper", "intervaltree")) {
     test(s"$alg ≡ naive on 200 random interval sets") {
       val rnd = new Random(42)
       for (trial <- 0 until 200) {
@@ -84,7 +84,8 @@ class IntervalIndexSpec extends AnyFunSuite {
 
   test("point intervals and touching endpoints") {
     val iv = Array((5, 10), (10, 10), (11, 11), (0, 4))
-    for (alg <- Seq("superintervals", "ailist", "naive")) {
+    for (alg <- Seq("superintervals", "ailist", "lapper", "intervaltree",
+                    "naive")) {
       val idx = build(alg, iv)
       assert(results(idx, 10, 10) == Seq(0, 1))
       assert(results(idx, 11, 11) == Seq(2))
@@ -102,6 +103,19 @@ class IntervalIndexSpec extends AnyFunSuite {
   test("unknown algorithm rejected") {
     intercept[IllegalArgumentException] {
       IntervalIndex.build("nope", Array(1), Array(2), Array(0))
+    }
+  }
+
+  test("lapper giant-interval backoff and inverted intervals") {
+    // one huge interval inflates Lapper's maxLen cutoff — correctness must
+    // hold even when the cutoff scan window covers everything; inverted
+    // (end < start) intervals must simply never match
+    val iv = Array((0, 1000000), (500, 510), (600, 550), (700, 701))
+    for (alg <- Seq("lapper", "intervaltree", "superintervals", "ailist")) {
+      val idx = build(alg, iv)
+      assert(results(idx, 505, 505) == Seq(0, 1), alg)
+      assert(results(idx, 560, 590) == Seq(0), alg)
+      assert(results(idx, 700, 700) == Seq(0, 3), alg)
     }
   }
 
