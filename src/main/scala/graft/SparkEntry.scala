@@ -112,6 +112,14 @@ object SparkEntry {
         |       a.pos_start AS a_start, a.pos_end AS a_end
         |FROM a RIGHT JOIN b ON a.contig = b.contig
         | AND a.pos_start <= b.pos_end AND a.pos_end >= b.pos_start""".stripMargin),
+    "q44_interval_full" -> (cteAB +
+      """
+        |SELECT COALESCE(a.contig, b.contig) AS contig,
+        |       COUNT(*) AS cnt, COUNT(a.a_id) AS n_a, COUNT(b.b_id) AS n_b
+        |FROM a FULL JOIN b ON a.contig = b.contig
+        | AND a.pos_start <= b.pos_end AND a.pos_end >= b.pos_start
+        | AND a.pos_start < 2000 AND b.pos_start < 2000
+        |GROUP BY COALESCE(a.contig, b.contig)""".stripMargin),
     "q19_interval_semi_anti" -> (cteAB +
       """
         |SELECT
@@ -302,6 +310,7 @@ object SparkEntry {
       GraftSession.IntervalJoinAlgorithm -> "intervaltree"),
     "q18_interval_outer" -> run(sharedSql("q18_interval_outer")),
     "q19_interval_semi_anti" -> run(sharedSql("q19_interval_semi_anti")),
+    "q44_interval_full" -> run(sharedSql("q44_interval_full")),
     "q42_interval_skew" -> run(sharedSql("q42_interval_skew"),
       GraftSession.IntervalJoinForceMode -> "partitioned",
       GraftSession.AutoBin -> "force",

@@ -42,6 +42,13 @@ case object SemiJoin extends IntervalJoinType
 /** Emit each probe row once iff it has NO match (logical LeftAnti with
   * sides swapped). */
 case object AntiJoin extends IntervalJoinType
+/** Inner pairs + NULL-padded build side for unmatched probe rows + NULL-
+  * padded probe side for unmatched build rows — FULL OUTER. Needs
+  * build-side match tracking (a per-partition bitmap), so it runs in
+  * PartitionedMode only, where each task owns its build partition
+  * exclusively. The reference plumbs Full but never executes it
+  * (reference: interval_join.rs:280-302). */
+case object FullOuterJoin extends IntervalJoinType
 /** Emit exactly one row per probe row: the best (deterministic) nearest
   * build interval, NULL-padded left side when the key has no build rows —
   * analogue of the reference's CoitreesNearest (interval_join.rs:909-990),
@@ -78,6 +85,9 @@ private[graft] class IntervalJoinRunner(
     case OverlapJoin => leftOutput ++ rightOutput
     case RightOuterJoin | NearestJoin =>
       leftOutput.map(_.withNullability(true)) ++ rightOutput
+    case FullOuterJoin =>
+      leftOutput.map(_.withNullability(true)) ++
+        rightOutput.map(_.withNullability(true))
     case SemiJoin | AntiJoin => rightOutput
   }
 
@@ -111,6 +121,10 @@ private[graft] class IntervalJoinRunner(
     val groups = new java.util.HashMap[UnsafeRow, Acc]
     val stored = new mutable.ArrayBuffer[InternalRow]
     val hasKeys = leftKeys.nonEmpty
+    // FULL OUTER must emit every build row, even ones that can never match
+    // (NULL bound / NULL equi-key): store them un-indexed so the unmatched
+    // sweep NULL-pads them.
+    val keepAll = joinType == FullOuterJoin
     rows.foreach { row =>
       val s = startEval(row)
       val e = endEval(row)
@@ -118,15 +132,19 @@ private[graft] class IntervalJoinRunner(
       // must not match anything (SQL `NULL = NULL` is not true — the
       // reference constructs the join with null_equals_null=false,
       // interval_join.rs ctor). Skip both at build time.
-      if (s != null && e != null && !(hasKeys && keyProj(row).anyNull)) {
+      val indexable =
+        s != null && e != null && !(hasKeys && keyProj(row).anyNull)
+      if (indexable || keepAll) {
         val pos = stored.length
         stored += rowProj(row).copy()
-        val key = keyProj(row)
-        var acc = groups.get(key)
-        if (acc == null) { acc = new Acc; groups.put(key.copy(), acc) }
-        acc.starts += toIntChecked(s)
-        acc.ends += toIntChecked(e)
-        acc.positions += pos
+        if (indexable) {
+          val key = keyProj(row)
+          var acc = groups.get(key)
+          if (acc == null) { acc = new Acc; groups.put(key.copy(), acc) }
+          acc.starts += toIntChecked(s)
+          acc.ends += toIntChecked(e)
+          acc.positions += pos
+        }
       }
     }
     val alg = if (joinType == NearestJoin) "superintervals" else algorithm
@@ -146,8 +164,13 @@ private[graft] class IntervalJoinRunner(
     val startEval = boundEval(rightStart, rightOutput)
     val endEval = boundEval(rightEnd, rightOutput)
     val joined = new JoinedRow
+    // FULL OUTER also NULL-pads the probe side (unmatched-build sweep), so
+    // its projection input schema must be nullable on both sides.
     val resultProj = UnsafeProjection.create(
-      outputAttrs, leftOutput.map(_.withNullability(true)) ++ rightOutput)
+      outputAttrs,
+      leftOutput.map(_.withNullability(true)) ++
+        (if (joinType == FullOuterJoin) rightOutput.map(_.withNullability(true))
+         else rightOutput))
     resultProj.initialize(partitionIndex)
     val residualPred = residual.map { r =>
       val p = Predicate.create(r, leftOutput ++ rightOutput)
@@ -252,6 +275,48 @@ private[graft] class IntervalJoinRunner(
           }
         }
 
+      case FullOuterJoin =>
+        // Per-partition bitmap over build positions: PartitionedMode
+        // guarantees this task is the only one probing this build
+        // partition, so the post-drain sweep emits each unmatched build
+        // row exactly once.
+        val matched = new java.util.BitSet(build.rows.length)
+        val nullRight = new GenericInternalRow(rightOutput.size)
+        val pairs = iter.flatMap { rrow =>
+          probeRows += 1
+          val n = collectMatches(rrow)
+          if (n == 0) {
+            rows += 1
+            Iterator.single(resultProj(joined(nullLeft, rrow)))
+          } else new Iterator[InternalRow] {
+            private var i = 0
+            def hasNext: Boolean = i < n
+            def next(): InternalRow = {
+              rows += 1
+              val pos = sharedBuf(i)
+              matched.set(pos)
+              val j = joined(build.rows(pos), rrow)
+              i += 1
+              resultProj(j)
+            }
+          }
+        }
+        // lazy concat: the sweep reads the bitmap only after `pairs` drains
+        val unmatchedSweep = new Iterator[InternalRow] {
+          private var pos = 0
+          private def advance(): Unit =
+            while (pos < build.rows.length && matched.get(pos)) pos += 1
+          def hasNext: Boolean = { advance(); pos < build.rows.length }
+          def next(): InternalRow = {
+            advance()
+            val j = joined(build.rows(pos), nullRight)
+            pos += 1
+            rows += 1
+            resultProj(j)
+          }
+        }
+        pairs ++ unmatchedSweep
+
       case SemiJoin =>
         iter.filter { rrow =>
           probeRows += 1
@@ -319,10 +384,19 @@ case class IntervalJoinExec(
     mode: IntervalJoinMode,
     algorithm: String) extends BinaryExecNode with CodegenSupport {
 
+  // FULL OUTER needs exclusive per-task ownership of the build partition
+  // for its match bitmap — broadcast would emit unmatched build rows once
+  // per probe task
+  require(joinType != FullOuterJoin || mode == PartitionedMode,
+    "FullOuterJoin requires PartitionedMode")
+
   override def output: Seq[Attribute] = joinType match {
     case OverlapJoin => left.output ++ right.output
     case RightOuterJoin | NearestJoin =>
       left.output.map(_.withNullability(true)) ++ right.output
+    case FullOuterJoin =>
+      left.output.map(_.withNullability(true)) ++
+        right.output.map(_.withNullability(true))
     case SemiJoin | AntiJoin => right.output
   }
 
@@ -345,6 +419,10 @@ case class IntervalJoinExec(
     case (PartitionedMode, OverlapJoin) =>
       PartitioningCollection(
         Seq(left.outputPartitioning, right.outputPartitioning))
+    // NULL-padded sweep rows void the hash-partitioning guarantee (same as
+    // Spark's ShuffledJoin for FullOuter)
+    case (PartitionedMode, FullOuterJoin) =>
+      UnknownPartitioning(right.outputPartitioning.numPartitions)
     case (PartitionedMode, _) => right.outputPartitioning
   }
 

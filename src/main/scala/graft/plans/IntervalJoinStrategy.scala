@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
+import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
 import org.apache.spark.sql.execution.{ProjectExec, SparkPlan, SparkStrategy}
 
@@ -114,6 +114,21 @@ case class IntervalJoinStrategy(session: SparkSession) extends SparkStrategy {
               swapped) :: Nil
           }.getOrElse(Nil)
         case None => Nil
+      }
+    // FullOuter: inner pairs + both-side NULL padding. Needs the
+    // per-partition match bitmap, so PartitionedMode only — which needs an
+    // equi-key to partition on; keyless FULL OUTER falls back to Spark's
+    // BNLJ (correct, slower). Goes beyond the reference, which plumbs Full
+    // but never executes it (interval_join.rs:280-302).
+    case Join(l, r, FullOuter, Some(cond), _) if enabled =>
+      IntervalCondition.extract(cond, l, r) match {
+        case Some(ic) if ic.leftKeys.nonEmpty =>
+          IntervalJoinExec(planLater(l), planLater(r),
+            ic.leftKeys, ic.rightKeys,
+            ic.leftStart, ic.leftEnd, ic.rightStart, ic.rightEnd,
+            ic.residual, FullOuterJoin, PartitionedMode,
+            "superintervals") :: Nil
+        case _ => Nil
       }
     // LeftSemi/LeftAnti: preserved side = probe, filtering side = build.
     case Join(l, r, LeftSemi, Some(cond), _) if enabled =>

@@ -341,6 +341,39 @@ class IntervalJoinSpec extends SparkTestBase with BeforeAndAfterEach {
     a.unpersist(); b.unpersist()
   }
 
+  test("full outer join matches stock, incl. NULL keys/bounds") {
+    val rnd = new scala.util.Random(23)
+    def rows(n: Int) = (0 until n).map { i =>
+      // sprinkle NULL keys and bounds — they must surface NULL-padded
+      val s = rnd.nextInt(500)
+      (if (i % 17 == 0) null else s"chr${rnd.nextInt(3)}",
+       if (i % 23 == 0) null else Integer.valueOf(s),
+       Integer.valueOf(s + rnd.nextInt(60)))
+    }
+    val a = rows(200).toDF("ac", "as_", "ae").cache()
+    val b = rows(200).toDF("bc", "bs", "be").cache()
+    a.count(); b.count()
+    val cond = $"ac" === $"bc" && $"as_" <= $"be" && $"ae" >= $"bs"
+    def multiset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val df = a.join(b, cond, "full_outer")
+    assert(planOf(df).contains("IntervalJoinExec"),
+      s"full_outer plan:\n${planOf(df)}")
+    val got = multiset(df)
+    spark.conf.set(GraftSession.PreferIntervalJoin, "false")
+    val exp = multiset(a.join(b, cond, "full_outer"))
+    spark.conf.set(GraftSession.PreferIntervalJoin, "true")
+    assert(got == exp)
+    // residual predicate variant: unmatched definition includes the residual
+    val cond2 = cond && ($"ae" - $"bs" > 5)
+    val got2 = multiset(a.join(b, cond2, "full_outer"))
+    spark.conf.set(GraftSession.PreferIntervalJoin, "false")
+    val exp2 = multiset(a.join(b, cond2, "full_outer"))
+    spark.conf.set(GraftSession.PreferIntervalJoin, "true")
+    assert(got2 == exp2, "full outer with residual")
+    a.unpersist(); b.unpersist()
+  }
+
   test("projection variants through the join (reference smoke tests)") {
     // reference: interval_join.rs:1814-1843 — *, left-only, right-only,
     // mixed projections must all work through the custom operator
