@@ -42,6 +42,11 @@ object GraftSession {
   /** Bin width (coordinate units) for the binned rewrite; ~10× the typical
     * interval span is a good setting (1e6 for genome coordinates). */
   val BinSize = "spark.graft.intervalJoin.binSize"
+  /** Hard cap (bytes) on one interval-join build side; 0 = uncapped. The
+    * executor-side build additionally reserves from the task memory pool
+    * (see [[graft.plans.BuildMemoryAccountant]]) — this cap exists for the
+    * driver-side broadcast build and deterministic failure tests. */
+  val MaxBuildBytes = "spark.graft.intervalJoin.maxBuildBytes"
 
   /** Idempotently install the graft planner strategies on an existing
     * session (covers driver-created sessions that did not pass

@@ -48,7 +48,9 @@ private[graft] class IntervalCountRunner(
     rightStart: Expression,
     rightEnd: Expression,
     groupAttrs: Seq[Attribute],
-    pairCount: SQLMetric) extends Serializable {
+    maxBuildBytes: Long,
+    pairCount: SQLMetric,
+    buildMemUsed: SQLMetric) extends Serializable {
 
   private def toIntChecked(v: Long): Int = {
     if (v < Int.MinValue || v > Int.MaxValue) {
@@ -76,6 +78,8 @@ private[graft] class IntervalCountRunner(
       val invEnds = new mutable.ArrayBuffer[Int]
     }
     val groups = new java.util.HashMap[UnsafeRow, Acc]
+    // the count build stores only interval ints (~3 sorted arrays), no rows
+    val mem = new BuildMemoryAccountant(maxBuildBytes)
     rows.foreach { row =>
       val s = startEval(row)
       val e = endEval(row)
@@ -86,6 +90,7 @@ private[graft] class IntervalCountRunner(
         val si = toIntChecked(s); val ei = toIntChecked(e)
         if (si <= ei) { acc.starts += si; acc.ends += ei }
         else { acc.invStarts += si; acc.invEnds += ei }
+        mem.add(BuildMemoryAccountant.IntervalOverhead)
       }
     }
     val keyed = new java.util.HashMap[UnsafeRow, CountBuildEntry](
@@ -101,6 +106,7 @@ private[graft] class IntervalCountRunner(
       keyed.put(k, new CountBuildEntry(st, enByStart, en,
         acc.invStarts.toArray, acc.invEnds.toArray))
     }
+    buildMemUsed += mem.used
     new CountBuildSide(keyed)
   }
 
@@ -247,7 +253,8 @@ case class IntervalCountExec(
 
   override lazy val metrics = Map(
     "pairCount" -> SQLMetrics.createMetric(sparkContext, "overlap pairs counted"),
-    "buildKeys" -> SQLMetrics.createMetric(sparkContext, "build keys"))
+    "buildKeys" -> SQLMetrics.createMetric(sparkContext, "build keys"),
+    "buildMemUsed" -> SQLMetrics.createSizeMetric(sparkContext, "build memory used"))
 
   override def requiredChildDistribution: Seq[Distribution] = mode match {
     case BroadcastMode => Seq(UnspecifiedDistribution, UnspecifiedDistribution)
@@ -255,16 +262,25 @@ case class IntervalCountExec(
       Seq(ClusteredDistribution(leftKeys), ClusteredDistribution(rightKeys))
   }
 
-  override def simpleString(maxFields: Int): String =
-    s"IntervalCountExec mode=$mode, " +
-      s"groups=[${groupAttrs.mkString(", ")}], " +
-      s"on=[${leftKeys.zip(rightKeys).map { case (a, b) => s"$a = $b" }.mkString(", ")}], " +
-      s"intervals=[($leftStart,$leftEnd) x ($rightStart,$rightEnd)]"
+  /** Same EXPLAIN shape as [[IntervalJoinExec.simpleString]] (reference
+    * format, integration_test.rs:108-112), plus the grouping columns. */
+  override def simpleString(maxFields: Int): String = {
+    val modeStr = mode match {
+      case BroadcastMode => "CollectLeft"
+      case PartitionedMode => "Partitioned"
+    }
+    val on = leftKeys.zip(rightKeys)
+      .map { case (a, b) => s"($a, $b)" }.mkString(", ")
+    s"IntervalCountExec: mode=$modeStr, join_type=Inner, on=[$on], " +
+      s"filter=$leftStart <= $rightEnd AND $leftEnd >= $rightStart, " +
+      s"groups=[${groupAttrs.mkString(", ")}]"
+  }
 
   private def runner = new IntervalCountRunner(
     left.output, right.output, leftKeys, rightKeys,
     leftStart, leftEnd, rightStart, rightEnd, groupAttrs,
-    longMetric("pairCount"))
+    conf.getConfString(graft.GraftSession.MaxBuildBytes, "0").toLong,
+    longMetric("pairCount"), longMetric("buildMemUsed"))
 
   override protected def doExecute(): RDD[InternalRow] = {
     val run = runner

@@ -78,8 +78,11 @@ private[graft] class IntervalJoinRunner(
     residual: Option[Expression],
     joinType: IntervalJoinType,
     algorithm: String,
+    maxBuildBytes: Long,
     numOutputRows: SQLMetric,
-    probeRows: SQLMetric) extends Serializable {
+    probeRows: SQLMetric,
+    buildMemUsed: SQLMetric,
+    probeTime: SQLMetric) extends Serializable {
 
   private def outputAttrs: Seq[Attribute] = joinType match {
     case OverlapJoin => leftOutput ++ rightOutput
@@ -125,6 +128,7 @@ private[graft] class IntervalJoinRunner(
     // (NULL bound / NULL equi-key): store them un-indexed so the unmatched
     // sweep NULL-pads them.
     val keepAll = joinType == FullOuterJoin
+    val mem = new BuildMemoryAccountant(maxBuildBytes)
     rows.foreach { row =>
       val s = startEval(row)
       val e = endEval(row)
@@ -136,8 +140,11 @@ private[graft] class IntervalJoinRunner(
         s != null && e != null && !(hasKeys && keyProj(row).anyNull)
       if (indexable || keepAll) {
         val pos = stored.length
-        stored += rowProj(row).copy()
+        val copied = rowProj(row).copy()
+        stored += copied
+        mem.add(copied.getSizeInBytes + BuildMemoryAccountant.RowOverhead)
         if (indexable) {
+          mem.add(BuildMemoryAccountant.IntervalOverhead)
           val key = keyProj(row)
           var acc = groups.get(key)
           if (acc == null) { acc = new Acc; groups.put(key.copy(), acc) }
@@ -155,10 +162,36 @@ private[graft] class IntervalJoinRunner(
         IntervalIndex.build(alg, acc.starts.toArray, acc.ends.toArray,
           acc.positions.toArray))
     }
+    buildMemUsed += mem.used
     new IntervalBuildSide(keyed, stored.toArray)
   }
 
   def probe(build: IntervalBuildSide, iter: Iterator[InternalRow],
+            partitionIndex: Int): Iterator[InternalRow] = {
+    val out = probe0(build, iter, partitionIndex)
+    // reference's join_time analogue (joins/utils.rs BuildProbeJoinMetrics):
+    // wall time from first pull to exhaustion — includes downstream pull
+    // latency, which is what you want when diagnosing a slow stage
+    new Iterator[InternalRow] {
+      private var t0 = 0L
+      private var done = false
+      def hasNext: Boolean = {
+        if (t0 == 0L) t0 = System.nanoTime()
+        val h = out.hasNext
+        if (!h && !done) {
+          done = true
+          probeTime += (System.nanoTime() - t0) / 1000000
+        }
+        h
+      }
+      def next(): InternalRow = {
+        if (t0 == 0L) t0 = System.nanoTime()
+        out.next()
+      }
+    }
+  }
+
+  private def probe0(build: IntervalBuildSide, iter: Iterator[InternalRow],
             partitionIndex: Int): Iterator[InternalRow] = {
     val keyProj = UnsafeProjection.create(rightKeys, rightOutput)
     val startEval = boundEval(rightStart, rightOutput)
@@ -400,13 +433,17 @@ case class IntervalJoinExec(
     case SemiJoin | AntiJoin => right.output
   }
 
-  // mirrors the reference's BuildProbeJoinMetrics (joins/utils.rs:439-495)
+  // mirrors the reference's BuildProbeJoinMetrics (joins/utils.rs:439-495):
+  // build_time/build_input_rows/build_mem_used + input_rows/output_rows;
+  // its input/output_batches are row-iterator-moot (documented in README)
   override lazy val metrics = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "output rows"),
     "buildRows" -> SQLMetrics.createMetric(sparkContext, "build rows"),
     "buildKeys" -> SQLMetrics.createMetric(sparkContext, "build distinct keys"),
     "buildTime" -> SQLMetrics.createTimingMetric(sparkContext, "build time"),
-    "probeRows" -> SQLMetrics.createMetric(sparkContext, "probe rows"))
+    "buildMemUsed" -> SQLMetrics.createSizeMetric(sparkContext, "build memory used"),
+    "probeRows" -> SQLMetrics.createMetric(sparkContext, "probe rows"),
+    "probeTime" -> SQLMetrics.createTimingMetric(sparkContext, "probe time"))
 
   override def requiredChildDistribution: Seq[Distribution] = mode match {
     case BroadcastMode => Seq(UnspecifiedDistribution, UnspecifiedDistribution)
@@ -426,17 +463,39 @@ case class IntervalJoinExec(
     case (PartitionedMode, _) => right.outputPartitioning
   }
 
-  override def simpleString(maxFields: Int): String =
-    s"IntervalJoinExec mode=$mode, join=$joinType, alg=$algorithm, " +
-      s"on=[${leftKeys.zip(rightKeys).map { case (a, b) => s"$a = $b" }.mkString(", ")}], " +
-      s"intervals=[($leftStart,$leftEnd) x ($rightStart,$rightEnd)]" +
-      residual.map(r => s", residual=$r").getOrElse("")
+  /** Plan line in the reference's EXPLAIN format so its plan assertions
+    * port directly (reference: tests/integration_test.rs:108-112 expects
+    * "IntervalJoinExec: mode=CollectLeft, join_type=Inner, on=[(l, r)],
+    * filter=..., alg=..."). */
+  override def simpleString(maxFields: Int): String = {
+    val modeStr = mode match {
+      case BroadcastMode => "CollectLeft" // reference's name for broadcast
+      case PartitionedMode => "Partitioned"
+    }
+    val jt = joinType match {
+      case OverlapJoin => "Inner"
+      case RightOuterJoin => "RightOuter"
+      case SemiJoin => "LeftSemi"
+      case AntiJoin => "LeftAnti"
+      case FullOuterJoin => "Full"
+      case NearestJoin => "Nearest"
+    }
+    val on = leftKeys.zip(rightKeys)
+      .map { case (a, b) => s"($a, $b)" }.mkString(", ")
+    val filter = s"$leftStart <= $rightEnd AND $leftEnd >= $rightStart" +
+      residual.map(r => s" AND $r").getOrElse("")
+    s"IntervalJoinExec: mode=$modeStr, join_type=$jt, on=[$on], " +
+      s"filter=$filter, alg=$algorithm"
+  }
 
   private def runner: IntervalJoinRunner = new IntervalJoinRunner(
     left.output, right.output, leftKeys, rightKeys,
     leftStart, leftEnd, rightStart, rightEnd,
-    residual, joinType, algorithm, longMetric("numOutputRows"),
-    longMetric("probeRows"))
+    residual, joinType, algorithm,
+    conf.getConfString(graft.GraftSession.MaxBuildBytes, "0").toLong,
+    longMetric("numOutputRows"),
+    longMetric("probeRows"), longMetric("buildMemUsed"),
+    longMetric("probeTime"))
 
   /** Build once per query, shared between the interpreted and codegen'd
     * broadcast paths. */

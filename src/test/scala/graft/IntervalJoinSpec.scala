@@ -374,6 +374,64 @@ class IntervalJoinSpec extends SparkTestBase with BeforeAndAfterEach {
     a.unpersist(); b.unpersist()
   }
 
+  test("oversized build side fails with the clean GRAFT error, not OOM") {
+    // mirrors the reference's build-side memory reservation failure
+    // (interval_join.rs:627-660): capped build → clean error in both modes
+    spark.conf.set(GraftSession.MaxBuildBytes, "1024")
+    try {
+      for (mode <- Seq("broadcast", "partitioned")) {
+        spark.conf.set(GraftSession.IntervalJoinForceMode, mode)
+        val df = overlapJoin(reads, targets)
+        assertUsesIntervalJoin(df)
+        // collect(), not count(): COUNT(*) is rewritten to the count
+        // pushdown whose build (ints only) stays under the cap
+        val ex = intercept[Exception] { df.collect() }
+        def messages(t: Throwable): Seq[String] =
+          if (t == null) Nil
+          else Option(t.getMessage).toSeq ++ messages(t.getCause)
+        assert(messages(ex).exists(_.contains("[GRAFT_INTERVAL_JOIN]")),
+          s"mode=$mode got: ${messages(ex).mkString(" | ")}")
+      }
+    } finally {
+      spark.conf.set(GraftSession.MaxBuildBytes, "0")
+      spark.conf.set(GraftSession.IntervalJoinForceMode, "")
+    }
+  }
+
+  test("join metrics report build rows/keys/memory and probe rows") {
+    val df = overlapJoin(reads, targets)
+    assertUsesIntervalJoin(df)
+    assert(df.collect().length == 16)
+    val node = df.queryExecution.executedPlan.collectFirst {
+      case j: graft.plans.IntervalJoinExec => j
+    }.get
+    assert(node.metrics("buildRows").value == 12)
+    assert(node.metrics("buildKeys").value == 2)
+    assert(node.metrics("buildMemUsed").value > 0)
+    assert(node.metrics("probeRows").value == 10)
+    assert(node.metrics("numOutputRows").value == 16)
+    assert(node.metrics("probeTime").value >= 0)
+  }
+
+  test("EXPLAIN shape matches the reference plan format") {
+    // port of the reference's plan assertion (integration_test.rs:108-112):
+    // "IntervalJoinExec: mode=CollectLeft, join_type=Inner,
+    //  on=[(contig@0, contig@0)], filter=pos_start@0 <= pos_end@3 AND
+    //  pos_end@1 >= pos_start@2, alg=..." — same shape here, with Spark
+    // expr-ids (contig#N) in place of DataFusion ordinals (contig@N)
+    val plan = planOf(overlapJoin(targets, reads))
+    assert(plan.contains("IntervalJoinExec: mode=CollectLeft, join_type=Inner, on=[(a_contig"),
+      s"plan:\n$plan")
+    assert(plan.contains("filter="), s"plan:\n$plan")
+    assert(plan.contains("alg=superintervals"), s"plan:\n$plan")
+    spark.conf.set(GraftSession.IntervalJoinForceMode, "partitioned")
+    try {
+      val p2 = planOf(overlapJoin(targets, reads))
+      assert(p2.contains("IntervalJoinExec: mode=Partitioned, join_type=Inner"),
+        s"plan:\n$p2")
+    } finally spark.conf.set(GraftSession.IntervalJoinForceMode, "")
+  }
+
   test("projection variants through the join (reference smoke tests)") {
     // reference: interval_join.rs:1814-1843 — *, left-only, right-only,
     // mixed projections must all work through the custom operator
