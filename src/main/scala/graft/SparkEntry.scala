@@ -373,11 +373,32 @@ object SparkEntry {
         size(graft.operators.Multimodal.frameSample(col("media"), 256, 2))
           .as("n_sampled")) }),
     "q41_media_decode" -> ((s, dir) => { prep(s, dir)
+      // real-codec round-trip, oracle-verifiable BY CONSTRUCTION: each doc
+      // id deterministically defines a solid-color PNG (size + color are
+      // arithmetic on the id); executors encode it with javax.imageio,
+      // decode it back, and emit metadata + channel means. PNG is lossless,
+      // so DuckDB recomputes every output column from the id alone —
+      // a green row proves a real decode happened, not just plumbing.
+      import s.implicits._
       val media = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("text").cast("binary").as("media"))
-      graft.operators.Multimodal.decodeImages(
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val w = 16 + (id % 32).toInt
+          val h = 8 + (id % 16).toInt
+          val rgb = (((id * 7) % 256).toInt << 16) |
+            (((id * 13) % 256).toInt << 8) | ((id * 29) % 256).toInt
+          (id, graft.operators.Multimodal.encodePng(w, h, rgb))
+        }.toDF("doc_id", "media")
+      val dec = graft.operators.Multimodal.decodeImages(
         graft.operators.Multimodal.asMedia(media, "doc_id", "media"))
-        .toDF().select(col("id"), col("width"), col("height"), col("nBytes")) }),
+      dec.toDF().select(
+        col("id").as("doc_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("nChannels").cast("long").as("n_channels"),
+        round(element_at(col("features"), 1).cast("double"), 4).as("mean_r"),
+        round(element_at(col("features"), 2).cast("double"), 4).as("mean_g"),
+        round(element_at(col("features"), 3).cast("double"), 4).as("mean_b")) }),
     "q31_ann_lsh" -> ((s, dir) => { prep(s, dir)
       val emb = Tables.load(s, dir, "embeddings")
       val q = emb.orderBy("vec_id").select("embedding").head()
@@ -517,6 +538,18 @@ object SparkEntry {
           |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
           |  CAST(ceil(octet_length(CAST(text AS BLOB)) / 256.0) AS INTEGER) AS n_frames,
           |  CAST(ceil(ceil(octet_length(CAST(text AS BLOB)) / 256.0) / 2.0) AS INTEGER) AS n_sampled
+          |FROM documents""".stripMargin,
+      // q41 is verifiable by construction: the PNG each executor encodes +
+      // decodes is fully determined by the doc id (solid color, lossless
+      // codec), so the oracle recomputes every column from id arithmetic
+      "q41_media_decode" ->
+        """SELECT doc_id,
+          |  16 + doc_id % 32 AS width,
+          |  8 + doc_id % 16 AS height,
+          |  3 AS n_channels,
+          |  round(((doc_id * 7) % 256) / 255.0, 4) AS mean_r,
+          |  round(((doc_id * 13) % 256) / 255.0, 4) AS mean_g,
+          |  round(((doc_id * 29) % 256) / 255.0, 4) AS mean_b
           |FROM documents""".stripMargin
     )
 }

@@ -1,5 +1,10 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 
@@ -9,61 +14,125 @@ import org.apache.spark.sql.functions._
  * by batched per-partition transforms (the Scala analogue of Python's
  * `mapInPandas` batches) or codegen'd binary expressions.
  *
- * The actual codecs (JPEG/PNG/audio) are NOT available in this
- * environment, so the decode kernels are **clearly-marked deterministic
- * fakes** (`fakeDecode*`): they derive plausible metadata/features from the
- * payload bytes via hashing. Everything around them — schemas, binary
- * column handling, batch shape, partition-parallel execution — is real and
- * is what matters at 100 TB: payload bytes never leave the executor, only
- * small metadata/features shuffle.
+ * Image decode/encode/resize are REAL (in-JDK `javax.imageio`, PNG/JPEG —
+ * no external codec needed); audio/video stay byte-level (frame sampling /
+ * counting below). The 100-TB-relevant property holds throughout: payload
+ * bytes never leave the executor — only small metadata/feature rows
+ * shuffle, and parallelism = input splits.
  */
 object Multimodal {
+
+  // keep ImageIO in-memory: its default disk scratch cache is pure
+  // overhead for the small per-record payloads flowing through executors
+  ImageIO.setUseCache(false)
 
   /** A media row: id + raw payload + mime hint. */
   case class MediaRow(id: Long, media: Array[Byte], mime: String)
 
-  /** Decoded (stub) image metadata + feature vector. */
+  /** Decoded image metadata + an 8-dim feature vector:
+    * [meanR, meanG, meanB, meanLuma, 4-bin luma histogram]. */
   case class DecodedMedia(id: Long, width: Int, height: Int, nChannels: Int,
       nBytes: Long, features: Array[Float])
 
   /**
-   * STUB — deterministic fake image decode (real codec unavailable here):
-   * metadata is derived from a 64-bit FNV hash of the payload. Replace the
-   * body with an actual codec (e.g. javax.imageio) in a real deployment;
-   * the call sites and schemas stay unchanged.
+   * Real image decode via `javax.imageio` (PNG/JPEG/BMP/GIF readers ship
+   * in the JDK). Returns None for payloads no registered reader claims —
+   * the batched caller drops them (a pipeline would route them to a
+   * quarantine sink).
    */
-  def fakeDecodeImage(id: Long, bytes: Array[Byte]): DecodedMedia = {
-    var h = 0xcbf29ce484222325L // FNV-1a over the payload — deterministic
-    var i = 0
-    while (i < bytes.length) { h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L; i += 1 }
-    val width = 64 + java.lang.Long.remainderUnsigned(h, 1857).toInt
-    val height = 64 + java.lang.Long.remainderUnsigned(h >>> 11, 1017).toInt
-    val feat = Array.tabulate(8) { d =>
-      val hd = (h ^ (d * 0x9e3779b97f4a7c15L)) * 0x100000001b3L
-      (java.lang.Long.remainderUnsigned(hd, 2000) / 1000.0f) - 1.0f
+  def decodeImage(id: Long, bytes: Array[Byte]): Option[DecodedMedia] = {
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      var sr = 0.0; var sg = 0.0; var sb = 0.0
+      val hist = new Array[Long](4)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff
+          val g = (rgb >> 8) & 0xff
+          val b = rgb & 0xff
+          sr += r; sg += g; sb += b
+          val luma = (r * 299 + g * 587 + b * 114) / 1000
+          hist(math.min(3, luma / 64)) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      val feat = Array(
+        (sr / n / 255.0).toFloat,
+        (sg / n / 255.0).toFloat,
+        (sb / n / 255.0).toFloat,
+        ((sr * 299 + sg * 587 + sb * 114) / 1000.0 / n / 255.0).toFloat,
+        hist(0).toFloat / n, hist(1).toFloat / n,
+        hist(2).toFloat / n, hist(3).toFloat / n)
+      Some(DecodedMedia(id, w, h, img.getColorModel.getNumComponents,
+        bytes.length.toLong, feat))
     }
-    DecodedMedia(id, width, height, 3, bytes.length.toLong, feat)
+  }
+
+  /** Encode a solid-color RGB PNG — deterministic payload generator for
+    * round-trip tests and fixtures (PNG is lossless, so decode recovers
+    * the exact color). */
+  def encodePng(width: Int, height: Int, rgb: Int): Array[Byte] = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val baos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Real resize: decode → bilinear-scaled redraw → PNG re-encode.
+    * None when the payload doesn't decode. */
+  def resizeImage(bytes: Array[Byte], dstW: Int, dstH: Int)
+      : Option[Array[Byte]] = {
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val dst = new BufferedImage(dstW, dstH, BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, dstW, dstH, null)
+      g.dispose()
+      val baos = new ByteArrayOutputStream()
+      ImageIO.write(dst, "png", baos)
+      Some(baos.toByteArray)
+    }
   }
 
   /**
    * Batched partition-level decode: the real 100-TB execution shape —
    * payloads are processed executor-side in batches (like Arrow record
-   * batches under mapInPandas), emitting only small decoded rows. No
-   * shuffle of payload bytes, parallelism = input splits.
+   * batches under mapInPandas), emitting only small decoded rows.
+   * Undecodable payloads are dropped. No shuffle of payload bytes.
    */
   def decodeImages(media: Dataset[MediaRow],
       batchSize: Int = 64): Dataset[DecodedMedia] = {
     implicit val enc = Encoders.product[DecodedMedia]
     media.mapPartitions { iter =>
       iter.grouped(batchSize).flatMap { batch =>
-        // a real decoder would hand the whole batch to native code here
-        batch.iterator.map(r => fakeDecodeImage(r.id, r.media))
+        batch.iterator.flatMap(r => decodeImage(r.id, r.media))
       }
     }
   }
 
   /** Wrap a DataFrame with id + binary columns into the typed media
-    * Dataset (mime defaults for the stub pipeline). */
+    * Dataset. */
   def asMedia(df: DataFrame, idCol: String, binCol: String,
       mime: String = "application/octet-stream"): Dataset[MediaRow] = {
     implicit val enc = Encoders.product[MediaRow]
@@ -89,9 +158,8 @@ object Multimodal {
   def frameCount(media: Column, frameBytes: Int): Column =
     ceil(length(media).cast("double") / frameBytes).cast("int")
 
-  /** STUB resize: a real implementation re-encodes pixels; the stub keeps
-    * the byte-budget arithmetic (target/source area ratio) that a planner
-    * needs for cost estimation. */
+  /** Byte-budget arithmetic (target/source area ratio) a planner uses for
+    * cost estimation before doing real [[resizeImage]] work. */
   def resizedByteEstimate(media: Column, srcW: Column, srcH: Column,
       dstW: Int, dstH: Int): Column =
     (length(media).cast("double") * (lit(dstW * dstH).cast("double") /

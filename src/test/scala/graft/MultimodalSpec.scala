@@ -14,26 +14,43 @@ class MultimodalSpec extends SparkTestBase {
     (3L, "x")
   ).toDF("id", "txt").select($"id", $"txt".cast("binary").as("media"))
 
-  test("decodeImages: deterministic stub, one row per payload, bounded meta") {
-    val decoded = Multimodal.decodeImages(
-      Multimodal.asMedia(media, "id", "media"))
-    val rows = decoded.collect().sortBy(_.id)
+  test("decodeImages: real PNG round-trip recovers size, color, channels") {
+    // encode → decode through the distributed pipeline; PNG is lossless so
+    // the solid color comes back exactly
+    val imgs = Seq(
+      (1L, Multimodal.encodePng(20, 10, 0xFF0000)), // red
+      (2L, Multimodal.encodePng(7, 33, 0x00FF00)),  // green
+      (3L, Multimodal.encodePng(1, 1, 0x4080C0))
+    ).toDF("id", "media")
+    val rows = Multimodal.decodeImages(
+      Multimodal.asMedia(imgs, "id", "media")).collect().sortBy(_.id)
     assert(rows.length == 3)
-    rows.foreach { r =>
-      assert(r.width >= 64 && r.width < 64 + 1857)
-      assert(r.height >= 64 && r.height < 64 + 1017)
-      assert(r.nChannels == 3)
-      assert(r.features.length == 8)
-      r.features.foreach(f => assert(f >= -1.0f && f <= 1.0f))
-    }
-    assert(rows(2).nBytes == 1L)
-    // deterministic: second run identical
-    val again = Multimodal.decodeImages(
-      Multimodal.asMedia(media, "id", "media")).collect().sortBy(_.id)
-    assert(rows.zip(again).forall { case (a, b) =>
-      a.width == b.width && a.height == b.height &&
-        a.features.sameElements(b.features)
-    })
+    assert(rows(0).width == 20 && rows(0).height == 10)
+    assert(rows(1).width == 7 && rows(1).height == 33)
+    rows.foreach(r => assert(r.nChannels == 3 && r.features.length == 8))
+    assert(math.abs(rows(0).features(0) - 1.0f) < 1e-6) // meanR of red = 1
+    assert(math.abs(rows(0).features(1)) < 1e-6)
+    assert(math.abs(rows(1).features(1) - 1.0f) < 1e-6) // meanG of green = 1
+    assert(math.abs(rows(2).features(0) - 0x40 / 255.0f) < 1e-6)
+    assert(math.abs(rows(2).features(2) - 0xC0 / 255.0f) < 1e-6)
+    assert(rows.forall(_.nBytes > 0))
+  }
+
+  test("undecodable payloads are dropped, not fatal") {
+    val rows = Multimodal.decodeImages(
+      Multimodal.asMedia(media, "id", "media")).collect()
+    assert(rows.isEmpty) // text bytes are not an image
+  }
+
+  test("resizeImage: real bilinear resize re-encodes to the target size") {
+    val src = Multimodal.encodePng(40, 20, 0x336699)
+    val out = Multimodal.resizeImage(src, 10, 5)
+    assert(out.isDefined)
+    val dec = Multimodal.decodeImage(9L, out.get).get
+    assert(dec.width == 10 && dec.height == 5)
+    // solid color survives interpolation exactly
+    assert(math.abs(dec.features(0) - 0x33 / 255.0f) < 1e-6)
+    assert(Multimodal.resizeImage("junk".getBytes, 4, 4).isEmpty)
   }
 
   test("frameSample slices the payload and keeps every Nth frame") {
