@@ -352,8 +352,18 @@ object SparkEntry {
         .where(TextStats.qualityScore(col("text")) >= 0.5)
         .select(col("doc_id")) }),
     "q27_fingerprint" -> ((s, dir) => { prep(s, dir)
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp")) }),
+      // fingerprint-based exact dedup: pair documents via equality of the
+      // 8-byte content fingerprint (never shuffling text) — on the
+      // constructed corpus the result must equal the text-equality pairs,
+      // which IS the DuckDB oracle. The winnowing fingerprint
+      // (TextStats.fingerprint) stays API+spec-covered; it is a minhash,
+      // so its equality classes are similarity-, not equality-based.
+      val c = dupCorpus(s, dir, near = false)
+      val fp = c.select(col("doc_id"),
+        TextStats.contentFingerprint(col("text")).as("fp"))
+      fp.as("a").join(fp.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2")) }),
     "q30_ann_topk" -> ((s, dir) => { prep(s, dir)
       val emb = Tables.load(s, dir, "embeddings")
       val q = emb.orderBy("vec_id").select("embedding").head()
@@ -514,9 +524,9 @@ object SparkEntry {
       |WHERE rank <= 10""".stripMargin
 
   /** DuckDB-equivalent SQL per query (same parquet-backed table names).
-    * q27/q31 are omitted deliberately: xxhash64-based fingerprints and
-    * approximate LSH recall are not expressible in DuckDB → the driver
-    * records the weaker rows-only check for them. */
+    * q31 is omitted deliberately: approximate LSH ranks are not
+    * recomputable in DuckDB → the driver records the weaker rows-only
+    * check for it. */
   def oracleSql: Map[String, String] =
     (sharedSql - "q13_interval_partitioned" - "q15_interval_ailist") ++ Map(
       // same result as q10 — different execution mode / index algorithm
@@ -526,6 +536,7 @@ object SparkEntry {
       "q43_interval_tree" -> sharedSql("q10_interval_join"),
       "q14_interval_nearest" -> nearestOracleSql,
       "q20_dedup_exact" -> exactDupOracle,
+      "q27_fingerprint" -> exactDupOracle,
       "q21_dedup_minhash" -> exactDupOracle,
       "q22_dedup_simhash" -> exactDupOracle,
       "q23_dedup_jaccard" -> jaccardOracle,

@@ -85,6 +85,12 @@ object TextStats {
   def fingerprint(text: Column, k: Int = 5): Column =
     array_min(Dedup.shingleHashes(text, k))
 
+  /** Full-document content fingerprint (xxhash64 of the text): the
+    * scalable exact-dedup key — at 100 TB you join/group on this 8-byte
+    * hash instead of shuffling document text. Distinct texts collide with
+    * probability ~n²/2⁶⁴ (negligible); identical texts always agree. */
+  def contentFingerprint(text: Column): Column = xxhash64(text)
+
   /** Convenience: append the full stats column set. */
   def withStats(docs: DataFrame, textCol: String): DataFrame =
     docs
