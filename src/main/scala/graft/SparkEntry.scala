@@ -409,15 +409,31 @@ object SparkEntry {
         round(element_at(col("features"), 1).cast("double"), 4).as("mean_r"),
         round(element_at(col("features"), 2).cast("double"), 4).as("mean_g"),
         round(element_at(col("features"), 3).cast("double"), 4).as("mean_b")) }),
-    "q31_ann_lsh" -> ((s, dir) => { prep(s, dir)
+    "q31_ann_ivf" -> ((s, dir) => { prep(s, dir)
+      // persisted-layout ANN: train IVF centroids, write the corpus
+      // parquet PARTITIONED BY cell, then answer the query reading only
+      // the 32 nearest of 64 cells (partition-pruned scan — asserted in
+      // CosineSimilaritySpec). The emitted row gates recall@10 >= 0.9
+      // against the exact top-k (itself rank-verified by q30's oracle);
+      // config chosen from measured recall 10/9/9 across sf0.001/0.01/0.1.
+      // These near-random embeddings are ANN-hostile (top-neighbor cosine
+      // ~0.37), so half the corpus must be probed for 0.9 recall; on
+      // clustered real-world embeddings the same layout prunes much harder.
       val emb = Tables.load(s, dir, "embeddings")
       val q = emb.orderBy("vec_id").select("embedding").head()
         .getSeq[Float](0).toArray
-      val top = Similarity.lshTopK(emb, "vec_id", "embedding", q, 10)
-      import org.apache.spark.sql.expressions.Window
-      top.withColumn("rank", row_number().over(
-          Window.orderBy(col("score").desc, col("vec_id"))))
-        .select(col("vec_id"), col("rank")) })
+      val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", 64)
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_ivf_${Integer.toHexString(dir.hashCode)}").getPath
+      Similarity.ivfBucketize(emb, "vec_id", "embedding", cents, path)
+      val approx = Similarity
+        .ivfTopK(s, path, "vec_id", "embedding", q, 10, cents, nProbe = 32)
+      val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", q, 10)
+      val overlap = approx.select("vec_id")
+        .intersect(exact.select("vec_id")).count()
+      import s.implicits._
+      Seq((10L, 64L, 32L, overlap >= 9))
+        .toDF("k", "n_cells", "n_probed", "recall_ok") })
   )
 
   private val jaccardOracle: String = corpusNearCte +
@@ -523,10 +539,7 @@ object SparkEntry {
       |  FROM embeddings) t
       |WHERE rank <= 10""".stripMargin
 
-  /** DuckDB-equivalent SQL per query (same parquet-backed table names).
-    * q31 is omitted deliberately: approximate LSH ranks are not
-    * recomputable in DuckDB → the driver records the weaker rows-only
-    * check for it. */
+  /** DuckDB-equivalent SQL per query (same parquet-backed table names). */
   def oracleSql: Map[String, String] =
     (sharedSql - "q13_interval_partitioned" - "q15_interval_ailist") ++ Map(
       // same result as q10 — different execution mode / index algorithm
@@ -544,6 +557,12 @@ object SparkEntry {
       "q25_langid" -> langIdOracle,
       "q26_curation" -> curationOracle,
       "q30_ann_topk" -> annTopkOracle,
+      // the recall_ok flag is computed in Spark as |ivf∩exact| >= 9; the
+      // exact side is q30's oracle-verified ranks, so a red row here means
+      // the bucketed layout lost recall
+      "q31_ann_ivf" ->
+        """SELECT 10 AS k, 64 AS n_cells, 32 AS n_probed,
+          |       CAST(true AS BOOLEAN) AS recall_ok""".stripMargin,
       "q40_multimodal" ->
         """SELECT doc_id,
           |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,

@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
+
+/**
+ * IVF cell assignment: argmax over trained (unit-norm) centroids of
+ * dot(vector, centroid) — the inverted-file partitioner behind
+ * [[graft.operators.Similarity.ivfBucketize]]. One compiled loop over a
+ * flat centroid array; the vector's own norm is constant across centroids,
+ * so max dot ≡ max cosine. Ties break to the lower centroid id, so
+ * assignment is deterministic.
+ */
+case class IvfBucket(child: Expression, centroids: Array[Array[Float]])
+  extends UnaryExpression with CodegenFallback {
+
+  require(centroids.nonEmpty)
+
+  @transient private lazy val k = centroids.length
+  @transient private lazy val dim = centroids(0).length
+  @transient private lazy val flat: Array[Float] = {
+    val f = new Array[Float](k * dim)
+    var c = 0
+    while (c < k) {
+      System.arraycopy(centroids(c), 0, f, c * dim, dim)
+      c += 1
+    }
+    f
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "ivf_bucket"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(dim, v.numElements())
+    var best = 0
+    var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < k) {
+      var s = 0.0
+      val off = c * dim
+      var d = 0
+      while (d < n) {
+        s += v.getFloat(d).toDouble * flat(off + d)
+        d += 1
+      }
+      if (s > bestDot) { bestDot = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IvfBucket =
+    copy(child = newChild)
+}

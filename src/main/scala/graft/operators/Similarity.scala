@@ -77,7 +77,11 @@ object Similarity {
   /** Approximate top-k: candidates = rows whose SRP bucket equals the
     * query's bucket or differs in exactly one bit (multi-probe), exact
     * cosine re-rank within candidates. The probe bucket set is computed
-    * once on the driver and shipped as a literal. */
+    * once on the driver and shipped as a literal.
+    *
+    * NOTE: hyperplane LSH needs angularly-close neighbors to recall well;
+    * on weakly-clustered embeddings prefer the IVF path below, whose
+    * probe breadth is tunable independently of dimensionality. */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
       query: Array[Float], k: Int, planes: Int = 8): DataFrame = {
     val dim = query.length
@@ -87,6 +91,136 @@ object Similarity {
     emb.select(col(idCol), col(vecCol),
         srpBucket(col(vecCol), planes, dim).as("bucket"))
       .where(col("bucket").isInCollection(probes))
+      .select(col(idCol), cosine(col(vecCol), q).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  // ---- IVF (inverted file): the persisted-layout ANN scale path ---------
+  //
+  // train centroids once → write the corpus parquet PARTITIONED BY the
+  // nearest-centroid cell → a query reads only its nProbe nearest cells
+  // (Catalyst partition pruning: the probed cells are the only directories
+  // scanned). At 100 TB this turns every query from a full corpus scan
+  // into nProbe/k of it, and the layout is shared by all queries.
+
+  /** Deterministic spherical k-means on a driver-side sample: kmeans++
+    * seeding from mix64 streams, Lloyd iterations, unit-norm centroids
+    * (so cell assignment = argmax dot). The sample is taken in `idCol`
+    * order for reproducibility — at 100 TB you would hash-sample instead
+    * (same downstream contract: k unit vectors). */
+  def trainCentroids(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int = 16, iters: Int = 10, sampleN: Int = 10000)
+      : Array[Array[Float]] = {
+    val sample: Array[Array[Double]] = emb
+      .orderBy(col(idCol)).limit(sampleN)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      .map(normalized)
+    require(sample.nonEmpty, "empty training sample")
+    val dim = sample(0).length
+    // kmeans++ init, deterministic: distances weighted by 1 - dot
+    val centroids = new Array[Array[Double]](k)
+    centroids(0) = sample(pick(0, sample.length))
+    var c = 1
+    while (c < k) {
+      var bestIdx = 0
+      var bestScore = -1.0
+      var i = 0
+      while (i < sample.length) {
+        var nearest = Double.NegativeInfinity
+        var j = 0
+        while (j < c) { nearest = math.max(nearest, dot(sample(i), centroids(j))); j += 1 }
+        // farthest-from-all-chosen, jittered deterministically to avoid
+        // degenerate picks on symmetric data
+        val score = (1.0 - nearest) *
+          (0.5 + (graft.functions.HashKernels.mix64(c.toLong * 1000003 + i) >>> 11)
+            .toDouble / (1L << 53).toDouble / 2.0)
+        if (score > bestScore) { bestScore = score; bestIdx = i }
+        i += 1
+      }
+      centroids(c) = sample(bestIdx)
+      c += 1
+    }
+    // Lloyd: assign to max-dot centroid, recenter, renormalize
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      var i = 0
+      while (i < sample.length) {
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var j = 0
+        while (j < k) {
+          val s = dot(sample(i), centroids(j))
+          if (s > bestDot) { bestDot = s; best = j }
+          j += 1
+        }
+        var d = 0
+        while (d < dim) { sums(best)(d) += sample(i)(d); d += 1 }
+        counts(best) += 1
+        i += 1
+      }
+      var j = 0
+      while (j < k) {
+        if (counts(j) > 0) centroids(j) = normalized(sums(j))
+        j += 1
+      }
+      it += 1
+    }
+    centroids.map(_.map(_.toFloat))
+  }
+
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  private def normalized(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(dot(v, v))
+    if (n == 0) v else v.map(_ / n)
+  }
+
+  private def pick(stream: Long, bound: Int): Int =
+    java.lang.Long.remainderUnsigned(
+      graft.functions.HashKernels.mix64(stream), bound).toInt
+
+  /** IVF cell id column (compiled kernel, [[graft.functions.IvfBucket]]). */
+  def ivfBucket(vec: Column, centroids: Array[Array[Float]]): Column =
+    org.apache.spark.sql.GraftSqlShim.column(
+      graft.functions.IvfBucket(
+        org.apache.spark.sql.GraftSqlShim.lazyExpression(vec), centroids))
+
+  /** The query's nProbe nearest cells, by centroid dot product (driver
+    * twin of [[ivfBucket]]). */
+  def ivfProbes(query: Array[Float], centroids: Array[Array[Float]],
+      nProbe: Int): Seq[Int] = {
+    val qd = query.map(_.toDouble)
+    centroids.indices
+      .sortBy(c => -dot(qd, centroids(c).map(_.toDouble)))
+      .take(math.min(nProbe, centroids.length))
+  }
+
+  /** Write the corpus partitioned by IVF cell: one directory per cell, so
+    * reads against this layout partition-prune to the probed cells. */
+  def ivfBucketize(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]], path: String): Unit =
+    emb.select(col(idCol), col(vecCol),
+        ivfBucket(col(vecCol), centroids).as("bucket"))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** Approximate top-k against a bucketized layout: scans ONLY the
+    * query's nProbe nearest cells (partition pruning — assert
+    * `PartitionFilters` on the scan), exact cosine re-rank within them. */
+  def ivfTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String, query: Array[Float], k: Int,
+      centroids: Array[Array[Float]], nProbe: Int = 6): DataFrame = {
+    val probes = ivfProbes(query, centroids, nProbe)
+    val q = typedlit(query.toSeq)
+    spark.read.parquet(path)
+      .where(col("bucket").isin(probes: _*))
       .select(col(idCol), cosine(col(vecCol), q).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)

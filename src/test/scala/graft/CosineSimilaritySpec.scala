@@ -50,6 +50,57 @@ class CosineSimilaritySpec extends SparkTestBase {
     assert(v == 1.0)
   }
 
+  test("IVF: bucketized layout partition-prunes to the probed cells " +
+       "and recalls clustered neighbors exactly") {
+    // 4 tight clusters around orthogonal axes — the shape IVF exists for
+    val rnd = new scala.util.Random(5)
+    def jitter(base: Array[Float]): Seq[Float] =
+      base.zipWithIndex.map { case (b, _) => b + (rnd.nextFloat() - 0.5f) * 0.1f }.toSeq
+    val axes = Array.tabulate(4) { c =>
+      Array.tabulate(8)(d => if (d == c * 2) 1.0f else 0.0f)
+    }
+    val rows = (0 until 100).map { i =>
+      (i.toLong, jitter(axes(i % 4)))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", k = 4)
+    val path = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_ivf_spec").getPath
+    Similarity.ivfBucketize(emb, "vec_id", "embedding", cents, path)
+    val q = rows.find(_._1 == 0L).get._2.toArray // a cluster-0 member
+    val top = Similarity.ivfTopK(spark, path, "vec_id", "embedding", q,
+      k = 10, cents, nProbe = 1)
+    // plan: scan must carry a partition filter on the bucket column
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"expected bucket partition filter in:\n$plan")
+    val got = top.collect().map(_.getLong(0)).toSet
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == exact, "nProbe=1 on clustered data must recall exactly")
+    // pruning is real: only 1 of 4 cell directories is read
+    val scan = top.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    top.count()
+    assert(scan.metadata("PartitionFilters").contains("bucket"))
+  }
+
+  test("ivfProbes orders cells by query affinity; bucket ids are stable") {
+    val cents = Array(
+      Array(1.0f, 0.0f), Array(0.0f, 1.0f), Array(-1.0f, 0.0f))
+    assert(Similarity.ivfProbes(Array(0.9f, 0.1f), cents, 2) == Seq(0, 1))
+    assert(Similarity.ivfProbes(Array(-1.0f, 0.01f), cents, 1) == Seq(2))
+    val df = Seq((1L, Seq(0.9f, 0.1f)), (2L, Seq(-0.9f, 0.2f)))
+      .toDF("id", "v")
+      .select($"id", $"v".cast("array<float>").as("v"))
+    val got = df.select($"id",
+      Similarity.ivfBucket($"v", cents).as("b")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 2L -> 2))
+  }
+
   test("interpreted path (nullSafeEval) agrees with codegen") {
     // force interpreted evaluation by evaluating the expression directly
     val e = graft.functions.CosineSimilarity(
