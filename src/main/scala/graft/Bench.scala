@@ -25,9 +25,9 @@ object Bench {
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
     SparkEntry.queries("q16_interval_count")(spark, sfDir).count()
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timed(name: String)(body: => Unit): (String, Double) = {
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
+      val ok = try { body; true } catch {
         case t: Throwable =>
           errors(name) = Option(t.getMessage).getOrElse(t.getClass.getName)
             .replaceAll("[\"\\\\\n\r]", " ").take(200)
@@ -36,6 +36,9 @@ object Bench {
       // a failed query reports -1, never a plausible-looking wall time
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      timed(name)(fn(spark, sfDir).count())
+    } ++ flagship(spark, sfDir, timed)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
@@ -43,5 +46,32 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Reference-baseline-comparable flagship (BASELINE.md: the 154.4 M-pair
+    * overlap count at 2.457 s single-partition): an ~80 M-pair keyed
+    * overlap workload derived from `events`, timed on the COUNT(*)
+    * pushdown path and the pair-materializing codegen join. Tables are
+    * cached + counted first so the numbers measure the join, not the scan. */
+  private def flagship(spark: SparkSession, sfDir: String,
+      timed: String => (=> Unit) => (String, Double)): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.load(spark, sfDir, "events").select("event_id", "user_id")
+    def tbl(mult: Int, width: Int) = ev.select(
+      (col("user_id") % 20).cast("int").as("contig"),
+      ((col("event_id") * mult) % 100000).cast("int").as("pos_start"),
+      ((col("event_id") * mult) % 100000 + col("event_id") % width * 20)
+        .cast("int").as("pos_end"))
+    val a = tbl(37, 1000).cache()
+    val b = tbl(53, 700).cache()
+    a.count(); b.count()
+    val cond = a("contig") === b("contig") &&
+      a("pos_start") <= b("pos_end") && a("pos_end") >= b("pos_start")
+    try {
+      Seq(
+        timed("flagship_80m_count")(a.join(b, cond).count()),
+        timed("flagship_80m_join_sum")(
+          a.join(b, cond).agg(sum(b("pos_start"))).head()))
+    } finally { a.unpersist(); b.unpersist() }
   }
 }
