@@ -345,9 +345,15 @@ object SparkEntry {
       // + quality gate — the composed training-data pipeline
       import org.apache.spark.sql.expressions.Window
       val c = dupCorpus(s, dir, near = false)
-      c.withColumn("rn", row_number().over(
-          Window.partitionBy(col("text")).orderBy(col("doc_id"))))
-        .where(col("rn") === 1)
+      // shuffle/window key = 8-byte content hash, never the document text;
+      // rows ordered (text, doc_id) inside the hash group, keeping each
+      // distinct text's first doc — exact even under (astronomically
+      // unlikely) hash collisions, where the group holds 2 texts
+      val w = Window
+        .partitionBy(TextStats.contentFingerprint(col("text")))
+        .orderBy(col("text"), col("doc_id"))
+      c.withColumn("prev_text", lag(col("text"), 1).over(w))
+        .where(col("prev_text").isNull || col("prev_text") =!= col("text"))
         .where(TextStats.langId(col("text")) === "en")
         .where(TextStats.qualityScore(col("text")) >= 0.5)
         .select(col("doc_id")) }),

@@ -169,12 +169,26 @@ case class IntervalJoinStrategy(session: SparkSession) extends SparkStrategy {
             val threshold = session.sessionState.conf.autoBroadcastJoinThreshold
             val leftSize = l.stats.sizeInBytes
             val fitsBroadcast = threshold > 0 && leftSize <= threshold
+            // user join hints steer mode selection (same vocabulary as
+            // Spark's JoinSelection): BROADCAST on the build (left) side
+            // forces broadcast, SHUFFLE_HASH / NO_BROADCAST_HASH on it
+            // forces partitioned
+            def strat(h: Option[org.apache.spark.sql.catalyst.plans.logical.HintInfo]) =
+              h.flatMap(_.strategy)
+            import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, NO_BROADCAST_HASH, SHUFFLE_HASH}
+            val hinted: Option[IntervalJoinMode] = strat(hint.leftHint) match {
+              case Some(BROADCAST) => Some(BroadcastMode)
+              case Some(SHUFFLE_HASH) | Some(NO_BROADCAST_HASH)
+                  if ic.leftKeys.nonEmpty => Some(PartitionedMode)
+              case _ => None
+            }
             // Mode selection; `forceMode` exists so tests / verification
             // entries can pin the partitioned code path deterministically.
             val mode: Option[IntervalJoinMode] =
               conf(graft.GraftSession.IntervalJoinForceMode, "").toLowerCase match {
                 case "broadcast" => Some(BroadcastMode)
                 case "partitioned" if ic.leftKeys.nonEmpty => Some(PartitionedMode)
+                case _ if hinted.nonEmpty => hinted
                 case _ =>
                   if (ic.leftKeys.nonEmpty)
                     Some(if (fitsBroadcast) BroadcastMode else PartitionedMode)

@@ -413,6 +413,29 @@ class IntervalJoinSpec extends SparkTestBase with BeforeAndAfterEach {
     assert(node.metrics("probeTime").value >= 0)
   }
 
+  test("user join hints steer mode selection") {
+    // the build side is tiny so the default would be broadcast; a
+    // SHUFFLE_HASH hint on it must force the partitioned path, and a
+    // BROADCAST hint must hold even when stats would say partitioned
+    val al = targets.select($"contig".as("ac"), $"pos_start".as("as_"),
+      $"pos_end".as("ae"))
+    val bl = reads.select($"contig".as("bc"), $"pos_start".as("bs"),
+      $"pos_end".as("be"))
+    val cond = $"ac" === $"bc" && $"as_" <= $"be" && $"ae" >= $"bs"
+    val shuffled = al.hint("shuffle_hash").join(bl, cond)
+    assert(planOf(shuffled).contains("mode=Partitioned"),
+      s"plan:\n${planOf(shuffled)}")
+    assert(shuffled.collect().length == 16)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bcast = al.hint("broadcast").join(bl, cond)
+      assert(planOf(bcast).contains("mode=CollectLeft"),
+        s"plan:\n${planOf(bcast)}")
+      assert(bcast.collect().length == 16)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+  }
+
   test("EXPLAIN shape matches the reference plan format") {
     // port of the reference's plan assertion (integration_test.rs:108-112):
     // "IntervalJoinExec: mode=CollectLeft, join_type=Inner,
