@@ -112,6 +112,13 @@ object SparkEntry {
         |       a.pos_start AS a_start, a.pos_end AS a_end
         |FROM a RIGHT JOIN b ON a.contig = b.contig
         | AND a.pos_start <= b.pos_end AND a.pos_end >= b.pos_start""".stripMargin),
+    "q45_interval_mark" -> (cteAB +
+      """
+        |SELECT b.b_id AS b_id FROM b
+        |WHERE b.pos_start < 100 OR EXISTS (
+        |  SELECT 1 FROM a WHERE a.contig = b.contig
+        |    AND a.pos_start <= b.pos_end AND a.pos_end >= b.pos_start
+        |    AND a.pos_start < 2000)""".stripMargin),
     "q44_interval_full" -> (cteAB +
       """
         |SELECT COALESCE(a.contig, b.contig) AS contig,
@@ -311,6 +318,7 @@ object SparkEntry {
     "q18_interval_outer" -> run(sharedSql("q18_interval_outer")),
     "q19_interval_semi_anti" -> run(sharedSql("q19_interval_semi_anti")),
     "q44_interval_full" -> run(sharedSql("q44_interval_full")),
+    "q45_interval_mark" -> run(sharedSql("q45_interval_mark")),
     "q42_interval_skew" -> run(sharedSql("q42_interval_skew"),
       GraftSession.IntervalJoinForceMode -> "partitioned",
       GraftSession.AutoBin -> "force",

@@ -42,6 +42,11 @@ case object SemiJoin extends IntervalJoinType
 /** Emit each probe row once iff it has NO match (logical LeftAnti with
   * sides swapped). */
 case object AntiJoin extends IntervalJoinType
+/** Emit every probe row once, appending a boolean "had ≥1 match" column —
+  * Spark's ExistenceJoin (the reference plumbs Mark the same way,
+  * interval_join.rs:280-302): what EXISTS compiles to when it sits under
+  * a disjunction and can't become a plain semi join. */
+case object MarkJoin extends IntervalJoinType
 /** Inner pairs + NULL-padded build side for unmatched probe rows + NULL-
   * padded probe side for unmatched build rows — FULL OUTER. Needs
   * build-side match tracking (a per-partition bitmap), so it runs in
@@ -77,6 +82,7 @@ private[graft] class IntervalJoinRunner(
     rightEnd: Expression,
     residual: Option[Expression],
     joinType: IntervalJoinType,
+    markAttr: Option[Attribute],
     algorithm: String,
     maxBuildBytes: Long,
     numOutputRows: SQLMetric,
@@ -92,6 +98,7 @@ private[graft] class IntervalJoinRunner(
       leftOutput.map(_.withNullability(true)) ++
         rightOutput.map(_.withNullability(true))
     case SemiJoin | AntiJoin => rightOutput
+    case MarkJoin => rightOutput :+ markAttr.get
   }
 
   /** Checked narrowing matching the reference's failure-on-overflow Int32
@@ -198,13 +205,17 @@ private[graft] class IntervalJoinRunner(
     val endEval = boundEval(rightEnd, rightOutput)
     val joined = new JoinedRow
     // FULL OUTER also NULL-pads the probe side (unmatched-build sweep), so
-    // its projection input schema must be nullable on both sides.
-    val resultProj = UnsafeProjection.create(
-      outputAttrs,
-      leftOutput.map(_.withNullability(true)) ++
-        (if (joinType == FullOuterJoin) rightOutput.map(_.withNullability(true))
-         else rightOutput))
-    resultProj.initialize(partitionIndex)
+    // its projection input schema must be nullable on both sides. MarkJoin
+    // output (probe + exists bool) binds to a different schema — it builds
+    // its own projection in its branch below.
+    val resultProj =
+      if (joinType == MarkJoin) null
+      else UnsafeProjection.create(
+        outputAttrs,
+        leftOutput.map(_.withNullability(true)) ++
+          (if (joinType == FullOuterJoin) rightOutput.map(_.withNullability(true))
+           else rightOutput))
+    if (resultProj != null) resultProj.initialize(partitionIndex)
     val residualPred = residual.map { r =>
       val p = Predicate.create(r, leftOutput ++ rightOutput)
       p.initialize(partitionIndex)
@@ -350,6 +361,20 @@ private[graft] class IntervalJoinRunner(
         }
         pairs ++ unmatchedSweep
 
+      case MarkJoin =>
+        // probe row + boolean "had a match" column (Spark ExistenceJoin)
+        val markProj = UnsafeProjection.create(
+          rightOutput :+ markAttr.get, rightOutput :+ markAttr.get)
+        markProj.initialize(partitionIndex)
+        val markRow = new GenericInternalRow(1)
+        val outJoined = new JoinedRow
+        iter.map { rrow =>
+          probeRows += 1
+          markRow.setBoolean(0, collectMatches(rrow) > 0)
+          rows += 1
+          markProj(outJoined(rrow, markRow))
+        }
+
       case SemiJoin =>
         iter.filter { rrow =>
           probeRows += 1
@@ -415,13 +440,16 @@ case class IntervalJoinExec(
     residual: Option[Expression],
     joinType: IntervalJoinType,
     mode: IntervalJoinMode,
-    algorithm: String) extends BinaryExecNode with CodegenSupport {
+    algorithm: String,
+    markAttr: Option[Attribute] = None) extends BinaryExecNode with CodegenSupport {
 
   // FULL OUTER needs exclusive per-task ownership of the build partition
   // for its match bitmap — broadcast would emit unmatched build rows once
   // per probe task
   require(joinType != FullOuterJoin || mode == PartitionedMode,
     "FullOuterJoin requires PartitionedMode")
+  require(joinType != MarkJoin || markAttr.nonEmpty,
+    "MarkJoin requires the exists attribute")
 
   override def output: Seq[Attribute] = joinType match {
     case OverlapJoin => left.output ++ right.output
@@ -431,6 +459,7 @@ case class IntervalJoinExec(
       left.output.map(_.withNullability(true)) ++
         right.output.map(_.withNullability(true))
     case SemiJoin | AntiJoin => right.output
+    case MarkJoin => right.output :+ markAttr.get
   }
 
   // mirrors the reference's BuildProbeJoinMetrics (joins/utils.rs:439-495):
@@ -478,6 +507,7 @@ case class IntervalJoinExec(
       case SemiJoin => "LeftSemi"
       case AntiJoin => "LeftAnti"
       case FullOuterJoin => "Full"
+      case MarkJoin => "Mark"
       case NearestJoin => "Nearest"
     }
     val on = leftKeys.zip(rightKeys)
@@ -491,7 +521,7 @@ case class IntervalJoinExec(
   private def runner: IntervalJoinRunner = new IntervalJoinRunner(
     left.output, right.output, leftKeys, rightKeys,
     leftStart, leftEnd, rightStart, rightEnd,
-    residual, joinType, algorithm,
+    residual, joinType, markAttr, algorithm,
     conf.getConfString(graft.GraftSession.MaxBuildBytes, "0").toLong,
     longMetric("numOutputRows"),
     longMetric("probeRows"), longMetric("buildMemUsed"),

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
+import org.apache.spark.sql.catalyst.plans.{ExistenceJoin, FullOuter, Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
 import org.apache.spark.sql.execution.{ProjectExec, SparkPlan, SparkStrategy}
 
@@ -139,6 +139,21 @@ case class IntervalJoinStrategy(session: SparkSession) extends SparkStrategy {
               ic.rightKeys, ic.leftKeys,
               ic.rightStart, ic.rightEnd, ic.leftStart, ic.leftEnd,
               ic.residual, SemiJoin, m, "superintervals") :: Nil
+          }.getOrElse(Nil)
+        case None => Nil
+      }
+    // ExistenceJoin (Mark): preserved side = probe, appending the exists
+    // boolean — what EXISTS compiles to under a disjunction. The reference
+    // plumbs Mark but never executes it (interval_join.rs:280-302).
+    case Join(l, r, ExistenceJoin(exists), Some(cond), _) if enabled =>
+      IntervalCondition.extract(cond, l, r) match {
+        case Some(ic) =>
+          pickMode(r, ic.leftKeys.nonEmpty).map { m =>
+            IntervalJoinExec(planLater(r), planLater(l),
+              ic.rightKeys, ic.leftKeys,
+              ic.rightStart, ic.rightEnd, ic.leftStart, ic.leftEnd,
+              ic.residual, MarkJoin, m, "superintervals",
+              markAttr = Some(exists)) :: Nil
           }.getOrElse(Nil)
         case None => Nil
       }

@@ -413,6 +413,30 @@ class IntervalJoinSpec extends SparkTestBase with BeforeAndAfterEach {
     assert(node.metrics("probeTime").value >= 0)
   }
 
+  test("existence (mark) join: EXISTS under a disjunction matches stock") {
+    reads.createOrReplaceTempView("m_reads")
+    targets.createOrReplaceTempView("m_targets")
+    // the OR prevents the semi-join rewrite → Spark plans ExistenceJoin
+    val sql =
+      """SELECT r.contig, r.pos_start, r.pos_end FROM m_reads r
+        |WHERE r.pos_start = 15000 OR EXISTS (
+        |  SELECT 1 FROM m_targets t WHERE t.contig = r.contig
+        |    AND t.pos_start <= r.pos_end AND t.pos_end >= r.pos_start)""".stripMargin
+    val df = spark.sql(sql)
+    assert(planOf(df).contains("join_type=Mark"), s"plan:\n${planOf(df)}")
+    val got = df.collect().map(_.toSeq).toSet
+    spark.conf.set(GraftSession.PreferIntervalJoin, "false")
+    val exp = spark.sql(sql).collect().map(_.toSeq).toSet
+    spark.conf.set(GraftSession.PreferIntervalJoin, "true")
+    assert(got == exp)
+    // partitioned mode too
+    spark.conf.set(GraftSession.IntervalJoinForceMode, "partitioned")
+    try {
+      val gotP = spark.sql(sql).collect().map(_.toSeq).toSet
+      assert(gotP == exp, "partitioned mark join")
+    } finally spark.conf.set(GraftSession.IntervalJoinForceMode, "")
+  }
+
   test("user join hints steer mode selection") {
     // the build side is tiny so the default would be broadcast; a
     // SHUFFLE_HASH hint on it must force the partitioned path, and a
