@@ -623,6 +623,65 @@ case class IntervalJoinExec(
        """.stripMargin
   }
 
+  /** Generate the per-probe match loop. For the default superintervals
+    * algorithm the index walk is INLINED into the generated Java (binary
+    * search + branch-skip scan over the four primitive arrays) — no
+    * queryInto virtual call and no match-buffer write+read per pair, the
+    * same loop fusion the reference gets from its monomorphized Rust probe
+    * (interval_join.rs probe loop). Other algorithms keep the generic
+    * buffer path. The cast is safe: the runner builds every per-key index
+    * with this exec's `algorithm`. */
+  private def genMatchLoop(ctx: CodegenContext, idxTerm: String,
+      rowsTerm: String, bufTerm: String, sL: String, eL: String,
+      leftRowTerm: String, matchTail: String): String = {
+    val a = algorithm.toLowerCase
+    if (a == "superintervals" || a == "coitrees" || a == "default") {
+      val siCls = classOf[graft.rangejoin.SuperIntervalsIndex].getName
+      val si = ctx.freshName("si")
+      val sArr = ctx.freshName("siStarts")
+      val eArr = ctx.freshName("siEnds")
+      val pArr = ctx.freshName("siPos")
+      val bArr = ctx.freshName("siBranch")
+      val lo = ctx.freshName("lo")
+      val hi = ctx.freshName("hi")
+      val mid = ctx.freshName("mid")
+      val ii = ctx.freshName("ii")
+      s"""
+         |$siCls $si = ($siCls) $idxTerm;
+         |int[] $sArr = $si.starts();
+         |int[] $eArr = $si.ends();
+         |int[] $pArr = $si.positions();
+         |int[] $bArr = $si.branch();
+         |int $lo = 0;
+         |int $hi = $sArr.length;
+         |while ($lo < $hi) {
+         |  int $mid = ($lo + $hi) >>> 1;
+         |  if ($sArr[$mid] <= (int) $eL) $lo = $mid + 1; else $hi = $mid;
+         |}
+         |int $ii = $lo - 1;
+         |while ($ii >= 0) {
+         |  if ($eArr[$ii] >= (int) $sL) {
+         |    InternalRow $leftRowTerm = $rowsTerm[$pArr[$ii]];
+         |    $matchTail
+         |    $ii--;
+         |  } else {
+         |    $ii = $bArr[$ii];
+         |  }
+         |}
+       """.stripMargin
+    } else {
+      val nTerm = ctx.freshName("nMatches")
+      val iTerm = ctx.freshName("im")
+      s"""
+         |int $nTerm = $idxTerm.queryInto((int) $sL, (int) $eL, $bufTerm);
+         |for (int $iTerm = 0; $iTerm < $nTerm; $iTerm++) {
+         |  InternalRow $leftRowTerm = $rowsTerm[$bufTerm.get($iTerm)];
+         |  $matchTail
+         |}
+       """.stripMargin
+    }
+  }
+
   private def doProducePartitioned(ctx: CodegenContext): String = {
     // the two zipped per-partition iterators (see WholeStageCodegenExec)
     val leftInput = ctx.addMutableState("scala.collection.Iterator",
@@ -671,12 +730,12 @@ case class IntervalJoinExec(
     val t0 = ctx.freshName("buildT0")
     val sL = ctx.freshName("sLong")
     val eL = ctx.freshName("eLong")
-    val nTerm = ctx.freshName("nMatches")
-    val iTerm = ctx.freshName("im")
     val idxCls = classOf[graft.rangejoin.IntervalIndex].getName
     val keyNullCheck =
       if (rightKeys.nonEmpty) s"&& !${keyEv.value}.anyNull()" else ""
     val matchTail = consumeMatch(ctx, leftVars, rightVars, numOutput)
+    val matchLoop = genMatchLoop(ctx, idxTerm, rowsTerm, bufTerm, sL, eL,
+      leftRowTerm, matchTail)
 
     s"""
        |if ($buildTerm == null) {
@@ -705,11 +764,7 @@ case class IntervalJoinExec(
        |          ($sL < Integer.MIN_VALUE || $sL > Integer.MAX_VALUE ? $sL : $eL) +
        |          " to type Int");
        |      }
-       |      int $nTerm = $idxTerm.queryInto((int) $sL, (int) $eL, $bufTerm);
-       |      for (int $iTerm = 0; $iTerm < $nTerm; $iTerm++) {
-       |        InternalRow $leftRowTerm = $rowsTerm[$bufTerm.get($iTerm)];
-       |        $matchTail
-       |      }
+       |      $matchLoop
        |    }
        |  }
        |  if (shouldStop()) return;
@@ -759,12 +814,12 @@ case class IntervalJoinExec(
     val idxTerm = ctx.freshName("intervalIdx")
     val sL = ctx.freshName("sLong")
     val eL = ctx.freshName("eLong")
-    val nTerm = ctx.freshName("nMatches")
-    val iTerm = ctx.freshName("im")
     val idxCls = classOf[graft.rangejoin.IntervalIndex].getName
     val keyNullCheck =
       if (rightKeys.nonEmpty) s"&& !${keyEv.value}.anyNull()" else ""
     val matchTail = consumeMatch(ctx, leftVars, input, numOutput)
+    val matchLoop = genMatchLoop(ctx, idxTerm, rowsTerm, bufTerm, sL, eL,
+      leftRowTerm, matchTail)
 
     s"""
        |$probeRows.add(1);
@@ -783,11 +838,7 @@ case class IntervalJoinExec(
        |        ($sL < Integer.MIN_VALUE || $sL > Integer.MAX_VALUE ? $sL : $eL) +
        |        " to type Int");
        |    }
-       |    int $nTerm = $idxTerm.queryInto((int) $sL, (int) $eL, $bufTerm);
-       |    for (int $iTerm = 0; $iTerm < $nTerm; $iTerm++) {
-       |      InternalRow $leftRowTerm = $rowsTerm[$bufTerm.get($iTerm)];
-       |      $matchTail
-       |    }
+       |    $matchLoop
        |  }
        |}
      """.stripMargin

@@ -109,7 +109,7 @@ final class NaiveIntervalIndex(
  */
 final class SuperIntervalsIndex private (
     val starts: Array[Int], val ends: Array[Int],
-    val positions: Array[Int], branch: Array[Int])
+    val positions: Array[Int], val branch: Array[Int])
   extends IntervalIndex {
 
   override def size: Int = starts.length
