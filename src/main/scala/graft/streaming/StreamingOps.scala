@@ -40,4 +40,21 @@ object StreamingOps {
     events.withWatermark(tsCol, watermark)
       .groupBy(session_window(col(tsCol), gap), col(userCol))
       .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+
+  /** Watermarked stream-STREAM range join: pair rows of two live streams
+    * with equal keys whose event times lie within ±`tolerance` — the
+    * streaming analogue of the batch interval join (the reference is
+    * batch-only on both sides). The time-range condition bounds each
+    * side's join state, so Spark expires buffered rows as the watermark
+    * advances — no unbounded state at 100-TB ingest rates. */
+  def streamStreamRangeJoin(left: DataFrame, right: DataFrame,
+      keyL: String, keyR: String, tsL: String, tsR: String,
+      tolerance: String = "10 minutes",
+      watermark: String = "30 minutes"): DataFrame = {
+    val l = left.withWatermark(tsL, watermark)
+    val r = right.withWatermark(tsR, watermark)
+    l.join(r, l(keyL) === r(keyR) &&
+      l(tsL) >= r(tsR) - expr(s"INTERVAL $tolerance") &&
+      l(tsL) <= r(tsR) + expr(s"INTERVAL $tolerance"))
+  }
 }

@@ -72,6 +72,27 @@ class StreamingSpec extends SparkTestBase {
       Seq("c2", 100, 200, "c2", 180, 310)))
   }
 
+  test("stream-stream range join pairs in-tolerance events, bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val li = MemoryStream[(String, Timestamp, Long)]
+    val ri = MemoryStream[(String, Timestamp, Long)]
+    val l = li.toDF().toDF("lk", "lts", "lid")
+    val r = ri.toDF().toDF("rk", "rts", "rid")
+    // k1: 10:00 vs 10:05 (within 10 min) and 10:30 (outside); k2 key miss
+    li.addData(("k1", ts(0), 1L), ("k1", ts(30), 2L), ("k2", ts(0), 3L))
+    ri.addData(("k1", ts(5), 10L), ("k3", ts(5), 11L))
+    val joined = StreamingOps.streamStreamRangeJoin(
+      l, r, "lk", "rk", "lts", "rts")
+    val q = joined.writeStream.format("memory").queryName("ssr_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssr_out")
+      .selectExpr("lid", "rid").collect()
+      .map(row => (row.getLong(0), row.getLong(1))).toSet
+    assert(got == Set((1L, 10L)))
+  }
+
   test("sessionize groups events within the gap into one session") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Double)]
