@@ -22,6 +22,7 @@ class GraftSparkSessionExtension extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(session => graft.plans.IntervalCountRewrite(session))
     e.injectOptimizerRule(session => graft.plans.AutoBinIntervalJoin(session))
     e.injectFunction(graft.functions.CosineSimilarity.functionDescription)
+    graft.functions.GraftFunctions.registrations.foreach(e.injectFunction)
   }
 }
 
@@ -65,6 +66,10 @@ object GraftSession {
     val (ident, info, builder) =
       graft.functions.CosineSimilarity.functionDescription
     spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    graft.functions.GraftFunctions.registrations.foreach {
+      case (id, inf, b) =>
+        spark.sessionState.functionRegistry.registerFunction(id, inf, b)
+    }
     spark
   }
 

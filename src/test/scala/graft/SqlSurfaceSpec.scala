@@ -36,6 +36,30 @@ class SqlSurfaceSpec extends SparkTestBase {
     assert(explain.contains("IntervalJoinExec"), explain)
   }
 
+  test("compiled kernels are reachable as SQL functions") {
+    GraftSession.install(spark)
+    // shingle/simhash/minhash agree with the Scala column API
+    val viaSql = spark.sql(
+      """SELECT simhash64(shingle_hashes('the quick brown fox jumps')) AS sh,
+        |       size(minhash_signature(
+        |         shingle_hashes('the quick brown fox jumps'), 16)) AS n
+        |""".stripMargin).head()
+    val viaApi = Seq("the quick brown fox jumps").toDF("t")
+      .select(
+        org.apache.spark.sql.GraftSqlShim.column(graft.functions.SimHash64(
+          graft.functions.ShingleHashes(
+            org.apache.spark.sql.GraftSqlShim.lazyExpression($"t"), 3))))
+      .head()
+    assert(viaSql.getLong(0) == viaApi.getLong(0))
+    assert(viaSql.getInt(1) == 16)
+    val srp = spark.sql(
+      "SELECT srp_bucket(array(CAST(1.0 AS FLOAT), CAST(-1.0 AS FLOAT)), 4, 2)")
+      .head().getLong(0)
+    assert(srp >= 0 && srp < 16)
+    val tp = spark.sql("SELECT text_profile('Hello world 123!')").head()
+    assert(!tp.isNullAt(0))
+  }
+
   test("heavy key skew: broadcast mode keeps probe parallelism") {
     // 90% of rows on one key — broadcast mode is the documented answer:
     // the index ships everywhere, the probe side stays embarrassingly
