@@ -62,8 +62,11 @@ object Bench {
       ((col("event_id") * mult) % 100000).cast("int").as("pos_start"),
       ((col("event_id") * mult) % 100000 + col("event_id") % width * 20)
         .cast("int").as("pos_end"))
-    val a = tbl(37, 1000).cache()
-    val b = tbl(53, 700).cache()
+    // the sf0.1 parquet is one split — repartition so the probe side has
+    // real parallelism, as a cluster-scale dataset would (one task per
+    // split); without this the "n-core" number is a single-task number
+    val a = tbl(37, 1000).repartition(32).cache()
+    val b = tbl(53, 700).repartition(32).cache()
     a.count(); b.count()
     val cond = a("contig") === b("contig") &&
       a("pos_start") <= b("pos_end") && a("pos_end") >= b("pos_start")

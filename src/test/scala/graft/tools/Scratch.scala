@@ -16,7 +16,11 @@ object Scratch {
       ((col("event_id") * mult) % 100000).cast("int").as("pos_start"),
       ((col("event_id") * mult) % 100000 + col("event_id") % width * 20)
         .cast("int").as("pos_end"))
-    val a = tbl(37, 1000).cache(); val b = tbl(53, 700).cache()
+    // one parquet split -> repartition for real probe-side parallelism
+    // (SCRATCH_PARTS=1 for single-task per-core measurements)
+    val parts = sys.env.getOrElse("SCRATCH_PARTS", "32").toInt
+    val a = tbl(37, 1000).repartition(parts).cache()
+    val b = tbl(53, 700).repartition(parts).cache()
     a.count(); b.count()
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
