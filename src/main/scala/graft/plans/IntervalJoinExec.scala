@@ -662,8 +662,9 @@ case class IntervalJoinExec(
          |while ($ii >= 0) {
          |  if ($eArr[$ii] >= (int) $sL) {
          |    InternalRow $leftRowTerm = $rowsTerm[$pArr[$ii]];
+         |    $ii--; // decrement BEFORE the fused tail: a parent-emitted
+         |           // continue must not be able to skip the loop update
          |    $matchTail
-         |    $ii--;
          |  } else {
          |    $ii = $bArr[$ii];
          |  }

@@ -437,6 +437,18 @@ class IntervalJoinSpec extends SparkTestBase with BeforeAndAfterEach {
     } finally spark.conf.set(GraftSession.IntervalJoinForceMode, "")
   }
 
+  test("non-pushable filter fused above the join (codegen continue safety)") {
+    // rand() can't push into the join condition, so FilterExec fuses
+    // ABOVE the join inside the same codegen stage — its generated continue
+    // must not break the inlined match loop
+    val df = overlapJoin(reads, targets).where(rand(7) >= -1.0)
+    assertUsesIntervalJoin(df)
+    assert(df.count() == 16)
+    spark.conf.set(GraftSession.IntervalJoinForceMode, "partitioned")
+    try assert(overlapJoin(reads, targets).where(rand(7) >= -1.0).count() == 16)
+    finally spark.conf.set(GraftSession.IntervalJoinForceMode, "")
+  }
+
   test("user join hints steer mode selection") {
     // the build side is tiny so the default would be broadcast; a
     // SHUFFLE_HASH hint on it must force the partitioned path, and a
