@@ -496,6 +496,15 @@ case class IntervalJoinExec(
     * port directly (reference: tests/integration_test.rs:108-112 expects
     * "IntervalJoinExec: mode=CollectLeft, join_type=Inner, on=[(l, r)],
     * filter=..., alg=..."). */
+  /** Every join type except FULL OUTER emits rows in probe (right) order
+    * — per probe row, its matches are contiguous — so the probe side's
+    * within-partition ordering survives and downstream sorts on it elide.
+    * The FULL OUTER unmatched-build sweep appends out-of-order rows. */
+  override def outputOrdering: Seq[SortOrder] = joinType match {
+    case FullOuterJoin => Nil
+    case _ => right.outputOrdering
+  }
+
   override def simpleString(maxFields: Int): String = {
     val modeStr = mode match {
       case BroadcastMode => "CollectLeft" // reference's name for broadcast

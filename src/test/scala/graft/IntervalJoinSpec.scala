@@ -449,6 +449,22 @@ class IntervalJoinSpec extends SparkTestBase with BeforeAndAfterEach {
     finally spark.conf.set(GraftSession.IntervalJoinForceMode, "")
   }
 
+  test("probe-side ordering survives the join: downstream sort elided") {
+    val al = targets.select($"contig".as("ac"), $"pos_start".as("as_"),
+      $"pos_end".as("ae"))
+    val bl = reads.select($"contig".as("bc"), $"pos_start".as("bs"),
+      $"pos_end".as("be")).sortWithinPartitions("bs")
+    val cond = $"ac" === $"bc" && $"as_" <= $"be" && $"ae" >= $"bs"
+    val df = al.join(bl, cond).sortWithinPartitions("bs")
+    assertUsesIntervalJoin(df)
+    // the pre-join sort satisfies the post-join one → exactly one SortExec
+    val sorts = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }
+    assert(sorts.length == 1, s"plan:\n${planOf(df)}")
+    assert(df.count() == 16)
+  }
+
   test("user join hints steer mode selection") {
     // the build side is tiny so the default would be broadcast; a
     // SHUFFLE_HASH hint on it must force the partitioned path, and a
