@@ -60,16 +60,24 @@ private[graft] class IntervalCountRunner(
     v.toInt
   }
 
-  private def boundEval(e: Expression, schema: Seq[Attribute])
-      : InternalRow => java.lang.Long = {
-    val bound = BindReferences.bindReference(Cast(e, LongType), schema)
-    row => bound.eval(row).asInstanceOf[java.lang.Long]
+  /** Compiled (start, end) extractor — generated projection, no
+    * interpreted Expression.eval and no boxing in the per-row loops. */
+  private final class BoundsEval(start: Expression, end: Expression,
+      schema: Seq[Attribute]) {
+    private val proj = UnsafeProjection.create(
+      Seq(Cast(start, LongType), Cast(end, LongType)), schema)
+    var s: Long = _
+    var e: Long = _
+    def eval(row: InternalRow): Boolean = {
+      val r = proj(row)
+      if (r.isNullAt(0) || r.isNullAt(1)) false
+      else { s = r.getLong(0); e = r.getLong(1); true }
+    }
   }
 
   def buildSide(rows: Iterator[InternalRow]): CountBuildSide = {
     val keyProj = UnsafeProjection.create(leftKeys, leftOutput)
-    val startEval = boundEval(leftStart, leftOutput)
-    val endEval = boundEval(leftEnd, leftOutput)
+    val bounds = new BoundsEval(leftStart, leftEnd, leftOutput)
     val hasKeys = leftKeys.nonEmpty
     final class Acc {
       val starts = new mutable.ArrayBuffer[Int]
@@ -81,13 +89,11 @@ private[graft] class IntervalCountRunner(
     // the count build stores only interval ints (~3 sorted arrays), no rows
     val mem = new BuildMemoryAccountant(maxBuildBytes)
     rows.foreach { row =>
-      val s = startEval(row)
-      val e = endEval(row)
-      if (s != null && e != null && !(hasKeys && keyProj(row).anyNull)) {
+      if (bounds.eval(row) && !(hasKeys && keyProj(row).anyNull)) {
         val key = keyProj(row)
         var acc = groups.get(key)
         if (acc == null) { acc = new Acc; groups.put(key.copy(), acc) }
-        val si = toIntChecked(s); val ei = toIntChecked(e)
+        val si = toIntChecked(bounds.s); val ei = toIntChecked(bounds.e)
         if (si <= ei) { acc.starts += si; acc.ends += ei }
         else { acc.invStarts += si; acc.invEnds += ei }
         mem.add(BuildMemoryAccountant.IntervalOverhead)
@@ -168,21 +174,19 @@ private[graft] class IntervalCountRunner(
   def probeAndEmit(build: CountBuildSide,
       iter: Iterator[InternalRow]): Iterator[InternalRow] = {
     val keyProj = UnsafeProjection.create(rightKeys, rightOutput)
-    val startEval = boundEval(rightStart, rightOutput)
-    val endEval = boundEval(rightEnd, rightOutput)
+    val bounds = new BoundsEval(rightStart, rightEnd, rightOutput)
     val hasKeys = rightKeys.nonEmpty
     val outProj = UnsafeProjection.create(
       (groupAttrs.map(_.dataType) :+ LongType).toArray[DataType])
     if (groupAttrs.isEmpty) {
       var total = 0L
       iter.foreach { rrow =>
-        val s = startEval(rrow)
-        val e = endEval(rrow)
-        if (s != null && e != null) {
+        if (bounds.eval(rrow)) {
           val key = keyProj(rrow)
           val entry = if (hasKeys && key.anyNull) null else build.keyed.get(key)
           if (entry != null) {
-            total += countFor(entry, toIntChecked(s), toIntChecked(e))
+            total += countFor(entry, toIntChecked(bounds.s),
+              toIntChecked(bounds.e))
           }
         }
       }
@@ -192,13 +196,12 @@ private[graft] class IntervalCountRunner(
       val groupProj = UnsafeProjection.create(groupExprsOnProbe, rightOutput)
       val acc = new java.util.HashMap[UnsafeRow, Array[Long]]
       iter.foreach { rrow =>
-        val s = startEval(rrow)
-        val e = endEval(rrow)
-        if (s != null && e != null) {
+        if (bounds.eval(rrow)) {
           val key = keyProj(rrow)
           val entry = if (hasKeys && key.anyNull) null else build.keyed.get(key)
           if (entry != null) {
-            val cnt = countFor(entry, toIntChecked(s), toIntChecked(e))
+            val cnt = countFor(entry, toIntChecked(bounds.s),
+              toIntChecked(bounds.e))
             // zero-count probes emit nothing — matches inner-join groups
             if (cnt > 0) {
               val g = groupProj(rrow)

@@ -111,17 +111,26 @@ private[graft] class IntervalJoinRunner(
     v.toInt
   }
 
-  private def boundEval(e: Expression, schema: Seq[Attribute])
-      : InternalRow => java.lang.Long = {
-    val bound = BindReferences.bindReference(Cast(e, LongType), schema)
-    row => bound.eval(row).asInstanceOf[java.lang.Long]
+  /** Compiled (start, end) extractor: one generated projection per side,
+    * no interpreted Expression.eval and no boxing in the per-row loops. */
+  private final class BoundsEval(start: Expression, end: Expression,
+      schema: Seq[Attribute]) {
+    private val proj = UnsafeProjection.create(
+      Seq(Cast(start, LongType), Cast(end, LongType)), schema)
+    var s: Long = _
+    var e: Long = _
+    /** Returns false (and leaves s/e undefined) when either bound is NULL. */
+    def eval(row: InternalRow): Boolean = {
+      val r = proj(row)
+      if (r.isNullAt(0) || r.isNullAt(1)) false
+      else { s = r.getLong(0); e = r.getLong(1); true }
+    }
   }
 
   def buildSide(rows: Iterator[InternalRow]): IntervalBuildSide = {
     val keyProj = UnsafeProjection.create(leftKeys, leftOutput)
     val rowProj = UnsafeProjection.create(leftOutput, leftOutput)
-    val startEval = boundEval(leftStart, leftOutput)
-    val endEval = boundEval(leftEnd, leftOutput)
+    val bounds = new BoundsEval(leftStart, leftEnd, leftOutput)
 
     final class Acc {
       val starts = new mutable.ArrayBuffer[Int]
@@ -137,14 +146,12 @@ private[graft] class IntervalJoinRunner(
     val keepAll = joinType == FullOuterJoin
     val mem = new BuildMemoryAccountant(maxBuildBytes)
     rows.foreach { row =>
-      val s = startEval(row)
-      val e = endEval(row)
       // Rows with a NULL bound can never overlap; rows with a NULL equi-key
       // must not match anything (SQL `NULL = NULL` is not true — the
       // reference constructs the join with null_equals_null=false,
       // interval_join.rs ctor). Skip both at build time.
       val indexable =
-        s != null && e != null && !(hasKeys && keyProj(row).anyNull)
+        bounds.eval(row) && !(hasKeys && keyProj(row).anyNull)
       if (indexable || keepAll) {
         val pos = stored.length
         val copied = rowProj(row).copy()
@@ -155,8 +162,8 @@ private[graft] class IntervalJoinRunner(
           val key = keyProj(row)
           var acc = groups.get(key)
           if (acc == null) { acc = new Acc; groups.put(key.copy(), acc) }
-          acc.starts += toIntChecked(s)
-          acc.ends += toIntChecked(e)
+          acc.starts += toIntChecked(bounds.s)
+          acc.ends += toIntChecked(bounds.e)
           acc.positions += pos
         }
       }
@@ -201,8 +208,7 @@ private[graft] class IntervalJoinRunner(
   private def probe0(build: IntervalBuildSide, iter: Iterator[InternalRow],
             partitionIndex: Int): Iterator[InternalRow] = {
     val keyProj = UnsafeProjection.create(rightKeys, rightOutput)
-    val startEval = boundEval(rightStart, rightOutput)
-    val endEval = boundEval(rightEnd, rightOutput)
+    val bounds = new BoundsEval(rightStart, rightEnd, rightOutput)
     val joined = new JoinedRow
     // FULL OUTER also NULL-pads the probe side (unmatched-build sweep), so
     // its projection input schema must be nullable on both sides. MarkJoin
@@ -230,14 +236,12 @@ private[graft] class IntervalJoinRunner(
     // residual; returns match count (0 for NULL bounds/keys)
     var sharedBuf = new Array[Int](64)
     def collectMatches(rrow: InternalRow): Int = {
-      val s = startEval(rrow)
-      val e = endEval(rrow)
-      if (s == null || e == null) return 0
+      if (!bounds.eval(rrow)) return 0
       val key = keyProj(rrow)
       val idx = if (hasKeys && key.anyNull) null else build.keyed.get(key)
       if (idx == null) return 0
       var n = 0
-      idx.query(toIntChecked(s), toIntChecked(e)) { pos =>
+      idx.query(toIntChecked(bounds.s), toIntChecked(bounds.e)) { pos =>
         if (n == sharedBuf.length)
           sharedBuf = java.util.Arrays.copyOf(sharedBuf, n * 2)
         sharedBuf(n) = pos
@@ -271,9 +275,7 @@ private[graft] class IntervalJoinRunner(
         }
         iter.flatMap { rrow =>
           probeRows += 1
-          val s = startEval(rrow)
-          val e = endEval(rrow)
-          if (s == null || e == null) Iterator.empty
+          if (!bounds.eval(rrow)) Iterator.empty
           else {
             val key = keyProj(rrow)
             // NULL probe keys match nothing (null_equals_null=false).
@@ -281,7 +283,7 @@ private[graft] class IntervalJoinRunner(
             if (idx == null) Iterator.empty
             else {
               matchLen = 0
-              idx.query(toIntChecked(s), toIntChecked(e))(add)
+              idx.query(toIntChecked(bounds.s), toIntChecked(bounds.e))(add)
               // buffer is reused across probe rows — safe because flatMap
               // drains each returned iterator before pulling the next row
               val n = matchLen
@@ -390,12 +392,10 @@ private[graft] class IntervalJoinRunner(
       case NearestJoin =>
         iter.map { rrow =>
           probeRows += 1
-          val s = startEval(rrow)
-          val e = endEval(rrow)
           // A NULL probe key (or bound) matches no build rows → NULL-padded
           // output row, same as an unmatched key (reference pads NULL for
           // key misses, interval_join.rs:1453-1465).
-          val idx0 = if (s == null || e == null) null
+          val idx0 = if (!bounds.eval(rrow)) null
                      else {
                        val key = keyProj(rrow)
                        if (hasKeys && key.anyNull) null
@@ -403,7 +403,7 @@ private[graft] class IntervalJoinRunner(
                      }
           val pos = idx0 match {
             case si: SuperIntervalsIndex =>
-              si.nearest(toIntChecked(s), toIntChecked(e))
+              si.nearest(toIntChecked(bounds.s), toIntChecked(bounds.e))
             case _ => -1
           }
           rows += 1
