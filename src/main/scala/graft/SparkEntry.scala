@@ -319,6 +319,13 @@ object SparkEntry {
     "q19_interval_semi_anti" -> run(sharedSql("q19_interval_semi_anti")),
     "q44_interval_full" -> run(sharedSql("q44_interval_full")),
     "q45_interval_mark" -> run(sharedSql("q45_interval_mark")),
+    // semi-structured surface: JSON extraction from the events.props
+    // payload (codegen'd get_json_object — stays in whole-stage codegen)
+    "q46_json" -> ((s, dir) => { prep(s, dir)
+      Tables.load(s, dir, "events")
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k")) }),
     "q42_interval_skew" -> run(sharedSql("q42_interval_skew"),
       GraftSession.IntervalJoinForceMode -> "partitioned",
       GraftSession.AutoBin -> "force",
@@ -571,6 +578,13 @@ object SparkEntry {
       "q25_langid" -> langIdOracle,
       "q26_curation" -> curationOracle,
       "q30_ann_topk" -> annTopkOracle,
+      "q46_json" ->
+        """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+          |       COUNT(*) AS cnt,
+          |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+          |            AS BIGINT) AS sum_k
+          |FROM events
+          |GROUP BY 1""".stripMargin,
       // the recall_ok flag is computed in Spark as |ivf∩exact| >= 9; the
       // exact side is q30's oracle-verified ranks, so a red row here means
       // the bucketed layout lost recall
