@@ -82,6 +82,19 @@ object SparkEntry {
       """SELECT c_custkey AS k FROM customer
         |INTERSECT
         |SELECT o_custkey AS k FROM orders""".stripMargin,
+    // grouping sets + the part/supplier dimensions (3-way join, ROLLUP
+    // subtotals; GROUPING() disambiguates real NULLs from rollup rows)
+    "q47_rollup" ->
+      """SELECT p.p_brand AS brand,
+        |       CAST(s.s_nationkey % 5 AS BIGINT) AS nation_bucket,
+        |       CAST(GROUPING(p.p_brand) AS BIGINT) AS g_brand,
+        |       CAST(GROUPING(CAST(s.s_nationkey % 5 AS BIGINT)) AS BIGINT) AS g_nat,
+        |       COUNT(*) AS cnt,
+        |       ROUND(SUM(l.l_extendedprice), 2) AS revenue
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |GROUP BY ROLLUP(p.p_brand, CAST(s.s_nationkey % 5 AS BIGINT))""".stripMargin,
     // ---- §2a interval join (the engine's flagship) ----------------------
     "q10_interval_join" -> (cteAB +
       """
@@ -301,6 +314,7 @@ object SparkEntry {
     "q7_window_rank" -> run(sharedSql("q7_window_rank")),
     "q8_distinct" -> run(sharedSql("q8_distinct")),
     "q9_setop" -> run(sharedSql("q9_setop")),
+    "q47_rollup" -> run(sharedSql("q47_rollup")),
     "q10_interval_join" -> run(sharedSql("q10_interval_join")),
     "q11_interval_strict" -> run(sharedSql("q11_interval_strict")),
     "q12_interval_keyless" -> run(sharedSql("q12_interval_keyless")),
