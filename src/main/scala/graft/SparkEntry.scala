@@ -399,6 +399,17 @@ object SparkEntry {
       fp.as("a").join(fp.as("b"),
           col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2")) }),
+    "q48_dedup_embedding" -> ((s, dir) => { prep(s, dir)
+      // embedding-cosine near-dup: corpus = embeddings + copies with the
+      // last element negated (bit-exact in both engines, cosine ~0.85-1.0)
+      val emb = Tables.load(s, dir, "embeddings")
+        .select("vec_id", "embedding")
+      val copies = emb.where(col("vec_id") % 4 === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          concat(slice(col("embedding"), 1, 63),
+            array(-element_at(col("embedding"), 64))).as("embedding"))
+      Dedup.embeddingDupPairs(emb.union(copies), "vec_id", "embedding", 0.8)
+        .select(col("id1"), col("id2"), col("cosine")) }),
     "q30_ann_topk" -> ((s, dir) => { prep(s, dir)
       val emb = Tables.load(s, dir, "embeddings")
       val q = emb.orderBy("vec_id").select("embedding").head()
@@ -592,6 +603,23 @@ object SparkEntry {
       "q25_langid" -> langIdOracle,
       "q26_curation" -> curationOracle,
       "q30_ann_topk" -> annTopkOracle,
+      // the oracle is ALL-PAIRS cosine over the same constructed corpus —
+      // a green row proves LSH recall (every >=0.8 pair found), not just
+      // precision
+      "q48_dedup_embedding" ->
+        """WITH corpus AS (
+          |  SELECT vec_id, embedding FROM embeddings
+          |  UNION ALL
+          |  SELECT vec_id + 1000000 AS vec_id,
+          |         list_concat(embedding[1:63], [-embedding[64]]) AS embedding
+          |  FROM embeddings WHERE vec_id % 4 = 0
+          |)
+          |SELECT id1, id2, cosine FROM (
+          |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+          |         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+          |               CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+          |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id) t
+          |WHERE cosine >= 0.8""".stripMargin,
       "q46_json" ->
         """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
           |       COUNT(*) AS cnt,

@@ -158,6 +158,46 @@ object Dedup {
       graft.functions.SimHash64(
         org.apache.spark.sql.GraftSqlShim.lazyExpression(hashes)))
 
+  /**
+   * Embedding-cosine near-duplicate pairs: banded SRP-LSH candidates
+   * (split the `planes`-bit hyperplane-sign signature into `bands` bit
+   * groups; pairs sharing any (band, value) bucket are candidates), then
+   * exact verify with the compiled cosine kernel >= `threshold`. Same
+   * bucketed-shuffle scale shape as the MinHash path — no crossJoin; a
+   * pair at cosine c collides in at least one band with probability
+   * 1 − (1 − (1 − acos(c)/π)^bits)^bands (≈ 0.9999 at c = 0.85 with the
+   * defaults).
+   */
+  def embeddingDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int = 16, bands: Int = 8): DataFrame = {
+    require(planes % bands == 0, "planes must be divisible by bands")
+    val rowBits = planes / bands
+    val mask = (1L << rowBits) - 1
+    val dim = emb.select(size(col(vecCol))).head().getInt(0)
+    val sig = emb.select(col(idCol).as("id"),
+      Similarity.srpBucket(col(vecCol), planes, dim).as("sig"))
+    val banded = sig.select(col("id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          shr(col("sig"), b * rowBits).bitwiseAND(lit(mask)).as("v")))).as("c"))
+      .select(col("id"), col("c.band").as("band"), col("c.v").as("bv"))
+    val buckets = banded.groupBy("band", "bv")
+      .agg(collect_list("id").as("ids"))
+      .where(size(col("ids")) > 1)
+    val cands = buckets
+      .select(explode(col("ids")).as("id1"), col("ids"))
+      .select(col("id1"), explode(col("ids")).as("id2"))
+      .where(col("id1") < col("id2"))
+      .distinct()
+    val vs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    cands
+      .join(vs.withColumnRenamed("id", "id1").withColumnRenamed("v", "v1"), "id1")
+      .join(vs.withColumnRenamed("id", "id2").withColumnRenamed("v", "v2"), "id2")
+      .select(col("id1"), col("id2"),
+        round(Similarity.cosine(col("v1"), col("v2")), 6).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
   /** SimHash near-duplicate candidate pairs: pigeonhole the 64-bit hash
     * into 4 × 16-bit chunks — any pair within Hamming distance 3 shares
     * at least one chunk — then verify `bit_count(xor) <= maxHamming`. */
