@@ -400,15 +400,22 @@ object SparkEntry {
           col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2")) }),
     "q48_dedup_embedding" -> ((s, dir) => { prep(s, dir)
-      // embedding-cosine near-dup: corpus = embeddings + copies with the
-      // last element negated (bit-exact in both engines, cosine ~0.85-1.0)
+      // embedding-cosine near-dup: corpus = embeddings + exact copies
+      // (+1M, precision + guaranteed-recall plumbing) + near copies with
+      // the last element HALVED (+2M — exponent decrement, bit-exact in
+      // both engines, cosine ~0.98-1.0). Oracle = all-pairs cosine over
+      // the same corpus, so green proves LSH recall AND precision.
       val emb = Tables.load(s, dir, "embeddings")
         .select("vec_id", "embedding")
-      val copies = emb.where(col("vec_id") % 4 === 0)
-        .select((col("vec_id") + 1000000).as("vec_id"),
+      val exactCopies = emb.where(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      val nearCopies = emb.where(col("vec_id") % 4 === 0)
+        .select((col("vec_id") + 2000000).as("vec_id"),
           concat(slice(col("embedding"), 1, 63),
-            array(-element_at(col("embedding"), 64))).as("embedding"))
-      Dedup.embeddingDupPairs(emb.union(copies), "vec_id", "embedding", 0.8)
+            array(element_at(col("embedding"), 64) * lit(0.5f)))
+            .as("embedding"))
+      Dedup.embeddingDupPairs(
+          emb.union(exactCopies).union(nearCopies), "vec_id", "embedding", 0.9)
         .select(col("id1"), col("id2"), col("cosine")) }),
     "q30_ann_topk" -> ((s, dir) => { prep(s, dir)
       val emb = Tables.load(s, dir, "embeddings")
@@ -610,8 +617,12 @@ object SparkEntry {
         """WITH corpus AS (
           |  SELECT vec_id, embedding FROM embeddings
           |  UNION ALL
-          |  SELECT vec_id + 1000000 AS vec_id,
-          |         list_concat(embedding[1:63], [-embedding[64]]) AS embedding
+          |  SELECT vec_id + 1000000 AS vec_id, embedding
+          |  FROM embeddings WHERE vec_id % 5 = 0
+          |  UNION ALL
+          |  SELECT vec_id + 2000000 AS vec_id,
+          |         list_concat(embedding[1:63],
+          |                     [CAST(embedding[64] * 0.5 AS FLOAT)]) AS embedding
           |  FROM embeddings WHERE vec_id % 4 = 0
           |)
           |SELECT id1, id2, cosine FROM (
@@ -619,7 +630,7 @@ object SparkEntry {
           |         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
           |               CAST(b.embedding AS DOUBLE[])), 6) AS cosine
           |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id) t
-          |WHERE cosine >= 0.8""".stripMargin,
+          |WHERE cosine >= 0.9""".stripMargin,
       "q46_json" ->
         """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
           |       COUNT(*) AS cnt,

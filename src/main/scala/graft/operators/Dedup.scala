@@ -162,14 +162,18 @@ object Dedup {
    * Embedding-cosine near-duplicate pairs: banded SRP-LSH candidates
    * (split the `planes`-bit hyperplane-sign signature into `bands` bit
    * groups; pairs sharing any (band, value) bucket are candidates), then
-   * exact verify with the compiled cosine kernel >= `threshold`. Same
-   * bucketed-shuffle scale shape as the MinHash path — no crossJoin; a
-   * pair at cosine c collides in at least one band with probability
-   * 1 − (1 − (1 − acos(c)/π)^bits)^bands (≈ 0.9999 at c = 0.85 with the
-   * defaults).
+   * exact verify with the compiled cosine kernel >= `threshold`.
+   *
+   * Scale: same bucketed-shuffle shape as the MinHash path — no crossJoin.
+   * Bucket selectivity is 2^(planes/bands) per band, so bits-per-band is
+   * the knob: a pair at cosine c collides in at least one band with
+   * probability 1 − (1 − (1 − acos(c)/π)^bits)^bands — the 7-bit default
+   * recalls c ≥ 0.98 pairs at >0.999 while keeping buckets ~n/128.
+   * Lower-similarity thresholds need fewer bits per band (bigger buckets):
+   * that tradeoff is inherent to hyperplane LSH.
    */
   def embeddingDupPairs(emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, planes: Int = 16, bands: Int = 8): DataFrame = {
+      threshold: Double, planes: Int = 56, bands: Int = 8): DataFrame = {
     require(planes % bands == 0, "planes must be divisible by bands")
     val rowBits = planes / bands
     val mask = (1L << rowBits) - 1
