@@ -130,4 +130,19 @@ class OperatorsSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSeq
     assert(got.nonEmpty && got.head == 0L)
   }
+
+  test("embeddingDupPairs finds planted near-dups, nothing else") {
+    // 50 random 16-dim vectors (pairwise cos far below 0.9) + near copies
+    // of ids 0/10/20 (last element halved) and one exact copy of id 5
+    val base = vecs
+    val planted = Seq(0L, 10L, 20L).map { id =>
+      val v = base(id.toInt)._2
+      (id + 100L) -> (v.init :+ (v.last * 0.5f))
+    } :+ ((105L, base(5)._2))
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val got = graft.operators.Dedup
+      .embeddingDupPairs(df, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 100L), (10L, 110L), (20L, 120L), (5L, 105L)))
+  }
 }
