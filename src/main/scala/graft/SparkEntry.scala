@@ -283,6 +283,12 @@ object SparkEntry {
     GraftSession.install(spark)
   }
 
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete()
+  }
+
   private def run(sql: String, confs: (String, String)*)
       : (SparkSession, String) => DataFrame = { (spark, sfDir) =>
     Tables.registerAll(spark, sfDir)
@@ -476,17 +482,22 @@ object SparkEntry {
       val q = emb.orderBy("vec_id").select("embedding").head()
         .getSeq[Float](0).toArray
       val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", 64)
+      // per-run unique path (applicationId): concurrent runs against the
+      // same sfDir must not overwrite each other's layout mid-scan
       val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_ivf_${Integer.toHexString(dir.hashCode)}").getPath
-      Similarity.ivfBucketize(emb, "vec_id", "embedding", cents, path)
-      val approx = Similarity
-        .ivfTopK(s, path, "vec_id", "embedding", q, 10, cents, nProbe = 32)
-      val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", q, 10)
-      val overlap = approx.select("vec_id")
-        .intersect(exact.select("vec_id")).count()
-      import s.implicits._
-      Seq((10L, 64L, 32L, overlap >= 9))
-        .toDF("k", "n_cells", "n_probed", "recall_ok") })
+        s"graft_ivf_${s.sparkContext.applicationId}_" +
+          Integer.toHexString(dir.hashCode)).getPath
+      try {
+        Similarity.ivfBucketize(emb, "vec_id", "embedding", cents, path)
+        val approx = Similarity
+          .ivfTopK(s, path, "vec_id", "embedding", q, 10, cents, nProbe = 32)
+        val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", q, 10)
+        val overlap = approx.select("vec_id")
+          .intersect(exact.select("vec_id")).count()
+        import s.implicits._
+        Seq((10L, 64L, 32L, overlap >= 9))
+          .toDF("k", "n_cells", "n_probed", "recall_ok")
+      } finally deleteRecursively(new java.io.File(path)) })
   )
 
   private val jaccardOracle: String = corpusNearCte +

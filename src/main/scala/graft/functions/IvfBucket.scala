@@ -13,19 +13,25 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
  * flat centroid array; the vector's own norm is constant across centroids,
  * so max dot ≡ max cosine. Ties break to the lower centroid id, so
  * assignment is deterministic.
+ *
+ * Centroids are held as `Seq[Seq[Float]]` (not arrays): case-class
+ * equality must be structural for Catalyst canonicalization /
+ * common-subexpression elimination to recognize identical expressions.
  */
-case class IvfBucket(child: Expression, centroids: Array[Array[Float]])
+case class IvfBucket(child: Expression, centroids: Seq[Seq[Float]])
   extends UnaryExpression with CodegenFallback {
 
   require(centroids.nonEmpty)
 
   @transient private lazy val k = centroids.length
-  @transient private lazy val dim = centroids(0).length
+  @transient private lazy val dim = centroids.head.length
   @transient private lazy val flat: Array[Float] = {
     val f = new Array[Float](k * dim)
     var c = 0
     while (c < k) {
-      System.arraycopy(centroids(c), 0, f, c * dim, dim)
+      val row = centroids(c)
+      var d = 0
+      while (d < dim) { f(c * dim + d) = row(d); d += 1 }
       c += 1
     }
     f

@@ -177,7 +177,14 @@ object Dedup {
     require(planes % bands == 0, "planes must be divisible by bands")
     val rowBits = planes / bands
     val mask = (1L << rowBits) - 1
-    val dim = emb.select(size(col(vecCol))).head().getInt(0)
+    // head(1), not head(): an empty corpus has no pairs (and no dim to
+    // infer) — return an empty, correctly-typed result instead of throwing
+    val dimRow = emb.select(size(col(vecCol))).head(1)
+    if (dimRow.isEmpty) {
+      return emb.select(col(idCol).as("id1"), col(idCol).as("id2"),
+        lit(0.0).as("cosine")).where(lit(false))
+    }
+    val dim = dimRow(0).getInt(0)
     val sig = emb.select(col(idCol).as("id"),
       Similarity.srpBucket(col(vecCol), planes, dim).as("sig"))
     val banded = sig.select(col("id"),

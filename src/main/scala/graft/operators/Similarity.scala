@@ -190,7 +190,10 @@ object Similarity {
   def ivfBucket(vec: Column, centroids: Array[Array[Float]]): Column =
     org.apache.spark.sql.GraftSqlShim.column(
       graft.functions.IvfBucket(
-        org.apache.spark.sql.GraftSqlShim.lazyExpression(vec), centroids))
+        org.apache.spark.sql.GraftSqlShim.lazyExpression(vec),
+        // immutable Seqs: expression equality stays structural (Catalyst
+        // canonicalization breaks on Array's referential equals)
+        centroids.map(_.toIndexedSeq).toIndexedSeq))
 
   /** The query's nProbe nearest cells, by centroid dot product (driver
     * twin of [[ivfBucket]]). */
