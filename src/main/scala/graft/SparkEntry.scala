@@ -350,6 +350,12 @@ object SparkEntry {
       GraftSession.IntervalJoinForceMode -> "partitioned",
       GraftSession.AutoBin -> "force",
       GraftSession.BinSize -> "5000"),
+    // 64-bit coordinates (epoch micros ~1.7e15): time-window overlap
+    // self-join per user. The reference fails ANY bound beyond Int32 via
+    // its checked narrowing (reference: interval_join.rs:1661-1672,
+    // pinned :1927-1968); coordWidth=auto runs this on the Int64
+    // superintervals index instead — a capability, not just parity.
+    "q49_interval_long" -> run(longWindowSparkSql),
     // ---- LLM-pipeline operators ----------------------------------------
     "q20_dedup_exact" -> ((s, dir) => { prep(s, dir)
       Dedup.exactDupPairs(dupCorpus(s, dir, near = false), "doc_id", "text") }),
@@ -594,6 +600,37 @@ object SparkEntry {
        |  AND round((least(n_tokens / 64.0, 1.0) + least(sw * 4.0, 1.0)
        |       + greatest(1.0 - (punct_ratio + digit_ratio) * 4.0, 0.0)) / 3.0, 6) >= 0.5""".stripMargin
 
+  /** q49 Spark side: event windows [ts, ts + 10 min + value s] in epoch
+    * MICROS (Long) — only `unix_micros` differs from the DuckDB oracle's
+    * `epoch_us`. FLOOR before the BIGINT cast: Spark truncates
+    * double→long while DuckDB rounds, so the cast input must already be
+    * integral in both. */
+  private val longWindowSparkSql: String =
+    """WITH w AS (
+      |  SELECT event_id, user_id, event_type,
+      |         unix_micros(ts) AS win_start,
+      |         unix_micros(ts) + 600000000
+      |           + CAST(FLOOR(value * 1e6) AS BIGINT) AS win_end
+      |  FROM events)
+      |SELECT a.event_type AS event_type, COUNT(*) AS n_pairs
+      |FROM w a JOIN w b ON a.user_id = b.user_id
+      | AND a.win_start <= b.win_end AND a.win_end >= b.win_start
+      | AND a.event_id < b.event_id
+      |GROUP BY a.event_type""".stripMargin
+
+  private val longWindowOracle: String =
+    """WITH w AS (
+      |  SELECT event_id, user_id, event_type,
+      |         epoch_us(ts) AS win_start,
+      |         epoch_us(ts) + 600000000
+      |           + CAST(FLOOR(value * 1e6) AS BIGINT) AS win_end
+      |  FROM events)
+      |SELECT a.event_type AS event_type, COUNT(*) AS n_pairs
+      |FROM w a JOIN w b ON a.user_id = b.user_id
+      | AND a.win_start <= b.win_end AND a.win_end >= b.win_start
+      | AND a.event_id < b.event_id
+      |GROUP BY a.event_type""".stripMargin
+
   private val annTopkOracle: String =
     """SELECT vec_id, rank FROM (
       |  SELECT vec_id, row_number() OVER (
@@ -612,6 +649,7 @@ object SparkEntry {
       "q17_interval_lapper" -> sharedSql("q10_interval_join"),
       "q43_interval_tree" -> sharedSql("q10_interval_join"),
       "q14_interval_nearest" -> nearestOracleSql,
+      "q49_interval_long" -> longWindowOracle,
       "q20_dedup_exact" -> exactDupOracle,
       "q27_fingerprint" -> exactDupOracle,
       "q21_dedup_minhash" -> exactDupOracle,

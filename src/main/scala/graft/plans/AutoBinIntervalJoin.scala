@@ -54,10 +54,50 @@ case class AutoBinIntervalJoin(session: SparkSession) extends Rule[LogicalPlan] 
     plan.transform {
       case j @ Join(l, r, Inner, Some(cond), _) =>
         IntervalCondition.extract(cond, l, r) match {
-          case Some(ic) if !alreadyBinned(ic) && shouldBin(mode, l, ic) =>
+          case Some(ic) if !alreadyBinned(ic) && shouldBin(mode, l, ic) &&
+              (mode == "force" || longSafe(ic, l, r)) =>
             rewrite(j, l, r, cond, ic, binSize)
           case _ => j
         }
+    }
+  }
+
+  /** In auto mode, a rewrite must never turn a query that would succeed
+    * (stock BNLJ fallback) into one that fails: when the user pins
+    * `coordWidth=int32`, a Long-bound join is only rebinned if column
+    * stats prove every bound attribute fits Int32. Under the default
+    * auto/int64 width the exec indexes Long natively — always safe. */
+  private def longSafe(ic: IntervalCondition, l: LogicalPlan,
+      r: LogicalPlan): Boolean = {
+    val width = confStr(graft.GraftSession.CoordWidth, "auto").toLowerCase
+    if (width != "int32" && width != "int") true
+    else if (!ic.hasLongBounds) true
+    else Seq((l, ic.leftStart), (l, ic.leftEnd),
+             (r, ic.rightStart), (r, ic.rightEnd))
+      .forall { case (side, e) => int32Proven(side, e) }
+  }
+
+  /** True when stats pin `e` (an attribute, possibly under the strict-op
+    * `- 1` rewrite) inside the Int32 range. */
+  private def int32Proven(side: LogicalPlan, e: Expression): Boolean = {
+    val attr = e match {
+      case a: Attribute => Some(a)
+      case Subtract(Cast(a: Attribute, LongType, _, _), Literal(1L, LongType), _) =>
+        Some(a)
+      case _ => None
+    }
+    def inRange(v: Any): Boolean = v match {
+      case _: Byte | _: Short | _: Int => true
+      case l: Long => l >= Int.MinValue && l <= Int.MaxValue
+      case _ => false
+    }
+    attr.exists { a =>
+      side.stats.attributeStats.get(a).exists { cs =>
+        (cs.min, cs.max) match {
+          case (Some(mn), Some(mx)) => inRange(mn) && inRange(mx)
+          case _ => false
+        }
+      }
     }
   }
 
@@ -89,9 +129,12 @@ case class AutoBinIntervalJoin(session: SparkSession) extends Rule[LogicalPlan] 
 
   private def rewrite(j: Join, l: LogicalPlan, r: LogicalPlan,
       cond: Expression, ic: IntervalCondition, binSize: Long): LogicalPlan = {
+    // Integer bin id — `div` truncation (not true floor) is fine: any
+    // monotone bucketing partitions the line consistently on both sides
+    // and in the owner predicate. Double-based floor would lose exactness
+    // above 2^53 (epoch-nano coordinates).
     def floorBin(e: Expression): Expression =
-      Cast(Floor(Divide(Cast(e, DoubleType), Literal(binSize.toDouble))),
-        LongType)
+      IntegralDivide(Cast(e, LongType), Literal(binSize))
 
     // explode both sides to their spanned bins (least/greatest keeps the
     // span set correct for inverted start>end intervals)

@@ -79,6 +79,8 @@ object BuildMemoryAccountant {
   /** Rough per-indexed-interval cost: 3 stored ints + equal-sized index
     * arrays + growth slack. */
   val IntervalOverhead: Int = 32
+  /** Int64-coordinate variant: two Long bounds instead of Int. */
+  val LongIntervalOverhead: Int = 48
   /** Per stored row: array slot + UnsafeRow object header. */
   val RowOverhead: Int = 32
 }

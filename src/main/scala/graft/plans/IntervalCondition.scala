@@ -26,7 +26,12 @@ case class IntervalCondition(
     leftEnd: Expression,
     rightStart: Expression,
     rightEnd: Expression,
-    residual: Option[Expression])
+    residual: Option[Expression],
+    /** True when either recognized range predicate compared a LongType
+      * operand — the signal `coordWidth=auto` uses to pick the Int64
+      * index. Computed from the ORIGINAL operand types, before the
+      * strict-op `minusOne` rewrite widens everything to Long. */
+    hasLongBounds: Boolean = false)
 
 object IntervalCondition extends PredicateHelper {
 
@@ -56,29 +61,36 @@ object IntervalCondition extends PredicateHelper {
     //   dir = LE: l <= r (after strictness shift)    [l = a start, r = a end]
     //   dir = GE: l >= r (after strictness shift)    [l = an end, r = a start]
     sealed trait Dir; case object LE extends Dir; case object GE extends Dir
-    case class Range(l: Expression, r: Expression, dir: Dir)
+    case class Range(l: Expression, r: Expression, dir: Dir, wide: Boolean)
+
+    def isWide(a: Expression, b: Expression): Boolean =
+      a.dataType == LongType || b.dataType == LongType
 
     def asRange(c: Expression): Option[Range] = c match {
       case LessThanOrEqual(a, b) if fromLeft(a) && fromRight(b) &&
-          integral(a) && integral(b) => Some(Range(a, b, LE))
+          integral(a) && integral(b) => Some(Range(a, b, LE, isWide(a, b)))
       case LessThanOrEqual(a, b) if fromRight(a) && fromLeft(b) &&
-          integral(a) && integral(b) => Some(Range(b, a, GE))
+          integral(a) && integral(b) => Some(Range(b, a, GE, isWide(a, b)))
       case GreaterThanOrEqual(a, b) if fromLeft(a) && fromRight(b) &&
-          integral(a) && integral(b) => Some(Range(a, b, GE))
+          integral(a) && integral(b) => Some(Range(a, b, GE, isWide(a, b)))
       case GreaterThanOrEqual(a, b) if fromRight(a) && fromLeft(b) &&
-          integral(a) && integral(b) => Some(Range(b, a, LE))
+          integral(a) && integral(b) => Some(Range(b, a, LE, isWide(a, b)))
       // strict ops: x < y  ⇒  x <= y-1 ;  x > y  ⇒  x-1 >= y
       case LessThan(a, b) if fromLeft(a) && fromRight(b) &&
-          integral(a) && integral(b) => Some(Range(a, minusOne(b), LE))
+          integral(a) && integral(b) =>
+        Some(Range(a, minusOne(b), LE, isWide(a, b)))
       // `rs < le` ⇔ `le > rs` ⇔ `le - 1 >= rs` (shift the LEFT operand;
       // reference intervals.rs:99-129 applies minus_one to the gt side)
       case LessThan(a, b) if fromRight(a) && fromLeft(b) &&
-          integral(a) && integral(b) => Some(Range(minusOne(b), a, GE))
+          integral(a) && integral(b) =>
+        Some(Range(minusOne(b), a, GE, isWide(a, b)))
       case GreaterThan(a, b) if fromLeft(a) && fromRight(b) &&
-          integral(a) && integral(b) => Some(Range(minusOne(a), b, GE))
+          integral(a) && integral(b) =>
+        Some(Range(minusOne(a), b, GE, isWide(a, b)))
       // `re > ls` ⇔ `ls < re` ⇔ `ls <= re - 1` (shift the RIGHT operand)
       case GreaterThan(a, b) if fromRight(a) && fromLeft(b) &&
-          integral(a) && integral(b) => Some(Range(b, minusOne(a), LE))
+          integral(a) && integral(b) =>
+        Some(Range(b, minusOne(a), LE, isWide(a, b)))
       case _ => None
     }
 
@@ -94,8 +106,8 @@ object IntervalCondition extends PredicateHelper {
       case EqualTo(a, b) if fromRight(a) && fromLeft(b) =>
         leftKeys :+= b; rightKeys :+= a
       case c => asRange(c) match {
-        case Some(r @ Range(_, _, LE)) if les.isEmpty => les :+= r
-        case Some(r @ Range(_, _, GE)) if ges.isEmpty => ges :+= r
+        case Some(r @ Range(_, _, LE, _)) if les.isEmpty => les :+= r
+        case Some(r @ Range(_, _, GE, _)) if ges.isEmpty => ges :+= r
         case _ => residual :+= c
       }
     }
@@ -108,7 +120,8 @@ object IntervalCondition extends PredicateHelper {
         leftKeys, rightKeys,
         leftStart = le.l, leftEnd = ge.l,
         rightStart = ge.r, rightEnd = le.r,
-        residual = residual.reduceOption(And)))
+        residual = residual.reduceOption(And),
+        hasLongBounds = le.wide || ge.wide))
     }
   }
 }

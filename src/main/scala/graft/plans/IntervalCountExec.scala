@@ -23,11 +23,11 @@ import scala.collection.mutable
  * linearly from `invStarts`/`invEnds` (normally empty).
  */
 private[graft] class CountBuildEntry(
-    val starts: Array[Int],
-    val endsByStart: Array[Int],
-    val sortedEnds: Array[Int],
-    val invStarts: Array[Int],
-    val invEnds: Array[Int]) extends Serializable
+    val starts: Array[Long],
+    val endsByStart: Array[Long],
+    val sortedEnds: Array[Long],
+    val invStarts: Array[Long],
+    val invEnds: Array[Long]) extends Serializable
 
 private[graft] class CountBuildSide(
     val keyed: java.util.HashMap[UnsafeRow, CountBuildEntry])
@@ -52,14 +52,6 @@ private[graft] class IntervalCountRunner(
     pairCount: SQLMetric,
     buildMemUsed: SQLMetric) extends Serializable {
 
-  private def toIntChecked(v: Long): Int = {
-    if (v < Int.MinValue || v > Int.MaxValue) {
-      throw new ArithmeticException(
-        s"[GRAFT_INTERVAL_JOIN] Can't cast value $v to type Int")
-    }
-    v.toInt
-  }
-
   /** Compiled (start, end) extractor — generated projection, no
     * interpreted Expression.eval and no boxing in the per-row loops. */
   private final class BoundsEval(start: Expression, end: Expression,
@@ -80,10 +72,10 @@ private[graft] class IntervalCountRunner(
     val bounds = new BoundsEval(leftStart, leftEnd, leftOutput)
     val hasKeys = leftKeys.nonEmpty
     final class Acc {
-      val starts = new mutable.ArrayBuffer[Int]
-      val ends = new mutable.ArrayBuffer[Int]
-      val invStarts = new mutable.ArrayBuffer[Int]
-      val invEnds = new mutable.ArrayBuffer[Int]
+      val starts = new mutable.ArrayBuffer[Long]
+      val ends = new mutable.ArrayBuffer[Long]
+      val invStarts = new mutable.ArrayBuffer[Long]
+      val invEnds = new mutable.ArrayBuffer[Long]
     }
     val groups = new java.util.HashMap[UnsafeRow, Acc]
     // the count build stores only interval ints (~3 sorted arrays), no rows
@@ -93,7 +85,13 @@ private[graft] class IntervalCountRunner(
         val key = keyProj(row)
         var acc = groups.get(key)
         if (acc == null) { acc = new Acc; groups.put(key.copy(), acc) }
-        val si = toIntChecked(bounds.s); val ei = toIntChecked(bounds.e)
+        // Long bounds verbatim: the count path is coordinate-width-
+        // agnostic (it stores only 3 sorted bound arrays, never rows), so
+        // 64-bit domains count correctly where the reference's Int32
+        // narrowing would fail — and the experimental CountOverlaps it
+        // completes (interval_join.rs:750 todo!()) pins no overflow
+        // behavior to preserve.
+        val si = bounds.s; val ei = bounds.e
         if (si <= ei) { acc.starts += si; acc.ends += ei }
         else { acc.invStarts += si; acc.invEnds += ei }
         mem.add(BuildMemoryAccountant.IntervalOverhead)
@@ -118,7 +116,7 @@ private[graft] class IntervalCountRunner(
 
   /** #(arr(i) <= v) (strict=false) or #(arr(i) < v) (strict=true) on a
     * sorted array. */
-  private def countBelow(arr: Array[Int], v: Int, strict: Boolean): Int = {
+  private def countBelow(arr: Array[Long], v: Long, strict: Boolean): Int = {
     var lo = 0
     var hi = arr.length
     while (lo < hi) {
@@ -132,7 +130,7 @@ private[graft] class IntervalCountRunner(
   /** Exact overlap count of probe [s, e] against one key's build set,
     * valid for inverted intervals on either side (predicate semantics:
     * `start <= e && end >= s`, exactly what the join path evaluates). */
-  private def countFor(entry: CountBuildEntry, s: Int, e: Int): Long = {
+  private def countFor(entry: CountBuildEntry, s: Long, e: Long): Long = {
     var cnt = 0L
     if (s <= e) {
       // well-formed probe over well-formed builds: {end < s} ⊆ {start <= e},
@@ -185,8 +183,7 @@ private[graft] class IntervalCountRunner(
           val key = keyProj(rrow)
           val entry = if (hasKeys && key.anyNull) null else build.keyed.get(key)
           if (entry != null) {
-            total += countFor(entry, toIntChecked(bounds.s),
-              toIntChecked(bounds.e))
+            total += countFor(entry, bounds.s, bounds.e)
           }
         }
       }
@@ -200,8 +197,7 @@ private[graft] class IntervalCountRunner(
           val key = keyProj(rrow)
           val entry = if (hasKeys && key.anyNull) null else build.keyed.get(key)
           if (entry != null) {
-            val cnt = countFor(entry, toIntChecked(bounds.s),
-              toIntChecked(bounds.e))
+            val cnt = countFor(entry, bounds.s, bounds.e)
             // zero-count probes emit nothing — matches inner-join groups
             if (cnt > 0) {
               val g = groupProj(rrow)

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.rangejoin.{IntervalIndex, SuperIntervalsIndex}
+import graft.rangejoin.{AnyIntervalIndex, IntervalIndex, LongSuperIntervalsIndex, SuperIntervalsIndex}
 
 import org.apache.spark.TaskContext
 import org.apache.spark.broadcast.Broadcast
@@ -61,9 +61,11 @@ case object FullOuterJoin extends IntervalJoinType
   * with ties broken by (start, end). */
 case object NearestJoin extends IntervalJoinType
 
-/** Per-key interval indexes + the build rows they point into. */
+/** Per-key interval indexes + the build rows they point into. The index
+  * width (Int32 vs Int64 coordinates) is uniform across keys — decided
+  * once per join from `coordWidth` + the bound types. */
 private[graft] class IntervalBuildSide(
-    val keyed: java.util.HashMap[UnsafeRow, IntervalIndex],
+    val keyed: java.util.HashMap[UnsafeRow, AnyIntervalIndex],
     val rows: Array[InternalRow]) extends Serializable
 
 /**
@@ -84,6 +86,7 @@ private[graft] class IntervalJoinRunner(
     joinType: IntervalJoinType,
     markAttr: Option[Attribute],
     algorithm: String,
+    wide: Boolean,
     maxBuildBytes: Long,
     numOutputRows: SQLMetric,
     probeRows: SQLMetric,
@@ -133,8 +136,8 @@ private[graft] class IntervalJoinRunner(
     val bounds = new BoundsEval(leftStart, leftEnd, leftOutput)
 
     final class Acc {
-      val starts = new mutable.ArrayBuffer[Int]
-      val ends = new mutable.ArrayBuffer[Int]
+      val starts = new mutable.ArrayBuffer[Long]
+      val ends = new mutable.ArrayBuffer[Long]
       val positions = new mutable.ArrayBuffer[Int]
     }
     val groups = new java.util.HashMap[UnsafeRow, Acc]
@@ -158,23 +161,33 @@ private[graft] class IntervalJoinRunner(
         stored += copied
         mem.add(copied.getSizeInBytes + BuildMemoryAccountant.RowOverhead)
         if (indexable) {
-          mem.add(BuildMemoryAccountant.IntervalOverhead)
+          mem.add(if (wide) BuildMemoryAccountant.LongIntervalOverhead
+                  else BuildMemoryAccountant.IntervalOverhead)
+          // Int32 mode narrows HERE, failing on overflow exactly like the
+          // reference's CastExpr (interval_join.rs:1661-1672); Int64 mode
+          // stores the Long verbatim.
+          if (!wide) { toIntChecked(bounds.s); toIntChecked(bounds.e) }
           val key = keyProj(row)
           var acc = groups.get(key)
           if (acc == null) { acc = new Acc; groups.put(key.copy(), acc) }
-          acc.starts += toIntChecked(bounds.s)
-          acc.ends += toIntChecked(bounds.e)
+          acc.starts += bounds.s
+          acc.ends += bounds.e
           acc.positions += pos
         }
       }
     }
     val alg = if (joinType == NearestJoin) "superintervals" else algorithm
-    val keyed = new java.util.HashMap[UnsafeRow, IntervalIndex](
+    val keyed = new java.util.HashMap[UnsafeRow, AnyIntervalIndex](
       math.max(16, groups.size() * 2))
     groups.forEach { (k, acc) =>
-      keyed.put(k,
-        IntervalIndex.build(alg, acc.starts.toArray, acc.ends.toArray,
-          acc.positions.toArray))
+      val idx: AnyIntervalIndex =
+        if (wide)
+          LongSuperIntervalsIndex.build(acc.starts.toArray, acc.ends.toArray,
+            acc.positions.toArray)
+        else
+          IntervalIndex.build(alg, acc.starts.iterator.map(_.toInt).toArray,
+            acc.ends.iterator.map(_.toInt).toArray, acc.positions.toArray)
+      keyed.put(k, idx)
     }
     buildMemUsed += mem.used
     new IntervalBuildSide(keyed, stored.toArray)
@@ -232,6 +245,16 @@ private[graft] class IntervalJoinRunner(
 
     val hasKeys = rightKeys.nonEmpty
 
+    // Width-dispatched probe: the match is decided by the index's concrete
+    // class, which is uniform across the whole join (one JIT-monomorphic
+    // call site per probe row). Int32 narrows the probe bounds with the
+    // reference's overflow check; Int64 probes verbatim.
+    def queryIdx(idx: AnyIntervalIndex, s: Long, e: Long)(f: Int => Unit): Unit =
+      idx match {
+        case li: LongSuperIntervalsIndex => li.query(s, e)(f)
+        case ii: IntervalIndex => ii.query(toIntChecked(s), toIntChecked(e))(f)
+      }
+
     // shared probe: fill matchBuf with positions whose pair passes the
     // residual; returns match count (0 for NULL bounds/keys)
     var sharedBuf = new Array[Int](64)
@@ -241,7 +264,7 @@ private[graft] class IntervalJoinRunner(
       val idx = if (hasKeys && key.anyNull) null else build.keyed.get(key)
       if (idx == null) return 0
       var n = 0
-      idx.query(toIntChecked(bounds.s), toIntChecked(bounds.e)) { pos =>
+      queryIdx(idx, bounds.s, bounds.e) { pos =>
         if (n == sharedBuf.length)
           sharedBuf = java.util.Arrays.copyOf(sharedBuf, n * 2)
         sharedBuf(n) = pos
@@ -283,7 +306,7 @@ private[graft] class IntervalJoinRunner(
             if (idx == null) Iterator.empty
             else {
               matchLen = 0
-              idx.query(toIntChecked(bounds.s), toIntChecked(bounds.e))(add)
+              queryIdx(idx, bounds.s, bounds.e)(add)
               // buffer is reused across probe rows — safe because flatMap
               // drains each returned iterator before pulling the next row
               val n = matchLen
@@ -404,6 +427,7 @@ private[graft] class IntervalJoinRunner(
           val pos = idx0 match {
             case si: SuperIntervalsIndex =>
               si.nearest(toIntChecked(bounds.s), toIntChecked(bounds.e))
+            case li: LongSuperIntervalsIndex => li.nearest(bounds.s, bounds.e)
             case _ => -1
           }
           rows += 1
@@ -441,6 +465,7 @@ case class IntervalJoinExec(
     joinType: IntervalJoinType,
     mode: IntervalJoinMode,
     algorithm: String,
+    wide: Boolean = false,
     markAttr: Option[Attribute] = None) extends BinaryExecNode with CodegenSupport {
 
   // FULL OUTER needs exclusive per-task ownership of the build partition
@@ -523,14 +548,17 @@ case class IntervalJoinExec(
       .map { case (a, b) => s"($a, $b)" }.mkString(", ")
     val filter = s"$leftStart <= $rightEnd AND $leftEnd >= $rightStart" +
       residual.map(r => s" AND $r").getOrElse("")
+    // int64 annotated only when active: the default line stays verbatim
+    // reference-shaped (integration_test.rs:108-112)
+    val width = if (wide) ", coord=int64" else ""
     s"IntervalJoinExec: mode=$modeStr, join_type=$jt, on=[$on], " +
-      s"filter=$filter, alg=$algorithm"
+      s"filter=$filter, alg=$algorithm$width"
   }
 
   private def runner: IntervalJoinRunner = new IntervalJoinRunner(
     left.output, right.output, leftKeys, rightKeys,
     leftStart, leftEnd, rightStart, rightEnd,
-    residual, joinType, markAttr, algorithm,
+    residual, joinType, markAttr, algorithm, wide,
     conf.getConfString(graft.GraftSession.MaxBuildBytes, "0").toLong,
     longMetric("numOutputRows"),
     longMetric("probeRows"), longMetric("buildMemUsed"),
@@ -644,7 +672,44 @@ case class IntervalJoinExec(
       rowsTerm: String, bufTerm: String, sL: String, eL: String,
       leftRowTerm: String, matchTail: String): String = {
     val a = algorithm.toLowerCase
-    if (a == "superintervals" || a == "coitrees" || a == "default") {
+    if (wide) {
+      // Int64 path: identical walk over long[] bound arrays — no
+      // narrowing, no overflow guard (the probe bounds are already Long)
+      val siCls = classOf[graft.rangejoin.LongSuperIntervalsIndex].getName
+      val si = ctx.freshName("si")
+      val sArr = ctx.freshName("siStarts")
+      val eArr = ctx.freshName("siEnds")
+      val pArr = ctx.freshName("siPos")
+      val bArr = ctx.freshName("siBranch")
+      val lo = ctx.freshName("lo")
+      val hi = ctx.freshName("hi")
+      val mid = ctx.freshName("mid")
+      val ii = ctx.freshName("ii")
+      s"""
+         |$siCls $si = ($siCls) $idxTerm;
+         |long[] $sArr = $si.starts();
+         |long[] $eArr = $si.ends();
+         |int[] $pArr = $si.positions();
+         |int[] $bArr = $si.branch();
+         |int $lo = 0;
+         |int $hi = $sArr.length;
+         |while ($lo < $hi) {
+         |  int $mid = ($lo + $hi) >>> 1;
+         |  if ($sArr[$mid] <= $eL) $lo = $mid + 1; else $hi = $mid;
+         |}
+         |int $ii = $lo - 1;
+         |while ($ii >= 0) {
+         |  if ($eArr[$ii] >= $sL) {
+         |    InternalRow $leftRowTerm = $rowsTerm[$pArr[$ii]];
+         |    $ii--; // decrement BEFORE the fused tail: a parent-emitted
+         |           // continue must not be able to skip the loop update
+         |    $matchTail
+         |  } else {
+         |    $ii = $bArr[$ii];
+         |  }
+         |}
+       """.stripMargin
+    } else if (a == "superintervals" || a == "coitrees" || a == "default") {
       val siCls = classOf[graft.rangejoin.SuperIntervalsIndex].getName
       val si = ctx.freshName("si")
       val sArr = ctx.freshName("siStarts")
@@ -740,12 +805,15 @@ case class IntervalJoinExec(
     val t0 = ctx.freshName("buildT0")
     val sL = ctx.freshName("sLong")
     val eL = ctx.freshName("eLong")
-    val idxCls = classOf[graft.rangejoin.IntervalIndex].getName
+    val idxCls =
+      if (wide) classOf[graft.rangejoin.AnyIntervalIndex].getName
+      else classOf[graft.rangejoin.IntervalIndex].getName
     val keyNullCheck =
       if (rightKeys.nonEmpty) s"&& !${keyEv.value}.anyNull()" else ""
     val matchTail = consumeMatch(ctx, leftVars, rightVars, numOutput)
     val matchLoop = genMatchLoop(ctx, idxTerm, rowsTerm, bufTerm, sL, eL,
       leftRowTerm, matchTail)
+    val guard = if (wide) "" else intRangeGuard(sL, eL)
 
     s"""
        |if ($buildTerm == null) {
@@ -767,13 +835,7 @@ case class IntervalJoinExec(
        |    if ($idxTerm != null) {
        |      long $sL = ${sEv.value};
        |      long $eL = ${eEv.value};
-       |      if ($sL < Integer.MIN_VALUE || $sL > Integer.MAX_VALUE ||
-       |          $eL < Integer.MIN_VALUE || $eL > Integer.MAX_VALUE) {
-       |        throw new ArithmeticException(
-       |          "[GRAFT_INTERVAL_JOIN] Can't cast value " +
-       |          ($sL < Integer.MIN_VALUE || $sL > Integer.MAX_VALUE ? $sL : $eL) +
-       |          " to type Int");
-       |      }
+       |      $guard
        |      $matchLoop
        |    }
        |  }
@@ -781,6 +843,19 @@ case class IntervalJoinExec(
        |}
      """.stripMargin
   }
+
+  /** Int32 mode's checked narrowing of the probe bounds (reference
+    * overflow pinning, interval_join.rs:1927-1968); absent in int64 mode. */
+  private def intRangeGuard(sL: String, eL: String): String =
+    s"""
+       |if ($sL < Integer.MIN_VALUE || $sL > Integer.MAX_VALUE ||
+       |    $eL < Integer.MIN_VALUE || $eL > Integer.MAX_VALUE) {
+       |  throw new ArithmeticException(
+       |    "[GRAFT_INTERVAL_JOIN] Can't cast value " +
+       |    ($sL < Integer.MIN_VALUE || $sL > Integer.MAX_VALUE ? $sL : $eL) +
+       |    " to type Int");
+       |}
+     """.stripMargin
 
   // one probe row fans out to many output rows — downstream buffering
   // operators must copy
@@ -824,12 +899,15 @@ case class IntervalJoinExec(
     val idxTerm = ctx.freshName("intervalIdx")
     val sL = ctx.freshName("sLong")
     val eL = ctx.freshName("eLong")
-    val idxCls = classOf[graft.rangejoin.IntervalIndex].getName
+    val idxCls =
+      if (wide) classOf[graft.rangejoin.AnyIntervalIndex].getName
+      else classOf[graft.rangejoin.IntervalIndex].getName
     val keyNullCheck =
       if (rightKeys.nonEmpty) s"&& !${keyEv.value}.anyNull()" else ""
     val matchTail = consumeMatch(ctx, leftVars, input, numOutput)
     val matchLoop = genMatchLoop(ctx, idxTerm, rowsTerm, bufTerm, sL, eL,
       leftRowTerm, matchTail)
+    val guard = if (wide) "" else intRangeGuard(sL, eL)
 
     s"""
        |$probeRows.add(1);
@@ -841,13 +919,7 @@ case class IntervalJoinExec(
        |  if ($idxTerm != null) {
        |    long $sL = ${sEv.value};
        |    long $eL = ${eEv.value};
-       |    if ($sL < Integer.MIN_VALUE || $sL > Integer.MAX_VALUE ||
-       |        $eL < Integer.MIN_VALUE || $eL > Integer.MAX_VALUE) {
-       |      throw new ArithmeticException(
-       |        "[GRAFT_INTERVAL_JOIN] Can't cast value " +
-       |        ($sL < Integer.MIN_VALUE || $sL > Integer.MAX_VALUE ? $sL : $eL) +
-       |        " to type Int");
-       |    }
+       |    $guard
        |    $matchLoop
        |  }
        |}

@@ -33,6 +33,17 @@ case class IntervalJoinStrategy(session: SparkSession) extends SparkStrategy {
   private def enabled: Boolean =
     conf(graft.GraftSession.PreferIntervalJoin, "true").toBoolean
 
+  /** Coordinate width for this join: int32 (reference parity, default for
+    * narrow bounds) vs int64 (native Long coordinates). `auto` widens iff
+    * a recognized bound operand is LongType — the exact case where the
+    * reference's checked Int32 narrowing would fail the query. */
+  private def coordWide(ic: IntervalCondition): Boolean =
+    conf(graft.GraftSession.CoordWidth, "auto").toLowerCase match {
+      case "int64" | "long" => true
+      case "int32" | "int" => false
+      case _ => ic.hasLongBounds
+    }
+
   /** Shared mode selection for probe-side variants (build side given). */
   private def pickMode(build: LogicalPlan, hasKeys: Boolean)
       : Option[IntervalJoinMode] = {
@@ -83,7 +94,8 @@ case class IntervalJoinStrategy(session: SparkSession) extends SparkStrategy {
             planLater(l), planLater(r),
             ic.leftKeys, ic.rightKeys,
             ic.leftStart, ic.leftEnd, ic.rightStart, ic.rightEnd,
-            None, NearestJoin, mode, "superintervals") :: Nil
+            None, NearestJoin, mode, "superintervals",
+            wide = coordWide(ic)) :: Nil
         case _ => Nil // unreachable — NearestJoin.apply validates eagerly
       }
     // probe-side variants — all beyond the reference's Inner-only support.
@@ -95,7 +107,8 @@ case class IntervalJoinStrategy(session: SparkSession) extends SparkStrategy {
             IntervalJoinExec(planLater(l), planLater(r),
               ic.leftKeys, ic.rightKeys,
               ic.leftStart, ic.leftEnd, ic.rightStart, ic.rightEnd,
-              ic.residual, RightOuterJoin, m, "superintervals") :: Nil
+              ic.residual, RightOuterJoin, m, "superintervals",
+              wide = coordWide(ic)) :: Nil
           }.getOrElse(Nil)
         case None => Nil
       }
@@ -107,7 +120,8 @@ case class IntervalJoinStrategy(session: SparkSession) extends SparkStrategy {
             val swapped = IntervalJoinExec(planLater(r), planLater(l),
               ic.rightKeys, ic.leftKeys,
               ic.rightStart, ic.rightEnd, ic.leftStart, ic.leftEnd,
-              ic.residual, RightOuterJoin, m, "superintervals")
+              ic.residual, RightOuterJoin, m, "superintervals",
+              wide = coordWide(ic))
             ProjectExec(
               (l.output ++ r.output.map(_.withNullability(true)))
                 .map(a => a: org.apache.spark.sql.catalyst.expressions.NamedExpression),
@@ -127,7 +141,7 @@ case class IntervalJoinStrategy(session: SparkSession) extends SparkStrategy {
             ic.leftKeys, ic.rightKeys,
             ic.leftStart, ic.leftEnd, ic.rightStart, ic.rightEnd,
             ic.residual, FullOuterJoin, PartitionedMode,
-            "superintervals") :: Nil
+            "superintervals", wide = coordWide(ic)) :: Nil
         case _ => Nil
       }
     // LeftSemi/LeftAnti: preserved side = probe, filtering side = build.
@@ -138,7 +152,8 @@ case class IntervalJoinStrategy(session: SparkSession) extends SparkStrategy {
             IntervalJoinExec(planLater(r), planLater(l),
               ic.rightKeys, ic.leftKeys,
               ic.rightStart, ic.rightEnd, ic.leftStart, ic.leftEnd,
-              ic.residual, SemiJoin, m, "superintervals") :: Nil
+              ic.residual, SemiJoin, m, "superintervals",
+              wide = coordWide(ic)) :: Nil
           }.getOrElse(Nil)
         case None => Nil
       }
@@ -153,7 +168,7 @@ case class IntervalJoinStrategy(session: SparkSession) extends SparkStrategy {
               ic.rightKeys, ic.leftKeys,
               ic.rightStart, ic.rightEnd, ic.leftStart, ic.leftEnd,
               ic.residual, MarkJoin, m, "superintervals",
-              markAttr = Some(exists)) :: Nil
+              wide = coordWide(ic), markAttr = Some(exists)) :: Nil
           }.getOrElse(Nil)
         case None => Nil
       }
@@ -164,7 +179,8 @@ case class IntervalJoinStrategy(session: SparkSession) extends SparkStrategy {
             IntervalJoinExec(planLater(r), planLater(l),
               ic.rightKeys, ic.leftKeys,
               ic.rightStart, ic.rightEnd, ic.leftStart, ic.leftEnd,
-              ic.residual, AntiJoin, m, "superintervals") :: Nil
+              ic.residual, AntiJoin, m, "superintervals",
+              wide = coordWide(ic)) :: Nil
           }.getOrElse(Nil)
         case None => Nil
       }
@@ -220,12 +236,16 @@ case class IntervalJoinStrategy(session: SparkSession) extends SparkStrategy {
             mode match {
               case None => Nil
               case Some(m) =>
+                val wide = coordWide(ic)
                 IntervalJoinExec(
                   planLater(l), planLater(r),
                   ic.leftKeys, ic.rightKeys,
                   ic.leftStart, ic.leftEnd, ic.rightStart, ic.rightEnd,
                   ic.residual, joinType, m,
-                  if (nearest) "superintervals" else algorithm) :: Nil
+                  // the Int64 index family has one implementation — the
+                  // superintervals design; A/B algorithm slots stay int32
+                  if (nearest || wide) "superintervals" else algorithm,
+                  wide = wide) :: Nil
             }
           }
         case None => Nil

@@ -12,7 +12,14 @@ import scala.collection.mutable.ArrayBuffer
  * All implementations are plain primitive-array structures: cheap to
  * serialize into a broadcast variable, no boxing in the hot probe loop.
  */
-sealed trait IntervalIndex extends Serializable {
+/** Common supertype of the Int32 and Int64 coordinate indexes — what an
+  * interval-join build side stores per key. Probe code dispatches on the
+  * concrete width (decided once per join, never per row). */
+sealed trait AnyIntervalIndex extends Serializable {
+  def size: Int
+}
+
+sealed trait IntervalIndex extends AnyIntervalIndex {
   /** Invoke `f(position)` for every stored interval overlapping [s, e]
     * (closed/closed). */
   def query(s: Int, e: Int)(f: Int => Unit): Unit
@@ -399,6 +406,151 @@ object AugmentedTreeIndex {
     }
     fill(0, n)
     new AugmentedTreeIndex(starts, ends, positions, subtreeMax)
+  }
+}
+
+/**
+ * Int64-coordinate superintervals index — same sorted-array + branch-skip
+ * design as [[SuperIntervalsIndex]], with `Array[Long]` bounds. Backs the
+ * wide (`coordWidth=int64` / auto-detected Long bounds) interval join: the
+ * reference narrows every bound to Int32 and fails on overflow
+ * (reference: interval_join.rs:1661-1672, pinned :1927-1968), which makes
+ * 64-bit coordinate domains — epoch micros/nanos, byte offsets — unusable.
+ * This index completes that capability; Int32 stays the default for
+ * narrow domains (half the memory per interval, reference parity).
+ */
+final class LongSuperIntervalsIndex private (
+    val starts: Array[Long], val ends: Array[Long],
+    val positions: Array[Int], val branch: Array[Int])
+  extends AnyIntervalIndex {
+
+  override def size: Int = starts.length
+
+  /** Largest index i with starts(i) <= v, or -1. */
+  private def upperBound(v: Long): Int = {
+    var lo = 0
+    var hi = starts.length // exclusive
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (starts(mid) <= v) lo = mid + 1 else hi = mid
+    }
+    lo - 1
+  }
+
+  def query(s: Long, e: Long)(f: Int => Unit): Unit = {
+    var i = upperBound(e)
+    while (i >= 0) {
+      if (ends(i) >= s) {
+        f(positions(i))
+        i -= 1
+      } else {
+        i = branch(i)
+      }
+    }
+  }
+
+  def count(s: Long, e: Long): Long = {
+    var n = 0L
+    query(s, e)(_ => n += 1)
+    n
+  }
+
+  def queryInto(s: Long, e: Long, buf: IntMatchBuffer): Int = {
+    buf.reset()
+    query(s, e)(buf.addF)
+    buf.size
+  }
+
+  /** Nearest-mode support — Long twin of
+    * [[SuperIntervalsIndex.nearest]] (same deterministic semantics). */
+  def nearest(s: Long, e: Long): Int = {
+    if (starts.length == 0) return -1
+    var best = -1
+    var bestStart = Long.MaxValue
+    var bestEnd = Long.MaxValue
+    var i = upperBound(e)
+    while (i >= 0) {
+      if (ends(i) >= s) {
+        if (starts(i) < bestStart ||
+            (starts(i) == bestStart && ends(i) < bestEnd)) {
+          best = i; bestStart = starts(i); bestEnd = ends(i)
+        }
+        i -= 1
+      } else i = branch(i)
+    }
+    if (best >= 0) return positions(best)
+
+    // No overlap: nearest by gap — max end among starts <= s (gap s-end)
+    // vs first start > e (gap start-e). Gaps computed in BigInt-free Long
+    // math: both operands bounded by the data, overflow only when the
+    // domain itself spans > 2^63, which Long coordinates cannot.
+    var bestDist = Long.MaxValue
+    var bestIdx = -1
+    val leftIdx = upperBound(s)
+    if (leftIdx >= 0) {
+      val j = prefixMaxEndIdx(leftIdx)
+      val d = s - ends(j)
+      bestDist = d; bestIdx = j
+    }
+    var rightIdx = upperBound(e) + 1 // first start > e
+    if (rightIdx < starts.length) {
+      while (rightIdx + 1 < starts.length &&
+             starts(rightIdx + 1) == starts(rightIdx)) rightIdx += 1
+      val d = starts(rightIdx) - e
+      if (d < bestDist || (d == bestDist && bestIdx >= 0 &&
+          (starts(rightIdx) < starts(bestIdx) ||
+           (starts(rightIdx) == starts(bestIdx) &&
+            ends(rightIdx) < ends(bestIdx))))) {
+        bestDist = d; bestIdx = rightIdx
+      }
+    }
+    if (bestIdx < 0) -1 else positions(bestIdx)
+  }
+
+  @transient private lazy val prefixMaxEndIdxArr: Array[Int] = {
+    val n = starts.length
+    val arr = new Array[Int](n)
+    var bi = 0
+    var i = 0
+    while (i < n) {
+      if (ends(i) > ends(bi)) bi = i
+      arr(i) = bi
+      i += 1
+    }
+    arr
+  }
+  private def prefixMaxEndIdx(i: Int): Int = prefixMaxEndIdxArr(i)
+}
+
+object LongSuperIntervalsIndex {
+  def build(starts0: Array[Long], ends0: Array[Long],
+            positions0: Array[Int]): LongSuperIntervalsIndex = {
+    val n = starts0.length
+    val order = Array.range(0, n).sortWith { (a, b) =>
+      if (starts0(a) != starts0(b)) starts0(a) < starts0(b)
+      else ends0(a) > ends0(b)
+    }
+    val starts = new Array[Long](n)
+    val ends = new Array[Long](n)
+    val positions = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val o = order(i)
+      starts(i) = starts0(o); ends(i) = ends0(o); positions(i) = positions0(o)
+      i += 1
+    }
+    // branch(i) = nearest j < i with ends(j) >= ends(i), else -1
+    val branch = new Array[Int](n)
+    val stack = new ArrayBuffer[Int](16)
+    i = 0
+    while (i < n) {
+      while (stack.nonEmpty && ends(stack(stack.length - 1)) < ends(i))
+        stack.remove(stack.length - 1)
+      branch(i) = if (stack.isEmpty) -1 else stack(stack.length - 1)
+      stack += i
+      i += 1
+    }
+    new LongSuperIntervalsIndex(starts, ends, positions, branch)
   }
 }
 

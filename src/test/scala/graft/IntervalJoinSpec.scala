@@ -176,13 +176,34 @@ class IntervalJoinSpec extends SparkTestBase with BeforeAndAfterEach {
   test("interval bound overflowing Int32 fails (reference overflow pinning)") {
     val a = Seq(("chr1", 5L, 2147483648L)).toDF("contig", "pos_start", "pos_end")
     val b = Seq(("chr1", 8L, 20L)).toDF("contig", "pos_start", "pos_end")
+    // reference parity is opt-in: coordWidth=int32 reproduces the checked
+    // Int32 narrowing failure (interval_join.rs:1927-1968). collect(), not
+    // count() — the count pushdown is width-agnostic and never narrows.
+    spark.conf.set(GraftSession.CoordWidth, "int32")
+    try {
+      val df = overlapJoin(a, b)
+      assertUsesIntervalJoin(df)
+      val ex = intercept[Exception] { df.collect() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else t.getMessage +: msgs(t.getCause)
+      assert(msgs(ex).exists(m => m != null && m.contains("2147483648")),
+        s"expected overflow message, got: ${msgs(ex)}")
+    } finally spark.conf.unset(GraftSession.CoordWidth)
+  }
+
+  test("Long bounds beyond Int32 join correctly under default auto width") {
+    // the same query the reference FAILS (test_wrong_datatype) — the auto
+    // coordWidth picks the Int64 index and answers it
+    val a = Seq(("chr1", 5L, 2147483648L), ("chr1", 3_000_000_000L, 4_000_000_000L))
+      .toDF("contig", "pos_start", "pos_end")
+    val b = Seq(("chr1", 8L, 20L), ("chr1", 3_500_000_000L, 3_600_000_000L),
+        ("chr1", 2_500_000_000L, 2_600_000_000L))
+      .toDF("contig", "pos_start", "pos_end")
     val df = overlapJoin(a, b)
     assertUsesIntervalJoin(df)
-    val ex = intercept[Exception] { df.count() }
-    def msgs(t: Throwable): Seq[String] =
-      if (t == null) Nil else t.getMessage +: msgs(t.getCause)
-    assert(msgs(ex).exists(m => m != null && m.contains("2147483648")),
-      s"expected overflow message, got: ${msgs(ex)}")
+    assert(planOf(df).contains("coord=int64"), planOf(df))
+    assert(df.collect().map(_.toSeq).toSet ==
+      stockResult(a, b, withKey = true))
   }
 
   test("partitioned mode: forced, correct, and contains exchanges") {
