@@ -21,6 +21,12 @@ class GraftSparkSessionExtension extends (SparkSessionExtensions => Unit) {
     e.injectPlannerStrategy(session => IntervalJoinStrategy(session))
     e.injectOptimizerRule(session => graft.plans.IntervalCountRewrite(session))
     e.injectOptimizerRule(session => graft.plans.AutoBinIntervalJoin(session))
+    // AQE re-optimization sees RUNTIME sizes (materialized stage stats):
+    // a join whose static estimate looked broadcast-able but turned out
+    // huge gets the skew-binned rewrite on accurate numbers. Idempotent —
+    // the rule skips joins whose keys already carry a bin column.
+    e.injectRuntimeOptimizerRule(session =>
+      graft.plans.AutoBinIntervalJoin(session))
     e.injectFunction(graft.functions.CosineSimilarity.functionDescription)
     graft.functions.GraftFunctions.registrations.foreach(e.injectFunction)
   }

@@ -299,7 +299,11 @@ object SparkEntry {
     spark.conf.set(GraftSession.IntervalJoinAlgorithm, "superintervals")
     spark.conf.set(GraftSession.IntervalJoinForceMode, "")
     spark.conf.set(GraftSession.AutoBin, "auto")
-    spark.conf.set(GraftSession.BinSize, "1000000")
+    // unset (not default-set): auto-bin treats an EXPLICIT binSize as the
+    // user vouching for its coordinate scale (Long-bound joins skip
+    // rebinning otherwise)
+    spark.conf.unset(GraftSession.BinSize)
+    spark.conf.unset(GraftSession.CoordWidth)
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
     spark.sql(sql)
   }

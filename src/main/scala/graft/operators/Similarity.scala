@@ -119,21 +119,24 @@ object Similarity {
       .map(normalized)
     require(sample.nonEmpty, "empty training sample")
     val dim = sample(0).length
-    // kmeans++ init, deterministic: distances weighted by 1 - dot
+    // kmeans++ init, deterministic: distances weighted by 1 - dot.
+    // `nearestDot(i)` tracks max dot against the centroids chosen so far,
+    // updated incrementally — O(k·n·d) total instead of the from-scratch
+    // O(k²·n·d) recompute (same values, same picks, ~k× less driver work).
     val centroids = new Array[Array[Double]](k)
     centroids(0) = sample(pick(0, sample.length))
+    val nearestDot = Array.fill(sample.length)(Double.NegativeInfinity)
     var c = 1
     while (c < k) {
       var bestIdx = 0
       var bestScore = -1.0
       var i = 0
       while (i < sample.length) {
-        var nearest = Double.NegativeInfinity
-        var j = 0
-        while (j < c) { nearest = math.max(nearest, dot(sample(i), centroids(j))); j += 1 }
+        val d = dot(sample(i), centroids(c - 1))
+        if (d > nearestDot(i)) nearestDot(i) = d
         // farthest-from-all-chosen, jittered deterministically to avoid
         // degenerate picks on symmetric data
-        val score = (1.0 - nearest) *
+        val score = (1.0 - nearestDot(i)) *
           (0.5 + (graft.functions.HashKernels.mix64(c.toLong * 1000003 + i) >>> 11)
             .toDouble / (1L << 53).toDouble / 2.0)
         if (score > bestScore) { bestScore = score; bestIdx = i }

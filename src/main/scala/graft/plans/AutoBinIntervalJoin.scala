@@ -51,11 +51,21 @@ case class AutoBinIntervalJoin(session: SparkSession) extends Rule[LogicalPlan] 
     val binSize = confStr(graft.GraftSession.BinSize, "1000000").toLong
     if (binSize <= 0) return plan
 
+    // The default binSize (1e6) is calibrated to genome-scale Int
+    // coordinates. A Long-bound interval (epoch micros/nanos) can span
+    // thousands of such bins, and the rewrite explodes each interval to
+    // every bin it spans — so in auto mode, Long-bound joins are only
+    // rebinned when the user set a coordinate-scale binSize explicitly.
+    val binSizeExplicit = session.conf.getOption(graft.GraftSession.BinSize)
+      .isDefined
+
     plan.transform {
       case j @ Join(l, r, Inner, Some(cond), _) =>
         IntervalCondition.extract(cond, l, r) match {
           case Some(ic) if !alreadyBinned(ic) && shouldBin(mode, l, ic) &&
-              (mode == "force" || longSafe(ic, l, r)) =>
+              (mode == "force" ||
+                (longSafe(ic, l, r) &&
+                  (!ic.hasLongBounds || binSizeExplicit))) =>
             rewrite(j, l, r, cond, ic, binSize)
           case _ => j
         }

@@ -58,6 +58,62 @@ class IntervalIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("Long index ≡ linear scan at epoch-micro magnitudes (beyond Int32)") {
+    import graft.rangejoin.LongSuperIntervalsIndex
+    val rnd = new Random(7)
+    val base = 1704067200000000L // well beyond Int32
+    for (trial <- 0 until 100) {
+      val n = rnd.nextInt(300)
+      val starts = new Array[Long](n)
+      val ends = new Array[Long](n)
+      for (i <- 0 until n) {
+        starts(i) = base + rnd.nextLong(86400000000L)
+        ends(i) = starts(i) + rnd.nextLong(60000000L)
+      }
+      val idx = LongSuperIntervalsIndex.build(starts, ends,
+        Array.range(0, n))
+      for (_ <- 0 until 20) {
+        val s = base + rnd.nextLong(86400000000L)
+        val e = s + rnd.nextLong(120000000L)
+        val got = { val b = ArrayBuffer[Int](); idx.query(s, e)(b += _); b.sorted.toSeq }
+        val exp = (0 until n).filter(i => starts(i) <= e && ends(i) >= s)
+        assert(got == exp, s"trial=$trial probe=[$s,$e]")
+        assert(idx.count(s, e) == exp.size)
+      }
+    }
+  }
+
+  test("Long index nearest ≡ linear argmin at epoch-micro magnitudes") {
+    import graft.rangejoin.LongSuperIntervalsIndex
+    val rnd = new Random(9)
+    val base = 1704067200000000L
+    for (trial <- 0 until 100) {
+      val n = 1 + rnd.nextInt(120)
+      val starts = new Array[Long](n)
+      val ends = new Array[Long](n)
+      for (i <- 0 until n) {
+        starts(i) = base + rnd.nextLong(10000000L)
+        ends(i) = starts(i) + rnd.nextLong(300000L)
+      }
+      val idx = LongSuperIntervalsIndex.build(starts, ends, Array.range(0, n))
+      for (_ <- 0 until 20) {
+        val s = base + rnd.nextLong(12000000L) - 1000000L
+        val e = s + rnd.nextLong(400000L)
+        val got = idx.nearest(s, e)
+        // linear oracle: overlap with min (start, end), else min gap with
+        // (start, end) tie-break — mirrors the Int nearest semantics
+        val overlaps = (0 until n).filter(i => starts(i) <= e && ends(i) >= s)
+        val exp =
+          if (overlaps.nonEmpty) overlaps.minBy(i => (starts(i), ends(i)))
+          else (0 until n).minBy { i =>
+            val gap = if (ends(i) < s) s - ends(i) else starts(i) - e
+            (gap, starts(i), ends(i))
+          }
+        assert(got == exp, s"trial=$trial probe=[$s,$e]")
+      }
+    }
+  }
+
   test("nearest: overlap argmin-(start,end), else min distance, " +
        "deterministic ties") {
     val rnd = new Random(9)
