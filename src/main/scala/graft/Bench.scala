@@ -70,11 +70,24 @@ object Bench {
     a.count(); b.count()
     val cond = a("contig") === b("contig") &&
       a("pos_start") <= b("pos_end") && a("pos_end") >= b("pos_start")
+    // identical workload shifted beyond Int32 (epoch-micro-style Longs):
+    // tracks the Int64 index's overhead vs the narrow path head-to-head
+    def widen(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("contig"),
+      (col("pos_start").cast("long") + 3000000000L).as("pos_start"),
+      (col("pos_end").cast("long") + 3000000000L).as("pos_end"))
+    val aw = widen(a).cache(); val bw = widen(b).cache()
+    aw.count(); bw.count()
+    val condW = aw("contig") === bw("contig") &&
+      aw("pos_start") <= bw("pos_end") && aw("pos_end") >= bw("pos_start")
     try {
       Seq(
         timed("flagship_80m_count")(a.join(b, cond).count()),
         timed("flagship_80m_join_sum")(
-          a.join(b, cond).agg(sum(b("pos_start"))).head()))
-    } finally { a.unpersist(); b.unpersist() }
+          a.join(b, cond).agg(sum(b("pos_start"))).head()),
+        timed("flagship_80m_count_i64")(aw.join(bw, condW).count()),
+        timed("flagship_80m_join_sum_i64")(
+          aw.join(bw, condW).agg(sum(bw("pos_start"))).head()))
+    } finally { a.unpersist(); b.unpersist(); aw.unpersist(); bw.unpersist() }
   }
 }

@@ -62,11 +62,15 @@ class LongIntervalJoinSpec extends SparkTestBase with BeforeAndAfterEach {
   test("auto width picks the int64 index for Long bounds; results match stock") {
     val a = windows(300, 1).cache(); val b = windows(300, 2).cache()
     a.count(); b.count()
-    val df = joined(a, b)
-    val plan = planOf(df)
-    assert(plan.contains("IntervalJoinExec"), plan)
-    assert(plan.contains("coord=int64"), plan)
-    assert(df.collect().map(_.toSeq).toSet == stockSet(joined(a, b)))
+    // broadcast-mode WSCG must compile (no silent interpreted fallback)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = joined(a, b)
+      val plan = planOf(df)
+      assert(plan.contains("IntervalJoinExec"), plan)
+      assert(plan.contains("coord=int64"), plan)
+      assert(df.collect().map(_.toSeq).toSet == stockSet(joined(a, b)))
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
     // strict predicates go through the minusOne rewrite at Long width
     val ds = joined(a, b, strict = true)
     assert(planOf(ds).contains("coord=int64"), planOf(ds))
