@@ -360,6 +360,25 @@ object SparkEntry {
     // pinned :1927-1968); coordWidth=auto runs this on the Int64
     // superintervals index instead — a capability, not just parity.
     "q49_interval_long" -> run(longWindowSparkSql),
+    // AS-OF join (beyond the reference): latest click at-or-before each
+    // purchase, per user, at epoch micros — DuckDB's native ASOF LEFT
+    // JOIN is the oracle. One binary search per probe row; NULL-padded
+    // build side for purchases with no prior click.
+    "q50_asof" -> ((s, dir) => { prep(s, dir)
+      val ev = Tables.load(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id").as("b_user"),
+          unix_micros(col("ts")).as("click_t"),
+          col("event_id").as("click_id"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"),
+          unix_micros(col("ts")).as("purchase_t"),
+          col("event_id").as("purchase_id"))
+      graft.operators.AsofJoin(clicks, purchases,
+          clicks("b_user") === purchases("p_user") &&
+            clicks("click_t") <= purchases("purchase_t"))
+        .select(col("purchase_id"), col("purchase_t"),
+          col("click_id"), col("click_t")) }),
     // ---- LLM-pipeline operators ----------------------------------------
     "q20_dedup_exact" -> ((s, dir) => { prep(s, dir)
       Dedup.exactDupPairs(dupCorpus(s, dir, near = false), "doc_id", "text") }),
@@ -654,6 +673,16 @@ object SparkEntry {
       "q43_interval_tree" -> sharedSql("q10_interval_join"),
       "q14_interval_nearest" -> nearestOracleSql,
       "q49_interval_long" -> longWindowOracle,
+      "q50_asof" ->
+        """WITH c AS (SELECT user_id, epoch_us(ts) AS click_t,
+          |                  event_id AS click_id
+          |           FROM events WHERE event_type = 'click'),
+          |     p AS (SELECT user_id, epoch_us(ts) AS purchase_t,
+          |                  event_id AS purchase_id
+          |           FROM events WHERE event_type = 'purchase')
+          |SELECT p.purchase_id, p.purchase_t, c.click_id, c.click_t
+          |FROM p ASOF LEFT JOIN c
+          |  ON p.user_id = c.user_id AND p.purchase_t >= c.click_t""".stripMargin,
       "q20_dedup_exact" -> exactDupOracle,
       "q27_fingerprint" -> exactDupOracle,
       "q21_dedup_minhash" -> exactDupOracle,

@@ -1,0 +1,100 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.types._
+
+/**
+ * Logical node for the explicit AS-OF join API
+ * ([[graft.operators.AsofJoin]]): per probe (right) row, the build (left)
+ * row with the greatest time <= probe time (or mirrored/strict, per the
+ * condition's inequality), NULL-padded when none qualifies. Output schema
+ * marks the build side nullable, and the dedicated node keeps the
+ * optimizer from applying Inner-join reasoning the one-row-per-probe
+ * semantics violate (beyond the reference — it has no as-of operator).
+ */
+case class AsofIntervalJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    condition: Expression) extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output.map(_.withNullability(true)) ++ right.output
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofIntervalJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Recognizer for AS-OF conditions: optional equi-keys AND exactly one
+  * inequality between a build-side and a probe-side integral time
+  * expression. The inequality's direction selects backward
+  * (`build.t <= probe.t`: latest at-or-before) vs forward
+  * (`build.t >= probe.t`: earliest at-or-after); strict ops exclude
+  * equality. */
+object AsofCondition extends PredicateHelper {
+
+  case class Extracted(
+      leftKeys: Seq[Expression],
+      rightKeys: Seq[Expression],
+      buildTime: Expression,
+      probeTime: Expression,
+      forward: Boolean,
+      strict: Boolean,
+      hasLongBounds: Boolean)
+
+  private def integral(e: Expression): Boolean = e.dataType match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  def extract(cond: Expression, left: LogicalPlan, right: LogicalPlan)
+      : Option[Extracted] = {
+    def fromLeft(e: Expression) =
+      e.references.nonEmpty && e.references.subsetOf(left.outputSet)
+    def fromRight(e: Expression) =
+      e.references.nonEmpty && e.references.subsetOf(right.outputSet)
+
+    var leftKeys = Vector.empty[Expression]
+    var rightKeys = Vector.empty[Expression]
+    // (buildTime, probeTime, forward, strict)
+    var time: Option[(Expression, Expression, Boolean, Boolean)] = None
+    var ok = true
+
+    splitConjunctivePredicates(cond).foreach {
+      case EqualTo(a, b) if fromLeft(a) && fromRight(b) =>
+        leftKeys :+= a; rightKeys :+= b
+      case EqualTo(a, b) if fromRight(a) && fromLeft(b) =>
+        leftKeys :+= b; rightKeys :+= a
+      case c if time.isEmpty =>
+        time = c match {
+          case LessThanOrEqual(a, b) if fromLeft(a) && fromRight(b) &&
+              integral(a) && integral(b) => Some((a, b, false, false))
+          case LessThanOrEqual(a, b) if fromRight(a) && fromLeft(b) &&
+              integral(a) && integral(b) => Some((b, a, true, false))
+          case GreaterThanOrEqual(a, b) if fromLeft(a) && fromRight(b) &&
+              integral(a) && integral(b) => Some((a, b, true, false))
+          case GreaterThanOrEqual(a, b) if fromRight(a) && fromLeft(b) &&
+              integral(a) && integral(b) => Some((b, a, false, false))
+          case LessThan(a, b) if fromLeft(a) && fromRight(b) &&
+              integral(a) && integral(b) => Some((a, b, false, true))
+          case LessThan(a, b) if fromRight(a) && fromLeft(b) &&
+              integral(a) && integral(b) => Some((b, a, true, true))
+          case GreaterThan(a, b) if fromLeft(a) && fromRight(b) &&
+              integral(a) && integral(b) => Some((a, b, true, true))
+          case GreaterThan(a, b) if fromRight(a) && fromLeft(b) &&
+              integral(a) && integral(b) => Some((b, a, false, true))
+          case _ => None
+        }
+        if (time.isEmpty) ok = false
+      case _ => ok = false // second inequality / unsupported residual
+    }
+
+    time match {
+      case Some((bt, pt, fwd, strict)) if ok =>
+        Some(Extracted(leftKeys, rightKeys, bt, pt, fwd, strict,
+          bt.dataType == LongType || pt.dataType == LongType))
+      case _ => None
+    }
+  }
+}

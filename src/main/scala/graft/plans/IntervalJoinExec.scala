@@ -60,6 +60,14 @@ case object FullOuterJoin extends IntervalJoinType
   * made deterministic: overlap with min (start, end), else min distance
   * with ties broken by (start, end). */
 case object NearestJoin extends IntervalJoinType
+/** AS-OF join (pandas merge_asof / DuckDB ASOF JOIN; beyond the
+  * reference): one row per probe row, matched with the build row whose
+  * time is the greatest <= the probe time (backward; `forward` mirrors,
+  * `strict` excludes equality), NULL-padded when none qualifies. Times are
+  * indexed as degenerate [t, t] intervals, so the whole build/probe
+  * machinery (both distribution modes, Int32/Int64 widths) is reused. */
+case class AsofJoin(forward: Boolean, strict: Boolean)
+  extends IntervalJoinType
 
 /** Per-key interval indexes + the build rows they point into. The index
   * width (Int32 vs Int64 coordinates) is uniform across keys — decided
@@ -95,7 +103,7 @@ private[graft] class IntervalJoinRunner(
 
   private def outputAttrs: Seq[Attribute] = joinType match {
     case OverlapJoin => leftOutput ++ rightOutput
-    case RightOuterJoin | NearestJoin =>
+    case RightOuterJoin | NearestJoin | _: AsofJoin =>
       leftOutput.map(_.withNullability(true)) ++ rightOutput
     case FullOuterJoin =>
       leftOutput.map(_.withNullability(true)) ++
@@ -176,7 +184,10 @@ private[graft] class IntervalJoinRunner(
         }
       }
     }
-    val alg = if (joinType == NearestJoin) "superintervals" else algorithm
+    val alg = joinType match {
+      case NearestJoin | _: AsofJoin => "superintervals"
+      case _ => algorithm
+    }
     val keyed = new java.util.HashMap[UnsafeRow, AnyIntervalIndex](
       math.max(16, groups.size() * 2))
     groups.forEach { (k, acc) =>
@@ -434,6 +445,41 @@ private[graft] class IntervalJoinRunner(
           if (pos < 0) resultProj(joined(nullLeft, rrow))
           else resultProj(joined(build.rows(pos), rrow))
         }
+
+      case AsofJoin(forward, strict) =>
+        iter.map { rrow =>
+          probeRows += 1
+          val idx0 = if (!bounds.eval(rrow)) null
+                     else {
+                       val key = keyProj(rrow)
+                       if (hasKeys && key.anyNull) null
+                       else build.keyed.get(key)
+                     }
+          val pos = idx0 match {
+            case null => -1
+            case idx =>
+              // strict shifts the cutoff one tick (times are integral);
+              // shifts past the Int/Long domain mean "no candidate" on the
+              // shrinking side and "everything" on the other — clamp, never
+              // throw (no reference parity to keep: asof is new here)
+              val t = if (!strict) bounds.s
+                      else if (forward) bounds.s + 1
+                      else bounds.s - 1
+              idx match {
+                case si: SuperIntervalsIndex =>
+                  if (t < Int.MinValue) { if (forward) si.asofForward(Int.MinValue) else -1 }
+                  else if (t > Int.MaxValue) { if (forward) -1 else si.asofBackward(Int.MaxValue) }
+                  else if (forward) si.asofForward(t.toInt)
+                  else si.asofBackward(t.toInt)
+                case li: LongSuperIntervalsIndex =>
+                  if (forward) li.asofForward(t) else li.asofBackward(t)
+                case _ => -1
+              }
+          }
+          rows += 1
+          if (pos < 0) resultProj(joined(nullLeft, rrow))
+          else resultProj(joined(build.rows(pos), rrow))
+        }
     }
   }
 }
@@ -478,7 +524,7 @@ case class IntervalJoinExec(
 
   override def output: Seq[Attribute] = joinType match {
     case OverlapJoin => left.output ++ right.output
-    case RightOuterJoin | NearestJoin =>
+    case RightOuterJoin | NearestJoin | _: AsofJoin =>
       left.output.map(_.withNullability(true)) ++ right.output
     case FullOuterJoin =>
       left.output.map(_.withNullability(true)) ++
@@ -543,6 +589,8 @@ case class IntervalJoinExec(
       case FullOuterJoin => "Full"
       case MarkJoin => "Mark"
       case NearestJoin => "Nearest"
+      case AsofJoin(fwd, strict) =>
+        s"Asof${if (fwd) "Forward" else "Backward"}${if (strict) "Strict" else ""}"
     }
     val on = leftKeys.zip(rightKeys)
       .map { case (a, b) => s"($a, $b)" }.mkString(", ")

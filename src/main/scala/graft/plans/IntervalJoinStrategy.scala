@@ -37,12 +37,15 @@ case class IntervalJoinStrategy(session: SparkSession) extends SparkStrategy {
     * narrow bounds) vs int64 (native Long coordinates). `auto` widens iff
     * a recognized bound operand is LongType — the exact case where the
     * reference's checked Int32 narrowing would fail the query. */
-  private def coordWide(ic: IntervalCondition): Boolean =
+  private def coordWideFor(hasLongBounds: Boolean): Boolean =
     conf(graft.GraftSession.CoordWidth, "auto").toLowerCase match {
       case "int64" | "long" => true
       case "int32" | "int" => false
-      case _ => ic.hasLongBounds
+      case _ => hasLongBounds
     }
+
+  private def coordWide(ic: IntervalCondition): Boolean =
+    coordWideFor(ic.hasLongBounds)
 
   /** Shared mode selection for probe-side variants (build side given). */
   private def pickMode(build: LogicalPlan, hasKeys: Boolean)
@@ -97,6 +100,30 @@ case class IntervalJoinStrategy(session: SparkSession) extends SparkStrategy {
             None, NearestJoin, mode, "superintervals",
             wide = coordWide(ic)) :: Nil
         case _ => Nil // unreachable — NearestJoin.apply validates eagerly
+      }
+    // explicit as-of join node (graft.operators.AsofJoin API): times are
+    // indexed as degenerate [t, t] intervals, so it reuses the whole
+    // build/probe machinery incl. both distribution modes and widths
+    case AsofIntervalJoin(l, r, cond) =>
+      AsofCondition.extract(cond, l, r) match {
+        case Some(x) =>
+          val threshold = session.sessionState.conf.autoBroadcastJoinThreshold
+          val fitsBroadcast = threshold > 0 && l.stats.sizeInBytes <= threshold
+          val mode =
+            conf(graft.GraftSession.IntervalJoinForceMode, "").toLowerCase match {
+              case "broadcast" => BroadcastMode
+              case "partitioned" if x.leftKeys.nonEmpty => PartitionedMode
+              case _ =>
+                if (x.leftKeys.isEmpty || fitsBroadcast) BroadcastMode
+                else PartitionedMode
+            }
+          IntervalJoinExec(
+            planLater(l), planLater(r),
+            x.leftKeys, x.rightKeys,
+            x.buildTime, x.buildTime, x.probeTime, x.probeTime,
+            None, AsofJoin(x.forward, x.strict), mode, "superintervals",
+            wide = coordWideFor(x.hasLongBounds)) :: Nil
+        case _ => Nil // unreachable — AsofJoin.apply validates eagerly
       }
     // probe-side variants — all beyond the reference's Inner-only support.
     // RightOuter: build = left, NULL-pad probe rows with no match.

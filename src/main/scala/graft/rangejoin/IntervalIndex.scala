@@ -217,6 +217,27 @@ final class SuperIntervalsIndex private (
     arr
   }
   private def prefixMaxEndIdx(i: Int): Int = prefixMaxEndIdxArr(i)
+
+  /** ASOF backward: the interval with the greatest start <= s (equal
+    * starts: the sort's first = greatest end), or -1. One binary search. */
+  def asofBackward(s: Int): Int = {
+    var i = upperBound(s)
+    if (i < 0) return -1
+    while (i > 0 && starts(i - 1) == starts(i)) i -= 1
+    positions(i)
+  }
+
+  /** ASOF forward: the interval with the smallest start >= s (equal
+    * starts: greatest end), or -1. */
+  def asofForward(s: Int): Int = {
+    var lo = 0
+    var hi = starts.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (starts(mid) < s) lo = mid + 1 else hi = mid
+    }
+    if (lo >= starts.length) -1 else positions(lo)
+  }
 }
 
 object SuperIntervalsIndex {
@@ -520,6 +541,25 @@ final class LongSuperIntervalsIndex private (
     arr
   }
   private def prefixMaxEndIdx(i: Int): Int = prefixMaxEndIdxArr(i)
+
+  /** ASOF backward — Long twin of [[SuperIntervalsIndex.asofBackward]]. */
+  def asofBackward(s: Long): Int = {
+    var i = upperBound(s)
+    if (i < 0) return -1
+    while (i > 0 && starts(i - 1) == starts(i)) i -= 1
+    positions(i)
+  }
+
+  /** ASOF forward — Long twin of [[SuperIntervalsIndex.asofForward]]. */
+  def asofForward(s: Long): Int = {
+    var lo = 0
+    var hi = starts.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (starts(mid) < s) lo = mid + 1 else hi = mid
+    }
+    if (lo >= starts.length) -1 else positions(lo)
+  }
 }
 
 object LongSuperIntervalsIndex {
