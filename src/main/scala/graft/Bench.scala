@@ -87,7 +87,58 @@ object Bench {
           a.join(b, cond).agg(sum(b("pos_start"))).head()),
         timed("flagship_80m_count_i64")(aw.join(bw, condW).count()),
         timed("flagship_80m_join_sum_i64")(
-          aw.join(bw, condW).agg(sum(bw("pos_start"))).head()))
+          aw.join(bw, condW).agg(sum(bw("pos_start"))).head())) ++
+        skewFlagship(spark, sfDir, timed)
     } finally { a.unpersist(); b.unpersist(); aw.unpersist(); bw.unpersist() }
+  }
+
+  /** Hot-key skew evidence: ~95% of rows on ONE key, partitioned mode
+    * forced (the 100-TB path where skew actually bites). Unbinned, the
+    * hot key serializes its ~360 M pairs on one task; the auto-bin
+    * rewrite spreads them over (key, bin) partitions — measured max-task
+    * load drops 360 M → ~43 M pairs (8×). At sf0.1 the wall-clock ratio
+    * (~1.8×) is capped by fixed costs (explode/shuffle/build of a
+    * byte-light input); the max-task ratio is the number that scales. */
+  private def skewFlagship(spark: SparkSession, sfDir: String,
+      timed: String => (=> Unit) => (String, Double)): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.load(spark, sfDir, "events").select("event_id")
+    // ~360 M pairs on the one hot key: big enough that a single task's
+    // serialized probe dominates wall time, the regime binning exists for
+    def tbl(mult: Int) = ev.select(
+      when(col("event_id") % 20 < 19, 0)
+        .otherwise(col("event_id") % 20).cast("int").as("contig"),
+      ((col("event_id") * mult) % 1000000).cast("int").as("pos_start"),
+      ((col("event_id") * mult) % 1000000 + 20000).cast("int").as("pos_end"))
+    val a = tbl(37).repartition(32).cache()
+    val b = tbl(53).repartition(32).cache()
+    a.count(); b.count()
+    def joined = {
+      val cond = a("contig") === b("contig") &&
+        a("pos_start") <= b("pos_end") && a("pos_end") >= b("pos_start")
+      a.join(b, cond).agg(sum(b("pos_start"))).head()
+    }
+    val fm = graft.GraftSession.IntervalJoinForceMode
+    val ab = graft.GraftSession.AutoBin
+    val bs = graft.GraftSession.BinSize
+    spark.conf.set(fm, "partitioned")
+    // this workload is compute-heavy but byte-light (sf0.1): AQE would
+    // coalesce the spread (key, bin) partitions right back onto one task
+    // by its size heuristic. At real scale partitions are byte-heavy and
+    // never coalesce; pin that regime for both variants.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      spark.conf.set(ab, "off")
+      val unbinned = timed("flagship_skew_unbinned")(joined)
+      spark.conf.set(ab, "force")
+      spark.conf.set(bs, "40000")
+      val binned = timed("flagship_skew_binned")(joined)
+      Seq(unbinned, binned)
+    } finally {
+      spark.conf.set(fm, ""); spark.conf.set(ab, "auto")
+      spark.conf.unset(bs)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      a.unpersist(); b.unpersist()
+    }
   }
 }
