@@ -149,6 +149,21 @@ object SparkEntry {
         |  (SELECT COUNT(*) FROM b WHERE NOT EXISTS (
         |     SELECT 1 FROM a WHERE a.contig = b.contig
         |       AND a.pos_start <= b.pos_end AND a.pos_end >= b.pos_start)) AS n_anti""".stripMargin),
+    // temporal bounds: RAW timestamp columns as interval bounds — the
+    // recognizer normalizes TimestampType to epoch micros (UnixMicros),
+    // so this plans onto the Int64 indexed join with no manual epoch
+    // conversion. CAST(ts AS TIMESTAMP) is a no-op in Spark and the
+    // ns→us truncation in DuckDB, keeping both engines at micro
+    // resolution. Beyond the reference (Int32-only coordinates).
+    "q51_interval_ts" ->
+      """WITH w AS (SELECT event_id, user_id, event_type,
+        |                  CAST(ts AS TIMESTAMP) AS t0,
+        |                  CAST(ts AS TIMESTAMP) + INTERVAL 10 MINUTE AS t1
+        |           FROM events)
+        |SELECT a.event_type AS event_type, COUNT(*) AS n_pairs
+        |FROM w a JOIN w b ON a.user_id = b.user_id
+        | AND a.t0 <= b.t1 AND a.t1 >= b.t0 AND a.event_id < b.event_id
+        |GROUP BY a.event_type""".stripMargin,
     // flagship baseline shape (reference queries/q1-coitrees.sql): global
     // overlap count — exercises the COUNT(*) aggregate pushdown
     "q16_interval_count" -> (cteAB +
@@ -360,6 +375,7 @@ object SparkEntry {
     // pinned :1927-1968); coordWidth=auto runs this on the Int64
     // superintervals index instead — a capability, not just parity.
     "q49_interval_long" -> run(longWindowSparkSql),
+    "q51_interval_ts" -> run(sharedSql("q51_interval_ts")),
     // AS-OF join (beyond the reference): latest click at-or-before each
     // purchase, per user, at epoch micros — DuckDB's native ASOF LEFT
     // JOIN is the oracle. One binary search per probe row; NULL-padded

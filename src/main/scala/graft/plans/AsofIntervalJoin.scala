@@ -45,7 +45,17 @@ object AsofCondition extends PredicateHelper {
 
   private def integral(e: Expression): Boolean = e.dataType match {
     case ByteType | ShortType | IntegerType | LongType => true
+    case TimestampType | DateType => true
     case _ => false
+  }
+
+  /** Same temporal normalization as [[IntervalCondition]]: timestamps to
+    * epoch micros, dates to epoch days — as-of on raw TIMESTAMP columns
+    * runs on the Int64 index (strict = 1-micro/1-day shift, exact). */
+  private def norm(e: Expression): Expression = e.dataType match {
+    case TimestampType => UnixMicros(e)
+    case DateType => UnixDate(e)
+    case _ => e
   }
 
   def extract(cond: Expression, left: LogicalPlan, right: LogicalPlan)
@@ -92,8 +102,10 @@ object AsofCondition extends PredicateHelper {
 
     time match {
       case Some((bt, pt, fwd, strict)) if ok =>
-        Some(Extracted(leftKeys, rightKeys, bt, pt, fwd, strict,
-          bt.dataType == LongType || pt.dataType == LongType))
+        val wide = Seq(bt, pt).exists(e =>
+          e.dataType == LongType || e.dataType == TimestampType)
+        Some(Extracted(leftKeys, rightKeys, norm(bt), norm(pt), fwd, strict,
+          wide))
       case _ => None
     }
   }

@@ -37,7 +37,21 @@ object IntervalCondition extends PredicateHelper {
 
   private def integral(e: Expression): Boolean = e.dataType match {
     case ByteType | ShortType | IntegerType | LongType => true
+    case TimestampType | DateType => true
     case _ => false
+  }
+
+  /** Temporal bounds normalize to their exact physical integer —
+    * timestamps to epoch MICROS (their internal resolution), dates to
+    * epoch days. Comparisons are order-isomorphic, and the strict-op
+    * shift below becomes exact: −1 micro / −1 day. This is what lets a
+    * raw `a.ts <= b.ts_end` predicate plan onto the indexed join without
+    * the user hand-converting to epoch integers. (TimestampNTZ is left
+    * unrecognized → stock join fallback.) */
+  private def norm(e: Expression): Expression = e.dataType match {
+    case TimestampType => UnixMicros(e)
+    case DateType => UnixDate(e)
+    case _ => e
   }
 
   /** `e - 1`, widened to Long first so a bound at the narrow type's min
@@ -64,33 +78,38 @@ object IntervalCondition extends PredicateHelper {
     case class Range(l: Expression, r: Expression, dir: Dir, wide: Boolean)
 
     def isWide(a: Expression, b: Expression): Boolean =
-      a.dataType == LongType || b.dataType == LongType
+      Seq(a, b).exists(e =>
+        e.dataType == LongType || e.dataType == TimestampType)
 
     def asRange(c: Expression): Option[Range] = c match {
       case LessThanOrEqual(a, b) if fromLeft(a) && fromRight(b) &&
-          integral(a) && integral(b) => Some(Range(a, b, LE, isWide(a, b)))
+          integral(a) && integral(b) =>
+        Some(Range(norm(a), norm(b), LE, isWide(a, b)))
       case LessThanOrEqual(a, b) if fromRight(a) && fromLeft(b) &&
-          integral(a) && integral(b) => Some(Range(b, a, GE, isWide(a, b)))
+          integral(a) && integral(b) =>
+        Some(Range(norm(b), norm(a), GE, isWide(a, b)))
       case GreaterThanOrEqual(a, b) if fromLeft(a) && fromRight(b) &&
-          integral(a) && integral(b) => Some(Range(a, b, GE, isWide(a, b)))
+          integral(a) && integral(b) =>
+        Some(Range(norm(a), norm(b), GE, isWide(a, b)))
       case GreaterThanOrEqual(a, b) if fromRight(a) && fromLeft(b) &&
-          integral(a) && integral(b) => Some(Range(b, a, LE, isWide(a, b)))
+          integral(a) && integral(b) =>
+        Some(Range(norm(b), norm(a), LE, isWide(a, b)))
       // strict ops: x < y  ⇒  x <= y-1 ;  x > y  ⇒  x-1 >= y
       case LessThan(a, b) if fromLeft(a) && fromRight(b) &&
           integral(a) && integral(b) =>
-        Some(Range(a, minusOne(b), LE, isWide(a, b)))
+        Some(Range(norm(a), minusOne(norm(b)), LE, isWide(a, b)))
       // `rs < le` ⇔ `le > rs` ⇔ `le - 1 >= rs` (shift the LEFT operand;
       // reference intervals.rs:99-129 applies minus_one to the gt side)
       case LessThan(a, b) if fromRight(a) && fromLeft(b) &&
           integral(a) && integral(b) =>
-        Some(Range(minusOne(b), a, GE, isWide(a, b)))
+        Some(Range(minusOne(norm(b)), norm(a), GE, isWide(a, b)))
       case GreaterThan(a, b) if fromLeft(a) && fromRight(b) &&
           integral(a) && integral(b) =>
-        Some(Range(minusOne(a), b, GE, isWide(a, b)))
+        Some(Range(minusOne(norm(a)), norm(b), GE, isWide(a, b)))
       // `re > ls` ⇔ `ls < re` ⇔ `ls <= re - 1` (shift the RIGHT operand)
       case GreaterThan(a, b) if fromRight(a) && fromLeft(b) &&
           integral(a) && integral(b) =>
-        Some(Range(b, minusOne(a), LE, isWide(a, b)))
+        Some(Range(norm(b), minusOne(norm(a)), LE, isWide(a, b)))
       case _ => None
     }
 
