@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.rangejoin.{AnyIntervalIndex, IntervalIndex, LongSuperIntervalsIndex, SuperIntervalsIndex}
+import graft.rangejoin.{AnyIntervalIndex, IntervalIndex, LongIntervalIndex, LongSuperIntervalsIndex, SuperIntervalsIndex}
 
 import org.apache.spark.TaskContext
 import org.apache.spark.broadcast.Broadcast
@@ -193,7 +193,7 @@ private[graft] class IntervalJoinRunner(
     groups.forEach { (k, acc) =>
       val idx: AnyIntervalIndex =
         if (wide)
-          LongSuperIntervalsIndex.build(acc.starts.toArray, acc.ends.toArray,
+          LongIntervalIndex.build(alg, acc.starts.toArray, acc.ends.toArray,
             acc.positions.toArray)
         else
           IntervalIndex.build(alg, acc.starts.iterator.map(_.toInt).toArray,
@@ -262,7 +262,7 @@ private[graft] class IntervalJoinRunner(
     // reference's overflow check; Int64 probes verbatim.
     def queryIdx(idx: AnyIntervalIndex, s: Long, e: Long)(f: Int => Unit): Unit =
       idx match {
-        case li: LongSuperIntervalsIndex => li.query(s, e)(f)
+        case li: LongIntervalIndex => li.query(s, e)(f)
         case ii: IntervalIndex => ii.query(toIntChecked(s), toIntChecked(e))(f)
       }
 
@@ -720,7 +720,8 @@ case class IntervalJoinExec(
       rowsTerm: String, bufTerm: String, sL: String, eL: String,
       leftRowTerm: String, matchTail: String): String = {
     val a = algorithm.toLowerCase
-    if (wide) {
+    val superFamily = a == "superintervals" || a == "coitrees" || a == "default"
+    if (wide && superFamily) {
       // Int64 path: identical walk over long[] bound arrays — no
       // narrowing, no overflow guard (the probe bounds are already Long)
       val siCls = classOf[graft.rangejoin.LongSuperIntervalsIndex].getName
@@ -757,7 +758,7 @@ case class IntervalJoinExec(
          |  }
          |}
        """.stripMargin
-    } else if (a == "superintervals" || a == "coitrees" || a == "default") {
+    } else if (superFamily) {
       val siCls = classOf[graft.rangejoin.SuperIntervalsIndex].getName
       val si = ctx.freshName("si")
       val sArr = ctx.freshName("siStarts")
@@ -795,8 +796,13 @@ case class IntervalJoinExec(
     } else {
       val nTerm = ctx.freshName("nMatches")
       val iTerm = ctx.freshName("im")
+      val call =
+        if (wide) {
+          val liCls = classOf[graft.rangejoin.LongIntervalIndex].getName
+          s"(($liCls) $idxTerm).queryInto($sL, $eL, $bufTerm)"
+        } else s"$idxTerm.queryInto((int) $sL, (int) $eL, $bufTerm)"
       s"""
-         |int $nTerm = $idxTerm.queryInto((int) $sL, (int) $eL, $bufTerm);
+         |int $nTerm = $call;
          |for (int $iTerm = 0; $iTerm < $nTerm; $iTerm++) {
          |  InternalRow $leftRowTerm = $rowsTerm[$bufTerm.get($iTerm)];
          |  $matchTail

@@ -263,16 +263,15 @@ case class IntervalJoinStrategy(session: SparkSession) extends SparkStrategy {
             mode match {
               case None => Nil
               case Some(m) =>
-                val wide = coordWide(ic)
                 IntervalJoinExec(
                   planLater(l), planLater(r),
                   ic.leftKeys, ic.rightKeys,
                   ic.leftStart, ic.leftEnd, ic.rightStart, ic.rightEnd,
                   ic.residual, joinType, m,
-                  // the Int64 index family has one implementation — the
-                  // superintervals design; A/B algorithm slots stay int32
-                  if (nearest || wide) "superintervals" else algorithm,
-                  wide = wide) :: Nil
+                  // every algorithm slot has Int32 AND Int64 variants;
+                  // nearest semantics ride the superintervals structure
+                  if (nearest) "superintervals" else algorithm,
+                  wide = coordWide(ic)) :: Nil
             }
           }
         case None => Nil

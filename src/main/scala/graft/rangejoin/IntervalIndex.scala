@@ -19,6 +19,28 @@ sealed trait AnyIntervalIndex extends Serializable {
   def size: Int
 }
 
+/** Int64-coordinate index surface — every algorithm slot has a Long twin
+  * so `spark.graft.intervalJoin.algorithm` stays a real A/B knob on wide
+  * (epoch micro/nano) domains too, not a silent superintervals alias. */
+sealed trait LongIntervalIndex extends AnyIntervalIndex {
+  /** Invoke `f(position)` for every stored interval overlapping [s, e]
+    * (closed/closed). */
+  def query(s: Long, e: Long)(f: Int => Unit): Unit
+
+  def count(s: Long, e: Long): Long = {
+    var n = 0L
+    query(s, e)(_ => n += 1)
+    n
+  }
+
+  /** Codegen-friendly probe (generated Java can't pass closures). */
+  def queryInto(s: Long, e: Long, buf: IntMatchBuffer): Int = {
+    buf.reset()
+    query(s, e)(buf.addF)
+    buf.size
+  }
+}
+
 sealed trait IntervalIndex extends AnyIntervalIndex {
   /** Invoke `f(position)` for every stored interval overlapping [s, e]
     * (closed/closed). */
@@ -443,7 +465,7 @@ object AugmentedTreeIndex {
 final class LongSuperIntervalsIndex private (
     val starts: Array[Long], val ends: Array[Long],
     val positions: Array[Int], val branch: Array[Int])
-  extends AnyIntervalIndex {
+  extends LongIntervalIndex {
 
   override def size: Int = starts.length
 
@@ -458,7 +480,7 @@ final class LongSuperIntervalsIndex private (
     lo - 1
   }
 
-  def query(s: Long, e: Long)(f: Int => Unit): Unit = {
+  override def query(s: Long, e: Long)(f: Int => Unit): Unit = {
     var i = upperBound(e)
     while (i >= 0) {
       if (ends(i) >= s) {
@@ -468,18 +490,6 @@ final class LongSuperIntervalsIndex private (
         i = branch(i)
       }
     }
-  }
-
-  def count(s: Long, e: Long): Long = {
-    var n = 0L
-    query(s, e)(_ => n += 1)
-    n
-  }
-
-  def queryInto(s: Long, e: Long, buf: IntMatchBuffer): Int = {
-    buf.reset()
-    query(s, e)(buf.addF)
-    buf.size
   }
 
   /** Nearest-mode support — Long twin of
@@ -559,6 +569,230 @@ final class LongSuperIntervalsIndex private (
       if (starts(mid) < s) lo = mid + 1 else hi = mid
     }
     if (lo >= starts.length) -1 else positions(lo)
+  }
+}
+
+/** O(n) Long scan — correctness oracle for the Long indexes. */
+final class LongNaiveIndex(
+    starts: Array[Long], ends: Array[Long], positions: Array[Int])
+  extends LongIntervalIndex {
+  override def query(s: Long, e: Long)(f: Int => Unit): Unit = {
+    var i = 0
+    val n = starts.length
+    while (i < n) {
+      if (starts(i) <= e && ends(i) >= s) f(positions(i))
+      i += 1
+    }
+  }
+  override def size: Int = starts.length
+}
+
+/** Long twin of [[AIListIndex]] (same decomposition heuristics). */
+final class LongAIListIndex private[rangejoin] (
+    compStarts: Array[Array[Long]], compEnds: Array[Array[Long]],
+    compMaxEnds: Array[Array[Long]], compPositions: Array[Array[Int]])
+  extends LongIntervalIndex {
+
+  override val size: Int = compStarts.iterator.map(_.length).sum
+
+  override def query(s: Long, e: Long)(f: Int => Unit): Unit = {
+    var c = 0
+    while (c < compStarts.length) {
+      val starts = compStarts(c); val ends = compEnds(c)
+      val maxEnds = compMaxEnds(c); val positions = compPositions(c)
+      var lo = 0; var hi = starts.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (starts(mid) <= e) lo = mid + 1 else hi = mid
+      }
+      var i = lo - 1
+      while (i >= 0 && maxEnds(i) >= s) {
+        if (ends(i) >= s) f(positions(i))
+        i -= 1
+      }
+      c += 1
+    }
+  }
+}
+
+/** Long twin of [[LapperIndex]]. */
+final class LongLapperIndex private[rangejoin] (
+    starts: Array[Long], ends: Array[Long], positions: Array[Int],
+    maxLen: Long) extends LongIntervalIndex {
+
+  override def size: Int = starts.length
+
+  override def query(s: Long, e: Long)(f: Int => Unit): Unit = {
+    val n = starts.length
+    // first i with starts(i) >= s - maxLen; saturate the subtraction so a
+    // probe near Long.MinValue cannot wrap
+    val cutoff =
+      if (s < Long.MinValue + maxLen) Long.MinValue else s - maxLen
+    var lo = 0
+    var hi = n
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (starts(mid) < cutoff) lo = mid + 1 else hi = mid
+    }
+    while (lo < n && starts(lo) <= e) {
+      if (ends(lo) >= s) f(positions(lo))
+      lo += 1
+    }
+  }
+}
+
+/** Long twin of [[AugmentedTreeIndex]]. */
+final class LongAugmentedTreeIndex private[rangejoin] (
+    starts: Array[Long], ends: Array[Long], positions: Array[Int],
+    subtreeMax: Array[Long]) extends LongIntervalIndex {
+
+  override def size: Int = starts.length
+
+  override def query(s: Long, e: Long)(f: Int => Unit): Unit =
+    visit(0, starts.length, s, e, f)
+
+  private def visit(lo: Int, hi: Int, s: Long, e: Long,
+      f: Int => Unit): Unit = {
+    if (lo >= hi) return
+    val mid = (lo + hi) >>> 1
+    if (subtreeMax(mid) < s) return
+    visit(lo, mid, s, e, f)
+    if (starts(mid) <= e) {
+      if (ends(mid) >= s) f(positions(mid))
+      visit(mid + 1, hi, s, e, f)
+    }
+  }
+}
+
+object LongIntervalIndex {
+  /** Long-width algorithm dispatch — same names as
+    * [[IntervalIndex.build]]. */
+  def build(algorithm: String, starts: Array[Long], ends: Array[Long],
+            positions: Array[Int]): LongIntervalIndex =
+    algorithm.toLowerCase match {
+      case "superintervals" | "coitrees" | "default" =>
+        LongSuperIntervalsIndex.build(starts, ends, positions)
+      case "ailist" =>
+        buildAIList(starts, ends, positions)
+      case "intervaltree" | "arrayintervaltree" =>
+        buildTree(starts, ends, positions)
+      case "lapper" | "nclist" =>
+        buildLapper(starts, ends, positions)
+      case "naive" | "linear" =>
+        new LongNaiveIndex(starts, ends, positions)
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown interval-join algorithm: $other (expected " +
+            "superintervals | ailist | intervaltree | lapper | naive)")
+    }
+
+  private def buildLapper(starts0: Array[Long], ends0: Array[Long],
+      positions0: Array[Int]): LongLapperIndex = {
+    val n = starts0.length
+    val order = Array.range(0, n).sortWith { (a, b) =>
+      if (starts0(a) != starts0(b)) starts0(a) < starts0(b)
+      else ends0(a) < ends0(b)
+    }
+    val starts = new Array[Long](n)
+    val ends = new Array[Long](n)
+    val positions = new Array[Int](n)
+    var maxLen = 0L
+    var i = 0
+    while (i < n) {
+      val o = order(i)
+      starts(i) = starts0(o); ends(i) = ends0(o); positions(i) = positions0(o)
+      maxLen = math.max(maxLen, ends(i) - starts(i))
+      i += 1
+    }
+    new LongLapperIndex(starts, ends, positions, math.max(maxLen, 0L))
+  }
+
+  private def buildTree(starts0: Array[Long], ends0: Array[Long],
+      positions0: Array[Int]): LongAugmentedTreeIndex = {
+    val n = starts0.length
+    val order = Array.range(0, n).sortWith { (a, b) =>
+      if (starts0(a) != starts0(b)) starts0(a) < starts0(b)
+      else ends0(a) < ends0(b)
+    }
+    val starts = new Array[Long](n)
+    val ends = new Array[Long](n)
+    val positions = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val o = order(i)
+      starts(i) = starts0(o); ends(i) = ends0(o); positions(i) = positions0(o)
+      i += 1
+    }
+    val subtreeMax = new Array[Long](math.max(n, 1))
+    def fill(lo: Int, hi: Int): Long = {
+      if (lo >= hi) return Long.MinValue
+      val mid = (lo + hi) >>> 1
+      val m = math.max(ends(mid), math.max(fill(lo, mid), fill(mid + 1, hi)))
+      subtreeMax(mid) = m
+      m
+    }
+    fill(0, n)
+    new LongAugmentedTreeIndex(starts, ends, positions, subtreeMax)
+  }
+
+  private def buildAIList(starts0: Array[Long], ends0: Array[Long],
+      positions0: Array[Int]): LongAIListIndex = {
+    val MaxComps = 8
+    val MinCompLen = 64
+    val CovCutoff = 10
+    val n = starts0.length
+    val order = Array.range(0, n).sortWith { (a, b) =>
+      if (starts0(a) != starts0(b)) starts0(a) < starts0(b)
+      else ends0(a) > ends0(b)
+    }
+    var curS = order.map(starts0)
+    var curE = order.map(ends0)
+    var curP = order.map(positions0)
+
+    val compS = ArrayBuffer[Array[Long]]()
+    val compE = ArrayBuffer[Array[Long]]()
+    val compP = ArrayBuffer[Array[Int]]()
+    var iter = 0
+    while (curS.nonEmpty && iter < MaxComps - 1 && curS.length > MinCompLen) {
+      val keepIdx = ArrayBuffer[Int]()
+      val moveIdx = ArrayBuffer[Int]()
+      val m = curS.length
+      var i = 0
+      while (i < m) {
+        var cov = 0
+        var j = i + 1
+        val lim = math.min(m, i + 1 + 2 * CovCutoff)
+        while (j < lim && cov < CovCutoff) {
+          if (curE(j) <= curE(i)) cov += 1
+          j += 1
+        }
+        if (cov >= CovCutoff) moveIdx += i else keepIdx += i
+        i += 1
+      }
+      if (moveIdx.isEmpty || keepIdx.isEmpty) {
+        compS += curS; compE += curE; compP += curP
+        curS = Array.empty; curE = Array.empty; curP = Array.empty
+      } else {
+        compS += keepIdx.map(curS).toArray
+        compE += keepIdx.map(curE).toArray
+        compP += keepIdx.map(curP).toArray
+        curS = moveIdx.map(curS).toArray
+        curE = moveIdx.map(curE).toArray
+        curP = moveIdx.map(curP).toArray
+      }
+      iter += 1
+    }
+    if (curS.nonEmpty) { compS += curS; compE += curE; compP += curP }
+
+    val maxEnds = compE.map { ends =>
+      val me = new Array[Long](ends.length)
+      var mx = Long.MinValue
+      var i = 0
+      while (i < ends.length) { mx = math.max(mx, ends(i)); me(i) = mx; i += 1 }
+      me
+    }
+    new LongAIListIndex(compS.toArray, compE.toArray, maxEnds.toArray,
+      compP.toArray)
   }
 }
 

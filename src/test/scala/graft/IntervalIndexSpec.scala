@@ -58,27 +58,29 @@ class IntervalIndexSpec extends AnyFunSuite {
     }
   }
 
-  test("Long index ≡ linear scan at epoch-micro magnitudes (beyond Int32)") {
-    import graft.rangejoin.LongSuperIntervalsIndex
-    val rnd = new Random(7)
-    val base = 1704067200000000L // well beyond Int32
-    for (trial <- 0 until 100) {
-      val n = rnd.nextInt(300)
-      val starts = new Array[Long](n)
-      val ends = new Array[Long](n)
-      for (i <- 0 until n) {
-        starts(i) = base + rnd.nextLong(86400000000L)
-        ends(i) = starts(i) + rnd.nextLong(60000000L)
-      }
-      val idx = LongSuperIntervalsIndex.build(starts, ends,
-        Array.range(0, n))
-      for (_ <- 0 until 20) {
-        val s = base + rnd.nextLong(86400000000L)
-        val e = s + rnd.nextLong(120000000L)
-        val got = { val b = ArrayBuffer[Int](); idx.query(s, e)(b += _); b.sorted.toSeq }
-        val exp = (0 until n).filter(i => starts(i) <= e && ends(i) >= s)
-        assert(got == exp, s"trial=$trial probe=[$s,$e]")
-        assert(idx.count(s, e) == exp.size)
+  for (alg <- Seq("superintervals", "ailist", "lapper", "intervaltree")) {
+    test(s"Long $alg ≡ linear scan at epoch-micro magnitudes (beyond Int32)") {
+      import graft.rangejoin.LongIntervalIndex
+      val rnd = new Random(7)
+      val base = 1704067200000000L // well beyond Int32
+      for (trial <- 0 until 100) {
+        val n = rnd.nextInt(300)
+        val starts = new Array[Long](n)
+        val ends = new Array[Long](n)
+        for (i <- 0 until n) {
+          starts(i) = base + rnd.nextLong(86400000000L)
+          ends(i) = starts(i) + rnd.nextLong(60000000L)
+        }
+        val idx = LongIntervalIndex.build(alg, starts, ends,
+          Array.range(0, n))
+        for (_ <- 0 until 20) {
+          val s = base + rnd.nextLong(86400000000L)
+          val e = s + rnd.nextLong(120000000L)
+          val got = { val b = ArrayBuffer[Int](); idx.query(s, e)(b += _); b.sorted.toSeq }
+          val exp = (0 until n).filter(i => starts(i) <= e && ends(i) >= s)
+          assert(got == exp, s"trial=$trial probe=[$s,$e]")
+          assert(idx.count(s, e) == exp.size)
+        }
       }
     }
   }

@@ -184,6 +184,22 @@ class LongIntervalJoinSpec extends SparkTestBase with BeforeAndAfterEach {
     } finally spark.conf.unset(GraftSession.CoordWidth)
   }
 
+  test("every algorithm slot is real at int64 (pinned, plan-shown, ≡ stock)") {
+    val a = windows(200, 20).cache(); val b = windows(200, 21).cache()
+    a.count(); b.count()
+    val exp = stockSet(joined(a, b))
+    for (alg <- Seq("ailist", "lapper", "intervaltree", "naive")) {
+      spark.conf.set(GraftSession.IntervalJoinAlgorithm, alg)
+      val df = joined(a, b)
+      val plan = planOf(df)
+      assert(plan.contains(s"alg=$alg"), plan)
+      assert(plan.contains("coord=int64"), plan)
+      assert(df.collect().map(_.toSeq).toSet == exp, s"alg=$alg")
+    }
+    spark.conf.set(GraftSession.IntervalJoinAlgorithm, "superintervals")
+    a.unpersist(); b.unpersist()
+  }
+
   test("randomized equivalence sweep at int64 (both modes)") {
     val rnd = new scala.util.Random(11)
     for (mode <- Seq("broadcast", "partitioned")) {

@@ -72,6 +72,31 @@ class StreamingSpec extends SparkTestBase {
       Seq("c2", 100, 200, "c2", 180, 310)))
   }
 
+  test("stream-static interval join on RAW timestamp bounds (temporal + int64)") {
+    // the temporal recognizer must fire inside the incremental planner
+    // too: static window table probed by a stream, bounds are raw
+    // TimestampType → UnixMicros normalization → Int64 index
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set(GraftSession.PreferIntervalJoin, "true")
+    val static = Seq(("c1", ts(0), ts(10)), ("c1", ts(20), ts(30)))
+      .toDF("key", "w_start", "w_end")
+      .select($"key".as("ak"), $"w_start".as("a_s"), $"w_end".as("a_e"))
+    val input = MemoryStream[(String, Timestamp, Timestamp)]
+    input.addData(("c1", ts(5), ts(6)), ("c1", ts(12), ts(15)),
+      ("c1", ts(15), ts(25)))
+    val probe = input.toDF().toDF("bk", "b_s", "b_e")
+    val joined = static.join(probe, $"ak" === $"bk" &&
+      $"a_s" <= $"b_e" && $"a_e" >= $"b_s")
+    val q = joined.writeStream.format("memory").queryName("tsij_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("tsij_out")
+      .selectExpr("a_s", "b_s").collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1))).toSet
+    assert(got == Set((ts(0), ts(5)), (ts(20), ts(15))))
+  }
+
   test("stream-stream range join pairs in-tolerance events, bounded state") {
     implicit val sqlCtx = spark.sqlContext
     val li = MemoryStream[(String, Timestamp, Long)]
