@@ -22,9 +22,12 @@ class GraftSparkSessionExtension extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(session => graft.plans.IntervalCountRewrite(session))
     e.injectOptimizerRule(session => graft.plans.AutoBinIntervalJoin(session))
     // AQE re-optimization sees RUNTIME sizes (materialized stage stats):
-    // a join whose static estimate looked broadcast-able but turned out
-    // huge gets the skew-binned rewrite on accurate numbers. Idempotent —
-    // the rule skips joins whose keys already carry a bin column.
+    // a KEYLESS join whose static estimate looked broadcast-able but
+    // materialized huge gets the skew-binned rewrite on accurate numbers.
+    // (The keyed low-NDV trigger still needs column stats, which runtime
+    // LogicalQueryStage statistics don't carry — that path fires only on
+    // the static pass.) Idempotent — the rule skips joins whose keys
+    // already carry a bin column.
     e.injectRuntimeOptimizerRule(session =>
       graft.plans.AutoBinIntervalJoin(session))
     e.injectFunction(graft.functions.CosineSimilarity.functionDescription)

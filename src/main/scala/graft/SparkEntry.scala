@@ -379,7 +379,10 @@ object SparkEntry {
     // AS-OF join (beyond the reference): latest click at-or-before each
     // purchase, per user, at epoch micros — DuckDB's native ASOF LEFT
     // JOIN is the oracle. One binary search per probe row; NULL-padded
-    // build side for purchases with no prior click.
+    // build side for purchases with no prior click. Determinism: both
+    // engines tie-break equal (user_id, ts) build rows arbitrarily, but
+    // the driver's events tables have zero duplicate (user_id, ts) pairs
+    // at every SF (verified), so the comparison is exact.
     "q50_asof" -> ((s, dir) => { prep(s, dir)
       val ev = Tables.load(s, dir, "events")
       val clicks = ev.where(col("event_type") === "click")

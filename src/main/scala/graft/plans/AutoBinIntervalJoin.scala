@@ -88,23 +88,28 @@ case class AutoBinIntervalJoin(session: SparkSession) extends Rule[LogicalPlan] 
   }
 
   /** True when stats pin `e` (an attribute, possibly under the strict-op
-    * `- 1` rewrite) inside the Int32 range. */
+    * `- 1` rewrite) inside the Int32 range. A shifted attribute needs
+    * min − 1 in range too: stats proving min = Int.MinValue do NOT prove
+    * `attr - 1` fits. */
   private def int32Proven(side: LogicalPlan, e: Expression): Boolean = {
-    val attr = e match {
-      case a: Attribute => Some(a)
+    val attrAndShift = e match {
+      case a: Attribute => Some((a, 0L))
       case Subtract(Cast(a: Attribute, LongType, _, _), Literal(1L, LongType), _) =>
-        Some(a)
+        Some((a, 1L))
       case _ => None
     }
-    def inRange(v: Any): Boolean = v match {
-      case _: Byte | _: Short | _: Int => true
-      case l: Long => l >= Int.MinValue && l <= Int.MaxValue
-      case _ => false
+    def asLong(v: Any): Option[Long] = v match {
+      case b: Byte => Some(b.toLong)
+      case s: Short => Some(s.toLong)
+      case i: Int => Some(i.toLong)
+      case l: Long => Some(l)
+      case _ => None
     }
-    attr.exists { a =>
+    attrAndShift.exists { case (a, shift) =>
       side.stats.attributeStats.get(a).exists { cs =>
-        (cs.min, cs.max) match {
-          case (Some(mn), Some(mx)) => inRange(mn) && inRange(mx)
+        (cs.min.flatMap(asLong), cs.max.flatMap(asLong)) match {
+          case (Some(mn), Some(mx)) =>
+            mn - shift >= Int.MinValue && mx <= Int.MaxValue
           case _ => false
         }
       }

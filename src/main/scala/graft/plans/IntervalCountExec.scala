@@ -94,7 +94,7 @@ private[graft] class IntervalCountRunner(
         val si = bounds.s; val ei = bounds.e
         if (si <= ei) { acc.starts += si; acc.ends += ei }
         else { acc.invStarts += si; acc.invEnds += ei }
-        mem.add(BuildMemoryAccountant.IntervalOverhead)
+        mem.add(BuildMemoryAccountant.LongIntervalOverhead)
       }
     }
     val keyed = new java.util.HashMap[UnsafeRow, CountBuildEntry](

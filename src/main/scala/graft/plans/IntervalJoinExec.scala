@@ -457,10 +457,12 @@ private[graft] class IntervalJoinRunner(
                      }
           val pos = idx0 match {
             case null => -1
+            case _ if strict && forward && bounds.s == Long.MaxValue => -1
+            case _ if strict && !forward && bounds.s == Long.MinValue => -1
             case idx =>
               // strict shifts the cutoff one tick (times are integral);
               // shifts past the Int/Long domain mean "no candidate" on the
-              // shrinking side and "everything" on the other — clamp, never
+              // shrinking side (handled above, pre-wrap) — clamp, never
               // throw (no reference parity to keep: asof is new here)
               val t = if (!strict) bounds.s
                       else if (forward) bounds.s + 1

@@ -512,22 +512,28 @@ final class LongSuperIntervalsIndex private (
     if (best >= 0) return positions(best)
 
     // No overlap: nearest by gap — max end among starts <= s (gap s-end)
-    // vs first start > e (gap start-e). Gaps computed in BigInt-free Long
-    // math: both operands bounded by the data, overflow only when the
-    // domain itself spans > 2^63, which Long coordinates cannot.
+    // vs first start > e (gap start-e). Subtractions saturate: operands
+    // in opposite halves of the Long domain would otherwise wrap and pick
+    // the FARTHER interval (the Int twin avoids this by widening to Long;
+    // at Long width saturation is the equivalent guard).
+    def satSub(a: Long, b: Long): Long = {
+      val d = a - b
+      if (((a ^ b) & (a ^ d)) < 0) { if (a >= 0) Long.MaxValue else Long.MinValue }
+      else d
+    }
     var bestDist = Long.MaxValue
     var bestIdx = -1
     val leftIdx = upperBound(s)
     if (leftIdx >= 0) {
       val j = prefixMaxEndIdx(leftIdx)
-      val d = s - ends(j)
+      val d = satSub(s, ends(j))
       bestDist = d; bestIdx = j
     }
     var rightIdx = upperBound(e) + 1 // first start > e
     if (rightIdx < starts.length) {
       while (rightIdx + 1 < starts.length &&
              starts(rightIdx + 1) == starts(rightIdx)) rightIdx += 1
-      val d = starts(rightIdx) - e
+      val d = satSub(starts(rightIdx), e)
       if (d < bestDist || (d == bestDist && bestIdx >= 0 &&
           (starts(rightIdx) < starts(bestIdx) ||
            (starts(rightIdx) == starts(bestIdx) &&
@@ -615,10 +621,12 @@ final class LongAIListIndex private[rangejoin] (
   }
 }
 
-/** Long twin of [[LapperIndex]]. */
+/** Long twin of [[LapperIndex]]. `unbounded` marks an interval whose
+  * length exceeds Long.MaxValue (full-domain sentinel) — no finite
+  * cutoff can exclude anything, so probes scan from the front. */
 final class LongLapperIndex private[rangejoin] (
     starts: Array[Long], ends: Array[Long], positions: Array[Int],
-    maxLen: Long) extends LongIntervalIndex {
+    maxLen: Long, unbounded: Boolean) extends LongIntervalIndex {
 
   override def size: Int = starts.length
 
@@ -627,7 +635,8 @@ final class LongLapperIndex private[rangejoin] (
     // first i with starts(i) >= s - maxLen; saturate the subtraction so a
     // probe near Long.MinValue cannot wrap
     val cutoff =
-      if (s < Long.MinValue + maxLen) Long.MinValue else s - maxLen
+      if (unbounded || s < Long.MinValue + maxLen) Long.MinValue
+      else s - maxLen
     var lo = 0
     var hi = n
     while (lo < hi) {
@@ -697,14 +706,21 @@ object LongIntervalIndex {
     val ends = new Array[Long](n)
     val positions = new Array[Int](n)
     var maxLen = 0L
+    var unbounded = false
     var i = 0
     while (i < n) {
       val o = order(i)
       starts(i) = starts0(o); ends(i) = ends0(o); positions(i) = positions0(o)
-      maxLen = math.max(maxLen, ends(i) - starts(i))
+      // an interval spanning more than 2^63 (e.g. a [Long.MinValue,
+      // Long.MaxValue] open-ended sentinel) has no representable length —
+      // mark the index unbounded so probes scan from the front instead of
+      // trusting a wrapped cutoff
+      val d = ends(i) - starts(i)
+      if (ends(i) >= starts(i) && d < 0) unbounded = true
+      else maxLen = math.max(maxLen, math.max(d, 0L))
       i += 1
     }
-    new LongLapperIndex(starts, ends, positions, math.max(maxLen, 0L))
+    new LongLapperIndex(starts, ends, positions, maxLen, unbounded)
   }
 
   private def buildTree(starts0: Array[Long], ends0: Array[Long],

@@ -126,6 +126,18 @@ class AsofJoinSpec extends SparkTestBase with BeforeAndAfterEach {
       .head.getString(2) == "a@10")
   }
 
+  test("strict shifts at the Long domain extremes NULL-pad, never wrap") {
+    val b = Seq(("a", 10L, "b10")).toDF("key", "t", "tag")
+    val pMax = Seq(("a", Long.MaxValue, "pmax")).toDF("key", "t", "tag")
+    val pMin = Seq(("a", Long.MinValue, "pmin")).toDF("key", "t", "tag")
+    // strict forward at MaxValue: no build time can be > MaxValue
+    val fwdRow = run(b, pMax, forward = true, strict = true).collect().head
+    assert(fwdRow.isNullAt(0) && fwdRow.isNullAt(2), fwdRow.toString)
+    // strict backward at MinValue: no build time can be < MinValue
+    val bwdRow = run(b, pMin, forward = false, strict = true).collect().head
+    assert(bwdRow.isNullAt(0) && bwdRow.isNullAt(2), bwdRow.toString)
+  }
+
   test("invalid conditions are rejected with a clear message") {
     val b = Seq(("a", 1L, "x")).toDF("key", "t", "tag")
     val p = Seq(("a", 1L, "y")).toDF("key", "t", "tag")

@@ -85,6 +85,28 @@ class IntervalIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("Long lapper survives a full-domain sentinel interval (no maxLen wrap)") {
+    import graft.rangejoin.LongIntervalIndex
+    val starts = Array(Long.MinValue, 100L, 5000L)
+    val ends = Array(Long.MaxValue, 200L, 6000L)
+    val idx = LongIntervalIndex.build("lapper", starts, ends, Array(0, 1, 2))
+    val got = { val b = ArrayBuffer[Int](); idx.query(150L, 160L)(b += _); b.sorted.toSeq }
+    assert(got == Seq(0, 1)) // sentinel matches everything; [100,200] overlaps
+    assert(idx.count(1000000L, 1000001L) == 1) // only the sentinel
+  }
+
+  test("Long nearest with operands in opposite halves (no gap wrap)") {
+    import graft.rangejoin.LongSuperIntervalsIndex
+    val s = 3L * (1L << 61) // 1.5 * 2^62
+    val farNeg = -(1L << 62)
+    val starts = Array(farNeg, s + 5)
+    val ends = Array(farNeg, s + 6)
+    val idx = LongSuperIntervalsIndex.build(starts, ends, Array(0, 1))
+    // true gaps: to far-left interval ≈ 5*2^61 (overflows raw Long math),
+    // to the right interval = 5 — the right one must win
+    assert(idx.nearest(s, s) == 1)
+  }
+
   test("Long index nearest ≡ linear argmin at epoch-micro magnitudes") {
     import graft.rangejoin.LongSuperIntervalsIndex
     val rnd = new Random(9)
