@@ -19,9 +19,22 @@ import org.apache.spark.sql.{Column, DataFrame, GraftSqlShim}
  * // strictly-before / strictly-after:           <  and  >
  * }}}
  *
- * Times are any integral columns (epoch micros/nanos run on the Int64
- * index path). Executes as the interval join's one-binary-search-per-probe
- * asof mode in either distribution mode — broadcast under the threshold,
+ * Times are any integral, TIMESTAMP or DATE columns (temporal bounds
+ * normalize to epoch micros/days; wide domains run on the Int64 index).
+ * The FIRST side-crossing inequality in the condition defines the time
+ * axis and direction; any further conjuncts are residual filters applied
+ * to the picked pair — a failing residual NULL-pads like a miss. That is
+ * pandas merge_asof's `tolerance`:
+ *
+ * {{{
+ * // backward, within one hour:
+ * AsofJoin(quotes, trades,
+ *   quotes("sym") === trades("sym") &&
+ *   quotes("t") <= trades("t") && quotes("t") >= trades("t") - 3600L)
+ * }}}
+ *
+ * Executes as the interval join's one-binary-search-per-probe asof mode
+ * in either distribution mode — broadcast under the threshold,
  * hash-partitioned on the equi-keys above it — so it scales exactly like
  * the overlap join. Equal build times within a key are broken by the
  * index's deterministic sort only when times are unique per key; prefer

@@ -41,7 +41,13 @@ object AsofCondition extends PredicateHelper {
       probeTime: Expression,
       forward: Boolean,
       strict: Boolean,
-      hasLongBounds: Boolean)
+      hasLongBounds: Boolean,
+      /** Leftover conjuncts, evaluated on the picked (build, probe) pair;
+        * a failing residual NULL-pads like a miss. This is pandas
+        * merge_asof's `tolerance` (e.g. `b.t >= p.t - 3600L`): for a
+        * time-monotone residual, filter-after-pick ≡ pick-within-bound,
+        * since any earlier candidate is farther. */
+      residual: Option[Expression])
 
   private def integral(e: Expression): Boolean = e.dataType match {
     case ByteType | ShortType | IntegerType | LongType => true
@@ -69,7 +75,7 @@ object AsofCondition extends PredicateHelper {
     var rightKeys = Vector.empty[Expression]
     // (buildTime, probeTime, forward, strict)
     var time: Option[(Expression, Expression, Boolean, Boolean)] = None
-    var ok = true
+    var residual = Vector.empty[Expression]
 
     splitConjunctivePredicates(cond).foreach {
       case EqualTo(a, b) if fromLeft(a) && fromRight(b) =>
@@ -96,16 +102,16 @@ object AsofCondition extends PredicateHelper {
               integral(a) && integral(b) => Some((b, a, false, true))
           case _ => None
         }
-        if (time.isEmpty) ok = false
-      case _ => ok = false // second inequality / unsupported residual
+        if (time.isEmpty) residual :+= c
+      case c => residual :+= c // e.g. the tolerance bound
     }
 
     time match {
-      case Some((bt, pt, fwd, strict)) if ok =>
+      case Some((bt, pt, fwd, strict)) =>
         val wide = Seq(bt, pt).exists(e =>
           e.dataType == LongType || e.dataType == TimestampType)
         Some(Extracted(leftKeys, rightKeys, norm(bt), norm(pt), fwd, strict,
-          wide))
+          wide, residual.reduceOption(And)))
       case _ => None
     }
   }

@@ -478,8 +478,16 @@ private[graft] class IntervalJoinRunner(
                 case _ => -1
               }
           }
+          // filter-after-pick: a residual (merge_asof tolerance) failing
+          // on the picked pair NULL-pads like a miss — for time-monotone
+          // residuals this equals pick-within-bound (earlier candidates
+          // are farther)
+          val accepted = pos >= 0 && (residualPred match {
+            case None => true
+            case Some(p) => p.eval(joined(build.rows(pos), rrow))
+          })
           rows += 1
-          if (pos < 0) resultProj(joined(nullLeft, rrow))
+          if (!accepted) resultProj(joined(nullLeft, rrow))
           else resultProj(joined(build.rows(pos), rrow))
         }
     }

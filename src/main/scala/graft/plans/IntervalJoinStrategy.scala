@@ -121,7 +121,8 @@ case class IntervalJoinStrategy(session: SparkSession) extends SparkStrategy {
             planLater(l), planLater(r),
             x.leftKeys, x.rightKeys,
             x.buildTime, x.buildTime, x.probeTime, x.probeTime,
-            None, AsofJoin(x.forward, x.strict), mode, "superintervals",
+            x.residual, AsofJoin(x.forward, x.strict), mode,
+            "superintervals",
             wide = coordWideFor(x.hasLongBounds)) :: Nil
         case _ => Nil // unreachable — AsofJoin.apply validates eagerly
       }

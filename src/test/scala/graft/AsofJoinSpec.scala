@@ -138,6 +138,26 @@ class AsofJoinSpec extends SparkTestBase with BeforeAndAfterEach {
     assert(bwdRow.isNullAt(0) && bwdRow.isNullAt(2), bwdRow.toString)
   }
 
+  test("tolerance residual NULL-pads out-of-tolerance picks (merge_asof)") {
+    val b = Seq(("a", 10L, "b10"), ("a", 100L, "b100"))
+      .toDF("key", "t", "tag")
+    val p = Seq(("a", 150L, "p150"), ("a", 300L, "p300"), ("a", 5L, "p5"))
+      .toDF("key", "t", "tag")
+    val bb = b.select(col("key").as("bk"), col("t").as("bt"),
+      col("tag").as("btag"))
+    val pp = p.select(col("key").as("pk"), col("t").as("pt"),
+      col("tag").as("ptag"))
+    // backward within 60 ticks: first inequality = axis, second = tolerance
+    val df = AsofJoin(bb, pp, bb("bk") === pp("pk") &&
+      bb("bt") <= pp("pt") && bb("bt") >= pp("pt") - 60L)
+    val got = df.select("ptag", "btag").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    // p150: latest <= 150 is b100, gap 50 <= 60 → match
+    // p300: latest <= 300 is b100, gap 200 > 60 → NULL (not b10 either)
+    // p5: no build <= 5 → NULL
+    assert(got == Map("p150" -> "b100", "p300" -> null, "p5" -> null))
+  }
+
   test("invalid conditions are rejected with a clear message") {
     val b = Seq(("a", 1L, "x")).toDF("key", "t", "tag")
     val p = Seq(("a", 1L, "y")).toDF("key", "t", "tag")
@@ -145,10 +165,5 @@ class AsofJoinSpec extends SparkTestBase with BeforeAndAfterEach {
       AsofJoin(b, p, b("key") === p("key")) // no time inequality
     }
     assert(ex.getMessage.contains("AsofJoin condition"))
-    val ex2 = intercept[IllegalArgumentException] {
-      AsofJoin(b, p, b("key") === p("key") &&
-        b("t") <= p("t") && b("t") >= p("t")) // two inequalities
-    }
-    assert(ex2.getMessage.contains("AsofJoin condition"))
   }
 }
