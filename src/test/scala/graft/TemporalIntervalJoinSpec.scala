@@ -141,6 +141,40 @@ class TemporalIntervalJoinSpec extends SparkTestBase with BeforeAndAfterEach {
     assert(got == Map("p1030" -> "b9", "p1100" -> "b11", "p0800" -> null))
   }
 
+  test("TimestampNTZ bounds fall back to stock Spark, still correct") {
+    // NTZ is deliberately unrecognized (no exact UnixMicros analogue
+    // wired) — the join must FALL BACK, not misplan
+    val a = Seq(("k", "2024-01-01T10:00:00", "2024-01-01T11:00:00"))
+      .toDF("key", "s", "e")
+      .select(col("key"), to_timestamp_ntz(col("s")).as("w_start"),
+        to_timestamp_ntz(col("e")).as("w_end"))
+    val b = Seq(("k", "2024-01-01T10:30:00", "2024-01-01T10:40:00"))
+      .toDF("key", "s", "e")
+      .select(col("key"), to_timestamp_ntz(col("s")).as("w_start"),
+        to_timestamp_ntz(col("e")).as("w_end"))
+    val df = overlap(a, b)
+    assert(!planOf(df).contains("IntervalJoinExec"), planOf(df))
+    assert(df.count() == 1)
+  }
+
+  test("as-of join on DATE columns (epoch days, narrow index)") {
+    def d(s: String) = Date.valueOf(s)
+    val b = Seq(("u", d("2024-01-01"), "jan1"), ("u", d("2024-03-01"), "mar1"))
+      .toDF("key", "t", "tag")
+    val p = Seq(("u", d("2024-02-15"), "feb15"), ("u", d("2023-12-25"), "dec25"))
+      .toDF("key", "t", "tag")
+    val bb = b.select(col("key").as("bk"), col("t").as("bt"),
+      col("tag").as("btag"))
+    val pp = p.select(col("key").as("pk"), col("t").as("pt"),
+      col("tag").as("ptag"))
+    val df = AsofJoin(bb, pp, bb("bk") === pp("pk") && bb("bt") <= pp("pt"))
+    assert(planOf(df).contains("join_type=AsofBackward"), planOf(df))
+    assert(!planOf(df).contains("coord=int64"), planOf(df)) // days are narrow
+    val got = df.select("ptag", "btag").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got == Map("feb15" -> "jan1", "dec25" -> null))
+  }
+
   test("COUNT over timestamp intervals uses the count pushdown") {
     val a = tsWindows(300, 3).cache(); val b = tsWindows(300, 4).cache()
     a.count(); b.count()
