@@ -164,6 +164,20 @@ object SparkEntry {
         |FROM w a JOIN w b ON a.user_id = b.user_id
         | AND a.t0 <= b.t1 AND a.t1 >= b.t0 AND a.event_id < b.event_id
         |GROUP BY a.event_type""".stripMargin,
+    // reciprocal-overlap-fraction join (bedtools `-f 0.5 -r` semantics):
+    // the fraction bounds ride the SAME indexed join as plain overlap —
+    // they are residual conjuncts compiled into the whole-stage-codegen
+    // match loop, not a post-join filter stage. Integer-exact (×2 vs /2).
+    "q52_interval_fraction" -> (cteAB +
+      """
+        |SELECT a.contig AS contig, COUNT(*) AS cnt
+        |FROM a JOIN b ON a.contig = b.contig
+        | AND a.pos_start <= b.pos_end AND a.pos_end >= b.pos_start
+        | AND (LEAST(a.pos_end, b.pos_end) - GREATEST(a.pos_start, b.pos_start) + 1) * 2
+        |     >= (a.pos_end - a.pos_start + 1)
+        | AND (LEAST(a.pos_end, b.pos_end) - GREATEST(a.pos_start, b.pos_start) + 1) * 2
+        |     >= (b.pos_end - b.pos_start + 1)
+        |GROUP BY a.contig""".stripMargin),
     // flagship baseline shape (reference queries/q1-coitrees.sql): global
     // overlap count — exercises the COUNT(*) aggregate pushdown
     "q16_interval_count" -> (cteAB +
@@ -376,6 +390,18 @@ object SparkEntry {
     // superintervals index instead — a capability, not just parity.
     "q49_interval_long" -> run(longWindowSparkSql),
     "q51_interval_ts" -> run(sharedSql("q51_interval_ts")),
+    "q52_interval_fraction" -> run(sharedSql("q52_interval_fraction")),
+    // interval merge + coverage (bedtools merge / genomecov-lite): union
+    // overlapping intervals per contig, report per-contig region count,
+    // merged-interval stats and covered bases — the IntervalOps API
+    // (windowed running-max grouping, no self-join).
+    "q53_interval_merge" -> ((s, dir) => { prep(s, dir)
+      val a = s.sql(cteAB + "\nSELECT contig, pos_start, pos_end FROM a")
+      graft.operators.IntervalOps
+        .coverageStats(a, Seq("contig"), "pos_start", "pos_end")
+        .select(col("contig"), col("n_regions"), col("covered_bases"),
+          col("max_region_len").cast("long").as("max_region_len"),
+          col("n_intervals")) }),
     // AS-OF join (beyond the reference): latest click at-or-before each
     // purchase, per user, at epoch micros — DuckDB's native ASOF LEFT
     // JOIN is the oracle. One binary search per probe row; NULL-padded
@@ -692,6 +718,37 @@ object SparkEntry {
       "q43_interval_tree" -> sharedSql("q10_interval_join"),
       "q14_interval_nearest" -> nearestOracleSql,
       "q49_interval_long" -> longWindowOracle,
+      // the classic sweep as window SQL — same merge the IntervalOps API
+      // computes; all aggregates cast to BIGINT to match Spark's types
+      "q53_interval_merge" -> (cteAB +
+        """,
+          |ord AS (
+          |  SELECT contig, pos_start, pos_end,
+          |         MAX(pos_end) OVER (PARTITION BY contig
+          |           ORDER BY pos_start, pos_end
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+          |  FROM a),
+          |flagged AS (
+          |  SELECT contig, pos_start, pos_end,
+          |         CASE WHEN prev_max IS NULL OR pos_start > prev_max + 1
+          |              THEN 1 ELSE 0 END AS new_grp
+          |  FROM ord),
+          |grp AS (
+          |  SELECT contig, pos_start, pos_end,
+          |         SUM(new_grp) OVER (PARTITION BY contig
+          |           ORDER BY pos_start, pos_end
+          |           ROWS UNBOUNDED PRECEDING) AS gid
+          |  FROM flagged),
+          |merged AS (
+          |  SELECT contig, MIN(pos_start) AS m_start, MAX(pos_end) AS m_end,
+          |         COUNT(*) AS n_merged
+          |  FROM grp GROUP BY contig, gid)
+          |SELECT contig,
+          |       CAST(COUNT(*) AS BIGINT) AS n_regions,
+          |       CAST(SUM(m_end - m_start + 1) AS BIGINT) AS covered_bases,
+          |       CAST(MAX(m_end - m_start + 1) AS BIGINT) AS max_region_len,
+          |       CAST(SUM(n_merged) AS BIGINT) AS n_intervals
+          |FROM merged GROUP BY contig""".stripMargin),
       "q50_asof" ->
         """WITH c AS (SELECT user_id, epoch_us(ts) AS click_t,
           |                  event_id AS click_id

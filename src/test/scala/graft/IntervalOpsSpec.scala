@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.IntervalOps
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Interval merge / coverage (bedtools merge / genomecov-lite): golden
+ * fixtures for touching/contained/gapped intervals and a randomized
+ * equivalence against a brute-force union-of-points oracle.
+ */
+class IntervalOpsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("merge: overlapping, touching, contained, and gapped intervals") {
+    val df = Seq(
+      ("c1", 1, 5), ("c1", 4, 8),    // overlap -> [1,8]
+      ("c1", 8, 10),                  // touches (shared coord 8) -> [1,10]
+      ("c1", 12, 20), ("c1", 14, 15), // contained -> [12,20]
+      ("c1", 30, 31),
+      ("c2", 1, 2)
+    ).toDF("contig", "pos_start", "pos_end")
+    val merged = IntervalOps
+      .mergeIntervals(df, Seq("contig"), "pos_start", "pos_end")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+        r.getLong(3))).toSet
+    assert(merged == Set(
+      ("c1", 1, 10, 3L), ("c1", 12, 20, 2L), ("c1", 30, 31, 1L),
+      ("c2", 1, 2, 1L)))
+  }
+
+  test("maxGap bridges nearby intervals; adjacency merges at gap 0") {
+    val df = Seq(("c", 1, 5), ("c", 7, 9), ("c", 20, 21))
+      .toDF("contig", "pos_start", "pos_end")
+    // gap of 1 between [1,5] and [7,9] (coordinate 6 uncovered)
+    val g0 = IntervalOps.mergeIntervals(df, Seq("contig"), "pos_start",
+      "pos_end").count()
+    assert(g0 == 3)
+    // adjacency ([1,5] + [6,9]: nothing uncovered) merges at default gap
+    val adj = Seq(("c", 1, 5), ("c", 6, 9)).toDF("contig", "pos_start", "pos_end")
+    assert(IntervalOps.mergeIntervals(adj, Seq("contig"), "pos_start",
+      "pos_end").count() == 1)
+    val g1 = IntervalOps.mergeIntervals(df, Seq("contig"), "pos_start",
+      "pos_end", maxGap = 1).collect()
+      .map(r => (r.getInt(1), r.getInt(2))).toSet
+    assert(g1 == Set((1, 9), (20, 21)))
+  }
+
+  test("randomized: covered bases ≡ brute-force distinct covered points") {
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 400).map { _ =>
+      val s = rnd.nextInt(500)
+      (s"k${rnd.nextInt(3)}", s, s + rnd.nextInt(40))
+    }
+    val df = rows.toDF("contig", "pos_start", "pos_end")
+    val got = IntervalOps
+      .coverageStats(df, Seq("contig"), "pos_start", "pos_end")
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(4)))
+      .toMap
+    val exp = rows.groupBy(_._1).map { case (k, rs) =>
+      val pts = rs.flatMap(r => r._2 to r._3).toSet
+      // region count = number of maximal runs in the covered point set
+      val runs = pts.toSeq.sorted.foldLeft((0, Int.MinValue)) {
+        case ((n, prev), p) => if (p == prev + 1) (n, p) else (n + 1, p)
+      }._1
+      k -> ((runs.toLong, pts.size.toLong, rs.size.toLong))
+    }
+    assert(got == exp)
+  }
+
+  test("reciprocal-overlap-fraction residual compiles into the indexed join") {
+    val a = Seq(("c", 100, 199), ("c", 300, 309))
+      .toDF("contig", "pos_start", "pos_end")
+      .select($"contig".as("ac"), $"pos_start".as("a_s"), $"pos_end".as("a_e"))
+    val b = Seq(("c", 150, 249), ("c", 300, 400))
+      .toDF("contig", "pos_start", "pos_end")
+      .select($"contig".as("bc"), $"pos_start".as("b_s"), $"pos_end".as("b_e"))
+    val frac = (least($"a_e", $"b_e") - greatest($"a_s", $"b_s") + 1) * 2
+    val df = a.join(b, $"ac" === $"bc" &&
+      $"a_s" <= $"b_e" && $"a_e" >= $"b_s" &&
+      frac >= ($"a_e" - $"a_s" + 1) && frac >= ($"b_e" - $"b_s" + 1))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("IntervalJoinExec"), plan)
+    // [100,199]x[150,249]: overlap 50, halves of both (100 long) -> in
+    // [300,309]x[300,400]: overlap 10 >= half of a (10) but < half of b (101/2)
+    assert(df.count() == 1)
+  }
+}
