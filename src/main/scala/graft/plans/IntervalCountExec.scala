@@ -1,10 +1,12 @@
 package graft.plans
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, GenerateUnsafeProjection, JavaCode}
 import org.apache.spark.sql.catalyst.plans.physical._
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.types.{DataType, LongType}
 
@@ -27,7 +29,50 @@ private[graft] class CountBuildEntry(
     val endsByStart: Array[Long],
     val sortedEnds: Array[Long],
     val invStarts: Array[Long],
-    val invEnds: Array[Long]) extends Serializable
+    val invEnds: Array[Long]) extends Serializable {
+
+  /** #(arr(i) <= v) (strict=false) or #(arr(i) < v) (strict=true) on a
+    * sorted array. */
+  private def countBelow(arr: Array[Long], v: Long, strict: Boolean): Int = {
+    var lo = 0
+    var hi = arr.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (if (strict) arr(mid) < v else arr(mid) <= v) lo = mid + 1
+      else hi = mid
+    }
+    lo
+  }
+
+  /** Exact overlap count of probe [s, e] against this key's build set,
+    * valid for inverted intervals on either side (predicate semantics:
+    * `start <= e && end >= s`, exactly what the join path evaluates).
+    * A plain method so BOTH the interpreted runner and whole-stage
+    * generated Java call the same kernel (monomorphic, JIT-inlined). */
+  def count(s: Long, e: Long): Long = {
+    var cnt = 0L
+    if (s <= e) {
+      // well-formed probe over well-formed builds: {end < s} ⊆ {start <= e},
+      // so the two-search identity holds
+      cnt += countBelow(starts, e, strict = false) -
+        countBelow(sortedEnds, s, strict = true)
+    } else {
+      // inverted probe: identity fails (end < s no longer implies
+      // start <= e); scan the start-bounded prefix of the pairs instead
+      val k = countBelow(starts, e, strict = false)
+      var i = 0
+      while (i < k) { if (endsByStart(i) >= s) cnt += 1; i += 1 }
+    }
+    // inverted build intervals were excluded from the arrays — evaluate
+    // the raw predicate on each (normally an empty loop)
+    var j = 0
+    while (j < invStarts.length) {
+      if (invStarts(j) <= e && invEnds(j) >= s) cnt += 1
+      j += 1
+    }
+    cnt
+  }
+}
 
 private[graft] class CountBuildSide(
     val keyed: java.util.HashMap[UnsafeRow, CountBuildEntry])
@@ -114,46 +159,6 @@ private[graft] class IntervalCountRunner(
     new CountBuildSide(keyed)
   }
 
-  /** #(arr(i) <= v) (strict=false) or #(arr(i) < v) (strict=true) on a
-    * sorted array. */
-  private def countBelow(arr: Array[Long], v: Long, strict: Boolean): Int = {
-    var lo = 0
-    var hi = arr.length
-    while (lo < hi) {
-      val mid = (lo + hi) >>> 1
-      if (if (strict) arr(mid) < v else arr(mid) <= v) lo = mid + 1
-      else hi = mid
-    }
-    lo
-  }
-
-  /** Exact overlap count of probe [s, e] against one key's build set,
-    * valid for inverted intervals on either side (predicate semantics:
-    * `start <= e && end >= s`, exactly what the join path evaluates). */
-  private def countFor(entry: CountBuildEntry, s: Long, e: Long): Long = {
-    var cnt = 0L
-    if (s <= e) {
-      // well-formed probe over well-formed builds: {end < s} ⊆ {start <= e},
-      // so the two-search identity holds
-      cnt += countBelow(entry.starts, e, strict = false) -
-        countBelow(entry.sortedEnds, s, strict = true)
-    } else {
-      // inverted probe: identity fails (end < s no longer implies
-      // start <= e); scan the start-bounded prefix of the pairs instead
-      val k = countBelow(entry.starts, e, strict = false)
-      var i = 0
-      while (i < k) { if (entry.endsByStart(i) >= s) cnt += 1; i += 1 }
-    }
-    // inverted build intervals were excluded from the arrays — evaluate
-    // the raw predicate on each (normally an empty loop)
-    var j = 0
-    while (j < entry.invStarts.length) {
-      if (entry.invStarts(j) <= e && entry.invEnds(j) >= s) cnt += 1
-      j += 1
-    }
-    cnt
-  }
-
   /** Grouping attributes evaluated FROM THE PROBE ROW: a right-side attr
     * binds directly; a left-side attr must be an equi-key, whose value
     * equals the corresponding right key on every counted pair. */
@@ -183,7 +188,7 @@ private[graft] class IntervalCountRunner(
           val key = keyProj(rrow)
           val entry = if (hasKeys && key.anyNull) null else build.keyed.get(key)
           if (entry != null) {
-            total += countFor(entry, bounds.s, bounds.e)
+            total += entry.count(bounds.s, bounds.e)
           }
         }
       }
@@ -197,7 +202,7 @@ private[graft] class IntervalCountRunner(
           val key = keyProj(rrow)
           val entry = if (hasKeys && key.anyNull) null else build.keyed.get(key)
           if (entry != null) {
-            val cnt = countFor(entry, bounds.s, bounds.e)
+            val cnt = entry.count(bounds.s, bounds.e)
             // zero-count probes emit nothing — matches inner-join groups
             if (cnt > 0) {
               val g = groupProj(rrow)
@@ -244,7 +249,7 @@ case class IntervalCountExec(
     rightEnd: Expression,
     mode: IntervalJoinMode,
     groupAttrs: Seq[Attribute],
-    countAttr: Attribute) extends BinaryExecNode {
+    countAttr: Attribute) extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] = groupAttrs :+ countAttr
 
@@ -281,20 +286,120 @@ case class IntervalCountExec(
     conf.getConfString(graft.GraftSession.MaxBuildBytes, "0").toLong,
     longMetric("pairCount"), longMetric("buildMemUsed"))
 
+  /** Build once, shared by the interpreted and codegen broadcast paths. */
+  @transient private lazy val broadcastBuild: Broadcast[CountBuildSide] = {
+    val built = runner.buildSide(left.executeCollect().iterator)
+    longMetric("buildKeys") += built.keyed.size()
+    sparkContext.broadcast(built)
+  }
+
   override protected def doExecute(): RDD[InternalRow] = {
     val run = runner
     mode match {
       case BroadcastMode =>
-        val built = run.buildSide(left.executeCollect().iterator)
-        longMetric("buildKeys") += built.keyed.size()
-        val bc = sparkContext.broadcast(built)
+        val bc = broadcastBuild
         right.execute().mapPartitions(iter => run.probeAndEmit(bc.value, iter),
           preservesPartitioning = true)
       case PartitionedMode =>
+        val buildKeys = longMetric("buildKeys")
         left.execute().zipPartitions(right.execute()) { (liter, riter) =>
-          run.probeAndEmit(run.buildSide(liter), riter)
+          val built = run.buildSide(liter)
+          buildKeys += built.keyed.size()
+          run.probeAndEmit(built, riter)
         }
     }
+  }
+
+  // ---- whole-stage codegen (GLOBAL count only) --------------------------
+  //
+  // The global count is a blocking single-row operator, generated in the
+  // HashAggregateExec doProduceWithoutKeys shape: drain the probe input
+  // accumulating a local long (bounds/keys evaluated straight off the
+  // row, two binary searches per row via the shared CountBuildEntry.count
+  // kernel), then consume() ONCE with the total. The grouped form keeps
+  // the interpreted hashmap path.
+
+  override def supportCodegen: Boolean = groupAttrs.isEmpty
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] = mode match {
+    case BroadcastMode => right.execute() :: Nil
+    case PartitionedMode => left.execute() :: right.execute() :: Nil
+  }
+
+  override def needCopyResult: Boolean = false
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val partitioned = mode == PartitionedMode
+    val rightInput = ctx.addMutableState("scala.collection.Iterator",
+      "countRightInput",
+      v => s"$v = inputs[${if (partitioned) 1 else 0}];", forceInline = true)
+    val buildCls = classOf[CountBuildSide].getName
+    val entryCls = classOf[CountBuildEntry].getName
+    val buildTerm = ctx.addMutableState(buildCls, "countBuild",
+      forceInline = true)
+    val buildInit = if (partitioned) {
+      val leftInput = ctx.addMutableState("scala.collection.Iterator",
+        "countLeftInput", v => s"$v = inputs[0];", forceInline = true)
+      val runnerRef = ctx.addReferenceObj("countRunner", runner,
+        classOf[IntervalCountRunner].getName)
+      val buildKeys = metricTerm(ctx, "buildKeys")
+      s"""
+         |$buildTerm = ($buildCls) $runnerRef.buildSide($leftInput);
+         |$buildKeys.add($buildTerm.keyed().size());
+       """.stripMargin
+    } else {
+      val bcRef = ctx.addReferenceObj("countBuildBc", broadcastBuild,
+        classOf[Broadcast[CountBuildSide]].getName)
+      s"$buildTerm = ($buildCls) ((${classOf[Broadcast[_]].getName}) $bcRef).value();"
+    }
+
+    val probeRow = ctx.freshName("probeRow")
+    ctx.currentVars = null
+    ctx.INPUT_ROW = probeRow
+    val keyEv = GenerateUnsafeProjection.createCode(ctx,
+      rightKeys.map(BindReferences.bindReference(_, right.output)))
+    val sEv = BindReferences.bindReference(
+      Cast(rightStart, LongType), right.output).genCode(ctx)
+    val eEv = BindReferences.bindReference(
+      Cast(rightEnd, LongType), right.output).genCode(ctx)
+    ctx.INPUT_ROW = null
+    val keyNullCheck =
+      if (rightKeys.nonEmpty) s"&& !${keyEv.value}.anyNull()" else ""
+
+    val doneTerm = ctx.addMutableState("boolean", "countDone",
+      forceInline = true)
+    val totalTerm = ctx.freshName("totalPairs")
+    val entryTerm = ctx.freshName("countEntry")
+    val pairCount = metricTerm(ctx, "pairCount")
+
+    ctx.currentVars = Seq(ExprCode.forNonNullValue(
+      JavaCode.variable(totalTerm, LongType)))
+    val consumed = consume(ctx,
+      Seq(ExprCode.forNonNullValue(JavaCode.variable(totalTerm, LongType))))
+    ctx.currentVars = null
+
+    s"""
+       |if (!$doneTerm) {
+       |  $doneTerm = true;
+       |  $buildInit
+       |  long $totalTerm = 0L;
+       |  while ($rightInput.hasNext()) {
+       |    InternalRow $probeRow = (InternalRow) $rightInput.next();
+       |    ${keyEv.code}
+       |    ${sEv.code}
+       |    ${eEv.code}
+       |    if (!${sEv.isNull} && !${eEv.isNull} $keyNullCheck) {
+       |      $entryCls $entryTerm =
+       |        ($entryCls) $buildTerm.keyed().get(${keyEv.value});
+       |      if ($entryTerm != null) {
+       |        $totalTerm += $entryTerm.count(${sEv.value}, ${eEv.value});
+       |      }
+       |    }
+       |  }
+       |  $pairCount.add($totalTerm);
+       |  $consumed
+       |}
+     """.stripMargin
   }
 
   override protected def withNewChildrenInternal(

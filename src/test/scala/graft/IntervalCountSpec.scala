@@ -53,6 +53,31 @@ class IntervalCountSpec extends SparkTestBase with BeforeAndAfterEach {
     a.unpersist(); b.unpersist()
   }
 
+  test("global count runs inside whole-stage codegen (both modes)") {
+    // a codegen bug must fail loudly, not silently fall back
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      for (m <- Seq("broadcast", "partitioned")) {
+        spark.conf.set(GraftSession.IntervalJoinForceMode, m)
+        val a = randomTable(7, 400)
+        val b = randomTable(8, 400)
+        a.cache().count(); b.cache().count()
+        val df = joined(a, b).groupBy().count()
+        // collect() (not head(), which runs a separate limited plan) so
+        // THIS dataset's AQE plan executes and finalizes
+        assert(df.collect().head.getLong(0) == stockCount(joined(a, b)),
+          s"mode=$m")
+        val plan = df.queryExecution.executedPlan.toString
+        assert("""\*\(\d+\) IntervalCountExec""".r.findFirstIn(plan).isDefined,
+          s"mode=$m expected fused IntervalCountExec:\n$plan")
+        a.unpersist(); b.unpersist()
+      }
+    } finally {
+      spark.conf.unset("spark.sql.codegen.fallback")
+      spark.conf.set(GraftSession.IntervalJoinForceMode, "")
+    }
+  }
+
   test("strict-op count matches stock") {
     val a = randomTable(3, 400)
     val b = randomTable(4, 400)
