@@ -53,8 +53,10 @@ object AsofJoin {
       case AsofIntervalJoin(l, r, resolved) =>
         if (AsofCondition.extract(resolved, l, r).isEmpty)
           throw new IllegalArgumentException(
-            "AsofJoin condition must be optional equi-keys AND exactly one " +
-              "integral-time inequality between the two sides; " +
+            "AsofJoin condition must be: optional equi-keys AND one " +
+              "time-axis inequality between two bare integral/temporal " +
+              "columns, plus optional tolerance bounds referencing both " +
+              "sides (single-side filters belong on the input DataFrames); " +
               s"got: ${resolved.sql}")
       case _ => () // analyzer rewrote the node shape — planner will validate
     }

@@ -30,13 +30,20 @@ object IntervalOps {
     * and [7,9] need `maxGap >= 1` (coordinate 6 uncovered). */
   def mergeIntervals(df: DataFrame, keyCols: Seq[String], startCol: String,
       endCol: String, maxGap: Long = 0L): DataFrame = {
+    require(maxGap >= 0, s"maxGap must be >= 0, got $maxGap")
     val keys: Seq[Column] = keyCols.map(col)
     val w = Window.partitionBy(keys: _*)
       .orderBy(col(startCol), col(endCol))
     val prevMax = max(col(endCol))
       .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    // `prevMax + maxGap + 1` must not be computed when it would overflow
+    // (a region ending near Long.MaxValue — open-ended sentinel): in that
+    // regime no start can exceed the threshold anyway, so it is not a new
+    // group. The guard short-circuits before the addition (ANSI-safe).
+    val lim = lit(Long.MaxValue - maxGap - 1L)
     val flagged = df.withColumn("__graft_new_grp",
-      when(prevMax.isNull || col(startCol) > prevMax + maxGap + 1L, 1L)
+      when(prevMax.isNull ||
+          (prevMax <= lim && col(startCol) > prevMax + maxGap + 1L), 1L)
         .otherwise(0L))
     val grouped = flagged.withColumn("__graft_gid",
       sum(col("__graft_new_grp"))

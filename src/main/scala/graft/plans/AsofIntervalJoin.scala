@@ -26,12 +26,15 @@ case class AsofIntervalJoin(
     copy(left = newLeft, right = newRight)
 }
 
-/** Recognizer for AS-OF conditions: optional equi-keys AND exactly one
-  * inequality between a build-side and a probe-side integral time
-  * expression. The inequality's direction selects backward
-  * (`build.t <= probe.t`: latest at-or-before) vs forward
-  * (`build.t >= probe.t`: earliest at-or-after); strict ops exclude
-  * equality. */
+/** Recognizer for AS-OF conditions: optional equi-keys, ONE time-axis
+  * inequality between two BARE time columns (direction selects backward
+  * `build.t <= probe.t` = latest at-or-before vs forward
+  * `build.t >= probe.t` = earliest at-or-after; strict ops exclude
+  * equality), plus optional residual bounds referencing both sides
+  * (merge_asof tolerance). Only attribute-vs-attribute inequalities
+  * qualify as the axis — a composite operand like `p.t - 60` is a
+  * tolerance bound by construction, so axis detection cannot be fooled
+  * by conjunct order. */
 object AsofCondition extends PredicateHelper {
 
   case class Extracted(
@@ -71,43 +74,69 @@ object AsofCondition extends PredicateHelper {
     def fromRight(e: Expression) =
       e.references.nonEmpty && e.references.subsetOf(right.outputSet)
 
+    // the time AXIS must compare two bare columns — composite operands
+    // (arithmetic, casts) are tolerance bounds, never the axis
+    def bare(e: Expression): Boolean = e.isInstanceOf[Attribute]
+
     var leftKeys = Vector.empty[Expression]
     var rightKeys = Vector.empty[Expression]
     // (buildTime, probeTime, forward, strict)
     var time: Option[(Expression, Expression, Boolean, Boolean)] = None
     var residual = Vector.empty[Expression]
+    var ok = true
 
     splitConjunctivePredicates(cond).foreach {
       case EqualTo(a, b) if fromLeft(a) && fromRight(b) =>
         leftKeys :+= a; rightKeys :+= b
       case EqualTo(a, b) if fromRight(a) && fromLeft(b) =>
         leftKeys :+= b; rightKeys :+= a
-      case c if time.isEmpty =>
-        time = c match {
-          case LessThanOrEqual(a, b) if fromLeft(a) && fromRight(b) &&
-              integral(a) && integral(b) => Some((a, b, false, false))
-          case LessThanOrEqual(a, b) if fromRight(a) && fromLeft(b) &&
-              integral(a) && integral(b) => Some((b, a, true, false))
-          case GreaterThanOrEqual(a, b) if fromLeft(a) && fromRight(b) &&
-              integral(a) && integral(b) => Some((a, b, true, false))
-          case GreaterThanOrEqual(a, b) if fromRight(a) && fromLeft(b) &&
-              integral(a) && integral(b) => Some((b, a, false, false))
-          case LessThan(a, b) if fromLeft(a) && fromRight(b) &&
-              integral(a) && integral(b) => Some((a, b, false, true))
-          case LessThan(a, b) if fromRight(a) && fromLeft(b) &&
-              integral(a) && integral(b) => Some((b, a, true, true))
-          case GreaterThan(a, b) if fromLeft(a) && fromRight(b) &&
-              integral(a) && integral(b) => Some((a, b, true, true))
-          case GreaterThan(a, b) if fromRight(a) && fromLeft(b) &&
-              integral(a) && integral(b) => Some((b, a, false, true))
-          case _ => None
+      case c =>
+        val axis: Option[(Expression, Expression, Boolean, Boolean)] =
+          if (time.nonEmpty) None
+          else c match {
+            case LessThanOrEqual(a, b) if bare(a) && bare(b) &&
+                fromLeft(a) && fromRight(b) &&
+                integral(a) && integral(b) => Some((a, b, false, false))
+            case LessThanOrEqual(a, b) if bare(a) && bare(b) &&
+                fromRight(a) && fromLeft(b) &&
+                integral(a) && integral(b) => Some((b, a, true, false))
+            case GreaterThanOrEqual(a, b) if bare(a) && bare(b) &&
+                fromLeft(a) && fromRight(b) &&
+                integral(a) && integral(b) => Some((a, b, true, false))
+            case GreaterThanOrEqual(a, b) if bare(a) && bare(b) &&
+                fromRight(a) && fromLeft(b) &&
+                integral(a) && integral(b) => Some((b, a, false, false))
+            case LessThan(a, b) if bare(a) && bare(b) &&
+                fromLeft(a) && fromRight(b) &&
+                integral(a) && integral(b) => Some((a, b, false, true))
+            case LessThan(a, b) if bare(a) && bare(b) &&
+                fromRight(a) && fromLeft(b) &&
+                integral(a) && integral(b) => Some((b, a, true, true))
+            case GreaterThan(a, b) if bare(a) && bare(b) &&
+                fromLeft(a) && fromRight(b) &&
+                integral(a) && integral(b) => Some((a, b, true, true))
+            case GreaterThan(a, b) if bare(a) && bare(b) &&
+                fromRight(a) && fromLeft(b) &&
+                integral(a) && integral(b) => Some((b, a, false, true))
+            case _ => None
+          }
+        axis match {
+          case Some(t) => time = Some(t)
+          case None =>
+            // residual bounds must reference BOTH sides (a tolerance). A
+            // single-side predicate under filter-after-pick would silently
+            // mean something different than the same SQL filter (NULL-pad
+            // the pick instead of excluding the row pre-join) — reject it
+            // and tell the user to pre-filter the input instead.
+            if (!(c.references.intersect(left.outputSet).nonEmpty &&
+                  c.references.intersect(right.outputSet).nonEmpty))
+              ok = false
+            else residual :+= c
         }
-        if (time.isEmpty) residual :+= c
-      case c => residual :+= c // e.g. the tolerance bound
     }
 
     time match {
-      case Some((bt, pt, fwd, strict)) =>
+      case Some((bt, pt, fwd, strict)) if ok =>
         val wide = Seq(bt, pt).exists(e =>
           e.dataType == LongType || e.dataType == TimestampType)
         Some(Extracted(leftKeys, rightKeys, norm(bt), norm(pt), fwd, strict,

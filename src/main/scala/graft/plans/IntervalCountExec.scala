@@ -322,84 +322,127 @@ case class IntervalCountExec(
   override def supportCodegen: Boolean = groupAttrs.isEmpty
 
   override def inputRDDs(): Seq[RDD[InternalRow]] = mode match {
-    case BroadcastMode => right.execute() :: Nil
+    // broadcast: the probe child pipeline FUSES into this stage (scan /
+    // filter / project feed our doConsume directly)
+    case BroadcastMode => right.asInstanceOf[CodegenSupport].inputRDDs()
     case PartitionedMode => left.execute() :: right.execute() :: Nil
   }
 
   override def needCopyResult: Boolean = false
 
+  /** Blocking operator: the fused child loop must run to completion
+    * before the single output row exists, so children skip shouldStop
+    * checks (same as HashAggregateExec / SortExec). */
+  override def needStopCheck: Boolean = false
+
+  // field names shared between doProduce (declares + emits) and
+  // doConsume (accumulates) — doConsume runs while doProduce evaluates
+  // the fused child's produce, so plain vars on this node carry them
+  // (the HashAggregateExec bufVars pattern)
+  @transient private var totalTerm: String = _
+  @transient private var buildTerm: String = _
+
   override protected def doProduce(ctx: CodegenContext): String = {
-    val partitioned = mode == PartitionedMode
-    val rightInput = ctx.addMutableState("scala.collection.Iterator",
-      "countRightInput",
-      v => s"$v = inputs[${if (partitioned) 1 else 0}];", forceInline = true)
     val buildCls = classOf[CountBuildSide].getName
-    val entryCls = classOf[CountBuildEntry].getName
-    val buildTerm = ctx.addMutableState(buildCls, "countBuild",
-      forceInline = true)
-    val buildInit = if (partitioned) {
-      val leftInput = ctx.addMutableState("scala.collection.Iterator",
-        "countLeftInput", v => s"$v = inputs[0];", forceInline = true)
-      val runnerRef = ctx.addReferenceObj("countRunner", runner,
-        classOf[IntervalCountRunner].getName)
-      val buildKeys = metricTerm(ctx, "buildKeys")
-      s"""
-         |$buildTerm = ($buildCls) $runnerRef.buildSide($leftInput);
-         |$buildKeys.add($buildTerm.keyed().size());
-       """.stripMargin
-    } else {
-      val bcRef = ctx.addReferenceObj("countBuildBc", broadcastBuild,
-        classOf[Broadcast[CountBuildSide]].getName)
-      s"$buildTerm = ($buildCls) ((${classOf[Broadcast[_]].getName}) $bcRef).value();"
-    }
-
-    val probeRow = ctx.freshName("probeRow")
-    ctx.currentVars = null
-    ctx.INPUT_ROW = probeRow
-    val keyEv = GenerateUnsafeProjection.createCode(ctx,
-      rightKeys.map(BindReferences.bindReference(_, right.output)))
-    val sEv = BindReferences.bindReference(
-      Cast(rightStart, LongType), right.output).genCode(ctx)
-    val eEv = BindReferences.bindReference(
-      Cast(rightEnd, LongType), right.output).genCode(ctx)
-    ctx.INPUT_ROW = null
-    val keyNullCheck =
-      if (rightKeys.nonEmpty) s"&& !${keyEv.value}.anyNull()" else ""
-
     val doneTerm = ctx.addMutableState("boolean", "countDone",
       forceInline = true)
-    val totalTerm = ctx.freshName("totalPairs")
-    val entryTerm = ctx.freshName("countEntry")
+    totalTerm = ctx.addMutableState("long", "countTotal", forceInline = true)
+    val total = totalTerm
     val pairCount = metricTerm(ctx, "pairCount")
+    buildTerm = ctx.addMutableState(buildCls, "countBuild",
+      forceInline = true)
 
-    ctx.currentVars = Seq(ExprCode.forNonNullValue(
-      JavaCode.variable(totalTerm, LongType)))
-    val consumed = consume(ctx,
-      Seq(ExprCode.forNonNullValue(JavaCode.variable(totalTerm, LongType))))
+    val (buildInit, drain) = mode match {
+      case BroadcastMode =>
+        val bcRef = ctx.addReferenceObj("countBuildBc", broadcastBuild,
+          classOf[Broadcast[CountBuildSide]].getName)
+        val init =
+          s"$buildTerm = ($buildCls) ((${classOf[Broadcast[_]].getName}) $bcRef).value();"
+        // fused child pipeline: every probe row arrives via doConsume
+        (init, right.asInstanceOf[CodegenSupport].produce(ctx, this))
+      case PartitionedMode =>
+        val leftInput = ctx.addMutableState("scala.collection.Iterator",
+          "countLeftInput", v => s"$v = inputs[0];", forceInline = true)
+        val rightInput = ctx.addMutableState("scala.collection.Iterator",
+          "countRightInput", v => s"$v = inputs[1];", forceInline = true)
+        val runnerRef = ctx.addReferenceObj("countRunner", runner,
+          classOf[IntervalCountRunner].getName)
+        val buildKeys = metricTerm(ctx, "buildKeys")
+        val init =
+          s"""
+             |$buildTerm = ($buildCls) $runnerRef.buildSide($leftInput);
+             |$buildKeys.add($buildTerm.keyed().size());
+           """.stripMargin
+        val probeRow = ctx.freshName("probeRow")
+        ctx.currentVars = null
+        ctx.INPUT_ROW = probeRow
+        val body = countOneRow(ctx, buildTerm, total)
+        ctx.INPUT_ROW = null
+        (init,
+          s"""
+             |while ($rightInput.hasNext()) {
+             |  InternalRow $probeRow = (InternalRow) $rightInput.next();
+             |  $body
+             |}
+           """.stripMargin)
+    }
+
+    val resultVar = ExprCode.forNonNullValue(
+      JavaCode.variable(total, LongType))
+    ctx.currentVars = Seq(resultVar)
+    val consumed = consume(ctx, Seq(resultVar))
     ctx.currentVars = null
 
     s"""
        |if (!$doneTerm) {
        |  $doneTerm = true;
        |  $buildInit
-       |  long $totalTerm = 0L;
-       |  while ($rightInput.hasNext()) {
-       |    InternalRow $probeRow = (InternalRow) $rightInput.next();
-       |    ${keyEv.code}
-       |    ${sEv.code}
-       |    ${eEv.code}
-       |    if (!${sEv.isNull} && !${eEv.isNull} $keyNullCheck) {
-       |      $entryCls $entryTerm =
-       |        ($entryCls) $buildTerm.keyed().get(${keyEv.value});
-       |      if ($entryTerm != null) {
-       |        $totalTerm += $entryTerm.count(${sEv.value}, ${eEv.value});
-       |      }
-       |    }
-       |  }
-       |  $pairCount.add($totalTerm);
+       |  $total = 0L;
+       |  $drain
+       |  $pairCount.add($total);
        |  $consumed
        |}
      """.stripMargin
+  }
+
+  /** Per-probe-row accumulation: key + bound eval off the current input
+    * (row or fused variables), hashmap lookup, two binary searches via
+    * the shared CountBuildEntry.count kernel. */
+  private def countOneRow(ctx: CodegenContext, buildTerm: String,
+      total: String): String = {
+    val entryCls = classOf[CountBuildEntry].getName
+    val keyEv = GenerateUnsafeProjection.createCode(ctx,
+      rightKeys.map(BindReferences.bindReference(_, right.output)))
+    val sEv = BindReferences.bindReference(
+      Cast(rightStart, LongType), right.output).genCode(ctx)
+    val eEv = BindReferences.bindReference(
+      Cast(rightEnd, LongType), right.output).genCode(ctx)
+    val keyNullCheck =
+      if (rightKeys.nonEmpty) s"&& !${keyEv.value}.anyNull()" else ""
+    val entryTerm = ctx.freshName("countEntry")
+    s"""
+       |${keyEv.code}
+       |${sEv.code}
+       |${eEv.code}
+       |if (!${sEv.isNull} && !${eEv.isNull} $keyNullCheck) {
+       |  $entryCls $entryTerm =
+       |    ($entryCls) $buildTerm.keyed().get(${keyEv.value});
+       |  if ($entryTerm != null) {
+       |    $total += $entryTerm.count(${sEv.value}, ${eEv.value});
+       |  }
+       |}
+     """.stripMargin
+  }
+
+  /** Broadcast mode: called by the fused probe child per row (during
+    * this node's own doProduce evaluation, so the shared field names are
+    * set). */
+  override def doConsume(ctx: CodegenContext, input: Seq[ExprCode],
+      row: ExprCode): String = {
+    ctx.currentVars = input
+    val body = countOneRow(ctx, buildTerm, totalTerm)
+    ctx.currentVars = null
+    body
   }
 
   override protected def withNewChildrenInternal(

@@ -48,6 +48,17 @@ class IntervalOpsSpec extends SparkTestBase {
     assert(g1 == Set((1, 9), (20, 21)))
   }
 
+  test("merge near Long.MaxValue: sentinel end does not wrap into a split") {
+    val df = Seq(
+      ("c", 0L, Long.MaxValue),      // open-ended sentinel
+      ("c", 100L, 200L)              // fully contained
+    ).toDF("contig", "pos_start", "pos_end")
+    val merged = IntervalOps
+      .mergeIntervals(df, Seq("contig"), "pos_start", "pos_end")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(merged.toSeq == Seq((0L, Long.MaxValue, 2L)))
+  }
+
   test("randomized: covered bases ≡ brute-force distinct covered points") {
     val rnd = new scala.util.Random(5)
     val rows = (0 until 400).map { _ =>
