@@ -158,6 +158,25 @@ class AsofJoinSpec extends SparkTestBase with BeforeAndAfterEach {
     assert(got == Map("p150" -> "b100", "p300" -> null, "p5" -> null))
   }
 
+  test("tolerance written BEFORE the axis cannot flip the direction") {
+    // review-trap regression: `p.t - 60 <= b.t` first — its composite
+    // operand disqualifies it as the axis, so the bare `b.t <= p.t`
+    // still selects BACKWARD regardless of conjunct order
+    val b = Seq(("a", 95L, "b95"), ("a", 100L, "b100"))
+      .toDF("key", "t", "tag")
+    val p = Seq(("a", 150L, "p150")).toDF("key", "t", "tag")
+    val bb = b.select(col("key").as("bk"), col("t").as("bt"),
+      col("tag").as("btag"))
+    val pp = p.select(col("key").as("pk"), col("t").as("pt"),
+      col("tag").as("ptag"))
+    for (cond <- Seq(
+        bb("bk") === pp("pk") && pp("pt") - 60L <= bb("bt") && bb("bt") <= pp("pt"),
+        bb("bk") === pp("pk") && bb("bt") <= pp("pt") && pp("pt") - 60L <= bb("bt"))) {
+      val got = AsofJoin(bb, pp, cond).select("btag").collect().head.getString(0)
+      assert(got == "b100", s"cond: $cond") // latest-within-60, both orders
+    }
+  }
+
   test("invalid conditions are rejected with a clear message") {
     val b = Seq(("a", 1L, "x")).toDF("key", "t", "tag")
     val p = Seq(("a", 1L, "y")).toDF("key", "t", "tag")
@@ -165,5 +184,16 @@ class AsofJoinSpec extends SparkTestBase with BeforeAndAfterEach {
       AsofJoin(b, p, b("key") === p("key")) // no time inequality
     }
     assert(ex.getMessage.contains("AsofJoin condition"))
+    // composite-only inequality: no bare-column axis exists
+    val ex2 = intercept[IllegalArgumentException] {
+      AsofJoin(b, p, b("key") === p("key") && b("t") + 1L <= p("t"))
+    }
+    assert(ex2.getMessage.contains("AsofJoin condition"))
+    // single-side residual: belongs on the input DataFrame, not here
+    val ex3 = intercept[IllegalArgumentException] {
+      AsofJoin(b, p, b("key") === p("key") && b("t") <= p("t") &&
+        b("tag") === "x")
+    }
+    assert(ex3.getMessage.contains("single-side"))
   }
 }
