@@ -402,6 +402,12 @@ object SparkEntry {
         .select(col("contig"), col("n_regions"), col("covered_bases"),
           col("max_region_len").cast("long").as("max_region_len"),
           col("n_intervals")) }),
+    // per-depth coverage histogram (bedtools genomecov): boundary-event
+    // sweep as relational ops — IntervalOps.depthHistogram
+    "q54_coverage_hist" -> ((s, dir) => { prep(s, dir)
+      val a = s.sql(cteAB + "\nSELECT contig, pos_start, pos_end FROM a")
+      graft.operators.IntervalOps
+        .depthHistogram(a, Seq("contig"), "pos_start", "pos_end") }),
     // AS-OF join (beyond the reference): latest click at-or-before each
     // purchase, per user, at epoch micros — DuckDB's native ASOF LEFT
     // JOIN is the oracle. One binary search per probe row; NULL-padded
@@ -749,6 +755,23 @@ object SparkEntry {
           |       CAST(MAX(m_end - m_start + 1) AS BIGINT) AS max_region_len,
           |       CAST(SUM(n_merged) AS BIGINT) AS n_intervals
           |FROM merged GROUP BY contig""".stripMargin),
+      // the same +1/−1 boundary sweep the operator runs, as window SQL
+      "q54_coverage_hist" -> (cteAB +
+        """,
+          |ev AS (SELECT contig, CAST(pos_start AS BIGINT) AS pos, 1 AS delta
+          |       FROM a
+          |       UNION ALL
+          |       SELECT contig, CAST(pos_end AS BIGINT) + 1, -1 FROM a),
+          |agg AS (SELECT contig, pos, SUM(delta) AS d
+          |        FROM ev GROUP BY contig, pos),
+          |sweep AS (SELECT contig, pos,
+          |            SUM(d) OVER (PARTITION BY contig ORDER BY pos) AS depth,
+          |            LEAD(pos) OVER (PARTITION BY contig ORDER BY pos) AS next_pos
+          |          FROM agg)
+          |SELECT contig, CAST(depth AS BIGINT) AS depth,
+          |       CAST(SUM(next_pos - pos) AS BIGINT) AS bases
+          |FROM sweep WHERE next_pos IS NOT NULL AND depth > 0
+          |GROUP BY contig, depth""".stripMargin),
       "q50_asof" ->
         """WITH c AS (SELECT user_id, epoch_us(ts) AS click_t,
           |                  event_id AS click_id

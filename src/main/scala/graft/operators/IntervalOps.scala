@@ -56,6 +56,39 @@ object IntervalOps {
       .drop("__graft_gid")
   }
 
+  /** Per-key depth histogram (bedtools genomecov-style): for every
+    * coverage depth >= 1, the total number of coordinates covered by
+    * exactly that many intervals. Classic +1/−1 boundary sweep as
+    * relational ops: explode each interval into (start, +1) and
+    * (end+1, −1) events, pre-aggregate deltas per coordinate, running-sum
+    * per key in coordinate order, measure the span to the next event.
+    * Two shuffles ((keys, pos) pre-aggregation, then keys-clustered
+    * window); the per-key sort spills externally, so hot keys degrade
+    * gracefully. Output: key columns + `depth`, `bases`. */
+  def depthHistogram(df: DataFrame, keyCols: Seq[String], startCol: String,
+      endCol: String): DataFrame = {
+    val keys: Seq[Column] = keyCols.map(col)
+    // Long event positions: end+1 must not wrap narrower types
+    val up = df.select(keys ++ Seq(
+      col(startCol).cast("long").as("__graft_pos"),
+      lit(1L).as("__graft_delta")): _*)
+    val down = df.select(keys ++ Seq(
+      (col(endCol).cast("long") + 1L).as("__graft_pos"),
+      lit(-1L).as("__graft_delta")): _*)
+    val agg = up.unionAll(down)
+      .groupBy(keys :+ col("__graft_pos"): _*)
+      .agg(sum(col("__graft_delta")).as("__graft_d"))
+    val w = Window.partitionBy(keys: _*).orderBy(col("__graft_pos"))
+    val sweep = agg.select(keys ++ Seq(
+      col("__graft_pos"),
+      sum(col("__graft_d")).over(w).as("depth"),
+      lead(col("__graft_pos"), 1).over(w).as("__graft_next")): _*)
+    sweep
+      .where(col("__graft_next").isNotNull && col("depth") > 0)
+      .groupBy(keys :+ col("depth"): _*)
+      .agg(sum(col("__graft_next") - col("__graft_pos")).as("bases"))
+  }
+
   /** Per-key coverage summary over the merged regions: distinct covered
     * region count, total covered bases (end-inclusive lengths), widest
     * region, and how many raw intervals merged away. */

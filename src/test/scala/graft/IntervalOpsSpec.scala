@@ -82,6 +82,43 @@ class IntervalOpsSpec extends SparkTestBase {
     assert(got == exp)
   }
 
+  test("depth histogram: golden fixture incl. nesting and exact boundaries") {
+    val df = Seq(
+      ("c", 1, 10),   // depth 1 over [1,10]
+      ("c", 5, 10),   // raises [5,10] to 2
+      ("c", 5, 6),    // raises [5,6] to 3
+      ("c", 20, 20)   // point at depth 1
+    ).toDF("contig", "pos_start", "pos_end")
+    val got = IntervalOps
+      .depthHistogram(df, Seq("contig"), "pos_start", "pos_end")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    // depth 1: [1,4] (4) + [20,20] (1) = 5; depth 2: [7,10] = 4;
+    // depth 3: [5,6] = 2
+    assert(got == Map(1L -> 5L, 2L -> 4L, 3L -> 2L))
+  }
+
+  test("randomized: depth histogram ≡ per-point brute force") {
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 300).map { _ =>
+      val s = rnd.nextInt(400)
+      (s"k${rnd.nextInt(3)}", s, s + rnd.nextInt(30))
+    }
+    val df = rows.toDF("contig", "pos_start", "pos_end")
+    val got = IntervalOps
+      .depthHistogram(df, Seq("contig"), "pos_start", "pos_end")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val exp = rows.groupBy(_._1).flatMap { case (k, rs) =>
+      val depth = scala.collection.mutable.Map[Int, Int]()
+      rs.foreach(r => (r._2 to r._3).foreach(p =>
+        depth(p) = depth.getOrElse(p, 0) + 1))
+      depth.groupBy(_._2).map { case (d, pts) =>
+        (k, d.toLong) -> pts.size.toLong
+      }
+    }
+    assert(got == exp)
+  }
+
   test("reciprocal-overlap-fraction residual compiles into the indexed join") {
     val a = Seq(("c", 100, 199), ("c", 300, 309))
       .toDF("contig", "pos_start", "pos_end")
