@@ -408,6 +408,19 @@ object SparkEntry {
       val a = s.sql(cteAB + "\nSELECT contig, pos_start, pos_end FROM a")
       graft.operators.IntervalOps
         .depthHistogram(a, Seq("contig"), "pos_start", "pos_end") }),
+    // interval subtraction (bedtools subtract): a-fragments not covered
+    // by b, per contig — merge(b) + LEFT OUTER IntervalJoinExec + gap
+    // windows. Aggregated (the raw fragment set is order-free already,
+    // but per-contig stats keep the output compact).
+    "q55_interval_subtract" -> ((s, dir) => { prep(s, dir)
+      val a = s.sql(cteAB + "\nSELECT contig, pos_start, pos_end FROM a")
+      val b = s.sql(cteAB + "\nSELECT contig, pos_start, pos_end FROM b")
+      graft.operators.IntervalOps
+        .subtractIntervals(a, b, Seq("contig"), "pos_start", "pos_end")
+        .groupBy("contig")
+        .agg(count(lit(1)).as("n_frags"),
+          sum(col("frag_end") - col("frag_start") + 1)
+            .as("uncovered_bases")) }),
     // AS-OF join (beyond the reference): latest click at-or-before each
     // purchase, per user, at epoch micros — DuckDB's native ASOF LEFT
     // JOIN is the oracle. One binary search per probe row; NULL-padded
@@ -772,6 +785,46 @@ object SparkEntry {
           |       CAST(SUM(next_pos - pos) AS BIGINT) AS bases
           |FROM sweep WHERE next_pos IS NOT NULL AND depth > 0
           |GROUP BY contig, depth""".stripMargin),
+      // merged-b chain (identical to the operator's merge) + per-a-row
+      // gap extraction via LAG/LEAD — the subtract sweep as window SQL
+      "q55_interval_subtract" -> (cteAB +
+        """,
+          |ordb AS (SELECT contig, pos_start, pos_end,
+          |           MAX(pos_end) OVER (PARTITION BY contig
+          |             ORDER BY pos_start, pos_end
+          |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+          |         FROM b),
+          |flb AS (SELECT contig, pos_start, pos_end,
+          |          CASE WHEN prev_max IS NULL OR pos_start > prev_max + 1
+          |               THEN 1 ELSE 0 END AS ng
+          |        FROM ordb),
+          |grb AS (SELECT contig, pos_start, pos_end,
+          |          SUM(ng) OVER (PARTITION BY contig
+          |            ORDER BY pos_start, pos_end
+          |            ROWS UNBOUNDED PRECEDING) AS gid
+          |        FROM flb),
+          |mb AS (SELECT contig, CAST(MIN(pos_start) AS BIGINT) AS m_start,
+          |              CAST(MAX(pos_end) AS BIGINT) AS m_end
+          |       FROM grb GROUP BY contig, gid),
+          |j AS (SELECT a.a_id, a.contig, CAST(a.pos_start AS BIGINT) AS a_s,
+          |             CAST(a.pos_end AS BIGINT) AS a_e, m.m_start, m.m_end
+          |      FROM a LEFT JOIN mb m ON a.contig = m.contig
+          |        AND m.m_start <= a.pos_end AND m.m_end >= a.pos_start),
+          |fr AS (SELECT j.*,
+          |         LAG(m_end) OVER (PARTITION BY a_id ORDER BY m_start) AS prev_end,
+          |         LEAD(m_start) OVER (PARTITION BY a_id ORDER BY m_start) AS next_start
+          |       FROM j),
+          |frags AS (
+          |  SELECT contig, COALESCE(prev_end + 1, a_s) AS fs, m_start - 1 AS fe
+          |  FROM fr WHERE m_start IS NOT NULL
+          |  UNION ALL
+          |  SELECT contig, m_end + 1, a_e
+          |  FROM fr WHERE m_start IS NOT NULL AND next_start IS NULL
+          |  UNION ALL
+          |  SELECT contig, a_s, a_e FROM fr WHERE m_start IS NULL)
+          |SELECT contig, CAST(COUNT(*) AS BIGINT) AS n_frags,
+          |       CAST(SUM(fe - fs + 1) AS BIGINT) AS uncovered_bases
+          |FROM frags WHERE fs <= fe GROUP BY contig""".stripMargin),
       "q50_asof" ->
         """WITH c AS (SELECT user_id, epoch_us(ts) AS click_t,
           |                  event_id AS click_id

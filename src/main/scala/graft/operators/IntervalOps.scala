@@ -89,6 +89,56 @@ object IntervalOps {
       .agg(sum(col("__graft_next") - col("__graft_pos")).as("bases"))
   }
 
+  /** Interval subtraction (bedtools subtract): for every `a` interval,
+    * the maximal sub-ranges NOT covered by any same-key `b` interval —
+    * one output row per fragment, all original `a` columns preserved
+    * plus `frag_start` / `frag_end` (Long). Both inputs use the same
+    * key/bound column names.
+    *
+    * Plan shape: `b` is merged (windowed sweep), then a LEFT OUTER
+    * interval join `a` × merged-b — which the planner claims as the
+    * custom IntervalJoinExec — and per-`a`-row gap extraction via
+    * lag/lead windows over the (disjoint, sorted) overlapping regions.
+    * No per-coordinate explosion anywhere. */
+  def subtractIntervals(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+      startCol: String, endCol: String): DataFrame = {
+    val mb0 = mergeIntervals(b, keyCols, startCol, endCol)
+      .select(keyCols.map(col) ++ Seq(
+        col("merged_start").cast("long").as("__graft_ms"),
+        col("merged_end").cast("long").as("__graft_me")): _*)
+    val mb = keyCols.foldLeft(mb0)((df, k) =>
+      df.withColumnRenamed(k, s"__graft_bk_$k"))
+    val aa = a.withColumn("__graft_aid", monotonically_increasing_id())
+    val keyCond = keyCols.map(k => aa(k) === mb(s"__graft_bk_$k"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val cond = keyCond &&
+      mb("__graft_ms") <= aa(endCol) && mb("__graft_me") >= aa(startCol)
+    // window results must be plain columns BEFORE they feed the
+    // generator expression (Spark rejects window fns inside Generate)
+    val w = Window.partitionBy(col("__graft_aid")).orderBy(col("__graft_ms"))
+    val j = aa.join(mb, cond, "left_outer")
+      .withColumn("__graft_prev_end", lag(col("__graft_me"), 1).over(w))
+      .withColumn("__graft_is_last",
+        lead(col("__graft_ms"), 1).over(w).isNull)
+    val aS = col(startCol).cast("long")
+    val aE = col(endCol).cast("long")
+    // gap before each overlapping region + the tail after the last one;
+    // empty/invalid fragments filter out (s > e), so regions poking past
+    // either edge of `a` need no special cases
+    val fragments = when(col("__graft_ms").isNull,
+        array(struct(aS.as("s"), aE.as("e"))))
+      .otherwise(filter(array(
+          struct(coalesce(col("__graft_prev_end") + 1L, aS).as("s"),
+            (col("__graft_ms") - 1L).as("e")),
+          struct(when(col("__graft_is_last"), col("__graft_me") + 1L).as("s"),
+            when(col("__graft_is_last"), aE).as("e"))),
+        fr => fr("s").isNotNull && fr("e").isNotNull && fr("s") <= fr("e")))
+    j.withColumn("__graft_fr", explode(fragments))
+      .select(a.columns.map(col) ++ Seq(
+        col("__graft_fr.s").as("frag_start"),
+        col("__graft_fr.e").as("frag_end")): _*)
+  }
+
   /** Per-key coverage summary over the merged regions: distinct covered
     * region count, total covered bases (end-inclusive lengths), widest
     * region, and how many raw intervals merged away. */

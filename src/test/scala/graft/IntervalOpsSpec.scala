@@ -119,6 +119,75 @@ class IntervalOpsSpec extends SparkTestBase {
     assert(got == exp)
   }
 
+  test("subtract: golden fixture incl. full-cover, poke-out, no-overlap") {
+    val a = Seq(
+      ("c", 10, 30),  // b covers [12,15],[20,40] -> frags [10,11],[16,19]
+      ("c", 50, 60),  // no b overlap -> whole [50,60]
+      ("c", 70, 75),  // fully covered -> no fragments
+      ("d", 1, 5)     // different key, b has none -> whole
+    ).toDF("contig", "pos_start", "pos_end")
+    val b = Seq(
+      ("c", 12, 15), ("c", 20, 40), ("c", 65, 80)
+    ).toDF("contig", "pos_start", "pos_end")
+    val got = IntervalOps
+      .subtractIntervals(a, b, Seq("contig"), "pos_start", "pos_end")
+      .select("contig", "pos_start", "frag_start", "frag_end")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == Set(
+      ("c", 10, 10L, 11L), ("c", 10, 16L, 19L),
+      ("c", 50, 50L, 60L), ("d", 1, 1L, 5L)))
+  }
+
+  test("subtract plans through the custom interval join") {
+    val a = Seq(("c", 1, 10)).toDF("contig", "pos_start", "pos_end")
+    val b = Seq(("c", 3, 5)).toDF("contig", "pos_start", "pos_end")
+    val df = IntervalOps.subtractIntervals(a, b, Seq("contig"),
+      "pos_start", "pos_end")
+    assert(df.queryExecution.executedPlan.toString
+      .contains("IntervalJoinExec"), df.queryExecution.executedPlan.toString)
+    assert(df.select("frag_start", "frag_end").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L), (6L, 10L)))
+  }
+
+  test("randomized: subtract ≡ per-point brute force") {
+    val rnd = new scala.util.Random(17)
+    def mk(n: Int) = (0 until n).map { _ =>
+      val s = rnd.nextInt(300)
+      (s"k${rnd.nextInt(2)}", s, s + rnd.nextInt(25))
+    }
+    val aRows = mk(120)
+    val bRows = mk(80)
+    val a = aRows.toDF("contig", "pos_start", "pos_end")
+    val b = bRows.toDF("contig", "pos_start", "pos_end")
+    val got = IntervalOps
+      .subtractIntervals(a, b, Seq("contig"), "pos_start", "pos_end")
+      .groupBy("contig")
+      .agg(count(lit(1)).as("n"),
+        sum(col("frag_end") - col("frag_start") + 1).as("bases"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val exp = aRows.groupBy(_._1).flatMap { case (k, as) =>
+      val bPts = bRows.filter(_._1 == k)
+        .flatMap(r => r._2 to r._3).toSet
+      // fragments across all a rows of this key (per-row runs)
+      val frags = as.flatMap { ar =>
+        val pts = (ar._2 to ar._3).filterNot(bPts)
+        // count maximal runs + total points
+        pts.foldLeft(List.empty[(Int, Int)]) { (acc, p) =>
+          acc match {
+            case (s, e) :: tail if p == e + 1 => (s, p) :: tail
+            case _ => (p, p) :: acc
+          }
+        }
+      }
+      if (frags.isEmpty) None
+      else Some(k -> ((frags.size.toLong,
+        frags.map(f => f._2 - f._1 + 1L).sum)))
+    }
+    assert(got == exp)
+  }
+
   test("reciprocal-overlap-fraction residual compiles into the indexed join") {
     val a = Seq(("c", 100, 199), ("c", 300, 309))
       .toDF("contig", "pos_start", "pos_end")
