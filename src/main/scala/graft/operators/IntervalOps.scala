@@ -124,13 +124,18 @@ object IntervalOps {
     val aE = col(endCol).cast("long")
     // gap before each overlapping region + the tail after the last one;
     // empty/invalid fragments filter out (s > e), so regions poking past
-    // either edge of `a` need no special cases
+    // either edge of `a` need no special cases. The ±1 shifts are guarded
+    // against Long-extreme wrap: a before-fragment needs m_start > a_start
+    // (so m_start−1 cannot underflow) and a tail needs m_end < a_end (so
+    // m_end+1 cannot overflow); prev_end+1 is safe because merged regions
+    // are separated by ≥1 uncovered coordinate (prev_end < m_start − 1).
     val fragments = when(col("__graft_ms").isNull,
         array(struct(aS.as("s"), aE.as("e"))))
       .otherwise(filter(array(
           struct(coalesce(col("__graft_prev_end") + 1L, aS).as("s"),
-            (col("__graft_ms") - 1L).as("e")),
-          struct(when(col("__graft_is_last"), col("__graft_me") + 1L).as("s"),
+            when(col("__graft_ms") > aS, col("__graft_ms") - 1L).as("e")),
+          struct(when(col("__graft_is_last") && col("__graft_me") < aE,
+              col("__graft_me") + 1L).as("s"),
             when(col("__graft_is_last"), aE).as("e"))),
         fr => fr("s").isNotNull && fr("e").isNotNull && fr("s") <= fr("e")))
     j.withColumn("__graft_fr", explode(fragments))

@@ -150,6 +150,23 @@ class IntervalOpsSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L), (6L, 10L)))
   }
 
+  test("subtract at the Long domain extremes: no ±1 wrap") {
+    val a = Seq(("c", Long.MinValue, Long.MaxValue))
+      .toDF("contig", "pos_start", "pos_end")
+    val b = Seq(("c", Long.MinValue, -10L), ("c", 10L, Long.MaxValue))
+      .toDF("contig", "pos_start", "pos_end")
+    val got = IntervalOps
+      .subtractIntervals(a, b, Seq("contig"), "pos_start", "pos_end")
+      .select("frag_start", "frag_end").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((-9L, 9L)))
+    // b fully covering the whole domain -> zero fragments
+    val b2 = Seq(("c", Long.MinValue, Long.MaxValue))
+      .toDF("contig", "pos_start", "pos_end")
+    assert(IntervalOps.subtractIntervals(a, b2, Seq("contig"),
+      "pos_start", "pos_end").count() == 0)
+  }
+
   test("randomized: subtract ≡ per-point brute force") {
     val rnd = new scala.util.Random(17)
     def mk(n: Int) = (0 until n).map { _ =>
