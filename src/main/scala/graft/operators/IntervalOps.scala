@@ -68,14 +68,22 @@ object IntervalOps {
   def depthHistogram(df: DataFrame, keyCols: Seq[String], startCol: String,
       endCol: String): DataFrame = {
     val keys: Seq[Column] = keyCols.map(col)
-    // Long event positions: end+1 must not wrap narrower types
-    val up = df.select(keys ++ Seq(
-      col(startCol).cast("long").as("__graft_pos"),
-      lit(1L).as("__graft_delta")): _*)
-    val down = df.select(keys ++ Seq(
-      (col(endCol).cast("long") + 1L).as("__graft_pos"),
-      lit(-1L).as("__graft_delta")): _*)
-    val agg = up.unionAll(down)
+    // ONE scan: explode each interval into its (start, +1) / (end+1, −1)
+    // events (a self-union would recompute the upstream plan twice). An
+    // end at Long.MaxValue (open-ended sentinel) has no representable
+    // close position — its close event is dropped, which is exact: the
+    // interval then covers every later finite segment, and the unbounded
+    // tail after the last event is out of range for any sweep anyway.
+    val aS = col(startCol).cast("long")
+    val aE = col(endCol).cast("long")
+    val events = df.select(keys :+ explode(filter(array(
+        struct(aS.as("__graft_pos"), lit(1L).as("__graft_delta")),
+        struct(when(aE =!= Long.MaxValue, aE + 1L).as("__graft_pos"),
+          lit(-1L).as("__graft_delta"))),
+      ev => ev("__graft_pos").isNotNull)).as("__graft_ev"): _*)
+    val agg = events
+      .select(keys ++ Seq(col("__graft_ev.__graft_pos").as("__graft_pos"),
+        col("__graft_ev.__graft_delta").as("__graft_delta")): _*)
       .groupBy(keys :+ col("__graft_pos"): _*)
       .agg(sum(col("__graft_delta")).as("__graft_d"))
     val w = Window.partitionBy(keys: _*).orderBy(col("__graft_pos"))
@@ -129,15 +137,18 @@ object IntervalOps {
     // (so m_start−1 cannot underflow) and a tail needs m_end < a_end (so
     // m_end+1 cannot overflow); prev_end+1 is safe because merged regions
     // are separated by ≥1 uncovered coordinate (prev_end < m_start − 1).
+    def validFrags(c: Column): Column = filter(c,
+      fr => fr("s").isNotNull && fr("e").isNotNull && fr("s") <= fr("e"))
+    // unmatched rows get the SAME sanity filter as matched ones: an
+    // inverted or NULL-bounded `a` row must emit no fragments either way
     val fragments = when(col("__graft_ms").isNull,
-        array(struct(aS.as("s"), aE.as("e"))))
-      .otherwise(filter(array(
+        validFrags(array(struct(aS.as("s"), aE.as("e")))))
+      .otherwise(validFrags(array(
           struct(coalesce(col("__graft_prev_end") + 1L, aS).as("s"),
             when(col("__graft_ms") > aS, col("__graft_ms") - 1L).as("e")),
           struct(when(col("__graft_is_last") && col("__graft_me") < aE,
               col("__graft_me") + 1L).as("s"),
-            when(col("__graft_is_last"), aE).as("e"))),
-        fr => fr("s").isNotNull && fr("e").isNotNull && fr("s") <= fr("e")))
+            when(col("__graft_is_last"), aE).as("e")))))
     j.withColumn("__graft_fr", explode(fragments))
       .select(a.columns.map(col) ++ Seq(
         col("__graft_fr.s").as("frag_start"),

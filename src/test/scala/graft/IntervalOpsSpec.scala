@@ -97,6 +97,36 @@ class IntervalOpsSpec extends SparkTestBase {
     assert(got == Map(1L -> 5L, 2L -> 4L, 3L -> 2L))
   }
 
+  test("depth histogram with an open-ended sentinel end (no +1 wrap)") {
+    val df = Seq(
+      ("c", 0L, Long.MaxValue),  // sentinel: covers everything onward
+      ("c", 10L, 20L)
+    ).toDF("contig", "pos_start", "pos_end")
+    val got = IntervalOps
+      .depthHistogram(df, Seq("contig"), "pos_start", "pos_end")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    // events: +1@0, +1@10, -1@21 -> depth 1 over [0,9] (10 bases),
+    // depth 2 over [10,20] (11); the unbounded depth-1 tail after 21 is
+    // out of sweep range (dropped, as for any trailing segment)
+    assert(got == Map(1L -> 10L, 2L -> 11L))
+  }
+
+  test("subtract: inverted and NULL-bounded a rows emit no fragments") {
+    val a = Seq(("c", Option(10), Option(5)), ("c", Option(1), None))
+      .toDF("contig", "pos_start", "pos_end")
+    val bEmpty = Seq.empty[(String, Int, Int)]
+      .toDF("contig", "pos_start", "pos_end")
+    assert(IntervalOps.subtractIntervals(a, bEmpty, Seq("contig"),
+      "pos_start", "pos_end").count() == 0)
+    val b = Seq(("c", 3, 20)).toDF("contig", "pos_start", "pos_end")
+      .select(col("contig"), col("pos_start").cast("int").as("pos_start"),
+        col("pos_end").cast("int").as("pos_end"))
+    val a2 = a.select(col("contig"), col("pos_start").cast("int").as("pos_start"),
+      col("pos_end").cast("int").as("pos_end"))
+    assert(IntervalOps.subtractIntervals(a2, b, Seq("contig"),
+      "pos_start", "pos_end").count() == 0)
+  }
+
   test("randomized: depth histogram ≡ per-point brute force") {
     val rnd = new scala.util.Random(13)
     val rows = (0 until 300).map { _ =>
