@@ -457,6 +457,19 @@ object SparkEntry {
     "q23_dedup_jaccard" -> ((s, dir) => { prep(s, dir)
       Dedup.minhashDupPairs(dupCorpus(s, dir, near = true), "doc_id", "text",
         threshold = 0.8) }),
+    // duplicate-GROUP resolution: the LSH pairs are only pairwise hits;
+    // transitive duplicates (A~B, B~C with no A~C pair) must collapse to
+    // one group before "keep one copy". Connected components by min-label
+    // propagation — per round one shuffle join + one map-side-combined
+    // groupBy, O(diameter) rounds (dup graphs are near-star-shaped).
+    // Oracle: DuckDB recursive-CTE transitive closure over the SAME
+    // (oracle-recomputed) pair set.
+    "q56_dedup_groups" -> ((s, dir) => { prep(s, dir)
+      val pairs = Dedup.minhashDupPairs(dupCorpus(s, dir, near = true),
+          "doc_id", "text", threshold = 0.8)
+        .select(col("id1"), col("id2"))
+      Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("group_id")) }),
     "q24_text_stats" -> ((s, dir) => { prep(s, dir)
       val d = Tables.load(s, dir, "documents")
       d.select(col("doc_id"),
@@ -593,7 +606,10 @@ object SparkEntry {
       } finally deleteRecursively(new java.io.File(path)) })
   )
 
-  private val jaccardOracle: String = corpusNearCte +
+  /** All-pairs word-trigram Jaccard over the near corpus, as CTEs ending
+    * in `jp(id1, id2, jaccard)` — shared by the q23 pair oracle and the
+    * q56 group oracle. */
+  private val jaccardPairsCtes: String =
     """,
       |w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM corpus),
       |s AS (SELECT doc_id,
@@ -601,13 +617,32 @@ object SparkEntry {
       |             THEN list_distinct(list_transform(range(1, len(ws) - 1),
       |                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
       |             ELSE [array_to_string(ws, ' ')] END AS sh
-      |      FROM w)
-      |SELECT a.doc_id AS id1, b.doc_id AS id2,
-      |       round(len(list_intersect(a.sh, b.sh)) * 1.0 /
-      |             len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-      |FROM s a JOIN s b ON a.doc_id < b.doc_id
-      |WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0 /
-      |            len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.8""".stripMargin
+      |      FROM w),
+      |jp AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+      |         round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+      |               len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id)""".stripMargin
+
+  private val jaccardOracle: String = corpusNearCte + jaccardPairsCtes +
+    "\nSELECT id1, id2, jaccard FROM jp WHERE jaccard >= 0.8"
+
+  /** Transitive closure of the >=0.8 Jaccard pairs as a DuckDB recursive
+    * CTE: min reachable id over the symmetric edge list = the connected
+    * component / duplicate-group id the Spark side computes by min-label
+    * propagation. */
+  private val dupGroupsOracle: String =
+    corpusNearCte.replaceFirst("WITH ", "WITH RECURSIVE ") + jaccardPairsCtes +
+    """,
+      |pp AS (SELECT id1, id2 FROM jp WHERE jaccard >= 0.8),
+      |nodes AS (SELECT id1 AS id FROM pp UNION SELECT id2 AS id FROM pp),
+      |edges AS (SELECT id1 AS src, id2 AS dst FROM pp
+      |          UNION SELECT id2 AS src, id1 AS dst FROM pp),
+      |reach(id, lbl) AS (
+      |  SELECT id, id AS lbl FROM nodes
+      |  UNION
+      |  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
+      |SELECT id AS doc_id, MIN(lbl) AS group_id FROM reach GROUP BY id""".stripMargin
 
   private def sqlList(xs: Seq[String]): String =
     xs.map(s => s"'$s'").mkString("(", ", ", ")")
@@ -840,6 +875,7 @@ object SparkEntry {
       "q21_dedup_minhash" -> exactDupOracle,
       "q22_dedup_simhash" -> exactDupOracle,
       "q23_dedup_jaccard" -> jaccardOracle,
+      "q56_dedup_groups" -> dupGroupsOracle,
       "q24_text_stats" -> textStatsOracle,
       "q25_langid" -> langIdOracle,
       "q26_curation" -> curationOracle,

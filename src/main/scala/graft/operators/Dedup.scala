@@ -209,6 +209,71 @@ object Dedup {
       .where(col("cosine") >= threshold)
   }
 
+  /**
+   * Connected components over an undirected duplicate-pair graph
+   * `(id1, id2)` — resolves pairwise hits into duplicate GROUPS: every
+   * node is labeled with the minimum id reachable from it (the group id).
+   * This is the step after candidate generation that pair-emitting dedup
+   * (exact/MinHash/SimHash/embedding) needs before "keep one copy":
+   * transitive duplicates A~B, B~C must collapse to ONE group even when
+   * the pair A~C was never emitted.
+   *
+   * Algorithm: iterative min-label propagation. Each round every node
+   * takes the min of its own label and its neighbors' labels — one
+   * shuffle join plus one partially-aggregated groupBy — and the loop
+   * stops when no label changed. Convergence is O(graph diameter) rounds;
+   * duplicate graphs are near-star-shaped (exact-dup cliques, near-dup
+   * chains a hop or two long), so 2–4 rounds in practice, vs the
+   * O(log² n) alternating large-star/small-star contraction whose
+   * per-round cost is higher. Lineage is cut with `localCheckpoint`
+   * every round so the plan does not grow with the iteration count (the
+   * classic iterative-DataFrame trap); the symmetric edge list is
+   * checkpointed once and reused by every round's join.
+   */
+  def connectedComponents(pairs: DataFrame, id1: String = "id1",
+      id2: String = "id2", maxIterations: Int = 50): DataFrame = {
+    val e = pairs.select(col(id1).as("src"), col(id2).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+    val edges = e.union(e.select(col("dst"), col("src")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl")).localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIterations) {
+      val msgs = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("lbl"))
+      val next = labels.union(msgs)
+        .groupBy("id").agg(min("lbl").as("lbl"))
+        .localCheckpoint()
+      // labels only ever decrease, so "any label strictly below its
+      // previous value" is a complete change detector
+      changed = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
+        .where(col("lbl") < col("prev")).count()
+      labels = next
+      it += 1
+    }
+    labels.select(col("id"), col("lbl").as("group_id"))
+  }
+
+  /** Per-group rollup of [[connectedComponents]]: group id (= canonical
+    * lowest member id), member count, highest member id. */
+  def dupGroupStats(pairs: DataFrame, id1: String = "id1",
+      id2: String = "id2"): DataFrame =
+    connectedComponents(pairs, id1, id2)
+      .groupBy("group_id")
+      .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_id"))
+
+  /** Keep exactly one document per duplicate group (the lowest id);
+    * documents in no pair pass through untouched. One anti-join against
+    * the non-canonical member ids — no row explosion. */
+  def keepCanonical(docs: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val losers = connectedComponents(pairs)
+      .where(col("id") =!= col("group_id")).select(col("id"))
+    docs.join(losers, docs(idCol) === losers("id"), "left_anti")
+  }
+
   /** SimHash near-duplicate candidate pairs: pigeonhole the 64-bit hash
     * into 4 × 16-bit chunks — any pair within Hamming distance 3 shares
     * at least one chunk — then verify `bit_count(xor) <= maxHamming`. */

@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.Dedup
+
+import org.apache.spark.sql.functions._
+
+/** Connected-components duplicate-group resolution: min-label
+  * propagation over a pair graph. */
+class DedupGroupsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Dedup.connectedComponents(pairs.toDF("id1", "id2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("transitive pairs collapse to one group") {
+    // A~B, B~C but no A~C pair — the exact case pairwise dedup misses
+    val labels = cc(Seq((1L, 2L), (2L, 3L), (10L, 11L)))
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("long chain converges past one propagation round") {
+    // path graph 30-31-32-33-34-35: diameter 5 forces multiple rounds
+    val chain = (30L to 34L).map(i => (i, i + 1))
+    val labels = cc(chain)
+    assert(labels == (30L to 35L).map(_ -> 30L).toMap)
+  }
+
+  test("reversed and duplicate edges are normalized") {
+    val labels = cc(Seq((2L, 1L), (1L, 2L), (2L, 3L)))
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("bridged cliques merge under the lowest id overall") {
+    val cliqueA = Seq((5L, 6L), (5L, 7L), (6L, 7L))
+    val cliqueB = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+    val labels = cc(cliqueA ++ cliqueB ++ Seq((7L, 3L)))
+    assert(labels.values.toSet == Set(1L))
+    assert(labels.keySet == Set(1L, 2L, 3L, 5L, 6L, 7L))
+  }
+
+  test("empty pair set yields empty labels") {
+    val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    assert(Dedup.connectedComponents(empty).count() == 0)
+  }
+
+  test("randomized graph matches brute-force union-find") {
+    val rnd = new scala.util.Random(42)
+    val n = 200
+    val pairs = Seq.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    // driver-side union-find as the naive oracle
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(k => k -> find(k)).toMap
+    assert(cc(pairs) == expected)
+  }
+
+  test("dupGroupStats reports canonical id, size and max member") {
+    val stats = Dedup.dupGroupStats(
+        Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stats == Set((1L, 3L, 3L), (10L, 2L, 11L)))
+  }
+
+  test("keepCanonical drops exactly the non-canonical members") {
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("doc_id")
+      .withColumn("payload", col("doc_id") * 2)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val kept = Dedup.keepCanonical(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    // 99 is in no pair and must pass through untouched
+    assert(kept == Set(1L, 10L, 99L))
+  }
+}
