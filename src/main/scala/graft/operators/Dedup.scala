@@ -227,31 +227,81 @@ object Dedup {
    * O(log² n) alternating large-star/small-star contraction whose
    * per-round cost is higher. Lineage is cut with `localCheckpoint`
    * every round so the plan does not grow with the iteration count (the
-   * classic iterative-DataFrame trap); the symmetric edge list is
-   * checkpointed once and reused by every round's join.
+   * classic iterative-DataFrame trap).
+   *
+   * Shuffle hygiene (100 TB): the symmetric edge list is repartitioned by
+   * the probe key `src` BEFORE its one-time lineage cut — `localCheckpoint`
+   * preserves `outputPartitioning`, so every round's `edges ⋈ labels` join
+   * reuses that layout and only the (smaller, shrinking) labels side
+   * shuffles. Change detection costs no extra join: each node's previous
+   * label rides through the round's aggregation as `min(prev)` (the
+   * labels side contributes its old label, messages contribute NULL), so
+   * per round there is exactly one distributed computation — the eager
+   * checkpoint — plus a cheap scan of the materialized blocks. The
+   * previous round's checkpoint is unpersisted as soon as it is
+   * superseded, so storage stays at one labels snapshot regardless of
+   * round count.
+   *
+   * If the label graph has not converged after `maxIterations` rounds the
+   * labels are WRONG (some component carries several group ids), so this
+   * throws rather than returning a silently-truncated result — raise
+   * `maxIterations` above the expected graph diameter.
    */
+  /** `repartition(key).localCheckpoint()` with the partitioning actually
+    * CAPTURED: under AQE `Dataset.localCheckpoint` records
+    * UnknownPartitioning (the adaptive root hides the exchange's layout),
+    * which would force downstream joins to re-shuffle the checkpoint every
+    * round. Building the checkpoint with AQE momentarily off makes the
+    * `LogicalRDD` carry `hashpartitioning(key)`, which `ENSURE_REQUIREMENTS`
+    * then reuses. The toggle is session-scoped for the duration of this
+    * one materialization (restored in `finally`). */
+  private[graft] def checkpointPartitionedBy(df: DataFrame,
+      key: String): DataFrame = {
+    val spark = df.sparkSession
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try df.repartition(col(key)).localCheckpoint()
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   def connectedComponents(pairs: DataFrame, id1: String = "id1",
       id2: String = "id2", maxIterations: Int = 50): DataFrame = {
     val e = pairs.select(col(id1).as("src"), col(id2).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
-    val edges = e.union(e.select(col("dst"), col("src")))
-      .distinct().localCheckpoint()
+    val edges = checkpointPartitionedBy(
+      e.union(e.select(col("dst"), col("src"))).distinct(), "src")
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl")).localCheckpoint()
+    val lblType = labels.schema("lbl").dataType
+    var prevCkpt: DataFrame = labels
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIterations) {
       val msgs = edges.join(labels, edges("src") === labels("id"))
-        .select(col("dst").as("id"), col("lbl"))
-      val next = labels.union(msgs)
-        .groupBy("id").agg(min("lbl").as("lbl"))
+        .select(col("dst").as("id"), col("lbl"),
+          lit(null).cast(lblType).as("prev"))
+      // every node appears exactly once on the labels side, so min(prev)
+      // recovers its previous label next to the new min(lbl)
+      val own = labels.select(col("id"), col("lbl"), col("lbl").as("prev"))
+      val next = own.union(msgs)
+        .groupBy("id").agg(min("lbl").as("lbl"), min("prev").as("prev"))
         .localCheckpoint()
       // labels only ever decrease, so "any label strictly below its
-      // previous value" is a complete change detector
-      changed = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
-        .where(col("lbl") < col("prev")).count()
-      labels = next
+      // previous value" is a complete change detector — and `next` is
+      // already materialized, so this count is a local block scan
+      changed = next.where(col("lbl") < col("prev")).count()
+      org.apache.spark.sql.GraftSqlShim.unpersistCheckpoint(prevCkpt)
+      prevCkpt = next
+      labels = next.select("id", "lbl")
       it += 1
+    }
+    org.apache.spark.sql.GraftSqlShim.unpersistCheckpoint(edges)
+    if (changed > 0) {
+      org.apache.spark.sql.GraftSqlShim.unpersistCheckpoint(prevCkpt)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge after $maxIterations rounds " +
+          s"($changed labels still decreasing) — the duplicate graph's " +
+          "diameter exceeds maxIterations; raise maxIterations")
     }
     labels.select(col("id"), col("lbl").as("group_id"))
   }

@@ -24,4 +24,15 @@ object GraftSqlShim {
 
   /** Wrap a Catalyst Expression back into a Column. */
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+
+  /** Explicitly free the block-manager storage behind a
+    * `localCheckpoint()`ed Dataset (iterative algorithms otherwise
+    * accumulate one checkpoint's blocks per round until GC-driven cleanup
+    * catches up). No-op unless `df` IS the checkpoint (a bare RDD scan) —
+    * never unpersists a checkpoint referenced through other operators. */
+  def unpersistCheckpoint(df: Dataset[_]): Unit =
+    df.queryExecution.analyzed match {
+      case r: execution.LogicalRDD => r.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

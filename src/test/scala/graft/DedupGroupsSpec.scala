@@ -40,6 +40,43 @@ class DedupGroupsSpec extends SparkTestBase {
     assert(labels.keySet == Set(1L, 2L, 3L, 5L, 6L, 7L))
   }
 
+  test("deep chain (diameter 25) converges to the chain head") {
+    // min-label propagation moves one hop per round: this needs ~25
+    // rounds, well past the star-shaped 2-4 the dup corpus produces
+    val chain = (100L to 124L).map(i => (i, i + 1))
+    val labels = cc(chain)
+    assert(labels == (100L to 125L).map(_ -> 100L).toMap)
+  }
+
+  test("non-convergence throws instead of returning truncated labels") {
+    val chain = (0L to 9L).map(i => (i, i + 1))
+    val ex = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain.toDF("id1", "id2"), maxIterations = 3)
+        .collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("checkpointed edge list keeps its src partitioning (no re-shuffle)") {
+    // the mechanism connectedComponents relies on: repartition(src) +
+    // localCheckpoint preserves outputPartitioning, so the per-round
+    // edges-side of the join plans with NO Exchange above the RDD scan
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force a shuffle join so partitioning requirements are visible
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val edges = Dedup.checkpointPartitionedBy(
+        Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst"), "src")
+      val labels = Seq((1L, 1L), (2L, 2L)).toDF("id", "lbl")
+      val joined = edges.join(labels, edges("src") === labels("id"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // exactly one hash Exchange: the labels side; the edges side reads
+      // the checkpoint's preserved hashpartitioning(src) directly
+      assert(plan.split("Exchange hashpartitioning").length - 1 == 1,
+        s"plan:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("empty pair set yields empty labels") {
     val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")
     assert(Dedup.connectedComponents(empty).count() == 0)
