@@ -25,7 +25,22 @@ object Bench {
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
     SparkEntry.queries("q16_interval_count")(spark, sfDir).count()
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val gcSec = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+    // machine-load stamps: a contaminated run (background load inflating
+    // wall times, as in BENCH_r06) is self-identifying from loadavg_start
+    // alone instead of costing a verdict cycle to diagnose
+    def loadavg: String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split("\\s+").take(3).mkString(",")
+      catch { case _: Exception => "" }
+    val loadStart = loadavg
     def timed(name: String)(body: => Unit): (String, Double) = {
+      val gc0 = gcMillis
       val t0 = System.nanoTime()
       val ok = try { body; true } catch {
         case t: Throwable =>
@@ -33,6 +48,7 @@ object Bench {
             .replaceAll("[\"\\\\\n\r]", " ").take(200)
           false
       }
+      gcSec(name) = (gcMillis - gc0) / 1e3
       // a failed query reports -1, never a plausible-looking wall time
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
@@ -43,8 +59,10 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
+    val gcs = gcSec.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"gc_sec":$gcs,"loadavg_start":"$loadStart","loadavg_end":"$loadavg","sf":"$sfDir"}""")
     spark.stop()
   }
 

@@ -279,8 +279,11 @@ object SparkEntry {
       |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
       |)""".stripMargin
 
-  private val corpusNearCte: String =
-    """WITH corpus AS (
+  /** Near-corpus CTE body, shared by the plain (`WITH`) and recursive
+    * (`WITH RECURSIVE`, for the q56 transitive-closure oracle) prefixes —
+    * one constant, no string surgery on the assembled SQL. */
+  private val corpusNearBody: String =
+    """corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
@@ -288,6 +291,8 @@ object SparkEntry {
       |  SELECT doc_id + 2000000 AS doc_id, text || ' graft dup marker' AS text
       |  FROM documents WHERE doc_id % 7 = 0
       |)""".stripMargin
+
+  private val corpusNearCte: String = "WITH " + corpusNearBody
 
   /** Oracle for exact-duplicate pairs over the constructed corpus. */
   private val exactDupOracle: String = corpusCte +
@@ -470,6 +475,20 @@ object SparkEntry {
         .select(col("id1"), col("id2"))
       Dedup.connectedComponents(pairs)
         .select(col("id").as("doc_id"), col("group_id")) }),
+    // CC iteration stress: a 12-node PATH graph (consecutive documents
+    // chained pairwise) has diameter 11, forcing ~12 min-label
+    // propagation rounds — deep iteration the near-star q56 dup corpus
+    // (2-4 rounds) never exercises — against the same recursive-CTE
+    // transitive-closure oracle.
+    "q57_dedup_chain" -> ((s, dir) => { prep(s, dir)
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.load(s, dir, "documents").select("doc_id")
+        .orderBy("doc_id").limit(12)
+      val pairs = d.select(col("doc_id").as("id1"),
+          lead(col("doc_id"), 1).over(Window.orderBy("doc_id")).as("id2"))
+        .where(col("id2").isNotNull)
+      Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("group_id")) }),
     "q24_text_stats" -> ((s, dir) => { prep(s, dir)
       val d = Tables.load(s, dir, "documents")
       d.select(col("doc_id"),
@@ -632,9 +651,28 @@ object SparkEntry {
     * component / duplicate-group id the Spark side computes by min-label
     * propagation. */
   private val dupGroupsOracle: String =
-    corpusNearCte.replaceFirst("WITH ", "WITH RECURSIVE ") + jaccardPairsCtes +
+    "WITH RECURSIVE " + corpusNearBody + jaccardPairsCtes +
     """,
       |pp AS (SELECT id1, id2 FROM jp WHERE jaccard >= 0.8),
+      |nodes AS (SELECT id1 AS id FROM pp UNION SELECT id2 AS id FROM pp),
+      |edges AS (SELECT id1 AS src, id2 AS dst FROM pp
+      |          UNION SELECT id2 AS src, id1 AS dst FROM pp),
+      |reach(id, lbl) AS (
+      |  SELECT id, id AS lbl FROM nodes
+      |  UNION
+      |  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
+      |SELECT id AS doc_id, MIN(lbl) AS group_id FROM reach GROUP BY id""".stripMargin
+
+  /** q57 oracle: transitive closure of the SAME 12-node document path
+    * graph the Spark side chains, again as a DuckDB recursive CTE. All
+    * 12 nodes collapse to the lowest doc_id — the value under test is
+    * the ~12 propagation rounds needed to get there. */
+  private val dupChainOracle: String =
+    """WITH RECURSIVE ch AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 12),
+      |pp AS (SELECT id1, id2 FROM (
+      |         SELECT doc_id AS id1,
+      |                lead(doc_id) OVER (ORDER BY doc_id) AS id2 FROM ch)
+      |       WHERE id2 IS NOT NULL),
       |nodes AS (SELECT id1 AS id FROM pp UNION SELECT id2 AS id FROM pp),
       |edges AS (SELECT id1 AS src, id2 AS dst FROM pp
       |          UNION SELECT id2 AS src, id1 AS dst FROM pp),
@@ -876,6 +914,7 @@ object SparkEntry {
       "q22_dedup_simhash" -> exactDupOracle,
       "q23_dedup_jaccard" -> jaccardOracle,
       "q56_dedup_groups" -> dupGroupsOracle,
+      "q57_dedup_chain" -> dupChainOracle,
       "q24_text_stats" -> textStatsOracle,
       "q25_langid" -> langIdOracle,
       "q26_curation" -> curationOracle,

@@ -244,32 +244,58 @@ object Dedup {
    *
    * If the label graph has not converged after `maxIterations` rounds the
    * labels are WRONG (some component carries several group ids), so this
-   * throws rather than returning a silently-truncated result — raise
-   * `maxIterations` above the expected graph diameter.
+   * throws rather than returning a silently-truncated result. Convergence
+   * detection needs one quiescent round, so `maxIterations` must be at
+   * least the graph diameter + 1 (a graph that settles exactly on its
+   * last allowed round still throws).
+   *
+   * Each superseded round checkpoint is unpersisted immediately; Spark
+   * logs one WARN per round ("lineage has been truncated and cannot be
+   * recomputed") — expected and harmless, the checkpoint is never read
+   * again.
    */
   /** `repartition(key).localCheckpoint()` with the partitioning actually
     * CAPTURED: under AQE `Dataset.localCheckpoint` records
     * UnknownPartitioning (the adaptive root hides the exchange's layout),
     * which would force downstream joins to re-shuffle the checkpoint every
-    * round. Building the checkpoint with AQE momentarily off makes the
-    * `LogicalRDD` carry `hashpartitioning(key)`, which `ENSURE_REQUIREMENTS`
-    * then reuses. The toggle is session-scoped for the duration of this
-    * one materialization (restored in `finally`). */
+    * round. Building the checkpoint with AQE off makes the `LogicalRDD`
+    * carry `hashpartitioning(key)`, which `ENSURE_REQUIREMENTS` then
+    * reuses. The AQE flip happens on a CLONED session (same context and
+    * runtime conf, private conf map), so concurrent queries on the
+    * caller's session never observe it; the materialized checkpoint is
+    * re-homed onto the caller's session before returning. Callers should
+    * pass an already-materialized `df` — everything upstream of this call
+    * runs without AQE's skew mitigation and partition coalescing. */
   private[graft] def checkpointPartitionedBy(df: DataFrame,
       key: String): DataFrame = {
+    import org.apache.spark.sql.GraftSqlShim
     val spark = df.sparkSession
-    val prev = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try df.repartition(col(key)).localCheckpoint()
-    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    val scoped = GraftSqlShim.cloneSession(spark)
+    scoped.conf.set("spark.sql.adaptive.enabled", "false")
+    val ckpt = GraftSqlShim.rehome(scoped, df)
+      .repartition(col(key)).localCheckpoint()
+    GraftSqlShim.rehome(spark, ckpt)
   }
 
   def connectedComponents(pairs: DataFrame, id1: String = "id1",
       id2: String = "id2", maxIterations: Int = 50): DataFrame = {
+    require(maxIterations > 0,
+      s"maxIterations must be positive (got $maxIterations); convergence " +
+        "detection needs one quiescent round, so use at least graph " +
+        "diameter + 1")
     val e = pairs.select(col(id1).as("src"), col(id2).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
+    // materialize the (directed) pair list ONCE under AQE — the
+    // symmetrizing union below would otherwise evaluate the whole
+    // upstream candidate pipeline twice, and with AQE's skew handling
+    // lost inside checkpointPartitionedBy's window. Duplicate edges are
+    // NOT removed: min-aggregation is idempotent to them, so a
+    // `distinct()` here would spend a full extra shuffle to save only
+    // duplicated message volume (dedup pair lists are already distinct).
+    val half = e.localCheckpoint()
     val edges = checkpointPartitionedBy(
-      e.union(e.select(col("dst"), col("src"))).distinct(), "src")
+      half.union(half.select(col("dst"), col("src"))), "src")
+    org.apache.spark.sql.GraftSqlShim.unpersistCheckpoint(half)
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl")).localCheckpoint()
     val lblType = labels.schema("lbl").dataType

@@ -25,6 +25,21 @@ object GraftSqlShim {
   /** Wrap a Catalyst Expression back into a Column. */
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
 
+  /** Clone a session: same SparkContext, shared state and extensions,
+    * plus a COPY of the current runtime conf — conf changes on the clone
+    * are invisible to the original (unlike `newSession()`, which also
+    * resets runtime conf to initial values). For scoping planner-visible
+    * conf flips (e.g. momentarily disabling AQE) away from concurrent
+    * queries on the caller's session. */
+  def cloneSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[CSparkSession].cloneSession()
+
+  /** Re-home a Dataset's (analyzed) plan onto another session — used to
+    * hand results built on a [[cloneSession]] back to the caller's
+    * session so downstream composition stays single-session. */
+  def rehome(spark: SparkSession, df: Dataset[_]): DataFrame =
+    ofRows(spark, df.queryExecution.analyzed)
+
   /** Explicitly free the block-manager storage behind a
     * `localCheckpoint()`ed Dataset (iterative algorithms otherwise
     * accumulate one checkpoint's blocks per round until GC-driven cleanup

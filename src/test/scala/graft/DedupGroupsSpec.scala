@@ -77,6 +77,16 @@ class DedupGroupsSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("checkpoint build never flips AQE on the caller's session") {
+    // the AQE-off window lives on a cloned session; a concurrent query
+    // on the caller's session must keep adaptive execution throughout
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    val edges = Dedup.checkpointPartitionedBy(
+      Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"), "src")
+    assert(edges.count() == 2)
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+  }
+
   test("empty pair set yields empty labels") {
     val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")
     assert(Dedup.connectedComponents(empty).count() == 0)
