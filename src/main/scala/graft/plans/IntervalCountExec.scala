@@ -162,7 +162,7 @@ private[graft] class IntervalCountRunner(
   /** Grouping attributes evaluated FROM THE PROBE ROW: a right-side attr
     * binds directly; a left-side attr must be an equi-key, whose value
     * equals the corresponding right key on every counted pair. */
-  private def groupExprsOnProbe: Seq[Expression] = {
+  private[graft] def groupExprsOnProbe: Seq[Expression] = {
     val rightSet = AttributeSet(rightOutput)
     groupAttrs.map { ga =>
       if (rightSet.contains(ga)) ga
@@ -213,15 +213,25 @@ private[graft] class IntervalCountRunner(
           }
         }
       }
-      val joined = new JoinedRow
-      val it = new java.util.ArrayList[InternalRow](acc.size())
-      acc.forEach { (g, c) =>
-        pairCount += c(0)
-        it.add(outProj(joined(g, InternalRow(c(0)))).copy())
-      }
-      import scala.jdk.CollectionConverters._
-      it.iterator().asScala
+      emitGrouped(acc)
     }
+  }
+
+  /** Turn an accumulated (group key -> partial count) map into output
+    * rows. Shared by the interpreted grouped probe and the generated
+    * grouped drain loop (which fills the same map shape in Java). */
+  def emitGrouped(
+      acc: java.util.HashMap[UnsafeRow, Array[Long]]): Iterator[InternalRow] = {
+    val outProj = UnsafeProjection.create(
+      (groupAttrs.map(_.dataType) :+ LongType).toArray[DataType])
+    val joined = new JoinedRow
+    val it = new java.util.ArrayList[InternalRow](acc.size())
+    acc.forEach { (g, c) =>
+      pairCount += c(0)
+      it.add(outProj(joined(g, InternalRow(c(0)))).copy())
+    }
+    import scala.jdk.CollectionConverters._
+    it.iterator().asScala
   }
 }
 
@@ -310,16 +320,18 @@ case class IntervalCountExec(
     }
   }
 
-  // ---- whole-stage codegen (GLOBAL count only) --------------------------
+  // ---- whole-stage codegen (global AND grouped) -------------------------
   //
-  // The global count is a blocking single-row operator, generated in the
-  // HashAggregateExec doProduceWithoutKeys shape: drain the probe input
-  // accumulating a local long (bounds/keys evaluated straight off the
-  // row, two binary searches per row via the shared CountBuildEntry.count
-  // kernel), then consume() ONCE with the total. The grouped form keeps
-  // the interpreted hashmap path.
+  // Both count shapes are blocking operators generated in the
+  // HashAggregateExec style: drain the probe input (bounds/keys evaluated
+  // straight off the row or the fused child's variables, two binary
+  // searches per row via the shared CountBuildEntry.count kernel), then
+  // emit. The GLOBAL form accumulates one local long and consume()s once;
+  // the GROUPED form accumulates (group key -> long[1]) into a hashmap in
+  // the generated loop and emits partial rows through the serializable
+  // runner (shouldStop-aware re-entry, like doProduceWithKeys).
 
-  override def supportCodegen: Boolean = groupAttrs.isEmpty
+  override def supportCodegen: Boolean = true
 
   override def inputRDDs(): Seq[RDD[InternalRow]] = mode match {
     // broadcast: the probe child pipeline FUSES into this stage (scan /
@@ -331,8 +343,8 @@ case class IntervalCountExec(
   override def needCopyResult: Boolean = false
 
   /** Blocking operator: the fused child loop must run to completion
-    * before the single output row exists, so children skip shouldStop
-    * checks (same as HashAggregateExec / SortExec). */
+    * before any output row exists, so children skip shouldStop checks
+    * (same as HashAggregateExec / SortExec). */
   override def needStopCheck: Boolean = false
 
   // field names shared between doProduce (declares + emits) and
@@ -341,6 +353,7 @@ case class IntervalCountExec(
   // (the HashAggregateExec bufVars pattern)
   @transient private var totalTerm: String = _
   @transient private var buildTerm: String = _
+  @transient private var groupMapTerm: String = _
 
   override protected def doProduce(ctx: CodegenContext): String = {
     val buildCls = classOf[CountBuildSide].getName
@@ -351,6 +364,15 @@ case class IntervalCountExec(
     val pairCount = metricTerm(ctx, "pairCount")
     buildTerm = ctx.addMutableState(buildCls, "countBuild",
       forceInline = true)
+    val grouped = groupAttrs.nonEmpty
+    groupMapTerm =
+      if (grouped) ctx.addMutableState("java.util.HashMap", "countGroups",
+        v => s"$v = new java.util.HashMap();", forceInline = true)
+      else null
+    // the runner carries the executor-side helpers (partitioned build,
+    // grouped emission); referenced from generated code in both modes
+    val runnerRef = ctx.addReferenceObj("countRunner", runner,
+      classOf[IntervalCountRunner].getName)
 
     val (buildInit, drain) = mode match {
       case BroadcastMode =>
@@ -365,8 +387,6 @@ case class IntervalCountExec(
           "countLeftInput", v => s"$v = inputs[0];", forceInline = true)
         val rightInput = ctx.addMutableState("scala.collection.Iterator",
           "countRightInput", v => s"$v = inputs[1];", forceInline = true)
-        val runnerRef = ctx.addReferenceObj("countRunner", runner,
-          classOf[IntervalCountRunner].getName)
         val buildKeys = metricTerm(ctx, "buildKeys")
         val init =
           s"""
@@ -387,27 +407,53 @@ case class IntervalCountExec(
            """.stripMargin)
     }
 
-    val resultVar = ExprCode.forNonNullValue(
-      JavaCode.variable(total, LongType))
-    ctx.currentVars = Seq(resultVar)
-    val consumed = consume(ctx, Seq(resultVar))
-    ctx.currentVars = null
-
-    s"""
-       |if (!$doneTerm) {
-       |  $doneTerm = true;
-       |  $buildInit
-       |  $total = 0L;
-       |  $drain
-       |  $pairCount.add($total);
-       |  $consumed
-       |}
-     """.stripMargin
+    if (!grouped) {
+      val resultVar = ExprCode.forNonNullValue(
+        JavaCode.variable(total, LongType))
+      ctx.currentVars = Seq(resultVar)
+      val consumed = consume(ctx, Seq(resultVar))
+      ctx.currentVars = null
+      s"""
+         |if (!$doneTerm) {
+         |  $doneTerm = true;
+         |  $buildInit
+         |  $total = 0L;
+         |  $drain
+         |  $pairCount.add($total);
+         |  $consumed
+         |}
+       """.stripMargin
+    } else {
+      // grouped: emission is re-entrant (the parent may pause between
+      // rows), so the output iterator lives in a field and the emit loop
+      // runs outside the one-shot build/drain block
+      val outIter = ctx.addMutableState("scala.collection.Iterator",
+        "countOutIter", forceInline = true)
+      val outRow = ctx.freshName("countOutRow")
+      ctx.INPUT_ROW = outRow
+      ctx.currentVars = null
+      val consumed = consume(ctx, null, outRow)
+      ctx.INPUT_ROW = null
+      s"""
+         |if (!$doneTerm) {
+         |  $doneTerm = true;
+         |  $buildInit
+         |  $drain
+         |  $outIter = $runnerRef.emitGrouped($groupMapTerm);
+         |}
+         |while ($outIter.hasNext()) {
+         |  InternalRow $outRow = (InternalRow) $outIter.next();
+         |  $consumed
+         |  if (shouldStop()) return;
+         |}
+       """.stripMargin
+    }
   }
 
   /** Per-probe-row accumulation: key + bound eval off the current input
     * (row or fused variables), hashmap lookup, two binary searches via
-    * the shared CountBuildEntry.count kernel. */
+    * the shared CountBuildEntry.count kernel; the count lands in the
+    * local total (global) or the group's map slot (grouped). */
   private def countOneRow(ctx: CodegenContext, buildTerm: String,
       total: String): String = {
     val entryCls = classOf[CountBuildEntry].getName
@@ -420,6 +466,28 @@ case class IntervalCountExec(
     val keyNullCheck =
       if (rightKeys.nonEmpty) s"&& !${keyEv.value}.anyNull()" else ""
     val entryTerm = ctx.freshName("countEntry")
+    val cntTerm = ctx.freshName("cnt")
+    val sink = if (groupAttrs.isEmpty) s"$total += $cntTerm;" else {
+      // group key off the SAME probe-row context as the join key; only
+      // cnt > 0 probes create a slot (inner-join group semantics, same
+      // as the interpreted path)
+      val groupEv = GenerateUnsafeProjection.createCode(ctx,
+        runner.groupExprsOnProbe
+          .map(BindReferences.bindReference(_, right.output)))
+      // (the pairCount metric is added during emitGrouped, not here)
+      val slotTerm = ctx.freshName("slot")
+      s"""
+         |if ($cntTerm > 0) {
+         |  ${groupEv.code}
+         |  long[] $slotTerm = (long[]) $groupMapTerm.get(${groupEv.value});
+         |  if ($slotTerm == null) {
+         |    $slotTerm = new long[1];
+         |    $groupMapTerm.put(${groupEv.value}.copy(), $slotTerm);
+         |  }
+         |  $slotTerm[0] += $cntTerm;
+         |}
+       """.stripMargin
+    }
     s"""
        |${keyEv.code}
        |${sEv.code}
@@ -428,7 +496,8 @@ case class IntervalCountExec(
        |  $entryCls $entryTerm =
        |    ($entryCls) $buildTerm.keyed().get(${keyEv.value});
        |  if ($entryTerm != null) {
-       |    $total += $entryTerm.count(${sEv.value}, ${eEv.value});
+       |    long $cntTerm = $entryTerm.count(${sEv.value}, ${eEv.value});
+       |    $sink
        |  }
        |}
      """.stripMargin

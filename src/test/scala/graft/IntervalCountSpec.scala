@@ -78,6 +78,32 @@ class IntervalCountSpec extends SparkTestBase with BeforeAndAfterEach {
     }
   }
 
+  test("grouped count runs inside whole-stage codegen (both modes)") {
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      for (m <- Seq("broadcast", "partitioned")) {
+        spark.conf.set(GraftSession.IntervalJoinForceMode, m)
+        val a = randomTable(25, 400)
+        val b = randomTable(26, 400)
+        a.cache().count(); b.cache().count()
+        val df = joined(a, b).groupBy($"ac").count()
+        val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        spark.conf.set(GraftSession.PreferIntervalJoin, "false")
+        val exp = joined(a, b).groupBy($"ac").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        spark.conf.set(GraftSession.PreferIntervalJoin, "true")
+        assert(got == exp, s"mode=$m")
+        val plan = df.queryExecution.executedPlan.toString
+        assert("""\*\(\d+\) IntervalCountExec""".r.findFirstIn(plan).isDefined,
+          s"mode=$m expected fused grouped IntervalCountExec:\n$plan")
+        a.unpersist(); b.unpersist()
+      }
+    } finally {
+      spark.conf.unset("spark.sql.codegen.fallback")
+      spark.conf.set(GraftSession.IntervalJoinForceMode, "")
+    }
+  }
+
   test("strict-op count matches stock") {
     val a = randomTable(3, 400)
     val b = randomTable(4, 400)
