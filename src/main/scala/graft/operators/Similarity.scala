@@ -12,9 +12,11 @@ import org.apache.spark.sql.functions._
  *   shuffle). The correctness baseline.
  * - [[lshTopK]]: sign-random-projection LSH — candidates share the query's
  *   hyperplane-sign bucket (probing all 1-bit neighbors for recall), then
- *   exact re-rank within candidates. At 100 TB the bucket column is a
- *   partition/cluster key: the scan prunes to matching buckets instead of
- *   reading the full corpus.
+ *   exact re-rank within candidates. The in-memory form computes buckets
+ *   per query (a full scan — fine for repeated in-session queries over a
+ *   cached corpus); at 100 TB use [[lshBucketize]] + [[lshTopKPersisted]],
+ *   which make the bucket a parquet partition key so the scan prunes to
+ *   the probed buckets instead of reading the corpus.
  */
 object Similarity {
 
@@ -231,6 +233,48 @@ object Similarity {
       idCol: String, vecCol: String, query: Array[Float], k: Int,
       centroids: Array[Array[Float]], nProbe: Int = 6): DataFrame = {
     val probes = ivfProbes(query, centroids, nProbe)
+    val q = typedlit(query.toSeq)
+    spark.read.parquet(path)
+      .where(col("bucket").isin(probes: _*))
+      .select(col(idCol), cosine(col(vecCol), q).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  // ---- persisted SRP-LSH layout: lshTopK's scale path -------------------
+  //
+  // Same layout contract as IVF, with the hyperplane-sign bucket as the
+  // partition key: 2^planes directories, queries prune to the query
+  // bucket and its 1-bit neighbors (planes + 1 of 2^planes directories)
+  // instead of scanning the corpus. Training-free (no centroids to fit or
+  // ship) at the cost of IVF's tunable probe breadth.
+
+  /** Write the corpus partitioned by SRP-LSH bucket. `planes` sets the
+    * directory count (2^planes) — keep it <= 12; more planes than that
+    * means degenerate directory counts AND vanishing per-bucket recall.
+    * Writer parallelism mirrors [[ivfBucketize]]: each bucket hash-routes
+    * to one writer task. */
+  def lshBucketize(emb: DataFrame, idCol: String, vecCol: String,
+      path: String, planes: Int = 8): Unit = {
+    require(planes >= 1 && planes <= 12,
+      s"planes must be in [1, 12] (got $planes): 2^planes directories")
+    val dim = emb.select(size(col(vecCol))).head().getInt(0)
+    val parts = math.max(1 << planes,
+      emb.sparkSession.sessionState.conf.numShufflePartitions)
+    emb.select(col(idCol), col(vecCol),
+        srpBucket(col(vecCol), planes, dim).as("bucket"))
+      .repartition(parts, col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+  }
+
+  /** [[lshTopK]] against a [[lshBucketize]]d layout: scans only the
+    * query's bucket and its 1-bit neighbors (partition pruning), exact
+    * cosine re-rank within them. */
+  def lshTopKPersisted(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, vecCol: String, query: Array[Float],
+      k: Int, planes: Int = 8): DataFrame = {
+    val qBucket = srpBucketOf(query, planes)
+    val probes = qBucket +: (0 until planes).map(b => qBucket ^ (1L << b))
     val q = typedlit(query.toSeq)
     spark.read.parquet(path)
       .where(col("bucket").isin(probes: _*))

@@ -87,6 +87,32 @@ class CosineSimilaritySpec extends SparkTestBase {
     assert(scan.metadata("PartitionFilters").contains("bucket"))
   }
 
+  test("persisted LSH layout partition-prunes and agrees with in-memory lshTopK") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(8)(rnd.nextFloat() * 2 - 1))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val path = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_lsh_spec").getPath
+    Similarity.lshBucketize(emb, "vec_id", "embedding", path, planes = 4)
+    val q = rows(3)._2.toArray
+    val persisted = Similarity.lshTopKPersisted(spark, path, "vec_id",
+      "embedding", q, k = 10, planes = 4)
+    // the scan must prune on the bucket partition column
+    val scan = persisted.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.metadata("PartitionFilters").contains("bucket"),
+      s"expected bucket partition filter, got: ${scan.metadata}")
+    // same candidates, same ranking as the in-memory form
+    val mem = Similarity.lshTopK(emb, "vec_id", "embedding", q, k = 10,
+      planes = 4).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val per = persisted.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(per == mem)
+  }
+
   test("ivfProbes orders cells by query affinity; bucket ids are stable") {
     val cents = Array(
       Array(1.0f, 0.0f), Array(0.0f, 1.0f), Array(-1.0f, 0.0f))
