@@ -233,14 +233,15 @@ object Dedup {
    * the probe key `src` BEFORE its one-time lineage cut — `localCheckpoint`
    * preserves `outputPartitioning`, so every round's `edges ⋈ labels` join
    * reuses that layout and only the (smaller, shrinking) labels side
-   * shuffles. Change detection costs no extra join: each node's previous
-   * label rides through the round's aggregation as `min(prev)` (the
-   * labels side contributes its old label, messages contribute NULL), so
-   * per round there is exactly one distributed computation — the eager
-   * checkpoint — plus a cheap scan of the materialized blocks. The
-   * previous round's checkpoint is unpersisted as soon as it is
-   * superseded, so storage stays at one labels snapshot regardless of
-   * round count.
+   * shuffles. Round 0 skips the join entirely (initial labels are the
+   * identity, so it would only rename columns). Change detection costs no
+   * extra join: each node's previous label rides through the round's
+   * aggregation as `min(prev)` (the labels side contributes its old
+   * label, messages contribute NULL), and the checkpoint is LAZY — the
+   * change-detection count is the round's single distributed job,
+   * persisting the checkpoint blocks as a side effect. The previous
+   * round's checkpoint is unpersisted as soon as it is superseded, so
+   * storage stays at one labels snapshot regardless of round count.
    *
    * If the label graph has not converged after `maxIterations` rounds the
    * labels are WRONG (some component carries several group ids), so this
@@ -255,27 +256,16 @@ object Dedup {
    * again.
    */
   /** `repartition(key).localCheckpoint()` with the partitioning actually
-    * CAPTURED: under AQE `Dataset.localCheckpoint` records
-    * UnknownPartitioning (the adaptive root hides the exchange's layout),
-    * which would force downstream joins to re-shuffle the checkpoint every
-    * round. Building the checkpoint with AQE off makes the `LogicalRDD`
-    * carry `hashpartitioning(key)`, which `ENSURE_REQUIREMENTS` then
-    * reuses. The AQE flip happens on a CLONED session (same context and
-    * runtime conf, private conf map), so concurrent queries on the
-    * caller's session never observe it; the materialized checkpoint is
-    * re-homed onto the caller's session before returning. Callers should
-    * pass an already-materialized `df` — everything upstream of this call
-    * runs without AQE's skew mitigation and partition coalescing. */
+    * CAPTURED in the result plan (under AQE `Dataset.localCheckpoint`
+    * records UnknownPartitioning, which would force downstream joins to
+    * re-shuffle the checkpoint on every round). Delegates to
+    * [[org.apache.spark.sql.GraftSqlShim.checkpointHashPartitioned]] —
+    * no conf is touched and the upstream plan keeps AQE's skew
+    * mitigation, so it is safe on a shared session and safe to wrap
+    * around the full candidate pipeline. */
   private[graft] def checkpointPartitionedBy(df: DataFrame,
-      key: String): DataFrame = {
-    import org.apache.spark.sql.GraftSqlShim
-    val spark = df.sparkSession
-    val scoped = GraftSqlShim.cloneSession(spark)
-    scoped.conf.set("spark.sql.adaptive.enabled", "false")
-    val ckpt = GraftSqlShim.rehome(scoped, df)
-      .repartition(col(key)).localCheckpoint()
-    GraftSqlShim.rehome(spark, ckpt)
-  }
+      key: String): DataFrame =
+    org.apache.spark.sql.GraftSqlShim.checkpointHashPartitioned(df, key)
 
   def connectedComponents(pairs: DataFrame, id1: String = "id1",
       id2: String = "id2", maxIterations: Int = 50): DataFrame = {
@@ -285,38 +275,54 @@ object Dedup {
         "diameter + 1")
     val e = pairs.select(col(id1).as("src"), col(id2).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
-    // materialize the (directed) pair list ONCE under AQE — the
-    // symmetrizing union below would otherwise evaluate the whole
-    // upstream candidate pipeline twice, and with AQE's skew handling
-    // lost inside checkpointPartitionedBy's window. Duplicate edges are
-    // NOT removed: min-aggregation is idempotent to them, so a
+    // symmetrize in ONE pass over the pair list (explode, not a union —
+    // a union would evaluate the whole upstream candidate pipeline
+    // twice) and land directly in the partitioned checkpoint: one
+    // upstream evaluation, one shuffle, one materialization. Duplicate
+    // edges are NOT removed: min-aggregation is idempotent to them, so a
     // `distinct()` here would spend a full extra shuffle to save only
     // duplicated message volume (dedup pair lists are already distinct).
-    val half = e.localCheckpoint()
-    val edges = checkpointPartitionedBy(
-      half.union(half.select(col("dst"), col("src"))), "src")
-    org.apache.spark.sql.GraftSqlShim.unpersistCheckpoint(half)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl")).localCheckpoint()
-    val lblType = labels.schema("lbl").dataType
-    var prevCkpt: DataFrame = labels
+    val sym = e.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
+    val edges = checkpointPartitionedBy(sym, "src")
+    val lblType = edges.schema("src").dataType
+    var labels: DataFrame = null
+    var prevCkpt: DataFrame = null
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIterations) {
-      val msgs = edges.join(labels, edges("src") === labels("id"))
-        .select(col("dst").as("id"), col("lbl"),
-          lit(null).cast(lblType).as("prev"))
-      // every node appears exactly once on the labels side, so min(prev)
-      // recovers its previous label next to the new min(lbl)
-      val own = labels.select(col("id"), col("lbl"), col("lbl").as("prev"))
+      // round 0 is join-free: initial labels are the identity, so the
+      // edges ⋈ labels join would only rename columns — derive both the
+      // "own" rows (every node appears as src in the symmetric edge
+      // list; duplicates collapse in the min-aggregation) and the
+      // messages straight from the edge scan
+      val (own, msgs) = if (it == 0) (
+        edges.select(col("src").as("id"), col("src").as("lbl"),
+          col("src").as("prev")),
+        edges.select(col("dst").as("id"), col("src").as("lbl"),
+          lit(null).cast(lblType).as("prev")))
+      else (
+        // each node's previous label rides through the aggregation as
+        // min(prev): the labels side contributes its old label, messages
+        // contribute NULL (min ignores nulls)
+        labels.select(col("id"), col("lbl"), col("lbl").as("prev")),
+        edges.join(labels, edges("src") === labels("id"))
+          .select(col("dst").as("id"), col("lbl"),
+            lit(null).cast(lblType).as("prev")))
+      // LAZY checkpoint: the change-detection count below is the single
+      // distributed job of the round — it computes the aggregation,
+      // persists the checkpoint blocks as a side effect, and scans them
+      // for "any label strictly below its previous value" (a complete
+      // change detector, since labels only ever decrease)
       val next = own.union(msgs)
         .groupBy("id").agg(min("lbl").as("lbl"), min("prev").as("prev"))
-        .localCheckpoint()
-      // labels only ever decrease, so "any label strictly below its
-      // previous value" is a complete change detector — and `next` is
-      // already materialized, so this count is a local block scan
+        .localCheckpoint(false)
       changed = next.where(col("lbl") < col("prev")).count()
-      org.apache.spark.sql.GraftSqlShim.unpersistCheckpoint(prevCkpt)
+      if (prevCkpt != null) {
+        org.apache.spark.sql.GraftSqlShim.unpersistCheckpoint(prevCkpt)
+      }
       prevCkpt = next
       labels = next.select("id", "lbl")
       it += 1

@@ -29,8 +29,7 @@ object GraftSqlShim {
     * plus a COPY of the current runtime conf — conf changes on the clone
     * are invisible to the original (unlike `newSession()`, which also
     * resets runtime conf to initial values). For scoping planner-visible
-    * conf flips (e.g. momentarily disabling AQE) away from concurrent
-    * queries on the caller's session. */
+    * conf flips away from concurrent queries on the caller's session. */
   def cloneSession(spark: SparkSession): SparkSession =
     spark.asInstanceOf[CSparkSession].cloneSession()
 
@@ -39,6 +38,33 @@ object GraftSqlShim {
     * session so downstream composition stays single-session. */
   def rehome(spark: SparkSession, df: Dataset[_]): DataFrame =
     ofRows(spark, df.queryExecution.analyzed)
+
+  /** Eager `repartition(key).localCheckpoint()` whose result plan
+    * CARRIES `hashpartitioning(key, n)` — even under AQE, where
+    * `Dataset.localCheckpoint` records UnknownPartitioning (the adaptive
+    * root hides the exchange's layout) and downstream joins would
+    * re-shuffle the checkpoint on every use.
+    *
+    * Mechanism: repartition with an EXPLICIT partition count (AQE never
+    * coalesces user-specified-N exchanges, so the physical layout is
+    * exactly `hashpartitioning(key, n)`), checkpoint the materialized
+    * rows, and wrap them in a [[execution.LogicalRDD]] stamped with that
+    * partitioning. No conf is touched — the upstream plan keeps AQE's
+    * skew mitigation and partition coalescing. */
+  def checkpointHashPartitioned(df: Dataset[_], key: String): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[CSparkSession]
+    val n = spark.sessionState.conf.numShufflePartitions
+    val qe = df.repartition(n, df(key)).queryExecution
+    val output = qe.analyzed.output
+    val attr = output.find(_.name == key).getOrElse(throw
+      new IllegalArgumentException(s"no column named $key in ${output.mkString(",")}"))
+    // same shape as Dataset.localCheckpoint: copy the reused UnsafeRows,
+    // mark for local checkpoint, materialize eagerly
+    val rdd = qe.toRdd.map(_.copy()).localCheckpoint()
+    rdd.count()
+    ofRows(spark, execution.LogicalRDD(output, rdd,
+      catalyst.plans.physical.HashPartitioning(Seq(attr), n))(spark))
+  }
 
   /** Explicitly free the block-manager storage behind a
     * `localCheckpoint()`ed Dataset (iterative algorithms otherwise
