@@ -221,13 +221,15 @@ object Dedup {
    * Algorithm: iterative min-label propagation. Each round every node
    * takes the min of its own label and its neighbors' labels — one
    * shuffle join plus one partially-aggregated groupBy — and the loop
-   * stops when no label changed. Convergence is O(graph diameter) rounds;
-   * duplicate graphs are near-star-shaped (exact-dup cliques, near-dup
-   * chains a hop or two long), so 2–4 rounds in practice, vs the
-   * O(log² n) alternating large-star/small-star contraction whose
-   * per-round cost is higher. Lineage is cut with `localCheckpoint`
-   * every round so the plan does not grow with the iteration count (the
-   * classic iterative-DataFrame trap).
+   * stops when no label changed. Duplicate graphs are near-star-shaped
+   * (exact-dup cliques, near-dup chains a hop or two long), so 2–4
+   * cheap rounds in practice; a graph still changing after round 3 is
+   * deeper than that shape, and the loop then adds a pointer-jumping
+   * shortcut (`lbl ← lbl(lbl)`, one extra labels self-join per round)
+   * that roughly doubles the propagated distance per round — O(log
+   * diameter) rounds on chains instead of O(diameter). Lineage is cut
+   * with `localCheckpoint` every round so the plan does not grow with
+   * the iteration count (the classic iterative-DataFrame trap).
    *
    * Shuffle hygiene (100 TB): the symmetric edge list is repartitioned by
    * the probe key `src` BEFORE its one-time lineage cut — `localCheckpoint`
@@ -266,6 +268,12 @@ object Dedup {
   private[graft] def checkpointPartitionedBy(df: DataFrame,
       key: String): DataFrame =
     org.apache.spark.sql.GraftSqlShim.checkpointHashPartitioned(df, key)
+
+  /** Round index from which [[connectedComponents]] adds the
+    * pointer-jumping shortcut: graphs that survive this many neighbor-min
+    * rounds are deeper than the near-star dedup shape and benefit from
+    * O(log d) acceleration. */
+  private val ShortcutAfter = 3
 
   def connectedComponents(pairs: DataFrame, id1: String = "id1",
       id2: String = "id2", maxIterations: Int = 50): DataFrame = {
@@ -311,17 +319,36 @@ object Dedup {
         edges.join(labels, edges("src") === labels("id"))
           .select(col("dst").as("id"), col("lbl"),
             lit(null).cast(lblType).as("prev")))
-      // LAZY checkpoint: the change-detection count below is the single
-      // distributed job of the round — it computes the aggregation,
-      // persists the checkpoint blocks as a side effect, and scans them
-      // for "any label strictly below its previous value" (a complete
-      // change detector, since labels only ever decrease)
-      val next = own.union(msgs)
+      val agg = own.union(msgs)
         .groupBy("id").agg(min("lbl").as("lbl"), min("prev").as("prev"))
-        .localCheckpoint(false)
+      // rounds past ShortcutAfter add a pointer-jumping step:
+      // lbl ← lbl(lbl). Neighbor-min alone moves the min one hop per
+      // round (O(diameter) rounds — linear on chain-shaped graphs);
+      // with the shortcut the propagated distance roughly DOUBLES per
+      // round (O(log d)). The join is valid unconditionally because a
+      // label is always some node's id, so every lbl has a labels row.
+      // It is deferred past the first rounds because near-star dup
+      // graphs converge in 2–3 rounds anyway and the join would only
+      // add per-round cost (at scale: a second labels-sized shuffle).
+      var roundMid: DataFrame = null
+      val next = (if (it < ShortcutAfter) agg else {
+        val m = agg.localCheckpoint(false)
+        roundMid = m
+        val mm = m.select(col("id").as("lid"), col("lbl").as("llbl"))
+        m.join(mm, m("lbl") === mm("lid"))
+          .select(m("id"), col("llbl").as("lbl"), col("prev"))
+      }).localCheckpoint(false)
+      // LAZY checkpoints: this change-detection count is the single
+      // distributed job of the round — it computes the aggregation (and
+      // shortcut join), persists the checkpoint blocks as a side effect,
+      // and scans them for "any label strictly below its previous value"
+      // (a complete change detector, since labels only ever decrease)
       changed = next.where(col("lbl") < col("prev")).count()
       if (prevCkpt != null) {
         org.apache.spark.sql.GraftSqlShim.unpersistCheckpoint(prevCkpt)
+      }
+      if (roundMid != null) {
+        org.apache.spark.sql.GraftSqlShim.unpersistCheckpoint(roundMid)
       }
       prevCkpt = next
       labels = next.select("id", "lbl")

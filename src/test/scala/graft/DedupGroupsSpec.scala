@@ -48,6 +48,16 @@ class DedupGroupsSpec extends SparkTestBase {
     assert(labels == (100L to 125L).map(_ -> 100L).toMap)
   }
 
+  test("diameter-100 chain converges within default maxIterations " +
+       "(pointer-jumping shortcut)") {
+    // without the lbl <- lbl(lbl) shortcut this needs ~101 rounds and
+    // would blow the default maxIterations=50; with it, distance roughly
+    // doubles per round after round 3 (~10 rounds total)
+    val chain = (1000L to 1099L).map(i => (i, i + 1))
+    val labels = cc(chain)
+    assert(labels == (1000L to 1100L).map(_ -> 1000L).toMap)
+  }
+
   test("non-convergence throws instead of returning truncated labels") {
     val chain = (0L to 9L).map(i => (i, i + 1))
     val ex = intercept[IllegalStateException] {
