@@ -475,6 +475,15 @@ object SparkEntry {
         .select(col("id1"), col("id2"))
       Dedup.connectedComponents(pairs)
         .select(col("id").as("doc_id"), col("group_id")) }),
+    // the user-facing END of the dedup pipeline: resolve pair hits into
+    // groups, keep exactly one document per group (the lowest id),
+    // pass untouched documents through. Oracle: drop every member of a
+    // recursive-CTE closure group except its minimum.
+    "q58_dedup_canonical" -> ((s, dir) => { prep(s, dir)
+      val c = dupCorpus(s, dir, near = true)
+      val pairs = Dedup.minhashDupPairs(c, "doc_id", "text", threshold = 0.8)
+        .select(col("id1"), col("id2"))
+      Dedup.keepCanonical(c, "doc_id", pairs).select(col("doc_id")) }),
     // CC iteration stress: a 12-node PATH graph (consecutive documents
     // chained pairwise) has diameter 11, forcing ~12 min-label
     // propagation rounds — deep iteration the near-star q56 dup corpus
@@ -662,6 +671,23 @@ object SparkEntry {
       |  UNION
       |  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
       |SELECT id AS doc_id, MIN(lbl) AS group_id FROM reach GROUP BY id""".stripMargin
+
+  /** q58 oracle: the canonical survivors — every corpus document except
+    * non-minimum members of a closure group (same recursive CTE as q56). */
+  private val dupCanonicalOracle: String =
+    "WITH RECURSIVE " + corpusNearBody + jaccardPairsCtes +
+    """,
+      |pp AS (SELECT id1, id2 FROM jp WHERE jaccard >= 0.8),
+      |nodes AS (SELECT id1 AS id FROM pp UNION SELECT id2 AS id FROM pp),
+      |edges AS (SELECT id1 AS src, id2 AS dst FROM pp
+      |          UNION SELECT id2 AS src, id1 AS dst FROM pp),
+      |reach(id, lbl) AS (
+      |  SELECT id, id AS lbl FROM nodes
+      |  UNION
+      |  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+      |g AS (SELECT id, MIN(lbl) AS group_id FROM reach GROUP BY id)
+      |SELECT c.doc_id FROM corpus c
+      |WHERE c.doc_id NOT IN (SELECT id FROM g WHERE id <> group_id)""".stripMargin
 
   /** q57 oracle: transitive closure of the SAME 12-node document path
     * graph the Spark side chains, again as a DuckDB recursive CTE. All
@@ -915,6 +941,7 @@ object SparkEntry {
       "q23_dedup_jaccard" -> jaccardOracle,
       "q56_dedup_groups" -> dupGroupsOracle,
       "q57_dedup_chain" -> dupChainOracle,
+      "q58_dedup_canonical" -> dupCanonicalOracle,
       "q24_text_stats" -> textStatsOracle,
       "q25_langid" -> langIdOracle,
       "q26_curation" -> curationOracle,
