@@ -97,6 +97,14 @@ class DedupGroupsSpec extends SparkTestBase {
     assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
   }
 
+  test("non-numeric (string) ids work; group id is the lexicographic min") {
+    val pairs = Seq(("b", "c"), ("c", "a"), ("x", "y")).toDF("id1", "id2")
+    val labels = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(labels == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x"))
+  }
+
   test("empty pair set yields empty labels") {
     val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")
     assert(Dedup.connectedComponents(empty).count() == 0)
