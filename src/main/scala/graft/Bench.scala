@@ -59,10 +59,23 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val gcs = gcSec.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
+    // explicit locale: f"$v%.3f" uses the JVM default and would emit
+    // comma decimals (invalid JSON) on e.g. de_DE
+    val gcs = gcSec.map { case (k, v) =>
+      s"\"" + k + "\":" +
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"gc_sec":$gcs,"loadavg_start":"$loadStart","loadavg_end":"$loadavg","sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"gc_sec":$gcs,"loadavg_start":"$loadStart","loadavg_end":"$loadavg","sf":"$sfDir"}"""
+    println(line)
+    // also write the line to a file: driver log captures can truncate
+    // stdout, and the bench artifact should be self-contained
+    try {
+      val out = java.nio.file.Paths.get("target", "bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Exception => () } // file copy is best-effort
     spark.stop()
   }
 
@@ -99,10 +112,20 @@ object Bench {
     val condW = aw("contig") === bw("contig") &&
       aw("pos_start") <= bw("pos_end") && aw("pos_end") >= bw("pos_start")
     try {
+      // same count under alg=lapper: the reference publishes the flagship
+      // under BOTH coitrees (q1-coitrees.sql) and lapper (q1-lapper.sql),
+      // so the per-algorithm A/B claim carries a measured number
+      def lapperCount(): (String, Double) = {
+        val alg = graft.GraftSession.IntervalJoinAlgorithm
+        spark.conf.set(alg, "lapper")
+        try timed("flagship_80m_count_lapper")(a.join(b, cond).count())
+        finally spark.conf.unset(alg)
+      }
       Seq(
         timed("flagship_80m_count")(a.join(b, cond).count()),
         timed("flagship_80m_join_sum")(
           a.join(b, cond).agg(sum(b("pos_start"))).head()),
+        lapperCount(),
         timed("flagship_80m_count_i64")(aw.join(bw, condW).count()),
         timed("flagship_80m_join_sum_i64")(
           aw.join(bw, condW).agg(sum(bw("pos_start"))).head())) ++

@@ -218,7 +218,18 @@ object Dedup {
    * transitive duplicates A~B, B~C must collapse to ONE group even when
    * the pair A~C was never emitted.
    *
-   * Algorithm: iterative min-label propagation. Each round every node
+   * Micro-graph fast path: the symmetrize checkpoint (always built — see
+   * below) yields the edge count for free; at or below
+   * `microGraphMaxEdges` the components are resolved by a SINGLE-task
+   * union-find over the checkpointed edges instead of distributed
+   * rounds — identical labels, one job instead of one per round, and
+   * none of the per-round generated-plan compilation. Duplicate-pair
+   * graphs at any scale have TINY edge lists relative to the corpus
+   * (pairs, not documents), so this path covers most real invocations;
+   * the distributed loop below is the genuinely-huge-graph path.
+   *
+   * Algorithm (distributed path): iterative min-label propagation. Each
+   * round every node
    * takes the min of its own label and its neighbors' labels — one
    * shuffle join plus one partially-aggregated groupBy — and the loop
    * stops when no label changed. Duplicate graphs are near-star-shaped
@@ -275,8 +286,76 @@ object Dedup {
     * O(log d) acceleration. */
   private val ShortcutAfter = 3
 
+  /** Default [[connectedComponents]] `microGraphMaxEdges`: a 1 M-edge
+    * graph is ~2 M union-find operations and tens of MB of hash map —
+    * trivially cheaper on one task than even a single distributed
+    * label-propagation round (shuffle + join + agg + codegen compile). */
+  private val MicroGraphMaxEdgesDefault = 1000000L
+
+  /** Single-task union-find over a symmetric `(src, dst)` edge list —
+    * the micro-graph fast path of [[connectedComponents]]. One
+    * `mapPartitions` over a `coalesce(1)` of the (already checkpointed,
+    * so cheap-to-rescan) edges: path-halving find, union-by-min-label —
+    * the smaller root always wins, so each final root IS the component's
+    * minimum id. Works on any id type via Spark's interpreted ordering
+    * over internal values (so string labels order exactly like SQL
+    * `min`). Returns `(id, lbl)` rows. */
+  private def unionFindLabels(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val dt = edges.schema("src").dataType
+    val out = StructType(Seq(
+      StructField("id", dt, nullable = false),
+      StructField("lbl", dt, nullable = false)))
+    val rdd = edges.queryExecution.toRdd.coalesce(1).mapPartitions { it =>
+      val ord = org.apache.spark.sql.GraftSqlShim.interpretedOrdering(dt)
+      val parent = new java.util.HashMap[Any, Any]()
+      def find(x0: Any): Any = {
+        var x = x0
+        var p = parent.get(x)
+        while (p != x) { // path halving: point x at its grandparent
+          val gp = parent.get(p)
+          parent.put(x, gp)
+          x = gp
+          p = parent.get(x)
+        }
+        x
+      }
+      def add(x: Any): Unit = if (!parent.containsKey(x)) parent.put(x, x)
+      // row.copy(): the LogicalRDD scan pipes rows through an
+      // UnsafeProjection that REUSES one output buffer, so a buffer-backed
+      // value (UTF8String, binary) extracted from row N is clobbered at
+      // row N+1 unless the row is copied first
+      it.map(_.copy()).foreach { row =>
+        val s = row.get(0, dt)
+        val d = row.get(1, dt)
+        add(s); add(d)
+        val rs = find(s); val rd = find(d)
+        if (rs != rd) {
+          if (ord.lt(rs, rd)) parent.put(rd, rs) else parent.put(rs, rd)
+        }
+      }
+      // snapshot keys before the final finds (find mutates map values)
+      val nodes = parent.keySet().toArray
+      nodes.iterator.map { id =>
+        new GenericInternalRow(Array[Any](id, find(id))): InternalRow
+      }
+    }
+    org.apache.spark.sql.GraftSqlShim.ofInternalRows(
+      edges.sparkSession, out, rdd)
+  }
+
+  /** @param microGraphMaxEdges symmetric-edge-count threshold at or below
+    *   which components are resolved by the single-task union-find fast
+    *   path instead of distributed label-propagation rounds (identical
+    *   result, O(1) jobs instead of O(rounds) — and none of the per-round
+    *   generated-plan compilation). The count is read off the (always
+    *   required) symmetrize checkpoint, so the gate costs nothing. Set to
+    *   0 to force the distributed loop. */
   def connectedComponents(pairs: DataFrame, id1: String = "id1",
-      id2: String = "id2", maxIterations: Int = 50): DataFrame = {
+      id2: String = "id2", maxIterations: Int = 50,
+      microGraphMaxEdges: Long = MicroGraphMaxEdgesDefault): DataFrame = {
     require(maxIterations > 0,
       s"maxIterations must be positive (got $maxIterations); convergence " +
         "detection needs one quiescent round, so use at least graph " +
@@ -294,7 +373,16 @@ object Dedup {
         struct(col("src"), col("dst")),
         struct(col("dst").as("src"), col("src").as("dst")))).as("p"))
       .select(col("p.src").as("src"), col("p.dst").as("dst"))
-    val edges = checkpointPartitionedBy(sym, "src")
+    val (edges, edgeCount) = org.apache.spark.sql.GraftSqlShim
+      .checkpointHashPartitionedCounted(sym, "src")
+    if (edgeCount <= microGraphMaxEdges) {
+      // micro-graph: one single-task job resolves everything. The result
+      // is checkpointed (it is tiny) so the edge blocks can be freed
+      // immediately without leaving the returned plan depending on them.
+      val labels = unionFindLabels(edges).localCheckpoint()
+      org.apache.spark.sql.GraftSqlShim.unpersistCheckpoint(edges)
+      return labels.select(col("id"), col("lbl").as("group_id"))
+    }
     val lblType = edges.schema("src").dataType
     var labels: DataFrame = null
     var prevCkpt: DataFrame = null

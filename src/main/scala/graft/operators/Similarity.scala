@@ -258,7 +258,12 @@ object Similarity {
       path: String, planes: Int = 8): Unit = {
     require(planes >= 1 && planes <= 12,
       s"planes must be in [1, 12] (got $planes): 2^planes directories")
-    val dim = emb.select(size(col(vecCol))).head().getInt(0)
+    // head(1), not head(): fail an empty corpus with a clear message
+    // instead of an opaque NoSuchElementException (cf. embeddingDupPairs)
+    val dimRow = emb.select(size(col(vecCol))).head(1)
+    require(dimRow.nonEmpty,
+      "lshBucketize: empty corpus — nothing to bucketize")
+    val dim = dimRow(0).getInt(0)
     val parts = math.max(1 << planes,
       emb.sparkSession.sessionState.conf.numShufflePartitions)
     emb.select(col(idCol), col(vecCol),

@@ -25,20 +25,6 @@ object GraftSqlShim {
   /** Wrap a Catalyst Expression back into a Column. */
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
 
-  /** Clone a session: same SparkContext, shared state and extensions,
-    * plus a COPY of the current runtime conf — conf changes on the clone
-    * are invisible to the original (unlike `newSession()`, which also
-    * resets runtime conf to initial values). For scoping planner-visible
-    * conf flips away from concurrent queries on the caller's session. */
-  def cloneSession(spark: SparkSession): SparkSession =
-    spark.asInstanceOf[CSparkSession].cloneSession()
-
-  /** Re-home a Dataset's (analyzed) plan onto another session — used to
-    * hand results built on a [[cloneSession]] back to the caller's
-    * session so downstream composition stays single-session. */
-  def rehome(spark: SparkSession, df: Dataset[_]): DataFrame =
-    ofRows(spark, df.queryExecution.analyzed)
-
   /** Eager `repartition(key).localCheckpoint()` whose result plan
     * CARRIES `hashpartitioning(key, n)` — even under AQE, where
     * `Dataset.localCheckpoint` records UnknownPartitioning (the adaptive
@@ -51,20 +37,46 @@ object GraftSqlShim {
     * rows, and wrap them in a [[execution.LogicalRDD]] stamped with that
     * partitioning. No conf is touched — the upstream plan keeps AQE's
     * skew mitigation and partition coalescing. */
-  def checkpointHashPartitioned(df: Dataset[_], key: String): DataFrame = {
+  def checkpointHashPartitioned(df: Dataset[_], key: String): DataFrame =
+    checkpointHashPartitionedCounted(df, key)._1
+
+  /** [[checkpointHashPartitioned]] plus the materialized row count — the
+    * count is computed anyway to force the checkpoint, so callers that
+    * need it (e.g. a micro-graph fast-path gate) get it for free instead
+    * of paying a second job. */
+  def checkpointHashPartitionedCounted(df: Dataset[_],
+      key: String): (DataFrame, Long) = {
     val spark = df.sparkSession.asInstanceOf[CSparkSession]
     val n = spark.sessionState.conf.numShufflePartitions
     val qe = df.repartition(n, df(key)).queryExecution
     val output = qe.analyzed.output
-    val attr = output.find(_.name == key).getOrElse(throw
+    // resolve with the session's resolver (case-insensitive by default),
+    // matching how df(key) resolved the repartition expression above
+    val resolver = spark.sessionState.conf.resolver
+    val attr = output.find(a => resolver(a.name, key)).getOrElse(throw
       new IllegalArgumentException(s"no column named $key in ${output.mkString(",")}"))
     // same shape as Dataset.localCheckpoint: copy the reused UnsafeRows,
     // mark for local checkpoint, materialize eagerly
     val rdd = qe.toRdd.map(_.copy()).localCheckpoint()
-    rdd.count()
-    ofRows(spark, execution.LogicalRDD(output, rdd,
-      catalyst.plans.physical.HashPartitioning(Seq(attr), n))(spark))
+    val count = rdd.count()
+    (ofRows(spark, execution.LogicalRDD(output, rdd,
+      catalyst.plans.physical.HashPartitioning(Seq(attr), n))(spark)), count)
   }
+
+  /** Wrap an `InternalRow` RDD with a known schema into a DataFrame (a
+    * bare [[execution.LogicalRDD]] scan). */
+  def ofInternalRows(spark: SparkSession, schema: types.StructType,
+      rdd: org.apache.spark.rdd.RDD[catalyst.InternalRow]): DataFrame = {
+    val cs = spark.asInstanceOf[CSparkSession]
+    ofRows(cs, execution.LogicalRDD(
+      catalyst.types.DataTypeUtils.toAttributes(schema), rdd)(cs))
+  }
+
+  /** Spark's interpreted ordering over INTERNAL values of `dt` (e.g.
+    * `UTF8String` for strings) — matches SQL `min`/`ORDER BY` semantics
+    * exactly, unlike java natural ordering on external values. */
+  def interpretedOrdering(dt: types.DataType): Ordering[Any] =
+    catalyst.util.TypeUtils.getInterpretedOrdering(dt)
 
   /** Explicitly free the block-manager storage behind a
     * `localCheckpoint()`ed Dataset (iterative algorithms otherwise

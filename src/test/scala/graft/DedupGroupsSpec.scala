@@ -10,8 +10,16 @@ class DedupGroupsSpec extends SparkTestBase {
 
   import spark.implicits._
 
+  /** Default path: tiny graphs resolve via the single-task union-find. */
   private def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] =
     Dedup.connectedComponents(pairs.toDF("id1", "id2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Distributed label-propagation path, forced by disabling the
+    * micro-graph gate (microGraphMaxEdges = 0). */
+  private def ccLoop(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Dedup.connectedComponents(pairs.toDF("id1", "id2"),
+        microGraphMaxEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   test("transitive pairs collapse to one group") {
@@ -23,8 +31,10 @@ class DedupGroupsSpec extends SparkTestBase {
   test("long chain converges past one propagation round") {
     // path graph 30-31-32-33-34-35: diameter 5 forces multiple rounds
     val chain = (30L to 34L).map(i => (i, i + 1))
-    val labels = cc(chain)
+    val labels = ccLoop(chain)
     assert(labels == (30L to 35L).map(_ -> 30L).toMap)
+    // the micro-graph union-find path agrees
+    assert(cc(chain) == labels)
   }
 
   test("reversed and duplicate edges are normalized") {
@@ -44,7 +54,7 @@ class DedupGroupsSpec extends SparkTestBase {
     // min-label propagation moves one hop per round: this needs ~25
     // rounds, well past the star-shaped 2-4 the dup corpus produces
     val chain = (100L to 124L).map(i => (i, i + 1))
-    val labels = cc(chain)
+    val labels = ccLoop(chain)
     assert(labels == (100L to 125L).map(_ -> 100L).toMap)
   }
 
@@ -54,14 +64,17 @@ class DedupGroupsSpec extends SparkTestBase {
     // would blow the default maxIterations=50; with it, distance roughly
     // doubles per round after round 3 (~10 rounds total)
     val chain = (1000L to 1099L).map(i => (i, i + 1))
-    val labels = cc(chain)
+    val labels = ccLoop(chain)
     assert(labels == (1000L to 1100L).map(_ -> 1000L).toMap)
   }
 
   test("non-convergence throws instead of returning truncated labels") {
+    // microGraphMaxEdges = 0 forces the iterative path: union-find has
+    // no iteration count and always converges
     val chain = (0L to 9L).map(i => (i, i + 1))
     val ex = intercept[IllegalStateException] {
-      Dedup.connectedComponents(chain.toDF("id1", "id2"), maxIterations = 3)
+      Dedup.connectedComponents(chain.toDF("id1", "id2"),
+          maxIterations = 3, microGraphMaxEdges = 0L)
         .collect()
     }
     assert(ex.getMessage.contains("did not converge"))
@@ -88,8 +101,8 @@ class DedupGroupsSpec extends SparkTestBase {
   }
 
   test("checkpoint build never flips AQE on the caller's session") {
-    // the AQE-off window lives on a cloned session; a concurrent query
-    // on the caller's session must keep adaptive execution throughout
+    // the checkpoint build touches no session conf at all — adaptive
+    // execution stays on before, during, and after
     assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
     val edges = Dedup.checkpointPartitionedBy(
       Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"), "src")
@@ -99,10 +112,14 @@ class DedupGroupsSpec extends SparkTestBase {
 
   test("non-numeric (string) ids work; group id is the lexicographic min") {
     val pairs = Seq(("b", "c"), ("c", "a"), ("x", "y")).toDF("id1", "id2")
+    val expected = Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x")
     val labels = Dedup.connectedComponents(pairs)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(labels == Map("a" -> "a", "b" -> "a", "c" -> "a",
-      "x" -> "x", "y" -> "x"))
+    assert(labels == expected)
+    val loopLabels = Dedup.connectedComponents(pairs, microGraphMaxEdges = 0L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(loopLabels == expected)
   }
 
   test("empty pair set yields empty labels") {
@@ -127,7 +144,10 @@ class DedupGroupsSpec extends SparkTestBase {
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
     val expected = parent.keys.map(k => k -> find(k)).toMap
+    // both paths — single-task union-find and distributed propagation —
+    // must agree with the naive oracle
     assert(cc(pairs) == expected)
+    assert(ccLoop(pairs) == expected)
   }
 
   test("dupGroupStats reports canonical id, size and max member") {
