@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Similarity, TextStats}
+import graft.operators.{Dedup, Sampling, Similarity, TextStats}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -645,7 +645,38 @@ object SparkEntry {
         .intersect(exact.select("vec_id")).count()
       import s.implicits._
       Seq((10L, 64L, 32L, overlap >= 9))
-        .toDF("k", "n_cells", "n_probed", "recall_ok") })
+        .toDF("k", "n_cells", "n_probed", "recall_ok") }),
+    // train/test decontamination: the GPT-3/PaLM-style n-gram overlap
+    // check as a cross-corpus LSH join (test side broadcasts at scale;
+    // train never shuffles). Test set = marker variants of every 7th
+    // doc, so each has a known near-match in train. Oracle: DuckDB
+    // all-pairs CROSS Jaccard — proves recall AND precision.
+    "q59_contamination" -> ((s, dir) => { prep(s, dir)
+      val d = Tables.load(s, dir, "documents")
+      val train = d.select(col("doc_id"), col("text"))
+      val test = d.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(col("text"), lit(" graft dup marker")).as("text"))
+      Dedup.crossCorpusDupPairs(train, test, "doc_id", "text",
+        threshold = 0.8) }),
+    // deterministic data-mixing samples: md5-keyed so the SAME rows are
+    // selected on every run, cluster size, and engine (rand(seed) is
+    // partition-order-dependent) — DuckDB recomputes each selection
+    // exactly from the same hashes.
+    "q60_sample_stratified" -> ((s, dir) => { prep(s, dir)
+      Sampling.stratifiedSample(
+        Tables.load(s, dir, "documents").select("doc_id", "lang"),
+        "lang", "doc_id", k = 5) }),
+    "q61_sample_mixture" -> ((s, dir) => { prep(s, dir)
+      Sampling.mixtureSample(
+        Tables.load(s, dir, "documents").select("doc_id", "source"),
+        "source", "doc_id",
+        rates = Map("src0" -> 0.25, "src1" -> 0.5, "src2" -> 0.0),
+        defaultRate = 0.75) }),
+    "q62_hash_split" -> ((s, dir) => { prep(s, dir)
+      Sampling.hashSplit(
+        Tables.load(s, dir, "documents").select("doc_id"),
+        "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)) })
   )
 
   /** All-pairs word-trigram Jaccard over the near corpus, as CTEs ending
@@ -1011,6 +1042,61 @@ object SparkEntry {
           |  round(((doc_id * 7) % 256) / 255.0, 4) AS mean_r,
           |  round(((doc_id * 13) % 256) / 255.0, 4) AS mean_g,
           |  round(((doc_id * 29) % 256) / 255.0, 4) AS mean_b
+          |FROM documents""".stripMargin,
+      // all-pairs CROSS Jaccard between the train and test corpora — a
+      // green row proves the cross-corpus LSH found every contaminated
+      // pair (recall) and nothing else (precision)
+      "q59_contamination" ->
+        """WITH train AS (SELECT doc_id, text FROM documents),
+          |test AS (SELECT doc_id + 2000000 AS doc_id,
+          |                text || ' graft dup marker' AS text
+          |         FROM documents WHERE doc_id % 7 = 0),
+          |tw AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM train),
+          |ts AS (SELECT doc_id,
+          |        CASE WHEN len(ws) >= 3
+          |             THEN list_distinct(list_transform(range(1, len(ws) - 1),
+          |                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+          |             ELSE [array_to_string(ws, ' ')] END AS sh
+          |      FROM tw),
+          |ew AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM test),
+          |es AS (SELECT doc_id,
+          |        CASE WHEN len(ws) >= 3
+          |             THEN list_distinct(list_transform(range(1, len(ws) - 1),
+          |                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+          |             ELSE [array_to_string(ws, ' ')] END AS sh
+          |      FROM ew)
+          |SELECT train_id, test_id, jaccard FROM (
+          |  SELECT a.doc_id AS train_id, b.doc_id AS test_id,
+          |         round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+          |               len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+          |  FROM ts a, es b) t
+          |WHERE jaccard >= 0.8""".stripMargin,
+      // the md5 ordering key is engine-portable, so the oracle recomputes
+      // the exact same deterministic per-stratum top-5
+      "q60_sample_stratified" ->
+        """SELECT doc_id, lang FROM (
+          |  SELECT doc_id, lang,
+          |         row_number() OVER (PARTITION BY lang
+          |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          |  FROM documents) t
+          |WHERE rn <= 5""".stripMargin,
+      // thresholds are round(rate * 2^32) as 8-hex-char strings
+      // (0.25/0.5/0.0/0.75); '' keeps nothing, lexicographic hex compare
+      // == numeric compare at fixed width
+      "q61_sample_mixture" ->
+        """SELECT doc_id, source FROM documents
+          |WHERE substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 8) <
+          |      CASE source WHEN 'src0' THEN '40000000'
+          |                  WHEN 'src1' THEN '80000000'
+          |                  WHEN 'src2' THEN ''
+          |                  ELSE 'c0000000' END""".stripMargin,
+      "q62_hash_split" ->
+        """SELECT doc_id,
+          |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccd'
+          |         THEN 'train'
+          |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
+          |         THEN 'val'
+          |       ELSE 'test' END AS split
           |FROM documents""".stripMargin
     )
 }

@@ -117,6 +117,54 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /**
+   * Train/test contamination detection: pairs `(train_id, test_id,
+   * jaccard)` where a test document's n-gram content near-matches a
+   * training document at `threshold` — the GPT-3/PaLM-style n-gram
+   * overlap check, run as a cross-corpus LSH join instead of a scan.
+   *
+   * Scale shape (100 TB train, small eval sets — the decontamination
+   * norm): each side computes banded MinHash buckets independently (one
+   * compiled pass per side, no shuffle of full text); candidates come
+   * from an equi-join on (band, bucket), where the tiny test side's
+   * banded rows broadcast, so the train side never shuffles; exact
+   * Jaccard verification joins shingle hashes back by id. Unlike the
+   * self-join dedup path there is no id ordering constraint — every
+   * (train, test) bucket collision is a candidate.
+   */
+  def crossCorpusDupPairs(train: DataFrame, test: DataFrame, idCol: String,
+      textCol: String, threshold: Double, shingleSize: Int = 3,
+      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    def banded(docs: DataFrame, side: String): DataFrame =
+      docs.select(col(idCol).as(side),
+        minhashSignatureFromHashes(shingleHashes(col(textCol), shingleSize),
+          numHashes).as("sig"))
+        .select(col(side), explode(lshBands(col("sig"), numHashes, bands)).as("b"))
+        .select(col(side), col("b.band").as("band"), col("b.bucket").as("bucket"))
+    val cands = banded(train, "train_id")
+      .join(banded(test, "test_id"), Seq("band", "bucket"))
+      .select("train_id", "test_id").distinct()
+    def sh(docs: DataFrame, side: String, shName: String): DataFrame =
+      docs.select(col(idCol).as(side),
+        shingleHashes(col(textCol), shingleSize).as(shName))
+    cands
+      .join(sh(train, "train_id", "sh1"), "train_id")
+      .join(sh(test, "test_id", "sh2"), "test_id")
+      .select(col("train_id"), col("test_id"),
+        round(jaccard(col("sh1"), col("sh2")), 6).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Decontaminate an eval set: drop every test document whose n-gram
+    * content near-matches any training document at `threshold`. One
+    * anti-join against the distinct contaminated test ids. */
+  def decontaminate(train: DataFrame, test: DataFrame, idCol: String,
+      textCol: String, threshold: Double = 0.8): DataFrame = {
+    val hits = crossCorpusDupPairs(train, test, idCol, textCol, threshold)
+      .select(col("test_id")).distinct()
+    test.join(hits, test(idCol) === col("test_id"), "left_anti")
+  }
+
   /** Corpus cleaning: drop every document that is the higher-id member of
     * a detected duplicate pair (keeps the first occurrence of each text;
     * for near-dups this is the standard greedy LSH-dedup policy). One

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic sampling operators for training-data pipelines: data
+ * mixing needs reproducible samples — the same rows selected on every
+ * run, every cluster size, and every engine — which `rand(seed)` cannot
+ * give (it is partition-order-dependent). Everything here keys on the
+ * lowercase-hex md5 of row identity, which Spark and DuckDB (and any
+ * engine with md5) compute identically, so every operator is
+ * oracle-checkable with plain SQL and stable under repartitioning.
+ *
+ * Scale design: no operator shuffles the full rows more than once, no
+ * operator sorts globally, and rate-based selection is a pure map-side
+ * filter (zero shuffle).
+ */
+object Sampling {
+
+  /** Deterministic per-row ordering key: lowercase hex md5 of the id
+    * rendered as a string. Uniform, reproducible, engine-portable. */
+  def hashKey(id: Column): Column = md5(id.cast("string").cast("binary"))
+
+  /** First 8 hex chars of [[hashKey]] — a uniform draw in [0, 2^32) as a
+    * zero-padded hex STRING; comparisons stay lexicographic (= numeric
+    * for fixed-width hex), so thresholds are portable string literals. */
+  private def hashKey8(c: Column): Column = substring(c, 1, 8)
+
+  /** Threshold literal for `P(key8 < t) = rate`: an 8-hex-char string,
+    * `"g"` for rate ≥ 1 (every hex digit < 'g' — keeps all rows), `""`
+    * for rate ≤ 0 (nothing sorts below the empty string). */
+  private[graft] def rateThresholdHex(rate: Double): String =
+    if (rate >= 1.0) "g"
+    else if (rate <= 0.0) ""
+    else f"${math.round(rate * 4294967296.0)}%08x"
+
+  /**
+   * Deterministic stratified sample: the `k` rows with the smallest
+   * [[hashKey]] per stratum (exact — ties on the full 32-hex key are
+   * broken by id, and md5 collisions on distinct ids are negligible).
+   *
+   * Scale: a naive per-stratum `row_number` sorts every stratum in full.
+   * Instead, rows are pre-pruned to `hash < min(1, fudge*k/n)` per
+   * stratum (n from a narrow map-side-combined count; the prune keeps
+   * ~fudge*k rows per stratum), and only survivors are windowed. The
+   * prune is validated per stratum — if any stratum kept fewer than
+   * min(k, n) rows (probability ≤ exp(-7k) per stratum at the default
+   * fudge), the exact unpruned window runs instead, so the result is
+   * ALWAYS exact. Cost: one narrow count scan + one filtered window.
+   */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+      k: Int, fudge: Double = 16.0): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    require(fudge >= 2.0, s"fudge must be >= 2 (got $fudge)")
+    val keyed = df.withColumn("__gk", hashKey(col(idCol)))
+    val w = Window.partitionBy(strataCol).orderBy(col("__gk"), col(idCol))
+    def topK(in: DataFrame): DataFrame =
+      in.withColumn("__grn", row_number().over(w))
+        .where(col("__grn") <= k).drop("__gk", "__grn")
+    val counts = df.groupBy(strataCol).agg(count(lit(1)).as("__gn"))
+    // per-stratum keep fraction min(1, fudge*k/n) as a portable hex bound
+    val frac = conv(hashKey8(col("__gk")), 16, 10).cast("double") / 4294967296.0
+    val pruned = keyed.join(broadcast(counts), strataCol)
+      .where(col("__gn") <= lit(fudge * k) ||
+        frac < lit(fudge * k) / col("__gn"))
+    val ok = pruned.groupBy(strataCol).agg(count(lit(1)).as("__gm"))
+      .join(broadcast(counts), strataCol)
+      .where(col("__gm") < least(lit(k.toLong), col("__gn")))
+      .isEmpty
+    // re-select the caller's column order (the prune join moved the
+    // strata key to the front)
+    (if (ok) topK(pruned.drop("__gn")) else topK(keyed))
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /**
+   * Deterministic rate-based mixture sampling: keep each row with
+   * per-stratum probability `rates(stratum)` (else `defaultRate`),
+   * decided by the row's own hash — a pure map-side filter, zero
+   * shuffle, reproducible at any scale. The hash keys on
+   * `(stratum, id)` so selections are independent of [[stratifiedSample]]
+   * and of other columns' sampling.
+   */
+  def mixtureSample(df: DataFrame, strataCol: String, idCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    val thr = rates.toSeq.sortBy(_._1).foldLeft(
+      lit(rateThresholdHex(defaultRate))) { case (acc, (s, r)) =>
+        when(col(strataCol) === s, lit(rateThresholdHex(r))).otherwise(acc) }
+    val key = hashKey8(md5(
+      concat(col(strataCol), lit(":"), col(idCol).cast("string"))
+        .cast("binary")))
+    df.where(key < thr)
+  }
+
+  /**
+   * Deterministic train/validation/test split: labels each row by which
+   * hash range it falls in — `fractions` in order, remainder going to
+   * the last label. Disjoint, exhaustive, reproducible, zero-shuffle
+   * (the label is a map-side expression; downstream filters on it).
+   */
+  def hashSplit(df: DataFrame, idCol: String,
+      fractions: Seq[(String, Double)], labelCol: String = "split"): DataFrame = {
+    require(fractions.size >= 2, "need at least two split labels")
+    require(fractions.forall(_._2 > 0), "fractions must be positive")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1 (got ${fractions.map(_._2).sum})")
+    val key = hashKey8(hashKey(col(idCol)))
+    val cum = fractions.init.scanLeft(0.0)(_ + _._2).tail
+    val label = fractions.init.zip(cum).reverse.foldLeft(
+      lit(fractions.last._1)) { case (acc, ((name, _), upTo)) =>
+        when(key < lit(rateThresholdHex(upTo)), lit(name)).otherwise(acc) }
+    df.withColumn(labelCol, label)
+  }
+}

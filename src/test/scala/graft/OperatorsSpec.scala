@@ -102,6 +102,33 @@ class OperatorsSpec extends SparkTestBase {
     assert(nearCleaned.contains(1L) && nearCleaned.contains(3L))
   }
 
+  test("crossCorpusDupPairs finds planted contamination, nothing else") {
+    // test 101 near-matches train doc 1 (one trailing word differs);
+    // test 102 matches nothing
+    val test = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog near the river delta"),
+      (102L, "unrelated words about databases indexes and storage formats")
+    ).toDF("doc_id", "text")
+    val hits = graft.operators.Dedup
+      .crossCorpusDupPairs(docs, test, "doc_id", "text", threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // docs 1, 2 (identical) and 4 (near) all sit above 0.6 vs test 101
+    assert(hits.map(_._2) == Set(101L))
+    assert(hits.map(_._1).subsetOf(Set(1L, 2L, 4L)))
+    assert(hits.contains((1L, 101L)) && hits.contains((2L, 101L)))
+  }
+
+  test("decontaminate drops only contaminated test docs") {
+    val test = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog near the river delta"),
+      (102L, "unrelated words about databases indexes and storage formats")
+    ).toDF("doc_id", "text")
+    val clean = graft.operators.Dedup
+      .decontaminate(docs, test, "doc_id", "text", threshold = 0.6)
+      .collect().map(_.getLong(0)).toSet
+    assert(clean == Set(102L))
+  }
+
   private def vecs: Seq[(Long, Seq[Float])] = {
     val rnd = new scala.util.Random(3)
     (0L until 50L).map(i => i -> Seq.fill(16)(rnd.nextFloat() * 2 - 1))

@@ -1,0 +1,103 @@
+package graft
+
+import graft.operators.Sampling
+
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators: md5-keyed stratified top-k,
+  * rate-based mixture, train/val/test hash split. */
+class SamplingSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def rows(n: Int) = (1L to n.toLong)
+    .map(i => (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"))
+    .toDF("id", "s")
+
+  test("stratifiedSample is deterministic across runs and repartitioning") {
+    val df = rows(300)
+    val first = Sampling.stratifiedSample(df, "s", "id", 7)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val second = Sampling.stratifiedSample(df.repartition(13), "s", "id", 7)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(first == second)
+    assert(first.groupBy(_._2).forall(_._2.size == 7))
+  }
+
+  test("stratifiedSample prune path equals the exact unpruned window") {
+    val df = rows(500)
+    // fudge small enough that the prune engages (n=166+ per stratum,
+    // fudge*k = 8 << n), large strata
+    val pruned = Sampling.stratifiedSample(df, "s", "id", 4, fudge = 2.0)
+      .collect().map(r => r.getLong(0)).toSet
+    // oracle: per-stratum k smallest md5(id) — plain window, no prune
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("s").orderBy(md5(col("id").cast("string")
+      .cast("binary")), col("id"))
+    val exact = df.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 4).collect().map(r => r.getLong(0)).toSet
+    assert(pruned == exact)
+  }
+
+  test("stratifiedSample returns whole strata smaller than k") {
+    val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "s")
+    val out = Sampling.stratifiedSample(df, "s", "id", 5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((1L, "x"), (2L, "x"), (3L, "y")))
+  }
+
+  test("stratifiedSample keeps the caller's column order") {
+    val out = Sampling.stratifiedSample(rows(50), "s", "id", 2)
+    assert(out.columns.toSeq == Seq("id", "s"))
+  }
+
+  test("mixtureSample holds rates approximately and exactly repeats") {
+    val df = rows(3000)
+    val out = Sampling.mixtureSample(df, "s", "id",
+      rates = Map("a" -> 0.25, "b" -> 0.0), defaultRate = 0.75)
+    val byS = out.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // ~1000 rows per stratum: a=0.25 -> ~250, b=0.0 -> absent, c=0.75 -> ~750
+    assert(!byS.contains("b"))
+    assert(byS("a") > 150 && byS("a") < 350, s"a=${byS("a")}")
+    assert(byS("c") > 650 && byS("c") < 850, s"c=${byS("c")}")
+    val again = Sampling.mixtureSample(df.repartition(7), "s", "id",
+      rates = Map("a" -> 0.25, "b" -> 0.0), defaultRate = 0.75)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == out.collect().map(_.getLong(0)).toSet)
+  }
+
+  test("mixtureSample rate 1.0 keeps every row") {
+    val df = rows(100)
+    assert(Sampling.mixtureSample(df, "s", "id", rates = Map.empty).count()
+      == 100L)
+  }
+
+  test("hashSplit labels are disjoint, exhaustive and near the fractions") {
+    val df = (1L to 5000L).toDF("id")
+    val out = Sampling.hashSplit(df, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(out.count() == 5000L)
+    val byLabel = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    assert(byLabel("train") > 3800 && byLabel("train") < 4200)
+    assert(byLabel("val") > 350 && byLabel("val") < 650)
+    assert(byLabel("test") > 350 && byLabel("test") < 650)
+    // deterministic: same labels after repartitioning
+    val again = Sampling.hashSplit(df.repartition(11), "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(again == out.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+  }
+
+  test("hashSplit validates fractions") {
+    val df = (1L to 10L).toDF("id")
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(df, "id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(df, "id", Seq("only" -> 1.0))
+    }
+  }
+}
