@@ -676,7 +676,28 @@ object SparkEntry {
     "q62_hash_split" -> ((s, dir) => { prep(s, dir)
       Sampling.hashSplit(
         Tables.load(s, dir, "documents").select("doc_id"),
-        "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)) })
+        "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)) }),
+    // verbatim n-gram hit contamination (GPT-3-style): count each test
+    // doc's distinct 5-grams appearing anywhere in train — catches a
+    // pasted chunk whole-doc Jaccard scores near 0. Test = marker
+    // variants (near-verbatim, many hits) + clean synthetic docs (zero
+    // hits, excluded). Oracle: DuckDB unnest + distinct-gram join.
+    "q63_ngram_hits" -> ((s, dir) => { prep(s, dir)
+      val d = Tables.load(s, dir, "documents")
+      val train = d.select(col("doc_id"), col("text"))
+      val test = d.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(col("text"), lit(" graft dup marker")).as("text"))
+      Dedup.ngramHitContamination(train, test, "doc_id", "text", n = 5) }),
+    // deterministic sequence packing (concat-then-chunk): 16 hash
+    // buckets pack independently; pack_id = the 4096-char chunk of the
+    // bucket's md5-ordered stream the doc's start falls in. Oracle:
+    // identical running-sum window in DuckDB.
+    "q64_seq_packing" -> ((s, dir) => { prep(s, dir)
+      Sampling.packSequences(
+        Tables.load(s, dir, "documents").select("doc_id", "n_chars"),
+        "doc_id", "n_chars", capacity = 4096L)
+        .select("doc_id", "bucket", "pack_id") })
   )
 
   /** All-pairs word-trigram Jaccard over the near corpus, as CTEs ending
@@ -1097,6 +1118,46 @@ object SparkEntry {
           |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
           |         THEN 'val'
           |       ELSE 'test' END AS split
-          |FROM documents""".stripMargin
+          |FROM documents""".stripMargin,
+      // distinct 5-grams of each test doc found anywhere in train —
+      // counting distinct gram STRINGS equals the Spark side's distinct
+      // 64-bit gram hashes (collisions negligible, as in q23)
+      "q63_ngram_hits" ->
+        """WITH train AS (SELECT doc_id, text FROM documents),
+          |test AS (SELECT doc_id + 2000000 AS doc_id,
+          |                text || ' graft dup marker' AS text
+          |         FROM documents WHERE doc_id % 7 = 0),
+          |tw AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM train),
+          |ts AS (SELECT doc_id,
+          |        CASE WHEN len(ws) >= 5
+          |             THEN list_distinct(list_transform(range(1, len(ws) - 3),
+          |                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]))
+          |             ELSE [array_to_string(ws, ' ')] END AS sh
+          |      FROM tw),
+          |ew AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM test),
+          |es AS (SELECT doc_id,
+          |        CASE WHEN len(ws) >= 5
+          |             THEN list_distinct(list_transform(range(1, len(ws) - 3),
+          |                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]))
+          |             ELSE [array_to_string(ws, ' ')] END AS sh
+          |      FROM ew),
+          |tg AS (SELECT DISTINCT unnest(sh) AS g FROM ts),
+          |eg AS (SELECT doc_id, unnest(sh) AS g FROM es)
+          |SELECT e.doc_id AS test_id, count(*) AS n_hits
+          |FROM eg e JOIN tg t ON e.g = t.g
+          |GROUP BY e.doc_id
+          |HAVING count(*) >= 1""".stripMargin,
+      "q64_seq_packing" ->
+        """SELECT doc_id, bucket,
+          |  CAST(floor(cum_before / 4096.0) AS BIGINT) AS pack_id
+          |FROM (
+          |  SELECT doc_id,
+          |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
+          |         COALESCE(SUM(n_chars) OVER (
+          |           PARTITION BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+          |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |           AS cum_before
+          |  FROM documents) t""".stripMargin
     )
 }

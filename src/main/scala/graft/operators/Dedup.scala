@@ -155,6 +155,35 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /**
+   * Verbatim n-gram hit contamination (the GPT-3 methodology): for each
+   * test document, how many of its distinct word n-grams appear ANYWHERE
+   * in the training corpus. Catches a verbatim test chunk pasted inside
+   * a much larger train document — a case whole-document Jaccard
+   * ([[crossCorpusDupPairs]]) scores near 0 and misses entirely. The
+   * GPT-3 check used 13-grams; pass `minHits` > 1 to tolerate
+   * boilerplate collisions.
+   *
+   * Scale shape: the tiny test side explodes to distinct (test_id,
+   * gram-hash) rows and BROADCASTS; the train corpus explodes its grams
+   * map-side into the broadcast-hash-join probe — the train side never
+   * shuffles, and only matched (test_id, hash) pairs (bounded by the
+   * test side's size) reach the final partial-aggregated count.
+   */
+  def ngramHitContamination(train: DataFrame, test: DataFrame,
+      idCol: String, textCol: String, n: Int = 13,
+      minHits: Long = 1L): DataFrame = {
+    def grams(docs: DataFrame, side: String): DataFrame =
+      docs.select(col(idCol).as(side),
+        explode(shingleHashes(col(textCol), n)).as("g"))
+    val testGrams = grams(test, "test_id")
+    val hits = grams(train, "train_id").select(col("g"))
+      .join(broadcast(testGrams), "g")
+      .select("test_id", "g").distinct()
+      .groupBy("test_id").agg(count(lit(1)).as("n_hits"))
+    hits.where(col("n_hits") >= minHits)
+  }
+
   /** Decontaminate an eval set: drop every test document whose n-gram
     * content near-matches any training document at `threshold`. One
     * anti-join against the distinct contaminated test ids. */

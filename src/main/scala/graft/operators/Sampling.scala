@@ -95,6 +95,33 @@ object Sampling {
   }
 
   /**
+   * Deterministic sequence packing (concat-then-chunk, the GPT-style
+   * pretraining layout): rows are bucketed by a hash digit for
+   * parallelism, deterministically ordered within each bucket by
+   * [[hashKey]], and assigned `pack_id = floor(running_weight_before /
+   * capacity)` — the chunk of the bucket's concatenated stream the row's
+   * START falls in. Adds `bucket` (one hex char, 16 buckets) and
+   * `pack_id` columns.
+   *
+   * Scale: each bucket packs independently (one shuffle on the bucket
+   * key, a running-sum window per bucket — external-sort-safe); the
+   * serial cumsum dependency is per-bucket, never global. Determinism
+   * comes from the md5 ordering, so the same packs come out on every
+   * run and cluster size.
+   */
+  def packSequences(df: DataFrame, idCol: String, weightCol: String,
+      capacity: Long): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1 (got $capacity)")
+    val key = hashKey(col(idCol))
+    val w = Window.partitionBy("bucket").orderBy(key, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("bucket", substring(key, 1, 1))
+      .withColumn("pack_id",
+        floor(coalesce(sum(col(weightCol)).over(w), lit(0L)) /
+          lit(capacity.toDouble)).cast("long"))
+  }
+
+  /**
    * Deterministic train/validation/test split: labels each row by which
    * hash range it falls in — `fractions` in order, remainder going to
    * the last label. Disjoint, exhaustive, reproducible, zero-shuffle

@@ -118,6 +118,25 @@ class OperatorsSpec extends SparkTestBase {
     assert(hits.contains((1L, 101L)) && hits.contains((2L, 101L)))
   }
 
+  test("ngramHitContamination counts verbatim grams whole-doc jaccard misses") {
+    // test 201: doc 3's text VERBATIM inside a much larger document —
+    // jaccard vs doc 3 is low (the big doc has many extra grams) but
+    // every one of doc 3's 5-grams hits
+    val filler = (1 to 80).map(i => s"filler$i").mkString(" ")
+    val test = Seq(
+      (201L, s"$filler a completely different document about spark query engines and joins $filler"),
+      (202L, "nothing here overlaps with any training material at all today")
+    ).toDF("doc_id", "text")
+    val jac = graft.operators.Dedup
+      .crossCorpusDupPairs(docs, test, "doc_id", "text", threshold = 0.5)
+    assert(jac.where(col("test_id") === 201L).isEmpty) // jaccard blind spot
+    val hits = graft.operators.Dedup
+      .ngramHitContamination(docs, test, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 3 has 10 words -> 6 distinct 5-grams, all pasted verbatim
+    assert(hits == Map(201L -> 6L))
+  }
+
   test("decontaminate drops only contaminated test docs") {
     val test = Seq(
       (101L, "the quick brown fox jumps over the lazy dog near the river delta"),

@@ -91,6 +91,29 @@ class SamplingSpec extends SparkTestBase {
     assert(again == out.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
   }
 
+  test("packSequences: chunk arithmetic, determinism, intra-bucket order") {
+    val df = (1L to 400L).map(i => (i, 100L)).toDF("id", "w")
+    val packed = Sampling.packSequences(df, "id", "w", capacity = 250L)
+    assert(packed.count() == 400L)
+    val rowsOut = packed.collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3)))
+    // within a bucket, walking rows in hash order gives pack_id =
+    // floor(100 * position / 250): positions 0,1 -> pack 0, position 2 ->
+    // pack 0 (cum 200 < 250)... recompute exactly per bucket
+    rowsOut.groupBy(_._2).foreach { case (_, rs) =>
+      def md5hex(s: String): String =
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val ordered = rs.sortBy { case (id, _, _) => (md5hex(id.toString), id) }
+      ordered.zipWithIndex.foreach { case ((_, _, pack), pos) =>
+        assert(pack == (100L * pos) / 250L, s"pos=$pos pack=$pack") }
+    }
+    // deterministic under repartitioning
+    val again = Sampling.packSequences(df.repartition(9), "id", "w", 250L)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(again == rowsOut.map(r => (r._1, r._3)).toSet)
+  }
+
   test("hashSplit validates fractions") {
     val df = (1L to 10L).toDF("id")
     intercept[IllegalArgumentException] {
