@@ -697,7 +697,20 @@ object SparkEntry {
       Sampling.packSequences(
         Tables.load(s, dir, "documents").select("doc_id", "n_chars"),
         "doc_id", "n_chars", capacity = 4096L)
-        .select("doc_id", "bucket", "pack_id") })
+        .select("doc_id", "bucket", "pack_id") }),
+    // within-document repetition (Gopher-style duplicate-bigram filter);
+    // corpus = documents plus synthetic degenerate-loop docs (each 3rd
+    // doc's first 3 words repeated 10x) that must score high
+    "q65_repetition" -> ((s, dir) => { prep(s, dir)
+      val d = Tables.load(s, dir, "documents")
+      val looped = d.where(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 3000000).as("doc_id"),
+          concat_ws(" ", (1 to 10).map(_ =>
+            concat_ws(" ", slice(Dedup.words(col("text")), 1, 3))): _*)
+            .as("text"))
+      val corpus = d.select(col("doc_id"), col("text")).union(looped)
+      corpus.select(col("doc_id"),
+        TextStats.repetitionRatio(col("text")).as("rep_ratio")) })
   )
 
   /** All-pairs word-trigram Jaccard over the near corpus, as CTEs ending
@@ -1158,6 +1171,33 @@ object SparkEntry {
           |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
           |           AS cum_before
-          |  FROM documents) t""".stripMargin
+          |  FROM documents) t""".stripMargin,
+      // duplicate-bigram fraction; the synthetic degenerate loops are
+      // rebuilt identically (first 3 lower-cased words repeated 10x)
+      "q65_repetition" ->
+        """WITH lp AS (
+          |  SELECT doc_id + 3000000 AS doc_id,
+          |    repeat(array_to_string(
+          |      (regexp_split_to_array(lower(trim(text)), '\s+'))[1:3], ' ')
+          |      || ' ', 9) ||
+          |    array_to_string(
+          |      (regexp_split_to_array(lower(trim(text)), '\s+'))[1:3], ' ')
+          |      AS text
+          |  FROM documents WHERE doc_id % 3 = 0),
+          |corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL SELECT doc_id, text FROM lp),
+          |w AS (SELECT doc_id,
+          |             regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+          |      FROM corpus)
+          |SELECT doc_id, round((total - dist) * 1.0 / total, 6) AS rep_ratio
+          |FROM (
+          |  SELECT doc_id,
+          |    CASE WHEN len(ws) >= 2 THEN len(ws) - 1 ELSE 1 END AS total,
+          |    CASE WHEN len(ws) >= 2
+          |         THEN len(list_distinct(list_transform(range(1, len(ws)),
+          |                i -> ws[i] || ' ' || ws[i+1])))
+          |         ELSE 1 END AS dist
+          |  FROM w) t""".stripMargin
     )
 }

@@ -79,6 +79,18 @@ object TextStats {
     round((lenScore + stopScore + noiseScore) / 3.0, 6)
   }
 
+  /** Within-document repetition: the fraction of word `n`-grams that are
+    * repeats of an earlier one (`1 - distinct/total`) — the
+    * Gopher-style duplicate-n-gram filter for boilerplate / degenerate
+    * loops. 0 for docs shorter than `n` words (one whole-doc gram).
+    * Pure map-side column work, no kernel needed. */
+  def repetitionRatio(text: Column, n: Int = 2): Column = {
+    val ws = Dedup.words(text)
+    val total = when(size(ws) >= n, size(ws) - (n - 1)).otherwise(lit(1))
+    val distinctGrams = size(Dedup.wordShingles(text, n))
+    round((total - distinctGrams).cast("double") / total.cast("double"), 6)
+  }
+
   /** Winnowing-style document fingerprint: min over all `k`-shingle
     * hashes — equal for documents with an identical shingle somewhere
     * minimized, robust to local edits. One BIGINT per doc. */

@@ -73,6 +73,20 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("repetitionRatio flags degenerate loops, not prose") {
+    val df = Seq(
+      (1L, "spam ham spam ham spam ham spam ham"),     // 7 bigrams, 2 distinct
+      (2L, "all words here are used exactly once ok"), // no repeats
+      (3L, "short"),                                   // < n words -> 0
+      (4L, "")
+    ).toDF("id", "text")
+    val r = df.select(col("id"),
+      TextStats.repetitionRatio(col("text")).as("r"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r(1L) - 5.0 / 7.0) < 1e-6)
+    assert(r(2L) == 0.0 && r(3L) == 0.0 && r(4L) == 0.0)
+  }
+
   test("langId picks the right stopword profile") {
     val preds = docs.select($"doc_id", TextStats.langId($"text").as("l"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
