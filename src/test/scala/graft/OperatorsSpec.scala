@@ -162,6 +162,33 @@ class OperatorsSpec extends SparkTestBase {
     assert(clean == Set(102L))
   }
 
+  test("crossCorpusDupPairs matches brute-force cross jaccard (randomized)") {
+    // random docs over a tiny vocabulary so cross-corpus similarity is
+    // common; high threshold keeps LSH recall (64/16 banding) certain
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta")
+    def doc() = Seq.fill(8 + rnd.nextInt(5))(vocab(rnd.nextInt(vocab.size)))
+      .mkString(" ")
+    val train = (1L to 30L).map(i => (i, doc()))
+    val test = (101L to 115L).map(i => (i, doc()))
+    def shingles(t: String): Set[String] = {
+      val ws = t.split("\\s+").toSeq
+      if (ws.size >= 3) ws.sliding(3).map(_.mkString(" ")).toSet
+      else Set(ws.mkString(" "))
+    }
+    val expected = (for {
+      (ti, tt) <- train; (ei, et) <- test
+      a = shingles(tt); b = shingles(et)
+      j = a.intersect(b).size.toDouble / a.union(b).size.toDouble
+      if j >= 0.9
+    } yield (ti, ei)).toSet
+    val got = graft.operators.Dedup
+      .crossCorpusDupPairs(train.toDF("doc_id", "text"),
+        test.toDF("doc_id", "text"), "doc_id", "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+  }
+
   private def vecs: Seq[(Long, Seq[Float])] = {
     val rnd = new scala.util.Random(3)
     (0L until 50L).map(i => i -> Seq.fill(16)(rnd.nextFloat() * 2 - 1))

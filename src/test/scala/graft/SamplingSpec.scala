@@ -114,6 +114,17 @@ class SamplingSpec extends SparkTestBase {
     assert(again == rowsOut.map(r => (r._1, r._3)).toSet)
   }
 
+  test("mixtureSample and hashSplit are zero-shuffle (no Exchange in plan)") {
+    val df = rows(100)
+    val mixPlan = Sampling.mixtureSample(df, "s", "id", Map("a" -> 0.5))
+      .queryExecution.executedPlan.toString
+    val splitPlan = Sampling.hashSplit(df, "id",
+      Seq("train" -> 0.9, "test" -> 0.1))
+      .queryExecution.executedPlan.toString
+    assert(!mixPlan.contains("Exchange"), mixPlan)
+    assert(!splitPlan.contains("Exchange"), splitPlan)
+  }
+
   test("hashSplit validates fractions") {
     val df = (1L to 10L).toDF("id")
     intercept[IllegalArgumentException] {
