@@ -448,6 +448,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_frags"),
           sum(col("frag_end") - col("frag_start") + 1)
             .as("uncovered_bases")) }),
+    // interval clustering (bedtools cluster): per-contig transitive
+    // overlap clusters from ONE windowed sweep (no iteration — coverage
+    // is contiguous along the sorted order, unlike general graph CC).
+    // Aggregated per cluster to keep the output compact and order-free.
+    "q66_interval_cluster" -> ((s, dir) => { prep(s, dir)
+      val a = s.sql(cteAB + "\nSELECT contig, pos_start, pos_end FROM a")
+      graft.operators.IntervalOps
+        .clusterIntervals(a, Seq("contig"), "pos_start", "pos_end")
+        .groupBy("contig", "cluster_id")
+        .agg(count(lit(1)).as("n_members"),
+          min(col("pos_start")).cast("long").as("cl_start"),
+          max(col("pos_end")).cast("long").as("cl_end")) }),
+    // interval-set jaccard (bedtools jaccard): per-contig base-level
+    // intersection/union between the a and b interval sets — merged
+    // sweeps + the indexed interval join of the merged runs.
+    "q67_interval_jaccard" -> ((s, dir) => { prep(s, dir)
+      val a = s.sql(cteAB + "\nSELECT contig, pos_start, pos_end FROM a")
+      val b = s.sql(cteAB + "\nSELECT contig, pos_start, pos_end FROM b")
+      graft.operators.IntervalOps
+        .intervalSetJaccard(a, b, Seq("contig"), "pos_start", "pos_end") }),
     // AS-OF join (beyond the reference): latest click at-or-before each
     // purchase, per user, at epoch micros — DuckDB's native ASOF LEFT
     // JOIN is the oracle. One binary search per probe row; NULL-padded
@@ -946,6 +966,86 @@ object SparkEntry {
           |       CAST(MAX(m_end - m_start + 1) AS BIGINT) AS max_region_len,
           |       CAST(SUM(n_merged) AS BIGINT) AS n_intervals
           |FROM merged GROUP BY contig""".stripMargin),
+      // same sweep as q53's oracle, aggregated per (contig, gid) —
+      // cluster ids are the per-contig prefix-sum ordinals themselves
+      "q66_interval_cluster" -> (cteAB +
+        """,
+          |ord AS (
+          |  SELECT contig, pos_start, pos_end,
+          |         MAX(pos_end) OVER (PARTITION BY contig
+          |           ORDER BY pos_start, pos_end
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+          |  FROM a),
+          |flagged AS (
+          |  SELECT contig, pos_start, pos_end,
+          |         CASE WHEN prev_max IS NULL OR pos_start > prev_max + 1
+          |              THEN 1 ELSE 0 END AS new_grp
+          |  FROM ord),
+          |grp AS (
+          |  SELECT contig, pos_start, pos_end,
+          |         SUM(new_grp) OVER (PARTITION BY contig
+          |           ORDER BY pos_start, pos_end
+          |           ROWS UNBOUNDED PRECEDING) AS gid
+          |  FROM flagged)
+          |SELECT contig, CAST(gid AS BIGINT) AS cluster_id,
+          |       CAST(COUNT(*) AS BIGINT) AS n_members,
+          |       CAST(MIN(pos_start) AS BIGINT) AS cl_start,
+          |       CAST(MAX(pos_end) AS BIGINT) AS cl_end
+          |FROM grp GROUP BY contig, gid""".stripMargin),
+      // merged runs per side (q53's sweep twice), intersection from the
+      // join of the disjoint runs, union = cov(a) + cov(b) − intersection
+      "q67_interval_jaccard" -> (cteAB +
+        """,
+          |aord AS (
+          |  SELECT contig, pos_start, pos_end,
+          |         MAX(pos_end) OVER (PARTITION BY contig
+          |           ORDER BY pos_start, pos_end
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+          |  FROM a),
+          |agrp AS (
+          |  SELECT contig, pos_start, pos_end,
+          |         SUM(CASE WHEN prev_max IS NULL OR pos_start > prev_max + 1
+          |                  THEN 1 ELSE 0 END) OVER (PARTITION BY contig
+          |           ORDER BY pos_start, pos_end
+          |           ROWS UNBOUNDED PRECEDING) AS gid
+          |  FROM aord),
+          |am AS (SELECT contig, MIN(pos_start) AS s, MAX(pos_end) AS e
+          |       FROM agrp GROUP BY contig, gid),
+          |bord AS (
+          |  SELECT contig, pos_start, pos_end,
+          |         MAX(pos_end) OVER (PARTITION BY contig
+          |           ORDER BY pos_start, pos_end
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+          |  FROM b),
+          |bgrp AS (
+          |  SELECT contig, pos_start, pos_end,
+          |         SUM(CASE WHEN prev_max IS NULL OR pos_start > prev_max + 1
+          |                  THEN 1 ELSE 0 END) OVER (PARTITION BY contig
+          |           ORDER BY pos_start, pos_end
+          |           ROWS UNBOUNDED PRECEDING) AS gid
+          |  FROM bord),
+          |bm AS (SELECT contig, MIN(pos_start) AS s, MAX(pos_end) AS e
+          |       FROM bgrp GROUP BY contig, gid),
+          |ca AS (SELECT contig,
+          |              SUM(CAST(e AS BIGINT) - CAST(s AS BIGINT) + 1) AS cov
+          |       FROM am GROUP BY contig),
+          |cb AS (SELECT contig,
+          |              SUM(CAST(e AS BIGINT) - CAST(s AS BIGINT) + 1) AS cov
+          |       FROM bm GROUP BY contig),
+          |ix AS (SELECT am.contig,
+          |              SUM(CAST(LEAST(am.e, bm.e) AS BIGINT) -
+          |                  CAST(GREATEST(am.s, bm.s) AS BIGINT) + 1) AS ib
+          |       FROM am JOIN bm ON am.contig = bm.contig
+          |         AND am.s <= bm.e AND am.e >= bm.s
+          |       GROUP BY am.contig)
+          |SELECT contig,
+          |       CAST(COALESCE(ib, 0) AS BIGINT) AS intersection_bases,
+          |       CAST(COALESCE(ca.cov, 0) + COALESCE(cb.cov, 0)
+          |            - COALESCE(ib, 0) AS BIGINT) AS union_bases,
+          |       ROUND(COALESCE(ib, 0) * 1.0 /
+          |             (COALESCE(ca.cov, 0) + COALESCE(cb.cov, 0)
+          |              - COALESCE(ib, 0)), 6) AS jaccard
+          |FROM ca FULL JOIN cb USING (contig) LEFT JOIN ix USING (contig)""".stripMargin),
       // the same +1/−1 boundary sweep the operator runs, as window SQL
       "q54_coverage_hist" -> (cteAB +
         """,

@@ -364,9 +364,10 @@ object Dedup {
   private val ShortcutAfter = 3
 
   /** Default [[connectedComponents]] `microGraphMaxEdges`: a 1 M-edge
-    * graph is ~2 M union-find operations and tens of MB of hash map —
-    * trivially cheaper on one task than even a single distributed
-    * label-propagation round (shuffle + join + agg + codegen compile). */
+    * graph is ~2 M union-find operations and ≤ ~200 MB of boxed hash map
+    * on ONE task (2 M entries × ~96 B) — well inside any executor and
+    * still far cheaper than a single distributed label-propagation round
+    * (shuffle + join + agg + codegen compile of several round plans). */
   private val MicroGraphMaxEdgesDefault = 1000000L
 
   /** Single-task union-find over a symmetric `(src, dst)` edge list —

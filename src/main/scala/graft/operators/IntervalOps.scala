@@ -21,15 +21,12 @@ import org.apache.spark.sql.functions._
  */
 object IntervalOps {
 
-  /** Merge overlapping or gap-free-adjacent intervals per key; `maxGap`
-    * additionally bridges runs separated by at most that many UNCOVERED
-    * coordinates. Output: key columns + `merged_start`, `merged_end`,
-    * `n_merged`. End-inclusive: [1,5] and [6,9] merge at the default
-    * `maxGap = 0` (no coordinate between them is uncovered — one maximal
-    * covered run, same as bedtools merge's bookended behavior); [1,5]
-    * and [7,9] need `maxGap >= 1` (coordinate 6 uncovered). */
-  def mergeIntervals(df: DataFrame, keyCols: Seq[String], startCol: String,
-      endCol: String, maxGap: Long = 0L): DataFrame = {
+  /** The shared sweep: every input row plus `__graft_gid`, the per-key
+    * 1-based ordinal (in start order) of the maximal covered run the row
+    * belongs to. One window pass — overlap clustering needs NO iteration
+    * because coverage is contiguous along the sorted sweep. */
+  private def withRunIds(df: DataFrame, keyCols: Seq[String],
+      startCol: String, endCol: String, maxGap: Long): DataFrame = {
     require(maxGap >= 0, s"maxGap must be >= 0, got $maxGap")
     val keys: Seq[Column] = keyCols.map(col)
     val w = Window.partitionBy(keys: _*)
@@ -45,15 +42,90 @@ object IntervalOps {
       when(prevMax.isNull ||
           (prevMax <= lim && col(startCol) > prevMax + maxGap + 1L), 1L)
         .otherwise(0L))
-    val grouped = flagged.withColumn("__graft_gid",
+    flagged.withColumn("__graft_gid",
       sum(col("__graft_new_grp"))
         .over(w.rowsBetween(Window.unboundedPreceding, 0)))
-    grouped
+      .drop("__graft_new_grp")
+  }
+
+  /** Merge overlapping or gap-free-adjacent intervals per key; `maxGap`
+    * additionally bridges runs separated by at most that many UNCOVERED
+    * coordinates. Output: key columns + `merged_start`, `merged_end`,
+    * `n_merged`. End-inclusive: [1,5] and [6,9] merge at the default
+    * `maxGap = 0` (no coordinate between them is uncovered — one maximal
+    * covered run, same as bedtools merge's bookended behavior); [1,5]
+    * and [7,9] need `maxGap >= 1` (coordinate 6 uncovered). */
+  def mergeIntervals(df: DataFrame, keyCols: Seq[String], startCol: String,
+      endCol: String, maxGap: Long = 0L): DataFrame = {
+    val keys: Seq[Column] = keyCols.map(col)
+    withRunIds(df, keyCols, startCol, endCol, maxGap)
       .groupBy(keys :+ col("__graft_gid"): _*)
       .agg(min(col(startCol)).as("merged_start"),
         max(col(endCol)).as("merged_end"),
         count(lit(1)).as("n_merged"))
       .drop("__graft_gid")
+  }
+
+  /** Interval clustering (bedtools cluster): every input row plus
+    * `cluster_id` — the per-key 1-based ordinal of the maximal covered
+    * run it belongs to ([[mergeIntervals]] semantics incl. `maxGap`).
+    * Transitively-overlapping intervals share a cluster even when they
+    * do not overlap pairwise; unlike duplicate-group connected
+    * components this needs no iteration, because interval overlap is
+    * contiguous along the per-key sorted sweep — one window pass. */
+  def clusterIntervals(df: DataFrame, keyCols: Seq[String],
+      startCol: String, endCol: String, maxGap: Long = 0L): DataFrame =
+    withRunIds(df, keyCols, startCol, endCol, maxGap)
+      .withColumnRenamed("__graft_gid", "cluster_id")
+
+  /** Interval-set similarity (bedtools jaccard), per key: base-level
+    * `intersection / union` between two interval sets. Each side is
+    * merged first (disjoint maximal runs), the intersection comes from
+    * the indexed interval join of the merged sets (each overlapping run
+    * pair contributes `min(ends) − max(starts) + 1` bases, exact because
+    * runs are disjoint within a side), and
+    * `union = covered(a) + covered(b) − intersection`. Keys present in
+    * only one side report jaccard 0. Output: key columns +
+    * `intersection_bases`, `union_bases`, `jaccard`.
+    *
+    * Scale: two windowed sweeps + one indexed join on merged (small)
+    * sets + broadcast-sized per-key aggregates — never touches raw pair
+    * counts. */
+  def intervalSetJaccard(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+      startCol: String, endCol: String): DataFrame = {
+    val keys: Seq[Column] = keyCols.map(col)
+    def covered(df: DataFrame, out: String): DataFrame =
+      mergeIntervals(df, keyCols, startCol, endCol)
+        .groupBy(keys: _*)
+        .agg(sum(col("merged_end").cast("long") -
+          col("merged_start").cast("long") + 1L).as(out))
+    val ma = mergeIntervals(a, keyCols, startCol, endCol)
+    val mb0 = mergeIntervals(b, keyCols, startCol, endCol)
+      .select(keyCols.map(col) ++ Seq(
+        col("merged_start").as("__graft_bs"),
+        col("merged_end").as("__graft_be")): _*)
+    val mb = keyCols.foldLeft(mb0)((df, k) =>
+      df.withColumnRenamed(k, s"__graft_bk_$k"))
+    val keyCond = keyCols.map(k => ma(k) === mb(s"__graft_bk_$k"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val cond = keyCond &&
+      ma("merged_start") <= mb("__graft_be") &&
+      ma("merged_end") >= mb("__graft_bs")
+    val inter = ma.join(mb, cond)
+      .groupBy(keys: _*)
+      .agg(sum(least(col("merged_end"), col("__graft_be")).cast("long") -
+        greatest(col("merged_start"), col("__graft_bs")).cast("long") + 1L)
+        .as("__graft_ib"))
+    covered(a, "__graft_ca")
+      .join(covered(b, "__graft_cb"), keyCols, "full_outer")
+      .join(inter, keyCols, "left_outer")
+      .select(keys ++ {
+        val ib = coalesce(col("__graft_ib"), lit(0L))
+        val un = coalesce(col("__graft_ca"), lit(0L)) +
+          coalesce(col("__graft_cb"), lit(0L)) - ib
+        Seq(ib.as("intersection_bases"), un.as("union_bases"),
+          round(ib.cast("double") / un.cast("double"), 6).as("jaccard"))
+      }: _*)
   }
 
   /** Per-key depth histogram (bedtools genomecov-style): for every

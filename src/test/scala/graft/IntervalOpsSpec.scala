@@ -82,6 +82,85 @@ class IntervalOpsSpec extends SparkTestBase {
     assert(got == exp)
   }
 
+  test("cluster: transitive overlap shares one id; no iteration, no join") {
+    // A[1,5] B[4,8] C[8,10] overlap transitively (A∩C = ∅) -> one
+    // cluster; D[20,25] is its own; other key independent numbering
+    val df = Seq(
+      ("k1", 1, 5), ("k1", 4, 8), ("k1", 8, 10), ("k1", 20, 25),
+      ("k2", 1, 2)).toDF("contig", "pos_start", "pos_end")
+    val out = IntervalOps
+      .clusterIntervals(df, Seq("contig"), "pos_start", "pos_end")
+    val got = out.collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(3)).toMap
+    assert(got == Map(("k1", 1) -> 1L, ("k1", 4) -> 1L, ("k1", 8) -> 1L,
+      ("k1", 20) -> 2L, ("k2", 1) -> 1L))
+    // single window pass: no join operator of any kind in the plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), plan)
+  }
+
+  test("randomized: cluster ids ≡ merge-run membership") {
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 300).map { _ =>
+      val s = rnd.nextInt(400)
+      (s"k${rnd.nextInt(3)}", s, s + rnd.nextInt(30))
+    }
+    val df = rows.toDF("contig", "pos_start", "pos_end")
+    val labeled = IntervalOps
+      .clusterIntervals(df, Seq("contig"), "pos_start", "pos_end")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+        r.getLong(3)))
+    // two rows of one key share a cluster iff their intervals fall in
+    // the same maximal covered run of that key's point set
+    labeled.groupBy(_._1).foreach { case (k, rs) =>
+      val pts = rows.filter(_._1 == k).flatMap(r => r._2 to r._3).toSet
+      def runStart(p: Int): Int =
+        Iterator.iterate(p)(_ - 1).dropWhile(pts.contains).next() + 1
+      rs.foreach { case (_, s, _, cid) =>
+        rs.foreach { case (_, s2, _, cid2) =>
+          assert((runStart(s) == runStart(s2)) == (cid == cid2)) } }
+    }
+  }
+
+  test("intervalSetJaccard: golden fixture incl. one-side-only keys") {
+    val a = Seq(("k1", 1, 10), ("k1", 20, 29), ("ka", 1, 5))
+      .toDF("contig", "pos_start", "pos_end")
+    val b = Seq(("k1", 6, 24), ("kb", 1, 5))
+      .toDF("contig", "pos_start", "pos_end")
+    // k1: a covers [1,10]∪[20,29] = 20 bases, b covers [6,24] = 19,
+    // intersection [6,10]∪[20,24] = 10, union = 29 -> 10/29
+    val got = IntervalOps
+      .intervalSetJaccard(a, b, Seq("contig"), "pos_start", "pos_end")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got("k1") == ((10L, 29L, math.rint(10.0 / 29.0 * 1e6) / 1e6)))
+    assert(got("ka") == ((0L, 5L, 0.0)))
+    assert(got("kb") == ((0L, 5L, 0.0)))
+  }
+
+  test("randomized: intervalSetJaccard ≡ per-point brute force") {
+    val rnd = new scala.util.Random(23)
+    def mk() = (0 until 150).map { _ =>
+      val s = rnd.nextInt(300)
+      (s"k${rnd.nextInt(3)}", s, s + rnd.nextInt(25))
+    }
+    val ra = mk(); val rb = mk()
+    val got = IntervalOps.intervalSetJaccard(
+      ra.toDF("contig", "pos_start", "pos_end"),
+      rb.toDF("contig", "pos_start", "pos_end"),
+      Seq("contig"), "pos_start", "pos_end")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val keys = (ra.map(_._1) ++ rb.map(_._1)).toSet
+    keys.foreach { k =>
+      val pa = ra.filter(_._1 == k).flatMap(r => r._2 to r._3).toSet
+      val pb = rb.filter(_._1 == k).flatMap(r => r._2 to r._3).toSet
+      assert(got(k) == ((pa.intersect(pb).size.toLong,
+        pa.union(pb).size.toLong)), s"key $k")
+    }
+  }
+
   test("depth histogram: golden fixture incl. nesting and exact boundaries") {
     val df = Seq(
       ("c", 1, 10),   // depth 1 over [1,10]
