@@ -227,6 +227,17 @@ object IntervalOps {
         col("__graft_fr.e").as("frag_end")): _*)
   }
 
+  /** Interval complement (bedtools complement): the uncovered sub-ranges
+    * of each key's EXTENT — `extents` gives one row per key with the
+    * full range (e.g. chromosome lengths); the result is the extent
+    * minus every covered interval. A pure delegation to
+    * [[subtractIntervals]] (extents are the `a` side), so it inherits
+    * the merge + indexed-LEFT-OUTER-join + gap-window plan. Output:
+    * extent columns + `frag_start` / `frag_end`. */
+  def complementIntervals(df: DataFrame, extents: DataFrame,
+      keyCols: Seq[String], startCol: String, endCol: String): DataFrame =
+    subtractIntervals(extents, df, keyCols, startCol, endCol)
+
   /** Per-key coverage summary over the merged regions: distinct covered
     * region count, total covered bases (end-inclusive lengths), widest
     * region, and how many raw intervals merged away. */

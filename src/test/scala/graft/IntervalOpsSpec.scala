@@ -161,6 +161,18 @@ class IntervalOpsSpec extends SparkTestBase {
     }
   }
 
+  test("complement: uncovered sub-ranges of each key's extent") {
+    val cov = Seq(("k1", 10, 20), ("k1", 40, 50), ("k2", 1, 100))
+      .toDF("contig", "pos_start", "pos_end")
+    val extents = Seq(("k1", 1, 60), ("k2", 1, 100), ("k3", 5, 9))
+      .toDF("contig", "pos_start", "pos_end")
+    val got = IntervalOps
+      .complementIntervals(cov, extents, Seq("contig"), "pos_start", "pos_end")
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getLong(4))).toSet
+    assert(got == Set(("k1", 1L, 9L), ("k1", 21L, 39L), ("k1", 51L, 60L),
+      ("k3", 5L, 9L))) // k2 fully covered; k3 has no coverage at all
+  }
+
   test("depth histogram: golden fixture incl. nesting and exact boundaries") {
     val df = Seq(
       ("c", 1, 10),   // depth 1 over [1,10]

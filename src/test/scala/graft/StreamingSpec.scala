@@ -3,6 +3,7 @@ package graft
 import graft.streaming.StreamingOps
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import java.sql.Timestamp
@@ -70,6 +71,38 @@ class StreamingSpec extends SparkTestBase {
     assert(got == Set(
       Seq("c1", 100, 200, "c1", 150, 160),
       Seq("c2", 100, 200, "c2", 180, 310)))
+  }
+
+  test("streaming decontamination: static train gram index filters the stream") {
+    // an ingest pipeline shape: incoming docs (micro-batches) are
+    // anti-joined against the STATIC train corpus's distinct gram
+    // hashes — contaminated docs (any shared 3-gram) never land
+    implicit val sqlCtx = spark.sqlContext
+    val train = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val trainGrams = train.select(
+      explode(graft.operators.Dedup.shingleHashes($"text", 3)).as("g"))
+      .distinct()
+    val input = MemoryStream[(Long, String)]
+    input.addData(
+      (10L, "words around the quick brown fox inside a bigger doc"),
+      (11L, "completely novel content with no training overlap at all"))
+    val docs = input.toDF().toDF("doc_id", "text")
+    val clean = docs.withColumn("g",
+        explode(graft.operators.Dedup.shingleHashes($"text", 3)))
+      .join(trainGrams, Seq("g"), "left_anti")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n")) // grams surviving the anti-join
+    val q = clean.writeStream.format("memory").queryName("decon_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("decon_out").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 10 (10 words -> 8 grams) shares 2 with train ("the quick
+    // brown", "quick brown fox") -> 6 survive; doc 11 (9 words ->
+    // 7 grams) keeps all 7
+    assert(got == Map(10L -> 6L, 11L -> 7L))
   }
 
   test("stream-static interval join on RAW timestamp bounds (temporal + int64)") {
