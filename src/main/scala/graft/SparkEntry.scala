@@ -709,14 +709,16 @@ object SparkEntry {
         .select((col("doc_id") + 2000000).as("doc_id"),
           concat(col("text"), lit(" graft dup marker")).as("text"))
       Dedup.ngramHitContamination(train, test, "doc_id", "text", n = 5) }),
-    // deterministic sequence packing (concat-then-chunk): 16 hash
-    // buckets pack independently; pack_id = the 4096-char chunk of the
-    // bucket's md5-ordered stream the doc's start falls in. Oracle:
-    // identical running-sum window in DuckDB.
+    // deterministic sequence packing (concat-then-chunk): hash buckets
+    // pack independently (bucketChars=1 -> 16 buckets here so the small
+    // corpus produces multi-row packs; the default 4096 is the cluster
+    // scale-out knob); pack_id = the 4096-char chunk of the bucket's
+    // md5-ordered stream the doc's start falls in. Oracle: identical
+    // running-sum window in DuckDB.
     "q64_seq_packing" -> ((s, dir) => { prep(s, dir)
       Sampling.packSequences(
         Tables.load(s, dir, "documents").select("doc_id", "n_chars"),
-        "doc_id", "n_chars", capacity = 4096L)
+        "doc_id", "n_chars", capacity = 4096L, bucketChars = 1)
         .select("doc_id", "bucket", "pack_id") }),
     // within-document repetition (Gopher-style duplicate-bigram filter);
     // corpus = documents plus synthetic degenerate-loop docs (each 3rd

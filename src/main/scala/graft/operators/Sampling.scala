@@ -96,26 +96,30 @@ object Sampling {
 
   /**
    * Deterministic sequence packing (concat-then-chunk, the GPT-style
-   * pretraining layout): rows are bucketed by a hash digit for
+   * pretraining layout): rows are bucketed by a hash prefix for
    * parallelism, deterministically ordered within each bucket by
    * [[hashKey]], and assigned `pack_id = floor(running_weight_before /
    * capacity)` — the chunk of the bucket's concatenated stream the row's
-   * START falls in. Adds `bucket` (one hex char, 16 buckets) and
-   * `pack_id` columns.
+   * START falls in. Adds `bucket` (`bucketChars` hex chars —
+   * `16^bucketChars` buckets) and `pack_id` columns.
    *
    * Scale: each bucket packs independently (one shuffle on the bucket
    * key, a running-sum window per bucket — external-sort-safe); the
-   * serial cumsum dependency is per-bucket, never global. Determinism
-   * comes from the md5 ordering, so the same packs come out on every
-   * run and cluster size.
+   * serial cumsum dependency is per-bucket, never global, and the
+   * default 4096 buckets keep per-bucket streams small enough that the
+   * in-task sort parallelizes across any cluster. Determinism comes
+   * from the md5 ordering, so the same packs come out on every run and
+   * cluster size.
    */
   def packSequences(df: DataFrame, idCol: String, weightCol: String,
-      capacity: Long): DataFrame = {
+      capacity: Long, bucketChars: Int = 3): DataFrame = {
     require(capacity >= 1, s"capacity must be >= 1 (got $capacity)")
+    require(bucketChars >= 1 && bucketChars <= 8,
+      s"bucketChars must be in [1, 8] (got $bucketChars)")
     val key = hashKey(col(idCol))
     val w = Window.partitionBy("bucket").orderBy(key, col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("bucket", substring(key, 1, 1))
+    df.withColumn("bucket", substring(key, 1, bucketChars))
       .withColumn("pack_id",
         floor(coalesce(sum(col(weightCol)).over(w), lit(0L)) /
           lit(capacity.toDouble)).cast("long"))
