@@ -30,11 +30,18 @@ object Sampling {
 
   /** Threshold literal for `P(key8 < t) = rate`: an 8-hex-char string,
     * `"g"` for rate ≥ 1 (every hex digit < 'g' — keeps all rows), `""`
-    * for rate ≤ 0 (nothing sorts below the empty string). */
+    * for rate ≤ 0 (nothing sorts below the empty string). A rate just
+    * under 1 can still round to 2^32 — that case must ALSO yield `"g"`,
+    * because its 9-char hex rendering ("100000000") would compare
+    * lexicographically below almost every 8-char key and invert the
+    * filter to keep nothing. */
   private[graft] def rateThresholdHex(rate: Double): String =
     if (rate >= 1.0) "g"
     else if (rate <= 0.0) ""
-    else f"${math.round(rate * 4294967296.0)}%08x"
+    else {
+      val t = math.round(rate * 4294967296.0)
+      if (t >= 4294967296L) "g" else f"$t%08x"
+    }
 
   /**
    * Deterministic stratified sample: the `k` rows with the smallest

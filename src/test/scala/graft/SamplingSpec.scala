@@ -73,6 +73,20 @@ class SamplingSpec extends SparkTestBase {
       == 100L)
   }
 
+  test("rate threshold: a rate just under 1 must not invert the filter") {
+    // 1 - 1e-12 rounds to 2^32; a naive 9-char hex rendering
+    // ("100000000") sorts BELOW almost every 8-char key and would keep
+    // ~nothing — it must collapse to the keep-all sentinel instead
+    assert(Sampling.rateThresholdHex(1.0 - 1e-12) == "g")
+    assert(Sampling.rateThresholdHex(1.0) == "g")
+    assert(Sampling.rateThresholdHex(0.0) == "")
+    assert(Sampling.rateThresholdHex(0.5) == "80000000")
+    val df = rows(200)
+    val kept = Sampling.mixtureSample(df, "s", "id",
+      rates = Map("a" -> (1.0 - 1e-12)), defaultRate = 1.0).count()
+    assert(kept == 200L)
+  }
+
   test("hashSplit labels are disjoint, exhaustive and near the fractions") {
     val df = (1L to 5000L).toDF("id")
     val out = Sampling.hashSplit(df, "id",
