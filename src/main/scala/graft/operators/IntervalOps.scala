@@ -94,13 +94,16 @@ object IntervalOps {
   def intervalSetJaccard(a: DataFrame, b: DataFrame, keyCols: Seq[String],
       startCol: String, endCol: String): DataFrame = {
     val keys: Seq[Column] = keyCols.map(col)
-    def covered(df: DataFrame, out: String): DataFrame =
-      mergeIntervals(df, keyCols, startCol, endCol)
-        .groupBy(keys: _*)
+    // each side is merged ONCE; the covered-bases aggregates reuse the
+    // same merged frame the intersection join consumes (one sweep per
+    // side, not two)
+    def covered(merged: DataFrame, out: String): DataFrame =
+      merged.groupBy(keys: _*)
         .agg(sum(col("merged_end").cast("long") -
           col("merged_start").cast("long") + 1L).as(out))
     val ma = mergeIntervals(a, keyCols, startCol, endCol)
-    val mb0 = mergeIntervals(b, keyCols, startCol, endCol)
+    val mbFull = mergeIntervals(b, keyCols, startCol, endCol)
+    val mb0 = mbFull
       .select(keyCols.map(col) ++ Seq(
         col("merged_start").as("__graft_bs"),
         col("merged_end").as("__graft_be")): _*)
@@ -116,8 +119,8 @@ object IntervalOps {
       .agg(sum(least(col("merged_end"), col("__graft_be")).cast("long") -
         greatest(col("merged_start"), col("__graft_bs")).cast("long") + 1L)
         .as("__graft_ib"))
-    covered(a, "__graft_ca")
-      .join(covered(b, "__graft_cb"), keyCols, "full_outer")
+    covered(ma, "__graft_ca")
+      .join(covered(mbFull, "__graft_cb"), keyCols, "full_outer")
       .join(inter, keyCols, "left_outer")
       .select(keys ++ {
         val ib = coalesce(col("__graft_ib"), lit(0L))
