@@ -530,7 +530,10 @@ object SparkEntry {
     // chained pairwise) has diameter 11, forcing ~12 min-label
     // propagation rounds — deep iteration the near-star q56 dup corpus
     // (2-4 rounds) never exercises — against the same recursive-CTE
-    // transitive-closure oracle.
+    // transitive-closure oracle. microGraphMaxEdges = 0 pins the
+    // DISTRIBUTED loop: q56/q58 exercise the micro-graph union-find at
+    // driver level, so this entry must keep the iterative path (the one
+    // that runs at 100 TB) under the oracle too.
     "q57_dedup_chain" -> ((s, dir) => { prep(s, dir)
       import org.apache.spark.sql.expressions.Window
       val d = Tables.load(s, dir, "documents").select("doc_id")
@@ -538,7 +541,7 @@ object SparkEntry {
       val pairs = d.select(col("doc_id").as("id1"),
           lead(col("doc_id"), 1).over(Window.orderBy("doc_id")).as("id2"))
         .where(col("id2").isNotNull)
-      Dedup.connectedComponents(pairs)
+      Dedup.connectedComponents(pairs, microGraphMaxEdges = 0L)
         .select(col("id").as("doc_id"), col("group_id")) }),
     "q24_text_stats" -> ((s, dir) => { prep(s, dir)
       val d = Tables.load(s, dir, "documents")

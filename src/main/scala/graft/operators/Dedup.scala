@@ -141,15 +141,22 @@ object Dedup {
           numHashes).as("sig"))
         .select(col(side), explode(lshBands(col("sig"), numHashes, bands)).as("b"))
         .select(col(side), col("b.band").as("band"), col("b.bucket").as("bucket"))
+    // the broadcasts are explicit, not stats-inferred: eval sets arrive
+    // as derived plans (filters/renames) whose sizes the optimizer
+    // cannot estimate, and a fallback sort-merge join here would
+    // shuffle the ENTIRE train corpus's banded rows / shingle frame —
+    // the one thing this operator exists to avoid
     val cands = banded(train, "train_id")
-      .join(banded(test, "test_id"), Seq("band", "bucket"))
+      .join(broadcast(banded(test, "test_id")), Seq("band", "bucket"))
       .select("train_id", "test_id").distinct()
     def sh(docs: DataFrame, side: String, shName: String): DataFrame =
       docs.select(col(idCol).as(side),
         shingleHashes(col(textCol), shingleSize).as(shName))
-    cands
-      .join(sh(train, "train_id", "sh1"), "train_id")
-      .join(sh(test, "test_id", "sh2"), "test_id")
+    // candidates are bounded by the test side, so they broadcast into
+    // the train shingle scan (train still never shuffles)
+    sh(train, "train_id", "sh1")
+      .join(broadcast(cands), "train_id")
+      .join(broadcast(sh(test, "test_id", "sh2")), "test_id")
       .select(col("train_id"), col("test_id"),
         round(jaccard(col("sh1"), col("sh2")), 6).as("jaccard"))
       .where(col("jaccard") >= threshold)
@@ -189,9 +196,11 @@ object Dedup {
     * anti-join against the distinct contaminated test ids. */
   def decontaminate(train: DataFrame, test: DataFrame, idCol: String,
       textCol: String, threshold: Double = 0.8): DataFrame = {
+    // internal name: a bare "test_id" would be ambiguous whenever the
+    // caller's own id column is named test_id
     val hits = crossCorpusDupPairs(train, test, idCol, textCol, threshold)
-      .select(col("test_id")).distinct()
-    test.join(hits, test(idCol) === col("test_id"), "left_anti")
+      .select(col("test_id").as("__graft_hit_id")).distinct()
+    test.join(hits, test(idCol) === col("__graft_hit_id"), "left_anti")
   }
 
   /** Corpus cleaning: drop every document that is the higher-id member of

@@ -38,7 +38,10 @@ object RunQueries {
       val t0 = System.nanoTime()
       val rows = fn(spark, sfDir).count()
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"RUNQ $name run=$i rows=$rows sec=$sec%.3f")
+      // Locale.ROOT: f"%.3f" under e.g. de_DE prints comma decimals,
+      // breaking anything parsing these lines (same fix as Bench)
+      println(s"RUNQ $name run=$i rows=$rows sec=" +
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(sec)))
     }
     println(s"RUNQ loadavg_end=$loadavg")
     spark.stop()

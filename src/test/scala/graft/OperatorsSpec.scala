@@ -162,6 +162,27 @@ class OperatorsSpec extends SparkTestBase {
     assert(clean == Set(102L))
   }
 
+  test("decontaminate works when the caller's id column is named test_id") {
+    val test = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog near the river delta"),
+      (102L, "unrelated words about databases indexes and storage formats")
+    ).toDF("test_id", "text")
+    val clean = graft.operators.Dedup
+      .decontaminate(docs.toDF("test_id", "text"), test, "test_id", "text",
+        threshold = 0.6)
+      .collect().map(_.getLong(0)).toSet
+    assert(clean == Set(102L))
+  }
+
+  test("crossCorpusDupPairs broadcasts the test side (plan-asserted)") {
+    val test = Seq((101L, "some eval document text here")).toDF("doc_id", "text")
+    val plan = graft.operators.Dedup
+      .crossCorpusDupPairs(docs, test, "doc_id", "text", threshold = 0.8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("crossCorpusDupPairs matches brute-force cross jaccard (randomized)") {
     // random docs over a tiny vocabulary so cross-corpus similarity is
     // common; high threshold keeps LSH recall (64/16 banding) certain

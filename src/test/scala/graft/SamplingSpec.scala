@@ -67,6 +67,30 @@ class SamplingSpec extends SparkTestBase {
     assert(again == out.collect().map(_.getLong(0)).toSet)
   }
 
+  test("stratifiedSample: a NULL stratum is its own group on both paths") {
+    val df = (1L to 120L)
+      .map(i => (i, if (i % 4 == 0) null else s"s${i % 2}"))
+      .toDF("id", "s")
+    // pruned path (default fudge) and exact path must agree and both
+    // must return k rows for the null stratum
+    val a = Sampling.stratifiedSample(df, "s", "id", 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = Sampling.stratifiedSample(df, "s", "id", 3, fudge = 1000.0)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a == b)
+    assert(a.count(_._2 == null) == 3)
+    assert(a.count(_._2 == "s0") == 3 && a.count(_._2 == "s1") == 3)
+  }
+
+  test("mixtureSample keeps NULL-stratum rows under the default rate") {
+    val df = Seq((1L, "a"), (2L, null), (3L, null)).toDF("id", "s")
+    val kept = Sampling.mixtureSample(df, "s", "id",
+      rates = Map("a" -> 0.0), defaultRate = 1.0)
+      .collect().map(_.getLong(0)).toSet
+    // stratum a filtered to nothing; null stratum takes defaultRate 1.0
+    assert(kept == Set(2L, 3L))
+  }
+
   test("mixtureSample rate 1.0 keeps every row") {
     val df = rows(100)
     assert(Sampling.mixtureSample(df, "s", "id", rates = Map.empty).count()
