@@ -317,6 +317,17 @@ object SparkEntry {
     GraftSession.install(spark)
   }
 
+  /** The q57/q68 12-node path graph: consecutive documents chained
+    * pairwise (diameter 11 — deep iteration for whichever CC path runs). */
+  private def chainPairs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.load(s, dir, "documents").select("doc_id")
+      .orderBy("doc_id").limit(12)
+    d.select(col("doc_id").as("id1"),
+        lead(col("doc_id"), 1).over(Window.orderBy("doc_id")).as("id2"))
+      .where(col("id2").isNotNull)
+  }
+
   /** Session-scoped IVF layout cache: a persisted ANN layout is
     * write-once read-many, so centroid training + bucketize happen once
     * per (JVM, sfDir) and later q31 invocations measure the probe, not a
@@ -526,22 +537,21 @@ object SparkEntry {
       val pairs = Dedup.minhashDupPairs(c, "doc_id", "text", threshold = 0.8)
         .select(col("id1"), col("id2"))
       Dedup.keepCanonical(c, "doc_id", pairs).select(col("doc_id")) }),
-    // CC iteration stress: a 12-node PATH graph (consecutive documents
-    // chained pairwise) has diameter 11, forcing ~12 min-label
-    // propagation rounds — deep iteration the near-star q56 dup corpus
-    // (2-4 rounds) never exercises — against the same recursive-CTE
-    // transitive-closure oracle. microGraphMaxEdges = 0 pins the
-    // DISTRIBUTED loop: q56/q58 exercise the micro-graph union-find at
-    // driver level, so this entry must keep the iterative path (the one
-    // that runs at 100 TB) under the oracle too.
+    // CC chain: a 12-node PATH graph (consecutive documents chained
+    // pairwise, diameter 11) against the recursive-CTE transitive-
+    // closure oracle — resolved by the default (micro-graph union-find)
+    // path here; q68 runs the IDENTICAL graph through the distributed
+    // propagation loop so both execution paths sit under the oracle.
     "q57_dedup_chain" -> ((s, dir) => { prep(s, dir)
-      import org.apache.spark.sql.expressions.Window
-      val d = Tables.load(s, dir, "documents").select("doc_id")
-        .orderBy("doc_id").limit(12)
-      val pairs = d.select(col("doc_id").as("id1"),
-          lead(col("doc_id"), 1).over(Window.orderBy("doc_id")).as("id2"))
-        .where(col("id2").isNotNull)
-      Dedup.connectedComponents(pairs, microGraphMaxEdges = 0L)
+      Dedup.connectedComponents(chainPairs(s, dir))
+        .select(col("id").as("doc_id"), col("group_id")) }),
+    // the DISTRIBUTED min-label propagation loop (pointer jumping, one
+    // lazy-checkpoint job per round) — the path that runs at 100 TB —
+    // force-pinned via microGraphMaxEdges = 0 on the same deep chain,
+    // same oracle. ~12 rounds of genuine iteration under the driver's
+    // hash check, not just in unit tests.
+    "q68_dedup_chain_loop" -> ((s, dir) => { prep(s, dir)
+      Dedup.connectedComponents(chainPairs(s, dir), microGraphMaxEdges = 0L)
         .select(col("id").as("doc_id"), col("group_id")) }),
     "q24_text_stats" -> ((s, dir) => { prep(s, dir)
       val d = Tables.load(s, dir, "documents")
@@ -1125,6 +1135,7 @@ object SparkEntry {
       "q23_dedup_jaccard" -> jaccardOracle,
       "q56_dedup_groups" -> dupGroupsOracle,
       "q57_dedup_chain" -> dupChainOracle,
+      "q68_dedup_chain_loop" -> dupChainOracle,
       "q58_dedup_canonical" -> dupCanonicalOracle,
       "q24_text_stats" -> textStatsOracle,
       "q25_langid" -> langIdOracle,
