@@ -42,7 +42,7 @@ case class ShingleHashes(child: Expression, n: Int)
   // lanes over the same bytes (word-boundary mixed between words)
   private def hashWindow(words: Array[UTF8String], from: Int, len: Int): Long = {
     var h1 = 42
-    var h2 = -1876011247 // 0x9007A26D — independent seed lane
+    var h2 = -1876011247 // 0x902E5711 — independent seed lane
     var i = from
     val end = from + len
     while (i < end) {
@@ -59,15 +59,17 @@ case class ShingleHashes(child: Expression, n: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toLowerCase
-    // manual whitespace tokenization (no regex, no String conversion)
+    // manual whitespace tokenization on the regex `\s` class (ASCII) —
+    // Character.isWhitespace also matches U+3000 etc. and would diverge
+    // from the declarative split("\\s+") twin the oracles replicate
     val s = text.toString
     val words = new scala.collection.mutable.ArrayBuffer[UTF8String](64)
     var i = 0
     val len = s.length
     while (i < len) {
-      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < len && TextProfile.isAsciiWs(s.charAt(i))) i += 1
       val start = i
-      while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < len && !TextProfile.isAsciiWs(s.charAt(i))) i += 1
       if (i > start) words += UTF8String.fromString(s.substring(start, i))
     }
     val wArr = words.toArray

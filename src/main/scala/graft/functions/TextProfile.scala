@@ -42,18 +42,20 @@ case class TextProfile(child: Expression)
       if (TextProfile.punctSet(c)) punct += 1
       if (c >= '0' && c <= '9') digit += 1
       if (c >= 'A' && c <= 'Z') upper += 1
-      if (Character.isWhitespace(c)) ws += 1
+      if (TextProfile.isAsciiWs(c)) ws += 1
       i += 1
     }
-    // tokenize the lower-cased text
-    val lower = s.toLowerCase
+    // tokenize the lower-cased text. Locale.ROOT: default-locale casing
+    // diverges from Spark's locale-independent lower() (e.g. Turkish
+    // dotless i), which would break the oracle contract per-cluster-locale
+    val lower = s.toLowerCase(java.util.Locale.ROOT)
     var nTokens = 0; var nSubwords = 0
     var en = 0; var de = 0; var es = 0; var fr = 0
     i = 0
     while (i < lower.length) {
-      while (i < lower.length && Character.isWhitespace(lower.charAt(i))) i += 1
+      while (i < lower.length && TextProfile.isAsciiWs(lower.charAt(i))) i += 1
       val start = i
-      while (i < lower.length && !Character.isWhitespace(lower.charAt(i))) i += 1
+      while (i < lower.length && !TextProfile.isAsciiWs(lower.charAt(i))) i += 1
       if (i > start) {
         nTokens += 1
         // token length in codepoints, matching DuckDB/Spark length()
@@ -101,6 +103,12 @@ object TextProfile {
 
   // mirrors TextStats.punctRatio's regex class [.,;:!?'"()\[\]{}-]
   private val punctSet: Set[Char] = ".,;:!?'\"()[]{}-".toSet
+
+  /** The regex `\s` class (ASCII) — Character.isWhitespace would also
+    * match U+3000 etc. and diverge from the declarative `split(\s+)`
+    * twin and the DuckDB oracles. */
+  private[functions] def isAsciiWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
   private val enSet = TextStats.enStopList.toSet
   private val deSet = TextStats.deStopList.toSet
   private val esSet = TextStats.esStopList.toSet

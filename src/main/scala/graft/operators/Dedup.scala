@@ -264,8 +264,11 @@ object Dedup {
     val rowBits = planes / bands
     val mask = (1L << rowBits) - 1
     // head(1), not head(): an empty corpus has no pairs (and no dim to
-    // infer) — return an empty, correctly-typed result instead of throwing
-    val dimRow = emb.select(size(col(vecCol))).head(1)
+    // infer) — return an empty, correctly-typed result instead of
+    // throwing; isNotNull stops a NULL first vector from poisoning the
+    // inferred dim (size(NULL) = -1)
+    val dimRow = emb.where(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).head(1)
     if (dimRow.isEmpty) {
       return emb.select(col(idCol).as("id1"), col(idCol).as("id2"),
         lit(0.0).as("cosine")).where(lit(false))

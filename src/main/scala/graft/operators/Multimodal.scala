@@ -121,20 +121,22 @@ object Multimodal {
    * batches under mapInPandas), emitting only small decoded rows.
    * Undecodable payloads are dropped. No shuffle of payload bytes.
    */
-  def decodeImages(media: Dataset[MediaRow],
-      batchSize: Int = 64): Dataset[DecodedMedia] = {
+  def decodeImages(media: Dataset[MediaRow]): Dataset[DecodedMedia] = {
     implicit val enc = Encoders.product[DecodedMedia]
-    media.mapPartitions { iter =>
-      iter.grouped(batchSize).flatMap { batch =>
-        batch.iterator.flatMap(r => decodeImage(r.id, r.media))
-      }
-    }
+    // per-partition flatMap IS the batch shape: one task per input
+    // split, payload bytes consumed where they were read
+    media.mapPartitions(_.flatMap(r => decodeImage(r.id, r.media)))
   }
 
   /** Wrap a DataFrame with id + binary columns into the typed media
-    * Dataset. */
+    * Dataset. The id column must be integral — a silent lossy cast
+    * would surface much later as an encoder NULL failure. */
   def asMedia(df: DataFrame, idCol: String, binCol: String,
       mime: String = "application/octet-stream"): Dataset[MediaRow] = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dt = df.schema(df.schema.fieldIndex(idCol)).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"asMedia: id column '$idCol' must be integral, got $dt")
     implicit val enc = Encoders.product[MediaRow]
     df.select(col(idCol).cast("long").as("id"), col(binCol).as("media"),
       lit(mime).as("mime")).as[MediaRow]
@@ -142,21 +144,29 @@ object Multimodal {
 
   /** Split a binary payload into fixed-size "frames" and keep every
     * `everyN`-th — the video frame-sampling access pattern, as a pure
-    * codegen'd expression (substring works on binary). */
+    * codegen'd expression (substring works on binary). NULL media ⇒
+    * NULL (not a phantom one-frame array), matching [[frameCount]]. */
   def frameSample(media: Column, frameBytes: Int, everyN: Int): Column = {
+    require(frameBytes >= 1, s"frameBytes must be >= 1 (got $frameBytes)")
+    require(everyN >= 1, s"everyN must be >= 1 (got $everyN)")
     val nFrames = ceil(length(media).cast("double") / frameBytes).cast("int")
     // empty payload ⇒ zero frames (sequence(0, greatest(-1, 0)) would
-    // otherwise emit one zero-length frame)
-    when(length(media) === 0, array().cast("array<binary>")).otherwise(
-      filter(
-        transform(sequence(lit(0), greatest(nFrames - 1, lit(0))),
-          i => substring(media, (i * frameBytes + 1).cast("int"), lit(frameBytes))),
-        (_, i) => i % everyN === 0))
+    // otherwise emit one zero-length frame); the isNull guard stops the
+    // otherwise-branch from manufacturing index 0 out of NULL arithmetic
+    when(media.isNull, lit(null).cast("array<binary>"))
+      .when(length(media) === 0, array().cast("array<binary>"))
+      .otherwise(
+        filter(
+          transform(sequence(lit(0), greatest(nFrames - 1, lit(0))),
+            i => substring(media, (i * frameBytes + 1).cast("int"), lit(frameBytes))),
+          (_, i) => i % everyN === 0))
   }
 
   /** Frame count for a fixed frame size — metadata-only, no decode. */
-  def frameCount(media: Column, frameBytes: Int): Column =
+  def frameCount(media: Column, frameBytes: Int): Column = {
+    require(frameBytes >= 1, s"frameBytes must be >= 1 (got $frameBytes)")
     ceil(length(media).cast("double") / frameBytes).cast("int")
+  }
 
   /** Byte-budget arithmetic (target/source area ratio) a planner uses for
     * cost estimation before doing real [[resizeImage]] work. */

@@ -114,7 +114,10 @@ object Similarity {
   def trainCentroids(emb: DataFrame, idCol: String, vecCol: String,
       k: Int = 16, iters: Int = 10, sampleN: Int = 10000)
       : Array[Array[Float]] = {
+    // NULL vectors are excluded up front: a null row in the sample would
+    // otherwise NPE deep inside the collect().map chain
     val sample: Array[Array[Double]] = emb
+      .where(col(vecCol).isNotNull)
       .orderBy(col(idCol)).limit(sampleN)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
@@ -205,8 +208,16 @@ object Similarity {
   def ivfProbes(query: Array[Float], centroids: Array[Array[Float]],
       nProbe: Int): Seq[Int] = {
     val qd = query.map(_.toDouble)
+    // truncate to the shorter operand like the IvfBucket kernel does —
+    // a longer query must not index past a centroid's end
+    def boundedDot(c: Array[Float]): Double = {
+      val n = math.min(qd.length, c.length)
+      var s = 0.0; var i = 0
+      while (i < n) { s += qd(i) * c(i); i += 1 }
+      s
+    }
     centroids.indices
-      .sortBy(c => -dot(qd, centroids(c).map(_.toDouble)))
+      .sortBy(c => -boundedDot(centroids(c)))
       .take(math.min(nProbe, centroids.length))
   }
 
@@ -259,8 +270,11 @@ object Similarity {
     require(planes >= 1 && planes <= 12,
       s"planes must be in [1, 12] (got $planes): 2^planes directories")
     // head(1), not head(): fail an empty corpus with a clear message
-    // instead of an opaque NoSuchElementException (cf. embeddingDupPairs)
-    val dimRow = emb.select(size(col(vecCol))).head(1)
+    // instead of an opaque NoSuchElementException (cf. embeddingDupPairs);
+    // the isNotNull filter stops a NULL first vector from inferring a
+    // nonsense dim (size(NULL) = -1 ⇒ every row in bucket 0)
+    val dimRow = emb.where(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).head(1)
     require(dimRow.nonEmpty,
       "lshBucketize: empty corpus — nothing to bucketize")
     val dim = dimRow(0).getInt(0)

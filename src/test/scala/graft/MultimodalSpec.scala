@@ -66,6 +66,29 @@ class MultimodalSpec extends SparkTestBase {
     assert(new String(frames(1)) == "a fake jpe") // frame index 2
   }
 
+  test("frameSample: NULL media yields NULL, not a phantom one-frame array") {
+    val df = Seq((1L, Option.empty[Array[Byte]]), (2L, Some(Array[Byte](1, 2, 3))))
+      .toDF("id", "media")
+      .select($"id", Multimodal.frameSample($"media", 2, 1).as("frames"))
+    val byId = df.collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(byId(1L)) // NULL in, NULL out (matches frameCount)
+    assert(!byId(2L))
+    intercept[IllegalArgumentException] {
+      Multimodal.frameSample($"media", 2, 0) // everyN=0 would drop all
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.frameCount($"media", 0)
+    }
+  }
+
+  test("asMedia rejects a non-integral id column upfront") {
+    val df = Seq(("doc-1", Array[Byte](1))).toDF("doc_id", "media")
+    val ex = intercept[IllegalArgumentException] {
+      Multimodal.asMedia(df, "doc_id", "media")
+    }
+    assert(ex.getMessage.contains("integral"))
+  }
+
   test("resizedByteEstimate scales by area ratio") {
     val df = media.where($"id" === 1).select(
       Multimodal.resizedByteEstimate($"media", lit(100), lit(100), 50, 50)

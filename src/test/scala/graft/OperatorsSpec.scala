@@ -87,6 +87,19 @@ class OperatorsSpec extends SparkTestBase {
     assert(r(2L) == 0.0 && r(3L) == 0.0 && r(4L) == 0.0)
   }
 
+  test("kernel tokenization matches the declarative split on \\s semantics") {
+    // U+3000 (ideographic space) is NOT in the regex \s class: both the
+    // compiled TextProfile kernel and Dedup.words must treat it as a
+    // word character, and "IT IS" must lowercase locale-independently
+    val df = Seq((1L, "IT IS　THE test")).toDF("id", "text")
+    val nTok = df.select(TextStats.tokenCount(col("text"))).head().getInt(0)
+    val nWords = df.select(size(Dedup.words(col("text")))).head().getInt(0)
+    assert(nTok == nWords && nTok == 3) // "it", "is　the", "test"
+    // stopword matching sees the lower-cased "it"/"test" tokens only
+    val sw = df.select(TextStats.stopwordRatio(col("text"))).head().getDouble(0)
+    assert(math.abs(sw - 1.0 / 3.0) < 1e-6) // only "it" is a stopword
+  }
+
   test("langId picks the right stopword profile") {
     val preds = docs.select($"doc_id", TextStats.langId($"text").as("l"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
