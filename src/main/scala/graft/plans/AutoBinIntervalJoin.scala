@@ -135,11 +135,22 @@ case class AutoBinIntervalJoin(session: SparkSession) extends Rule[LogicalPlan] 
     // the shuffle parallelism (a hot-key ceiling); no stats → stay unbinned
     val parallelism = session.sessionState.conf.numShufflePartitions
     val stats = build.stats.attributeStats
-    val ndvs = ic.leftKeys.flatMap {
+    val ndvs = ic.leftKeys.map {
       case a: Attribute => stats.get(a).flatMap(_.distinctCount)
       case _ => None
     }
-    ndvs.nonEmpty && ndvs.max < BigInt(parallelism)
+    // every key column needs stats, and the COMBINED key space is what
+    // caps parallelism — it can be the product of per-column NDVs, so
+    // max alone would explode a (contig, sample) join whose 2400
+    // combined keys already hash-spread fine (product capped to avoid
+    // BigInt blowup; on correlated keys the product OVERestimates the
+    // true combined NDV, which only errs toward not binning — the safe
+    // direction, since binning costs a row explosion on both sides)
+    ndvs.forall(_.isDefined) && {
+      val cap = BigInt(parallelism) * 2
+      ndvs.flatten.foldLeft(BigInt(1))((acc, n) => (acc * n).min(cap)) <
+        BigInt(parallelism)
+    }
   }
 
   private def rewrite(j: Join, l: LogicalPlan, r: LogicalPlan,

@@ -99,18 +99,7 @@ private[graft] class IntervalCountRunner(
 
   /** Compiled (start, end) extractor — generated projection, no
     * interpreted Expression.eval and no boxing in the per-row loops. */
-  private final class BoundsEval(start: Expression, end: Expression,
-      schema: Seq[Attribute]) {
-    private val proj = UnsafeProjection.create(
-      Seq(Cast(start, LongType), Cast(end, LongType)), schema)
-    var s: Long = _
-    var e: Long = _
-    def eval(row: InternalRow): Boolean = {
-      val r = proj(row)
-      if (r.isNullAt(0) || r.isNullAt(1)) false
-      else { s = r.getLong(0); e = r.getLong(1); true }
-    }
-  }
+  // bounds extraction shares plans.BoundsEval with the join runner
 
   def buildSide(rows: Iterator[InternalRow]): CountBuildSide = {
     val keyProj = UnsafeProjection.create(leftKeys, leftOutput)
@@ -179,9 +168,10 @@ private[graft] class IntervalCountRunner(
     val keyProj = UnsafeProjection.create(rightKeys, rightOutput)
     val bounds = new BoundsEval(rightStart, rightEnd, rightOutput)
     val hasKeys = rightKeys.nonEmpty
-    val outProj = UnsafeProjection.create(
-      (groupAttrs.map(_.dataType) :+ LongType).toArray[DataType])
     if (groupAttrs.isEmpty) {
+      // created in this branch only — the grouped branch compiles its
+      // own projection inside emitGrouped
+      val outProj = UnsafeProjection.create(Array[DataType](LongType))
       var total = 0L
       iter.foreach { rrow =>
         if (bounds.eval(rrow)) {

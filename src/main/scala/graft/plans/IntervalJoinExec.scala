@@ -72,6 +72,24 @@ case class AsofJoin(forward: Boolean, strict: Boolean)
 /** Per-key interval indexes + the build rows they point into. The index
   * width (Int32 vs Int64 coordinates) is uniform across keys — decided
   * once per join from `coordWidth` + the bound types. */
+/** Compiled (start, end) extractor: one generated projection per side,
+  * no interpreted Expression.eval and no boxing in the per-row loops.
+  * Shared by the join and count runners — one place for the NULL-bound
+  * contract. */
+private[plans] final class BoundsEval(start: Expression, end: Expression,
+    schema: Seq[Attribute]) {
+  private val proj = UnsafeProjection.create(
+    Seq(Cast(start, LongType), Cast(end, LongType)), schema)
+  var s: Long = _
+  var e: Long = _
+  /** Returns false (and leaves s/e undefined) when either bound is NULL. */
+  def eval(row: InternalRow): Boolean = {
+    val r = proj(row)
+    if (r.isNullAt(0) || r.isNullAt(1)) false
+    else { s = r.getLong(0); e = r.getLong(1); true }
+  }
+}
+
 private[graft] class IntervalBuildSide(
     val keyed: java.util.HashMap[UnsafeRow, AnyIntervalIndex],
     val rows: Array[InternalRow]) extends Serializable
@@ -93,6 +111,9 @@ private[graft] class IntervalJoinRunner(
     residual: Option[Expression],
     joinType: IntervalJoinType,
     markAttr: Option[Attribute],
+    // the operator's computed `output` — passed in, not re-derived, so
+    // the joinType->schema mapping lives in exactly one place
+    outputAttrs: Seq[Attribute],
     algorithm: String,
     wide: Boolean,
     maxBuildBytes: Long,
@@ -100,17 +121,6 @@ private[graft] class IntervalJoinRunner(
     probeRows: SQLMetric,
     buildMemUsed: SQLMetric,
     probeTime: SQLMetric) extends Serializable {
-
-  private def outputAttrs: Seq[Attribute] = joinType match {
-    case OverlapJoin => leftOutput ++ rightOutput
-    case RightOuterJoin | NearestJoin | _: AsofJoin =>
-      leftOutput.map(_.withNullability(true)) ++ rightOutput
-    case FullOuterJoin =>
-      leftOutput.map(_.withNullability(true)) ++
-        rightOutput.map(_.withNullability(true))
-    case SemiJoin | AntiJoin => rightOutput
-    case MarkJoin => rightOutput :+ markAttr.get
-  }
 
   /** Checked narrowing matching the reference's failure-on-overflow Int32
     * coercion (interval_join.rs:1661-1672, pinned at :1927-1968). */
@@ -120,22 +130,6 @@ private[graft] class IntervalJoinRunner(
         s"[GRAFT_INTERVAL_JOIN] Can't cast value $v to type Int")
     }
     v.toInt
-  }
-
-  /** Compiled (start, end) extractor: one generated projection per side,
-    * no interpreted Expression.eval and no boxing in the per-row loops. */
-  private final class BoundsEval(start: Expression, end: Expression,
-      schema: Seq[Attribute]) {
-    private val proj = UnsafeProjection.create(
-      Seq(Cast(start, LongType), Cast(end, LongType)), schema)
-    var s: Long = _
-    var e: Long = _
-    /** Returns false (and leaves s/e undefined) when either bound is NULL. */
-    def eval(row: InternalRow): Boolean = {
-      val r = proj(row)
-      if (r.isNullAt(0) || r.isNullAt(1)) false
-      else { s = r.getLong(0); e = r.getLong(1); true }
-    }
   }
 
   def buildSide(rows: Iterator[InternalRow]): IntervalBuildSide = {
@@ -553,7 +547,11 @@ case class IntervalJoinExec(
     "buildTime" -> SQLMetrics.createTimingMetric(sparkContext, "build time"),
     "buildMemUsed" -> SQLMetrics.createSizeMetric(sparkContext, "build memory used"),
     "probeRows" -> SQLMetrics.createMetric(sparkContext, "probe rows"),
-    "probeTime" -> SQLMetrics.createTimingMetric(sparkContext, "probe time"))
+    // "(interpreted)": the codegen'd probe loops do not stamp this metric
+    // (a per-row clock inside the generated loop would cost more than it
+    // tells) — a 0 here on a WSCG plan means "look at the stage time"
+    "probeTime" -> SQLMetrics.createTimingMetric(sparkContext,
+      "probe time (interpreted path)"))
 
   override def requiredChildDistribution: Seq[Distribution] = mode match {
     case BroadcastMode => Seq(UnspecifiedDistribution, UnspecifiedDistribution)
@@ -616,7 +614,7 @@ case class IntervalJoinExec(
   private def runner: IntervalJoinRunner = new IntervalJoinRunner(
     left.output, right.output, leftKeys, rightKeys,
     leftStart, leftEnd, rightStart, rightEnd,
-    residual, joinType, markAttr, algorithm, wide,
+    residual, joinType, markAttr, output, algorithm, wide,
     conf.getConfString(graft.GraftSession.MaxBuildBytes, "0").toLong,
     longMetric("numOutputRows"),
     longMetric("probeRows"), longMetric("buildMemUsed"),

@@ -534,7 +534,11 @@ final class LongSuperIntervalsIndex private (
       while (rightIdx + 1 < starts.length &&
              starts(rightIdx + 1) == starts(rightIdx)) rightIdx += 1
       val d = satSub(starts(rightIdx), e)
-      if (d < bestDist || (d == bestDist && bestIdx >= 0 &&
+      // bestIdx < 0: no left candidate exists — the right candidate must
+      // win even when its saturated gap equals the Long.MaxValue
+      // sentinel bestDist starts at (otherwise a key WITH build rows
+      // would NULL-pad at the domain edge)
+      if (bestIdx < 0 || d < bestDist || (d == bestDist &&
           (starts(rightIdx) < starts(bestIdx) ||
            (starts(rightIdx) == starts(bestIdx) &&
             ends(rightIdx) < ends(bestIdx))))) {

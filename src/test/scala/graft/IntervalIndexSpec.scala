@@ -107,6 +107,18 @@ class IntervalIndexSpec extends AnyFunSuite {
     assert(idx.nearest(s, s) == 1)
   }
 
+  test("Long nearest: saturated gap at the domain edge still returns " +
+      "the only candidate") {
+    import graft.rangejoin.LongSuperIntervalsIndex
+    // single build interval at Long.MaxValue, probe at Long.MinValue:
+    // there is NO left candidate and the right candidate's saturated gap
+    // equals the Long.MaxValue sentinel bestDist starts at — it must
+    // still win (a key WITH build rows must never NULL-pad)
+    val idx = LongSuperIntervalsIndex.build(
+      Array(Long.MaxValue), Array(Long.MaxValue), Array(7))
+    assert(idx.nearest(Long.MinValue, Long.MinValue) == 7)
+  }
+
   test("Long index nearest ≡ linear argmin at epoch-micro magnitudes") {
     import graft.rangejoin.LongSuperIntervalsIndex
     val rnd = new Random(9)
