@@ -72,21 +72,31 @@ object Dedup {
    */
   def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    val sig = docs.select(col(idCol).as("id"),
-      minhashSignatureFromHashes(shingleHashes(col(textCol), shingleSize),
-        numHashes).as("sig"))
+    // NULL texts out before banding: they all share one signature, so a
+    // corpus with many NULL rows would put them ALL in the same bucket
+    // per band and detonate the quadratic within-bucket expansion
+    val sig = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        minhashSignatureFromHashes(shingleHashes(col(textCol), shingleSize),
+          numHashes).as("sig"))
     val banded = sig.select(col("id"),
       explode(lshBands(col("sig"), numHashes, bands)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.bucket").as("bucket"))
     val buckets = banded.groupBy("band", "bucket")
       .agg(collect_list("id").as("ids"))
       .where(size(col("ids")) > 1)
+    bucketPairs(buckets)
+  }
+
+  /** Within-bucket candidate expansion shared by the MinHash and SRP
+    * paths: explode each bucket's id list twice, keep ordered pairs,
+    * distinct across buckets. */
+  private def bucketPairs(buckets: DataFrame): DataFrame =
     buckets
       .select(explode(col("ids")).as("id1"), col("ids"))
       .select(col("id1"), explode(col("ids")).as("id2"))
       .where(col("id1") < col("id2"))
       .distinct()
-  }
 
   /** Exact n-gram Jaccard similarity between two shingle-array columns. */
   def jaccard(a: Column, b: Column): Column =
@@ -99,6 +109,13 @@ object Dedup {
    * >= `threshold`. The verification join re-derives shingles from the
    * original docs (2 hash-joins on id — broadcastable when docs is small,
    * shuffle-on-id at scale).
+   *
+   * The threshold is DELIBERATELY applied to the 6-dp-rounded similarity
+   * (here and in the cross-corpus/cosine variants): cross-engine float
+   * reproduction of the raw ratio is not exact at the last bit, so
+   * round-then-compare is what keeps a boundary pair's admit/reject
+   * decision identical between this engine and an external checker —
+   * the ±5e-7 threshold tolerance is the price of that determinism.
    */
   def minhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleSize: Int = 3, numHashes: Int = 64,
@@ -136,7 +153,8 @@ object Dedup {
       textCol: String, threshold: Double, shingleSize: Int = 3,
       numHashes: Int = 64, bands: Int = 16): DataFrame = {
     def banded(docs: DataFrame, side: String): DataFrame =
-      docs.select(col(idCol).as(side),
+      docs.where(col(textCol).isNotNull)
+        .select(col(idCol).as(side),
         minhashSignatureFromHashes(shingleHashes(col(textCol), shingleSize),
           numHashes).as("sig"))
         .select(col(side), explode(lshBands(col("sig"), numHashes, bands)).as("b"))
@@ -220,7 +238,11 @@ object Dedup {
     * shape: one groupBy on the text (hash-partitioned), pair expansion
     * within groups — never a self-join on the full table. */
   def exactDupPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("id"), col(textCol).as("t"))
+    // isNotNull: GROUP BY treats NULLs as equal, so NULL-text documents
+    // would otherwise all pair as "duplicates" of each other (and
+    // dropDuplicateDocs would then delete all but one of them)
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), col(textCol).as("t"))
       .groupBy("t").agg(sort_array(collect_list("id")).as("ids"))
       .where(size(col("ids")) > 1)
       .select(explode(col("ids")).as("id1"), col("ids"))
@@ -274,8 +296,11 @@ object Dedup {
         lit(0.0).as("cosine")).where(lit(false))
     }
     val dim = dimRow(0).getInt(0)
-    val sig = emb.select(col(idCol).as("id"),
-      Similarity.srpBucket(col(vecCol), planes, dim).as("sig"))
+    // NULL vectors out before banding (same blowup mode as NULL texts in
+    // lshCandidatePairs: one shared bucket per band)
+    val sig = emb.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"),
+        Similarity.srpBucket(col(vecCol), planes, dim).as("sig"))
     val banded = sig.select(col("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
@@ -284,11 +309,7 @@ object Dedup {
     val buckets = banded.groupBy("band", "bv")
       .agg(collect_list("id").as("ids"))
       .where(size(col("ids")) > 1)
-    val cands = buckets
-      .select(explode(col("ids")).as("id1"), col("ids"))
-      .select(col("id1"), explode(col("ids")).as("id2"))
-      .where(col("id1") < col("id2"))
-      .distinct()
+    val cands = bucketPairs(buckets)
     val vs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
     cands
       .join(vs.withColumnRenamed("id", "id1").withColumnRenamed("v", "v1"), "id1")
@@ -413,11 +434,19 @@ object Dedup {
         x
       }
       def add(x: Any): Unit = if (!parent.containsKey(x)) parent.put(x, x)
-      // row.copy(): the LogicalRDD scan pipes rows through an
-      // UnsafeProjection that REUSES one output buffer, so a buffer-backed
-      // value (UTF8String, binary) extracted from row N is clobbered at
-      // row N+1 unless the row is copied first
-      it.map(_.copy()).foreach { row =>
+      // row.copy() for buffer-backed types only: the LogicalRDD scan
+      // pipes rows through an UnsafeProjection that REUSES one output
+      // buffer, so a UTF8String/binary value extracted from row N is
+      // clobbered at row N+1 unless the row is copied first. Primitive
+      // ids are extracted by value — copying 1M rows there would be pure
+      // GC churn.
+      val bufferBacked = dt match {
+        case org.apache.spark.sql.types.StringType |
+             org.apache.spark.sql.types.BinaryType => true
+        case _ => false
+      }
+      val rows = if (bufferBacked) it.map(_.copy()) else it
+      rows.foreach { row =>
         val s = row.get(0, dt)
         val d = row.get(1, dt)
         add(s); add(d)
@@ -566,8 +595,11 @@ object Dedup {
     * at least one chunk — then verify `bit_count(xor) <= maxHamming`. */
   def simhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, shingleSize: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      simhash64FromHashes(shingleHashes(col(textCol), shingleSize)).as("sh"))
+    // NULL texts out before chunking: all-NULL simhashes share every
+    // chunk bucket (same quadratic blowup mode as the MinHash path)
+    val sh = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        simhash64FromHashes(shingleHashes(col(textCol), shingleSize)).as("sh"))
     val chunked = sh.select(col("id"), col("sh"),
       explode(transform(sequence(lit(0), lit(3)),
         c => struct(c.as("chunk"),

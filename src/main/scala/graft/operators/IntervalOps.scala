@@ -247,12 +247,17 @@ object IntervalOps {
   def coverageStats(df: DataFrame, keyCols: Seq[String], startCol: String,
       endCol: String, maxGap: Long = 0L): DataFrame = {
     val keys: Seq[Column] = keyCols.map(col)
+    // cast-to-long BEFORE the per-row length arithmetic: an int-typed
+    // merged region spanning > Int.MaxValue coordinates would overflow
+    // (same hygiene as intervalSetJaccard / depthHistogram)
     mergeIntervals(df, keyCols, startCol, endCol, maxGap)
       .groupBy(keys: _*)
       .agg(count(lit(1)).as("n_regions"),
-        sum(col("merged_end") - col("merged_start") + 1)
+        sum(col("merged_end").cast("long") -
+          col("merged_start").cast("long") + 1L)
           .as("covered_bases"),
-        max(col("merged_end") - col("merged_start") + 1)
+        max(col("merged_end").cast("long") -
+          col("merged_start").cast("long") + 1L)
           .as("max_region_len"),
         sum(col("n_merged")).as("n_intervals"))
   }

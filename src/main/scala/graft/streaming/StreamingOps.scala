@@ -17,12 +17,19 @@ import org.apache.spark.sql.functions._
 object StreamingOps {
 
   /** Exact-dedup on a stream: watermarked drop-duplicates on the id —
-    * state for an id is dropped once the watermark passes it. Works on
-    * both streaming and batch DataFrames. */
+    * state for an id is dropped once the watermark passes its first
+    * sighting. `dropDuplicatesWithinWatermark`, NOT plain
+    * `dropDuplicates`: with an id-only key the latter never evicts state
+    * (the watermark only purges dedup state when the event-time column
+    * is part of the key), which grows without bound at ingest rates.
+    * Batch DataFrames take the plain path (the WithinWatermark variant
+    * is streaming-only). */
   def dedupStream(events: DataFrame, idCol: String, tsCol: String,
-      watermark: String = "10 minutes"): DataFrame =
-    events.withWatermark(tsCol, watermark)
-      .dropDuplicates(Seq(idCol))
+      watermark: String = "10 minutes"): DataFrame = {
+    val wm = events.withWatermark(tsCol, watermark)
+    if (events.isStreaming) wm.dropDuplicatesWithinWatermark(Seq(idCol))
+    else wm.dropDuplicates(Seq(idCol))
+  }
 
   /** Sliding-window per-type counts + value sums. */
   def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,

@@ -25,6 +25,24 @@ class OperatorsSpec extends SparkTestBase {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("NULL texts never pair: exact, minhash and simhash paths") {
+    // GROUP BY treats NULLs as equal and all-NULL signatures share every
+    // bucket — without guards, NULL-text docs would all report as dups
+    // of each other (and dropDuplicateDocs would delete all but one)
+    val withNulls = docs.union(
+      Seq((90L, null: String), (91L, null: String), (92L, null: String))
+        .toDF("doc_id", "text"))
+    val exact = Dedup.exactDupPairs(withNulls, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == Set((1L, 2L)))
+    val lsh = Dedup.lshCandidatePairs(withNulls, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!lsh.exists(p => p._1 >= 90L || p._2 >= 90L))
+    val sim = Dedup.simhashDupPairs(withNulls, "doc_id", "text", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!sim.exists(p => p._1 >= 90L || p._2 >= 90L))
+  }
+
   test("minhash-LSH candidates have recall 1 on exact duplicates") {
     val cands = Dedup.lshCandidatePairs(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
