@@ -56,12 +56,17 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     val out = Array.fill(numHashes)(Long.MaxValue)
     var j = 0
     while (j < n) {
-      val h = hs.getLong(j)
-      var i = 0
-      while (i < numHashes) {
-        val v = HashKernels.mix64(h + salts(i))
-        if (v < out(i)) out(i) = v
-        i += 1
+      // NULL elements are skipped, not hashed-as-0: containsNull inputs
+      // (SQL-built arrays) would otherwise make unrelated documents
+      // share the mix64(salt) signature component
+      if (!hs.isNullAt(j)) {
+        val h = hs.getLong(j)
+        var i = 0
+        while (i < numHashes) {
+          val v = HashKernels.mix64(h + salts(i))
+          if (v < out(i)) out(i) = v
+          i += 1
+        }
       }
       j += 1
     }
@@ -94,6 +99,21 @@ case class SrpBucket(child: Expression, planes: Int, dim: Int)
   override def dataType: DataType = LongType
   override def prettyName: String = "srp_bucket"
 
+  /** Plane-component signs are a pure function of (p, d) — identical on
+    * every row — so they are materialized ONCE per executor instead of
+    * paying planes x dim mix64 evaluations per row (6144 per row at the
+    * 8x768 default on an embedding scan). Same values: bit i =
+    * mix64(i) & 1 for i = p*dim + d, exactly what the loop computed. */
+  @transient private lazy val signs: Array[Boolean] = {
+    val arr = new Array[Boolean](planes * dim)
+    var i = 0
+    while (i < arr.length) {
+      arr(i) = (HashKernels.mix64(i.toLong) & 1L) != 0L
+      i += 1
+    }
+    arr
+  }
+
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val n = math.min(dim, v.numElements())
@@ -101,11 +121,15 @@ case class SrpBucket(child: Expression, planes: Int, dim: Int)
     var p = 0
     while (p < planes) {
       var s = 0.0
+      val off = p * dim
       var d = 0
       while (d < n) {
-        val x = v.getFloat(d).toDouble
-        if ((HashKernels.mix64(p.toLong * dim + d) & 1L) != 0L) s += x
-        else s -= x
+        // NULL elements contribute 0 (skipped) instead of reading a
+        // garbage float from the null slot
+        if (!v.isNullAt(d)) {
+          val x = v.getFloat(d).toDouble
+          if (signs(off + d)) s += x else s -= x
+        }
         d += 1
       }
       if (s > 0) bucket |= (1L << p)
@@ -135,11 +159,15 @@ case class SimHash64(child: Expression)
     val votes = new Array[Int](64)
     var j = 0
     while (j < n) {
-      val h = hs.getLong(j)
-      var i = 0
-      while (i < 64) {
-        if (((h >>> i) & 1L) != 0L) votes(i) += 1 else votes(i) -= 1
-        i += 1
+      // NULL elements are skipped — an all-zero vote would otherwise
+      // make every NULL-bearing document drift toward simhash 0
+      if (!hs.isNullAt(j)) {
+        val h = hs.getLong(j)
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) != 0L) votes(i) += 1 else votes(i) -= 1
+          i += 1
+        }
       }
       j += 1
     }

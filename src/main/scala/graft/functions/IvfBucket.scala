@@ -22,6 +22,8 @@ case class IvfBucket(child: Expression, centroids: Seq[Seq[Float]])
   extends UnaryExpression with CodegenFallback {
 
   require(centroids.nonEmpty)
+  require(centroids.forall(_.length == centroids.head.length),
+    "ivf_bucket: ragged centroids — all rows must share one dimension")
 
   @transient private lazy val k = centroids.length
   @transient private lazy val dim = centroids.head.length
@@ -48,7 +50,15 @@ case class IvfBucket(child: Expression, centroids: Seq[Seq[Float]])
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    val n = math.min(dim, v.numElements())
+    // a shorter vector would silently truncate the dot product, breaking
+    // the max-dot = max-cosine invariant (centroids are unit-norm over
+    // the FULL dim, their first-n sub-norms differ per centroid) — fail
+    // with the actual dims instead of mis-assigning cells
+    if (v.numElements() != dim) {
+      throw new IllegalArgumentException(
+        s"ivf_bucket: vector dim ${v.numElements()} != centroid dim $dim")
+    }
+    val n = dim
     var best = 0
     var bestDot = Double.NegativeInfinity
     var c = 0

@@ -30,8 +30,16 @@ case class IntervalCondition(
     /** True when either recognized range predicate compared a LongType
       * operand — the signal `coordWidth=auto` uses to pick the Int64
       * index. Computed from the ORIGINAL operand types, before the
-      * strict-op `minusOne` rewrite widens everything to Long. */
-    hasLongBounds: Boolean = false)
+      * strict-op `minusOne` rewrite widens everything to Long (bin-size
+      * heuristics key off this, and the shift does not change coordinate
+      * MAGNITUDE). */
+    hasLongBounds: Boolean = false,
+    /** True when a strict op was rewritten via the ±1 shift. The shift
+      * can push a valid narrow bound out of the Int32 domain
+      * (Int.MinValue − 1), so `coordWidth=auto` must widen these joins
+      * even when every ORIGINAL operand is narrow — otherwise the int32
+      * path's checked narrowing fails the query on valid data. */
+    strictShifted: Boolean = false)
 
 object IntervalCondition extends PredicateHelper {
 
@@ -75,7 +83,8 @@ object IntervalCondition extends PredicateHelper {
     //   dir = LE: l <= r (after strictness shift)    [l = a start, r = a end]
     //   dir = GE: l >= r (after strictness shift)    [l = an end, r = a start]
     sealed trait Dir; case object LE extends Dir; case object GE extends Dir
-    case class Range(l: Expression, r: Expression, dir: Dir, wide: Boolean)
+    case class Range(l: Expression, r: Expression, dir: Dir, wide: Boolean,
+      shifted: Boolean = false)
 
     def isWide(a: Expression, b: Expression): Boolean =
       Seq(a, b).exists(e =>
@@ -97,19 +106,23 @@ object IntervalCondition extends PredicateHelper {
       // strict ops: x < y  ⇒  x <= y-1 ;  x > y  ⇒  x-1 >= y
       case LessThan(a, b) if fromLeft(a) && fromRight(b) &&
           integral(a) && integral(b) =>
-        Some(Range(norm(a), minusOne(norm(b)), LE, isWide(a, b)))
+        Some(Range(norm(a), minusOne(norm(b)), LE, isWide(a, b),
+          shifted = true))
       // `rs < le` ⇔ `le > rs` ⇔ `le - 1 >= rs` (shift the LEFT operand;
       // reference intervals.rs:99-129 applies minus_one to the gt side)
       case LessThan(a, b) if fromRight(a) && fromLeft(b) &&
           integral(a) && integral(b) =>
-        Some(Range(minusOne(norm(b)), norm(a), GE, isWide(a, b)))
+        Some(Range(minusOne(norm(b)), norm(a), GE, isWide(a, b),
+          shifted = true))
       case GreaterThan(a, b) if fromLeft(a) && fromRight(b) &&
           integral(a) && integral(b) =>
-        Some(Range(minusOne(norm(a)), norm(b), GE, isWide(a, b)))
+        Some(Range(minusOne(norm(a)), norm(b), GE, isWide(a, b),
+          shifted = true))
       // `re > ls` ⇔ `ls < re` ⇔ `ls <= re - 1` (shift the RIGHT operand)
       case GreaterThan(a, b) if fromRight(a) && fromLeft(b) &&
           integral(a) && integral(b) =>
-        Some(Range(norm(b), minusOne(norm(a)), LE, isWide(a, b)))
+        Some(Range(norm(b), minusOne(norm(a)), LE, isWide(a, b),
+          shifted = true))
       case _ => None
     }
 
@@ -125,8 +138,8 @@ object IntervalCondition extends PredicateHelper {
       case EqualTo(a, b) if fromRight(a) && fromLeft(b) =>
         leftKeys :+= b; rightKeys :+= a
       case c => asRange(c) match {
-        case Some(r @ Range(_, _, LE, _)) if les.isEmpty => les :+= r
-        case Some(r @ Range(_, _, GE, _)) if ges.isEmpty => ges :+= r
+        case Some(r) if r.dir == LE && les.isEmpty => les :+= r
+        case Some(r) if r.dir == GE && ges.isEmpty => ges :+= r
         case _ => residual :+= c
       }
     }
@@ -140,7 +153,8 @@ object IntervalCondition extends PredicateHelper {
         leftStart = le.l, leftEnd = ge.l,
         rightStart = ge.r, rightEnd = le.r,
         residual = residual.reduceOption(And),
-        hasLongBounds = le.wide || ge.wide))
+        hasLongBounds = le.wide || ge.wide,
+        strictShifted = le.shifted || ge.shifted))
     }
   }
 }

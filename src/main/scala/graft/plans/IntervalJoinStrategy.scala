@@ -45,7 +45,11 @@ case class IntervalJoinStrategy(session: SparkSession) extends SparkStrategy {
     }
 
   private def coordWide(ic: IntervalCondition): Boolean =
-    coordWideFor(ic.hasLongBounds)
+    // strict-shifted bounds widen too: the ±1 shift can push a valid
+    // narrow bound to Int.MinValue − 1, which the int32 path's checked
+    // narrowing would fail on VALID data (explicit coordWidth=int32
+    // keeps reference-parity overflow behavior)
+    coordWideFor(ic.hasLongBounds || ic.strictShifted)
 
   /** Shared mode selection for probe-side variants (build side given). */
   private def pickMode(build: LogicalPlan, hasKeys: Boolean)
@@ -90,9 +94,16 @@ case class IntervalJoinStrategy(session: SparkSession) extends SparkStrategy {
         case Some(ic) if ic.residual.isEmpty =>
           val threshold = session.sessionState.conf.autoBroadcastJoinThreshold
           val fitsBroadcast = threshold > 0 && l.stats.sizeInBytes <= threshold
+          // forceMode applies here like on every sibling node type, so
+          // tests can pin the partitioned nearest path deterministically
           val mode =
-            if (ic.leftKeys.isEmpty || fitsBroadcast) BroadcastMode
-            else PartitionedMode
+            conf(graft.GraftSession.IntervalJoinForceMode, "").toLowerCase match {
+              case "broadcast" => BroadcastMode
+              case "partitioned" if ic.leftKeys.nonEmpty => PartitionedMode
+              case _ =>
+                if (ic.leftKeys.isEmpty || fitsBroadcast) BroadcastMode
+                else PartitionedMode
+            }
           IntervalJoinExec(
             planLater(l), planLater(r),
             ic.leftKeys, ic.rightKeys,
@@ -221,9 +232,15 @@ case class IntervalJoinStrategy(session: SparkSession) extends SparkStrategy {
           val nearest = algorithm.toLowerCase == "nearest" ||
             algorithm.toLowerCase == "coitreesnearest" // reference's name
           if (nearest && ic.residual.nonEmpty) {
-            // nearest semantics with extra filters is ill-defined — fall
-            // back to Spark's built-in join planning
-            Nil
+            // nearest semantics with extra filters is ill-defined, and a
+            // silent fallback to Spark's stock join would return OVERLAP
+            // pairs — different row semantics than the conf asked for.
+            // Fail loudly instead of changing answers.
+            throw new IllegalStateException(
+              "[GRAFT_INTERVAL_JOIN] algorithm=nearest cannot apply to a " +
+                "join with residual conjuncts beyond the range pair " +
+                s"(${ic.residual.get.sql}); use graft.operators.NearestJoin " +
+                "with the bare overlap condition, or unset the algorithm")
           } else {
             val threshold = session.sessionState.conf.autoBroadcastJoinThreshold
             val leftSize = l.stats.sizeInBytes
@@ -262,6 +279,15 @@ case class IntervalJoinStrategy(session: SparkSession) extends SparkStrategy {
               }
             val joinType = if (nearest) NearestJoin else OverlapJoin
             mode match {
+              case None if nearest =>
+                // declining under algorithm=nearest would silently run
+                // Spark's stock join with OVERLAP semantics — a
+                // stats-dependent answer flip. Fail loudly instead.
+                throw new IllegalStateException(
+                  "[GRAFT_INTERVAL_JOIN] algorithm=nearest: keyless join " +
+                    "whose build side exceeds the broadcast threshold " +
+                    "cannot plan as a nearest join; raise " +
+                    "spark.sql.autoBroadcastJoinThreshold or add equi-keys")
               case None => Nil
               case Some(m) =>
                 IntervalJoinExec(

@@ -109,6 +109,14 @@ class IntervalConditionSpec extends AnyFunSuite {
   }
 
   // -- rejection ----------------------------------------------------------
+  test("strictShifted set exactly when a strict op was rewritten") {
+    val strict = extract((ls < re) && (le >= rs)).get
+    assert(strict.strictShifted)
+    assert(!strict.hasLongBounds) // shift does not change magnitude signal
+    val inclusive = extract((ls <= re) && (le >= rs)).get
+    assert(!inclusive.strictShifted)
+  }
+
   test("only one range predicate → not recognized") {
     assert(extract(LessThanOrEqual(ls, re)).isEmpty)
   }

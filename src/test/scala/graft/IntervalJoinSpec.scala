@@ -206,6 +206,41 @@ class IntervalJoinSpec extends SparkTestBase with BeforeAndAfterEach {
       stockResult(a, b, withKey = true))
   }
 
+  test("strict op at Int.MinValue: the -1 shift must not fail the query") {
+    // a.pos_start < b.pos_end with b.pos_end = Int.MinValue shifts the
+    // bound to Int.MinValue - 1 — out of the Int32 domain even though
+    // every DATA value is a valid Int. auto coordWidth must widen
+    // (strictShifted) and the row simply matches nothing.
+    val a = Seq(("c", 5, 10)).toDF("contig", "pos_start", "pos_end")
+    val b = Seq(("c", Int.MinValue, Int.MinValue), ("c", 3, 8))
+      .toDF("contig", "pos_start", "pos_end")
+    val df = a.join(b, a("contig") === b("contig") &&
+      a("pos_start") < b("pos_end") && a("pos_end") > b("pos_start"))
+    assertUsesIntervalJoin(df)
+    assert(planOf(df).contains("coord=int64"), planOf(df))
+    // only the (3, 8) row qualifies: 5 < 8 && 10 > 3
+    assert(df.count() == 1)
+  }
+
+  test("algorithm=nearest fails loudly instead of silently running overlap") {
+    spark.conf.set(GraftSession.IntervalJoinAlgorithm, "nearest")
+    try {
+      // residual conjunct beyond the range pair -> nearest is ill-defined;
+      // the old behavior silently fell back to a stock OVERLAP join
+      val a = Seq(("c", 5, 10, 1)).toDF("contig", "pos_start", "pos_end", "x")
+      val b = Seq(("c", 3, 8, 2)).toDF("contig", "pos_start", "pos_end", "y")
+      val df = a.join(b, a("contig") === b("contig") &&
+        a("pos_start") <= b("pos_end") && a("pos_end") >= b("pos_start") &&
+        a("x") =!= b("y"))
+      val ex = intercept[Exception] { df.collect() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else t.getMessage +: msgs(t.getCause)
+      assert(msgs(ex).exists(m =>
+        m != null && m.contains("GRAFT_INTERVAL_JOIN")), s"got: ${msgs(ex)}")
+    } finally spark.conf.set(GraftSession.IntervalJoinAlgorithm,
+      "superintervals")
+  }
+
   test("partitioned mode: forced, correct, and contains exchanges") {
     spark.conf.set(GraftSession.IntervalJoinForceMode, "partitioned")
     val df = overlapJoin(targets, reads)

@@ -25,6 +25,18 @@ class OperatorsSpec extends SparkTestBase {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("kernels skip NULL array elements instead of hashing them as 0") {
+    import org.apache.spark.sql.Row
+    val r = spark.sql(
+      """SELECT minhash_signature(array(CAST(7 AS BIGINT), NULL)) AS m1,
+        |       minhash_signature(array(CAST(7 AS BIGINT))) AS m2,
+        |       simhash64(array(CAST(7 AS BIGINT), NULL)) AS s1,
+        |       simhash64(array(CAST(7 AS BIGINT))) AS s2""".stripMargin)
+      .head()
+    assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    assert(r.getLong(2) == r.getLong(3))
+  }
+
   test("NULL texts never pair: exact, minhash and simhash paths") {
     // GROUP BY treats NULLs as equal and all-NULL signatures share every
     // bucket — without guards, NULL-text docs would all report as dups
