@@ -67,7 +67,15 @@ object GraftSession {
 
   /** Idempotently install the graft planner strategies on an existing
     * session (covers driver-created sessions that did not pass
-    * `.withExtensions`). */
+    * `.withExtensions`).
+    *
+    * Known gap vs the extension path: `injectRuntimeOptimizerRule` has no
+    * post-creation public hook, so install()-bootstrapped sessions run
+    * the AutoBin skew rewrite only in the STATIC optimizer — the AQE
+    * re-optimization pass (which catches keyless joins whose static size
+    * estimate was wrong) is extension-only. Prefer
+    * `.withExtensions(new GraftSparkSessionExtension)` (or the
+    * `spark.sql.extensions` conf) when building the session yourself. */
   def install(spark: SparkSession): SparkSession = synchronized {
     val already = spark.experimental.extraStrategies.exists(
       _.isInstanceOf[IntervalJoinStrategy])
@@ -111,12 +119,21 @@ object Tables {
     // events.ts is parquet TIMESTAMP(NANOS), which Spark only reads as a
     // raw Long; re-expose it as a proper (microsecond) timestamp so SQL
     // over the view matches DuckDB's native nanosecond read.
+    // NOTE: nanosAsLong is a SESSION-level flip that stays set (restoring
+    // it after the eager schema read risks diverging from what execution
+    // re-reads) — other TIMESTAMP(NANOS) parquet in the same session will
+    // also surface as Long.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
+      // FLOOR division, not `DIV` (which truncates toward zero): a
+      // pre-epoch nanosecond like -1500 must floor to -2 µs the way a
+      // native nanosecond-to-micros conversion does, or pre-epoch rows
+      // sit 1 µs later than the DuckDB oracle's read
       df.withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+          org.apache.spark.sql.functions.expr(
+            "(ts DIV 1000) - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)")))
     } else df
   }
 

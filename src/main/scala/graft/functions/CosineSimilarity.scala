@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, NumericType}
 
 /**
  * Codegen'd cosine similarity between two `array<float>` embedding
@@ -104,6 +104,17 @@ object CosineSimilarity {
     (children: Seq[Expression]) => {
       require(children.length == 2,
         "cosine_similarity expects exactly 2 arguments")
-      CosineSimilarity(children.head, children(1))
+      // builder-side coercion: SQL array literals are array<double>, so
+      // `cosine_similarity(array(0.1, ...), emb)` would otherwise demand
+      // a manual CAST to array<float> from every ad-hoc probe. Numeric
+      // element types are cast; anything else still fails type-check
+      // with the kernel's clear message. (Catalyst's ImplicitCastInput-
+      // Types is sql-package-private in Spark 4, hence the builder hook.)
+      def coerce(e: Expression): Expression = e.dataType match {
+        case ArrayType(FloatType, _) => e
+        case ArrayType(_: NumericType, n) => Cast(e, ArrayType(FloatType, n))
+        case _ => e
+      }
+      CosineSimilarity(coerce(children.head), coerce(children(1)))
     })
 }

@@ -38,11 +38,25 @@ object BinnedIntervalJoin {
     require(binSize > 0, "binSize must be positive")
 
     // least/greatest keeps the span set correct for inverted (start > end)
-    // intervals, which the unbinned join matches via the raw predicate
+    // intervals, which the unbinned join matches via the raw predicate.
+    // The span cap guards the explode: ONE open-ended sentinel row
+    // (end = Long.MaxValue) would otherwise ask sequence() for ~1e13
+    // elements and kill the whole job — same guard the planner-automatic
+    // rewrite applies. Oversized spans fail with the offending width.
+    val maxBinsPerRow = 1000000L
     def withBins(df: DataFrame, start: String, end: String, binCol: String) = {
       val bs = floor(col(start).cast("long") / binSize).cast("long")
       val be = floor(col(end).cast("long") / binSize).cast("long")
-      df.withColumn(binCol, explode(sequence(least(bs, be), greatest(bs, be))))
+      val span = greatest(bs, be) - least(bs, be) + 1L
+      // span >= 1 also catches Long overflow of the subtraction itself
+      // (binSize=1 with coords spanning the full domain wraps negative)
+      val guarded = when(span >= 1L && span <= maxBinsPerRow,
+        sequence(least(bs, be), greatest(bs, be)))
+        .otherwise(raise_error(concat(
+          lit(s"[GRAFT_INTERVAL_JOIN] binned join: interval spans "),
+          span, lit(s" bins of $binSize — raise binSize or filter " +
+            "open-ended sentinel intervals"))))
+      df.withColumn(binCol, explode(guarded))
     }
 
     val l = withBins(left, leftStart, leftEnd, "__bin_l")

@@ -82,13 +82,16 @@ object TextStats {
   /** Within-document repetition: the fraction of word `n`-grams that are
     * repeats of an earlier one (`1 - distinct/total`) — the
     * Gopher-style duplicate-n-gram filter for boilerplate / degenerate
-    * loops. 0 for docs shorter than `n` words (one whole-doc gram).
+    * loops. 0 for docs shorter than `n` words (one whole-doc gram);
+    * NULL for NULL text (matching every sibling stat — a NULL doc must
+    * not pass a `repetitionRatio < x` quality gate as pristine prose).
     * Pure map-side column work, no kernel needed. */
   def repetitionRatio(text: Column, n: Int = 2): Column = {
     val ws = Dedup.words(text)
     val total = when(size(ws) >= n, size(ws) - (n - 1)).otherwise(lit(1))
     val distinctGrams = size(Dedup.wordShingles(text, n))
-    round((total - distinctGrams).cast("double") / total.cast("double"), 6)
+    when(text.isNull, lit(null).cast("double")).otherwise(
+      round((total - distinctGrams).cast("double") / total.cast("double"), 6))
   }
 
   /** Winnowing-style document fingerprint: min over all `k`-shingle
@@ -100,8 +103,12 @@ object TextStats {
   /** Full-document content fingerprint (xxhash64 of the text): the
     * scalable exact-dedup key — at 100 TB you join/group on this 8-byte
     * hash instead of shuffling document text. Distinct texts collide with
-    * probability ~n²/2⁶⁴ (negligible); identical texts always agree. */
-  def contentFingerprint(text: Column): Column = xxhash64(text)
+    * probability ~n²/2⁶⁴ (negligible); identical texts always agree.
+    * NULL text → NULL (bare xxhash64 maps every NULL to the constant
+    * seed, which would group ALL null-text docs as mutual "duplicates" —
+    * the exact blowup `exactDupPairs` guards against). */
+  def contentFingerprint(text: Column): Column =
+    when(text.isNull, lit(null).cast("long")).otherwise(xxhash64(text))
 
   /** Convenience: append the full stats column set. */
   def withStats(docs: DataFrame, textCol: String): DataFrame =

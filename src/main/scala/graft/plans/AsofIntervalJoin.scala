@@ -90,6 +90,15 @@ object AsofCondition extends PredicateHelper {
         leftKeys :+= a; rightKeys :+= b
       case EqualTo(a, b) if fromRight(a) && fromLeft(b) =>
         leftKeys :+= b; rightKeys :+= a
+      case EqualNullSafe(a, b)
+          if (fromLeft(a) && fromRight(b)) || (fromRight(a) && fromLeft(b)) =>
+        // a cross-side <=> would otherwise fall through to `residual` and
+        // the join would plan KEYLESS — one GLOBAL pick, then the
+        // equality as a post-pick filter: silently wrong per-key as-of
+        // results. The build also skips NULL keys, so null<=>null could
+        // not be honored anyway. Reject; the caller sees a clear error
+        // and can write `=` instead.
+        ok = false
       case c =>
         val axis: Option[(Expression, Expression, Boolean, Boolean)] =
           if (time.nonEmpty) None

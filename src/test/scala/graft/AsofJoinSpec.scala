@@ -195,5 +195,11 @@ class AsofJoinSpec extends SparkTestBase with BeforeAndAfterEach {
         b("tag") === "x")
     }
     assert(ex3.getMessage.contains("single-side"))
+    // a cross-side <=> key would silently plan KEYLESS (global pick +
+    // post-pick filter) — must be rejected, not demoted to residual
+    val ex4 = intercept[IllegalArgumentException] {
+      AsofJoin(b, p, b("key") <=> p("key") && b("t") <= p("t"))
+    }
+    assert(ex4.getMessage.contains("AsofJoin condition"))
   }
 }

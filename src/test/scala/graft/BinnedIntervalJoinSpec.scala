@@ -190,6 +190,22 @@ class BinnedIntervalJoinSpec extends SparkTestBase {
     }
   }
 
+  test("open-ended sentinel interval fails with a clear error, not an OOM") {
+    // one end = Long.MaxValue row would ask explode(sequence(...)) for
+    // ~9e12 bins and kill the job; the guard raises instead
+    val a = Seq(("c", 0L, Long.MaxValue)).toDF("contig", "s", "e")
+    val b = Seq(("c", 5L, 10L)).toDF("contig", "s", "e")
+    val ex = intercept[Exception] {
+      graft.operators.BinnedIntervalJoin
+        .join(a, b, Seq("contig"), "s", "e", "s", "e", binSize = 1000000)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: msgs(t.getCause)
+    assert(msgs(ex).exists(m => m != null && m.contains("raise binSize")),
+      s"got: ${msgs(ex)}")
+  }
+
   test("binned join plans through IntervalJoinExec with bin equi-key") {
     val a = Seq(("c1", 1, 250)).toDF("k", "s", "e")
     val b = Seq(("c1", 200, 260)).toDF("k", "s2", "e2")

@@ -103,6 +103,17 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("NULL text: fingerprint and repetitionRatio return NULL, not constants") {
+    val df = Seq((1L, null: String), (2L, "real text here"))
+      .toDF("id", "text")
+      .select(col("id"),
+        TextStats.contentFingerprint(col("text")).as("fp"),
+        TextStats.repetitionRatio(col("text")).as("rep"))
+    val byId = df.collect().map(r => r.getLong(0) -> (r.isNullAt(1), r.isNullAt(2))).toMap
+    assert(byId(1L) == ((true, true)))  // NULL in, NULL out
+    assert(byId(2L) == ((false, false)))
+  }
+
   test("repetitionRatio flags degenerate loops, not prose") {
     val df = Seq(
       (1L, "spam ham spam ham spam ham spam ham"),     // 7 bigrams, 2 distinct

@@ -58,6 +58,12 @@ class SqlSurfaceSpec extends SparkTestBase {
     assert(srp >= 0 && srp < 16)
     val tp = spark.sql("SELECT text_profile('Hello world 123!')").head()
     assert(!tp.isNullAt(0))
+    // SQL array literals are array<double> — the builder coerces them so
+    // ad-hoc probes need no manual CAST to array<float>
+    val cos = spark.sql(
+      "SELECT cosine_similarity(array(1.0, 0.0), array(1.0, 0.0))")
+      .head().getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-9)
   }
 
   test("heavy key skew: broadcast mode keeps probe parallelism") {
