@@ -50,7 +50,7 @@ object Bench {
       val ok = try { body; true } catch {
         case t: Throwable =>
           errors(name) = Option(t.getMessage).getOrElse(t.getClass.getName)
-            .replaceAll("[\"\\\\\n\r]", " ").take(200)
+            .take(200)
           false
       }
       gcSec(name) = (gcMillis - gc0) / 1e3
@@ -59,10 +59,22 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       timed(name)(fn(spark, sfDir).count())
-    } ++ flagship(spark, sfDir, timed)
+    } ++ {
+      // the flagship SETUP (cache materialization) runs outside timed();
+      // a failure there must not discard the ~50 per-query timings
+      // already gathered — record it and still emit the JSON line
+      try flagship(spark, sfDir, timed)
+      catch { case t: Throwable =>
+        errors("flagship_setup") =
+          Option(t.getMessage).getOrElse(t.getClass.getName).take(200)
+        Seq.empty
+      }
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+    // Verify.q escapes control chars too — error text frequently embeds
+    // plan fragments with tabs, which would break strict JSON parsers
+    val errs = errors.map { case (k, v) => s"\"" + k + "\":" + Verify.q(v) }
       .mkString("{", ",", "}")
     // explicit locale: f"$v%.3f" uses the JVM default and would emit
     // comma decimals (invalid JSON) on e.g. de_DE

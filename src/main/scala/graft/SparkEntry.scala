@@ -315,6 +315,26 @@ object SparkEntry {
   private def prep(spark: SparkSession, sfDir: String): Unit = {
     Tables.registerAll(spark, sfDir)
     GraftSession.install(spark)
+    resetGraftConfs(spark)
+  }
+
+  /** Every query fn MUST be self-contained under ANY execution order
+    * (Verify iterates an unordered Map): without this reset, a
+    * conf-pinning entry like q14 (algorithm=nearest) or q42
+    * (autoBin=force) would leak its setting into whichever prep()-based
+    * query happens to iterate next and silently change its executed
+    * plan — or its SEMANTICS (nearest vs overlap). */
+  private def resetGraftConfs(spark: SparkSession): Unit = {
+    spark.conf.set(GraftSession.PreferIntervalJoin, "true")
+    spark.conf.set(GraftSession.IntervalJoinAlgorithm, "superintervals")
+    spark.conf.set(GraftSession.IntervalJoinForceMode, "")
+    spark.conf.set(GraftSession.AutoBin, "auto")
+    // unset (not default-set): auto-bin treats an EXPLICIT binSize as the
+    // user vouching for its coordinate scale (Long-bound joins skip
+    // rebinning otherwise)
+    spark.conf.unset(GraftSession.BinSize)
+    spark.conf.unset(GraftSession.CoordWidth)
+    spark.conf.unset(GraftSession.MaxBuildBytes)
   }
 
   /** The q57/q68 12-node path graph: consecutive documents chained
@@ -358,19 +378,7 @@ object SparkEntry {
 
   private def run(sql: String, confs: (String, String)*)
       : (SparkSession, String) => DataFrame = { (spark, sfDir) =>
-    Tables.registerAll(spark, sfDir)
-    GraftSession.install(spark)
-    // Reset the graft confs to this query's requirements (each query fn is
-    // self-contained — Verify/Bench may run them in any order).
-    spark.conf.set(GraftSession.PreferIntervalJoin, "true")
-    spark.conf.set(GraftSession.IntervalJoinAlgorithm, "superintervals")
-    spark.conf.set(GraftSession.IntervalJoinForceMode, "")
-    spark.conf.set(GraftSession.AutoBin, "auto")
-    // unset (not default-set): auto-bin treats an EXPLICIT binSize as the
-    // user vouching for its coordinate scale (Long-bound joins skip
-    // rebinning otherwise)
-    spark.conf.unset(GraftSession.BinSize)
-    spark.conf.unset(GraftSession.CoordWidth)
+    prep(spark, sfDir) // incl. the self-containment conf reset
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
     spark.sql(sql)
   }
@@ -769,6 +777,18 @@ object SparkEntry {
   private val jaccardOracle: String = corpusNearCte + jaccardPairsCtes +
     "\nSELECT id1, id2, jaccard FROM jp WHERE jaccard >= 0.8"
 
+  /** nodes/edges/reach transitive-closure CTEs over a `pp(id1, id2)` pair
+    * set — the ONE copy shared by the q56/q57/q58/q68 oracles. */
+  private val closureCtes: String =
+    """,
+      |nodes AS (SELECT id1 AS id FROM pp UNION SELECT id2 AS id FROM pp),
+      |edges AS (SELECT id1 AS src, id2 AS dst FROM pp
+      |          UNION SELECT id2 AS src, id1 AS dst FROM pp),
+      |reach(id, lbl) AS (
+      |  SELECT id, id AS lbl FROM nodes
+      |  UNION
+      |  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id)""".stripMargin
+
   /** Transitive closure of the >=0.8 Jaccard pairs as a DuckDB recursive
     * CTE: min reachable id over the symmetric edge list = the connected
     * component / duplicate-group id the Spark side computes by min-label
@@ -776,29 +796,18 @@ object SparkEntry {
   private val dupGroupsOracle: String =
     "WITH RECURSIVE " + corpusNearBody + jaccardPairsCtes +
     """,
-      |pp AS (SELECT id1, id2 FROM jp WHERE jaccard >= 0.8),
-      |nodes AS (SELECT id1 AS id FROM pp UNION SELECT id2 AS id FROM pp),
-      |edges AS (SELECT id1 AS src, id2 AS dst FROM pp
-      |          UNION SELECT id2 AS src, id1 AS dst FROM pp),
-      |reach(id, lbl) AS (
-      |  SELECT id, id AS lbl FROM nodes
-      |  UNION
-      |  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
-      |SELECT id AS doc_id, MIN(lbl) AS group_id FROM reach GROUP BY id""".stripMargin
+      |pp AS (SELECT id1, id2 FROM jp WHERE jaccard >= 0.8)""".stripMargin +
+    closureCtes +
+    "\nSELECT id AS doc_id, MIN(lbl) AS group_id FROM reach GROUP BY id"
 
   /** q58 oracle: the canonical survivors — every corpus document except
     * non-minimum members of a closure group (same recursive CTE as q56). */
   private val dupCanonicalOracle: String =
     "WITH RECURSIVE " + corpusNearBody + jaccardPairsCtes +
     """,
-      |pp AS (SELECT id1, id2 FROM jp WHERE jaccard >= 0.8),
-      |nodes AS (SELECT id1 AS id FROM pp UNION SELECT id2 AS id FROM pp),
-      |edges AS (SELECT id1 AS src, id2 AS dst FROM pp
-      |          UNION SELECT id2 AS src, id1 AS dst FROM pp),
-      |reach(id, lbl) AS (
-      |  SELECT id, id AS lbl FROM nodes
-      |  UNION
-      |  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+      |pp AS (SELECT id1, id2 FROM jp WHERE jaccard >= 0.8)""".stripMargin +
+    closureCtes +
+    """,
       |g AS (SELECT id, MIN(lbl) AS group_id FROM reach GROUP BY id)
       |SELECT c.doc_id FROM corpus c
       |WHERE c.doc_id NOT IN (SELECT id FROM g WHERE id <> group_id)""".stripMargin
@@ -812,15 +821,9 @@ object SparkEntry {
       |pp AS (SELECT id1, id2 FROM (
       |         SELECT doc_id AS id1,
       |                lead(doc_id) OVER (ORDER BY doc_id) AS id2 FROM ch)
-      |       WHERE id2 IS NOT NULL),
-      |nodes AS (SELECT id1 AS id FROM pp UNION SELECT id2 AS id FROM pp),
-      |edges AS (SELECT id1 AS src, id2 AS dst FROM pp
-      |          UNION SELECT id2 AS src, id1 AS dst FROM pp),
-      |reach(id, lbl) AS (
-      |  SELECT id, id AS lbl FROM nodes
-      |  UNION
-      |  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
-      |SELECT id AS doc_id, MIN(lbl) AS group_id FROM reach GROUP BY id""".stripMargin
+      |       WHERE id2 IS NOT NULL)""".stripMargin +
+    closureCtes +
+    "\nSELECT id AS doc_id, MIN(lbl) AS group_id FROM reach GROUP BY id"
 
   private def sqlList(xs: Seq[String]): String =
     xs.map(s => s"'$s'").mkString("(", ", ", ")")
