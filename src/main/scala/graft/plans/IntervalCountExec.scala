@@ -106,10 +106,12 @@ private[graft] class IntervalCountRunner(
     val bounds = new BoundsEval(leftStart, leftEnd, leftOutput)
     val hasKeys = leftKeys.nonEmpty
     final class Acc {
-      val starts = new mutable.ArrayBuffer[Long]
-      val ends = new mutable.ArrayBuffer[Long]
-      val invStarts = new mutable.ArrayBuffer[Long]
-      val invEnds = new mutable.ArrayBuffer[Long]
+      // primitive vectors (shared LongVec): boxed ArrayBuffers would make
+      // the real build footprint 2-3x the accountant's estimate
+      val starts = new LongVec
+      val ends = new LongVec
+      val invStarts = new LongVec
+      val invEnds = new LongVec
     }
     val groups = new java.util.HashMap[UnsafeRow, Acc]
     // the count build stores only interval ints (~3 sorted arrays), no rows

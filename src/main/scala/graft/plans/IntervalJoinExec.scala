@@ -72,6 +72,42 @@ case class AsofJoin(forward: Boolean, strict: Boolean)
 /** Per-key interval indexes + the build rows they point into. The index
   * width (Int32 vs Int64 coordinates) is uniform across keys — decided
   * once per join from `coordWidth` + the bound types. */
+/** Primitive growable long/int vectors for the build accumulators:
+  * `ArrayBuffer[Long]` boxes every element (~64 B of transient
+  * java.lang.Long + ref slot per appended bound), so a large build's
+  * REAL footprint would be 2-3x what [[BuildMemoryAccountant]] reserves
+  * and the task could OOM before the accountant's clean error fires.
+  * These grow doubling primitive arrays — exactly the footprint the
+  * per-interval estimate assumes. */
+private[plans] final class LongVec(initial: Int = 16) {
+  private var arr = new Array[Long](initial)
+  private var n = 0
+  def +=(v: Long): Unit = {
+    if (n == arr.length) arr = java.util.Arrays.copyOf(arr, n * 2)
+    arr(n) = v; n += 1
+  }
+  def length: Int = n
+  def apply(i: Int): Long = arr(i)
+  def toArray: Array[Long] = java.util.Arrays.copyOf(arr, n)
+  def toIntArrayChecked(check: Long => Int): Array[Int] = {
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) { out(i) = check(arr(i)); i += 1 }
+    out
+  }
+}
+
+private[plans] final class IntVec(initial: Int = 16) {
+  private var arr = new Array[Int](initial)
+  private var n = 0
+  def +=(v: Int): Unit = {
+    if (n == arr.length) arr = java.util.Arrays.copyOf(arr, n * 2)
+    arr(n) = v; n += 1
+  }
+  def length: Int = n
+  def toArray: Array[Int] = java.util.Arrays.copyOf(arr, n)
+}
+
 /** Compiled (start, end) extractor: one generated projection per side,
   * no interpreted Expression.eval and no boxing in the per-row loops.
   * Shared by the join and count runners — one place for the NULL-bound
@@ -138,9 +174,9 @@ private[graft] class IntervalJoinRunner(
     val bounds = new BoundsEval(leftStart, leftEnd, leftOutput)
 
     final class Acc {
-      val starts = new mutable.ArrayBuffer[Long]
-      val ends = new mutable.ArrayBuffer[Long]
-      val positions = new mutable.ArrayBuffer[Int]
+      val starts = new LongVec
+      val ends = new LongVec
+      val positions = new IntVec
     }
     val groups = new java.util.HashMap[UnsafeRow, Acc]
     val stored = new mutable.ArrayBuffer[InternalRow]
@@ -190,8 +226,8 @@ private[graft] class IntervalJoinRunner(
           LongIntervalIndex.build(alg, acc.starts.toArray, acc.ends.toArray,
             acc.positions.toArray)
         else
-          IntervalIndex.build(alg, acc.starts.iterator.map(_.toInt).toArray,
-            acc.ends.iterator.map(_.toInt).toArray, acc.positions.toArray)
+          IntervalIndex.build(alg, acc.starts.toIntArrayChecked(_.toInt),
+            acc.ends.toIntArrayChecked(_.toInt), acc.positions.toArray)
       keyed.put(k, idx)
     }
     buildMemUsed += mem.used
