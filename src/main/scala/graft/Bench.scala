@@ -70,6 +70,31 @@ object Bench {
         Seq.empty
       }
     }
+    // 3-sample medians for the gate-watched sub-3 s queries: this box
+    // shows ±2× wall variance at that scale (it has cost two rounds of
+    // diagnosis — q48 in r7, q59 in r8). The single-shot number above
+    // stays for driver continuity; gate claims should cite the median.
+    val gateQueries = Seq("q31_ann_ivf", "q48_dedup_embedding",
+      "q56_dedup_groups", "q57_dedup_chain", "q58_dedup_canonical",
+      "q59_contamination")
+    val medians = gateQueries.flatMap { name =>
+      val first = results.collectFirst { case (`name`, v) if v >= 0 => v }
+      first.map { v0 =>
+        def rep(): Double = {
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val samples = try Seq(v0, rep(), rep()) catch {
+          case _: Throwable => Seq(v0) // keep the single-shot on a rep error
+        }
+        val sorted = samples.sorted
+        name -> (sorted(sorted.size / 2), sorted.head, sorted.last)
+      }
+    }
+    def medJson(f: ((Double, Double, Double)) => Double): String =
+      medians.map { case (k, v) => s"\"" + k + "\":" + f(v) }
+        .mkString("{", ",", "}")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // Verify.q escapes control chars too — error text frequently embeds
@@ -83,7 +108,7 @@ object Bench {
         String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"gc_sec":$gcs,"loadavg_start":"$loadStart","loadavg_end":"$loadavg","sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":${medJson(_._1)},"queries_min":${medJson(_._2)},"queries_max":${medJson(_._3)},"errors":$errs,"gc_sec":$gcs,"loadavg_start":"$loadStart","loadavg_end":"$loadavg","sf":"$sfDir"}"""
     println(line)
     // also write the line to a file: driver log captures can truncate
     // stdout, and the bench artifact should be self-contained

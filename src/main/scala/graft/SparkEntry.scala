@@ -561,6 +561,35 @@ object SparkEntry {
     "q68_dedup_chain_loop" -> ((s, dir) => { prep(s, dir)
       Dedup.connectedComponents(chainPairs(s, dir), microGraphMaxEdges = 0L)
         .select(col("id").as("doc_id"), col("group_id")) }),
+    // the distributed CC loop at REAL size, UN-pinned: a synthetic graph
+    // derived from events — every event e owns a 64-node block
+    // [64e, 64e+63]; blocks with e % 10 == 0 are stars (the shallow
+    // near-star dedup shape), the rest 63-hop chains (diameter 63, deep
+    // enough that the O(log d) pointer-jumping regime is what converges
+    // it). At sf0.01 that is 630 000 pairs = 1.26 M symmetric edges —
+    // above microGraphMaxEdges, so the loop is chosen by the planner
+    // gate itself, not forced; at sf0.1 the e < 20000 cap holds it at
+    // 2.5 M symmetric edges so the bench entry stays a bounded, honest
+    // loop measurement rather than an unbounded-with-sf one. Components
+    // are arithmetically known (one per event), so the oracle is
+    // closed-form block arithmetic instead of a recursive CTE over
+    // millions of rows; the per-group rollup (count + sum + max over
+    // every node label) breaks on any merged, split, or wrong-min
+    // labeling.
+    "q69_dedup_groups_large" -> ((s, dir) => { prep(s, dir)
+      val J = 64
+      val pairs = Tables.load(s, dir, "events")
+        .select(col("event_id").cast("long").as("e"))
+        .where(col("e") < 20000)
+        .select(col("e"), explode(sequence(lit(1), lit(J - 1))).as("j"))
+        .select(
+          when(col("e") % 10 === 0, col("e") * J)
+            .otherwise(col("e") * J + col("j") - 1).as("id1"),
+          (col("e") * J + col("j")).as("id2"))
+      Dedup.connectedComponents(pairs, maxIterations = 30)
+        .groupBy("group_id")
+        .agg(count(lit(1)).as("n_members"), sum(col("id")).as("sum_id"),
+          max(col("id")).as("max_id")) }),
     "q24_text_stats" -> ((s, dir) => { prep(s, dir)
       val d = Tables.load(s, dir, "documents")
       d.select(col("doc_id"),
@@ -1139,6 +1168,15 @@ object SparkEntry {
       "q56_dedup_groups" -> dupGroupsOracle,
       "q57_dedup_chain" -> dupChainOracle,
       "q68_dedup_chain_loop" -> dupChainOracle,
+      // closed-form: component of event e is exactly {64e..64e+63}, so
+      // group_id = 64e, n = 64, sum = 4096e + (0+1+...+63) = 4096e+2016,
+      // max = 64e+63 — no graph traversal needed oracle-side
+      "q69_dedup_groups_large" ->
+        """SELECT CAST(event_id * 64 AS BIGINT) AS group_id,
+          |       CAST(64 AS BIGINT) AS n_members,
+          |       CAST(event_id * 4096 + 2016 AS BIGINT) AS sum_id,
+          |       CAST(event_id * 64 + 63 AS BIGINT) AS max_id
+          |FROM events WHERE event_id < 20000""".stripMargin,
       "q58_dedup_canonical" -> dupCanonicalOracle,
       "q24_text_stats" -> textStatsOracle,
       "q25_langid" -> langIdOracle,

@@ -149,6 +149,30 @@ object Dedup {
    * self-join dedup path there is no id ordering constraint — every
    * (train, test) bucket collision is a candidate.
    */
+  /** Conf: largest estimated test-corpus size (bytes, from optimizer
+    * stats) the decontamination ops will broadcast. Above it they fall
+    * back to plain shuffled equi-joins — identical result, no driver
+    * OOM. Negative disables the gate (always broadcast). */
+  val TestBroadcastMaxBytesConf = "spark.graft.dedup.testBroadcastMaxBytes"
+  private val TestBroadcastMaxBytesDefault: Long = 256L << 20
+
+  /** Broadcast `df` only when the optimizer's size estimate for the
+    * originating `gateOn` frame is under [[TestBroadcastMaxBytesConf]].
+    * The gate reads the SOURCE frame's stats (not the derived banded /
+    * exploded plan, whose estimates explode-multiply) — the question is
+    * "is the eval corpus small", and the broadcast sides are all
+    * bounded by it. */
+  private def broadcastIfSmall(df: DataFrame, gateOn: DataFrame): DataFrame = {
+    val thr = gateOn.sparkSession.conf
+      .get(TestBroadcastMaxBytesConf, TestBroadcastMaxBytesDefault.toString)
+      .toLong
+    if (thr < 0) broadcast(df)
+    else {
+      val est = gateOn.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (est <= thr) broadcast(df) else df
+    }
+  }
+
   def crossCorpusDupPairs(train: DataFrame, test: DataFrame, idCol: String,
       textCol: String, threshold: Double, shingleSize: Int = 3,
       numHashes: Int = 64, bands: Int = 16): DataFrame = {
@@ -161,11 +185,14 @@ object Dedup {
         .select(col(side), col("b.band").as("band"), col("b.bucket").as("bucket"))
     // the broadcasts are explicit, not stats-inferred: eval sets arrive
     // as derived plans (filters/renames) whose sizes the optimizer
-    // cannot estimate, and a fallback sort-merge join here would
+    // cannot estimate well, and a fallback sort-merge join here would
     // shuffle the ENTIRE train corpus's banded rows / shingle frame —
-    // the one thing this operator exists to avoid
+    // the one thing this operator exists to avoid. They are size-GATED
+    // (broadcastIfSmall): a genuinely large second corpus degrades to a
+    // shuffled equi-join on the same keys instead of a driver OOM.
+    def bc(df: DataFrame): DataFrame = broadcastIfSmall(df, test)
     val cands = banded(train, "train_id")
-      .join(broadcast(banded(test, "test_id")), Seq("band", "bucket"))
+      .join(bc(banded(test, "test_id")), Seq("band", "bucket"))
       .select("train_id", "test_id").distinct()
     def sh(docs: DataFrame, side: String, shName: String): DataFrame =
       docs.select(col(idCol).as(side),
@@ -173,8 +200,8 @@ object Dedup {
     // candidates are bounded by the test side, so they broadcast into
     // the train shingle scan (train still never shuffles)
     sh(train, "train_id", "sh1")
-      .join(broadcast(cands), "train_id")
-      .join(broadcast(sh(test, "test_id", "sh2")), "test_id")
+      .join(bc(cands), "train_id")
+      .join(bc(sh(test, "test_id", "sh2")), "test_id")
       .select(col("train_id"), col("test_id"),
         round(jaccard(col("sh1"), col("sh2")), 6).as("jaccard"))
       .where(col("jaccard") >= threshold)
@@ -190,10 +217,13 @@ object Dedup {
    * boilerplate collisions.
    *
    * Scale shape: the tiny test side explodes to distinct (test_id,
-   * gram-hash) rows and BROADCASTS; the train corpus explodes its grams
-   * map-side into the broadcast-hash-join probe — the train side never
-   * shuffles, and only matched (test_id, hash) pairs (bounded by the
-   * test side's size) reach the final partial-aggregated count.
+   * gram-hash) rows and BROADCASTS (size-gated by
+   * [[TestBroadcastMaxBytesConf]] — an oversized eval corpus degrades
+   * to a shuffled equi-join on the gram hash instead of a driver OOM);
+   * the train corpus explodes its grams map-side into the
+   * broadcast-hash-join probe — the train side never shuffles, and
+   * only matched (test_id, hash) pairs (bounded by the test side's
+   * size) reach the final partial-aggregated count.
    */
   def ngramHitContamination(train: DataFrame, test: DataFrame,
       idCol: String, textCol: String, n: Int = 13,
@@ -203,7 +233,7 @@ object Dedup {
         explode(shingleHashes(col(textCol), n)).as("g"))
     val testGrams = grams(test, "test_id")
     val hits = grams(train, "train_id").select(col("g"))
-      .join(broadcast(testGrams), "g")
+      .join(broadcastIfSmall(testGrams, test), "g")
       .select("test_id", "g").distinct()
       .groupBy("test_id").agg(count(lit(1)).as("n_hits"))
     hits.where(col("n_hits") >= minHits)
@@ -235,19 +265,26 @@ object Dedup {
   }
 
   /** Exact duplicate pairs (identical `textCol`), id1 < id2. Shuffle
-    * shape: one groupBy on the text (hash-partitioned), pair expansion
-    * within groups — never a self-join on the full table. */
+    * shape: one groupBy keyed on the 8-byte content fingerprint (the
+    * text itself is never a shuffle/compare key — it rides as a value
+    * and partitions hash on a BIGINT, the q26/q27 hygiene), pair
+    * expansion within groups gated on FULL text equality — so the
+    * result stays exact even across (astronomically unlikely) hash
+    * collisions, where one fingerprint group holds two distinct texts. */
   def exactDupPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     // isNotNull: GROUP BY treats NULLs as equal, so NULL-text documents
     // would otherwise all pair as "duplicates" of each other (and
     // dropDuplicateDocs would then delete all but one of them)
     docs.where(col(textCol).isNotNull)
-      .select(col(idCol).as("id"), col(textCol).as("t"))
-      .groupBy("t").agg(sort_array(collect_list("id")).as("ids"))
-      .where(size(col("ids")) > 1)
-      .select(explode(col("ids")).as("id1"), col("ids"))
-      .select(col("id1"), explode(col("ids")).as("id2"))
-      .where(col("id1") < col("id2"))
+      .select(col(idCol).as("id"), col(textCol).as("t"),
+        TextStats.contentFingerprint(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(sort_array(collect_list(struct(col("t"), col("id")))).as("rs"))
+      .where(size(col("rs")) > 1)
+      .select(col("rs"), explode(col("rs")).as("a"))
+      .select(col("a"), explode(col("rs")).as("b"))
+      .where(col("a.t") === col("b.t") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
 
   /** `shiftright` with a Column shift amount (the Scala helper only
     * accepts a literal Int). */
@@ -396,6 +433,15 @@ object Dedup {
     * O(log d) acceleration. */
   private val ShortcutAfter = 3
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.Dedup")
+
+  /** Rounds the last [[connectedComponents]] call on this JVM ran: 0 for
+    * the micro-graph (union-find) path, else the distributed round count
+    * including the final quiescent round. Observability hook for specs
+    * and perf notes (the O(log d) claim is asserted against it); racy
+    * under concurrent calls, so nothing but diagnostics may read it. */
+  @volatile private[graft] var lastIterations: Int = -1
+
   /** Default [[connectedComponents]] `microGraphMaxEdges`: a 1 M-edge
     * graph is ~2 M union-find operations and ≤ ~200 MB of boxed hash map
     * on ONE task (2 M entries × ~96 B) — well inside any executor and
@@ -500,6 +546,8 @@ object Dedup {
       // immediately without leaving the returned plan depending on them.
       val labels = unionFindLabels(edges).localCheckpoint()
       org.apache.spark.sql.GraftSqlShim.unpersistCheckpoint(edges)
+      lastIterations = 0
+      log.info(s"connectedComponents: micro-graph path, $edgeCount edges")
       return labels.select(col("id"), col("lbl").as("group_id"))
     }
     val lblType = edges.schema("src").dataType
@@ -528,22 +576,29 @@ object Dedup {
             lit(null).cast(lblType).as("prev")))
       val agg = own.union(msgs)
         .groupBy("id").agg(min("lbl").as("lbl"), min("prev").as("prev"))
-      // rounds past ShortcutAfter add a pointer-jumping step:
-      // lbl ← lbl(lbl). Neighbor-min alone moves the min one hop per
-      // round (O(diameter) rounds — linear on chain-shaped graphs);
-      // with the shortcut the propagated distance roughly DOUBLES per
-      // round (O(log d)). The join is valid unconditionally because a
-      // label is always some node's id, so every lbl has a labels row.
-      // It is deferred past the first rounds because near-star dup
-      // graphs converge in 2–3 rounds anyway and the join would only
-      // add per-round cost (at scale: a second labels-sized shuffle).
+      // rounds past ShortcutAfter add a pointer-jumping step, applied
+      // TWICE: lbl ← lbl(lbl(lbl)). Neighbor-min alone moves the min one
+      // hop per round (O(diameter) rounds — linear on chain-shaped
+      // graphs); each jump roughly doubles the propagated distance, so
+      // the double jump ~quadruples it per round (still O(log d) rounds,
+      // about half as many as a single jump — and the second join reuses
+      // the same checkpointed labels map, so it costs one more
+      // labels-sized join per round, much less than the full
+      // message-aggregation round it replaces). The joins are valid
+      // unconditionally because a label is always some node's id — and
+      // remains one after each jump — so every lbl has a labels row.
+      // Jumping is deferred past the first rounds because near-star dup
+      // graphs converge in 2–3 rounds anyway and the joins would only
+      // add per-round cost (at scale: extra labels-sized shuffles).
       var roundMid: DataFrame = null
       val next = (if (it < ShortcutAfter) agg else {
         val m = agg.localCheckpoint(false)
         roundMid = m
         val mm = m.select(col("id").as("lid"), col("lbl").as("llbl"))
-        m.join(mm, m("lbl") === mm("lid"))
+        val j1 = m.join(mm, m("lbl") === mm("lid"))
           .select(m("id"), col("llbl").as("lbl"), col("prev"))
+        j1.join(mm, j1("lbl") === mm("lid"))
+          .select(j1("id"), col("llbl").as("lbl"), j1("prev"))
       }).localCheckpoint(false)
       // LAZY checkpoints: this change-detection count is the single
       // distributed job of the round — it computes the aggregation (and
@@ -551,6 +606,8 @@ object Dedup {
       // and scans them for "any label strictly below its previous value"
       // (a complete change detector, since labels only ever decrease)
       changed = next.where(col("lbl") < col("prev")).count()
+      log.info(s"connectedComponents: round $it changed=$changed " +
+        s"($edgeCount edges)")
       if (prevCkpt != null) {
         org.apache.spark.sql.GraftSqlShim.unpersistCheckpoint(prevCkpt)
       }
@@ -562,6 +619,7 @@ object Dedup {
       it += 1
     }
     org.apache.spark.sql.GraftSqlShim.unpersistCheckpoint(edges)
+    lastIterations = it
     if (changed > 0) {
       org.apache.spark.sql.GraftSqlShim.unpersistCheckpoint(prevCkpt)
       throw new IllegalStateException(

@@ -66,6 +66,12 @@ class DedupGroupsSpec extends SparkTestBase {
     val chain = (1000L to 1099L).map(i => (i, i + 1))
     val labels = ccLoop(chain)
     assert(labels == (1000L to 1100L).map(_ -> 1000L).toMap)
+    // O(log d) evidence: 3 plain rounds reach distance 3, then the
+    // double pointer jump multiplies reach ~4x per round (3 -> 15 -> 63
+    // -> 255 covers d=100 by round 6), plus one quiescent round — a
+    // single-hop loop would need ~101 rounds, single-jump ~10
+    assert(Dedup.lastIterations >= 4 && Dedup.lastIterations <= 9,
+      s"diameter-100 chain took ${Dedup.lastIterations} rounds")
   }
 
   test("non-convergence throws instead of returning truncated labels") {

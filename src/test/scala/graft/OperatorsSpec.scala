@@ -25,6 +25,13 @@ class OperatorsSpec extends SparkTestBase {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("exactDupPairs shuffles on the 8-byte fingerprint, never raw text") {
+    val plan = Dedup.exactDupPairs(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(fp#"), plan)
+    assert(!plan.contains("hashpartitioning(t#"), plan)
+  }
+
   test("kernels skip NULL array elements instead of hashing them as 0") {
     import org.apache.spark.sql.Row
     val r = spark.sql(
@@ -235,6 +242,36 @@ class OperatorsSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("decontamination size gate: oversized test side degrades to a shuffle join") {
+    val test = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog near the river delta"),
+      (102L, "unrelated words about databases indexes and storage formats")
+    ).toDF("doc_id", "text")
+    def run() = graft.operators.Dedup
+      .crossCorpusDupPairs(docs, test, "doc_id", "text", threshold = 0.6)
+    val expected = run().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty)
+    // threshold 0 forces the "test corpus too big" branch; kill Spark's
+    // own stats-based broadcast too so the asserted shape is the real
+    // at-scale fallback, not a tiny-test-input artifact
+    spark.conf.set(graft.operators.Dedup.TestBroadcastMaxBytesConf, "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val gated = run()
+      val plan = gated.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"), plan)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+      assert(gated.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
+      val nplan = graft.operators.Dedup
+        .ngramHitContamination(docs, test, "doc_id", "text", n = 5)
+        .queryExecution.executedPlan.toString
+      assert(!nplan.contains("BroadcastExchange"), nplan)
+    } finally {
+      spark.conf.unset(graft.operators.Dedup.TestBroadcastMaxBytesConf)
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
   }
 
   test("crossCorpusDupPairs matches brute-force cross jaccard (randomized)") {
