@@ -1,0 +1,103 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Two-point scale curve for the flagship + dedup families: runs the
+  * same workloads at each given data dir (default sf0.1 and the
+  * GenScale-built target/sf1) in ONE session, two reps each
+  * (first-invocation vs steady state), and writes one stamped JSON line
+  * to `target/bench_sf1.json`. The flagship's coordinate domain scales
+  * with the event count (10x rows over a 10x domain ~ 10x pairs — the
+  * "more samples, proportionally more data" shape), and the measured
+  * pair count is recorded next to the wall time so the curve can be
+  * read in ns/pair, not just wall seconds.
+  *
+  * Usage: runMain graft.tools.BenchScale [dir1] [dir2 ...]
+  */
+object BenchScale {
+  private val ScaleQueries = Seq(
+    "q21_dedup_minhash", "q56_dedup_groups", "q69_dedup_groups_large")
+
+  def main(args: Array[String]): Unit = {
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.1", "target/sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.GraftSession.install(spark)
+    def loadavg: String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split("\\s+").take(3).mkString(",")
+      catch { case _: Exception => "" }
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val loadStart = loadavg
+
+    val points = dirs.map { dir =>
+      graft.Tables.registerAll(spark, dir)
+      Seq("events", "documents").foreach(n =>
+        graft.Tables.load(spark, dir, n).count())
+      val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+      for (name <- ScaleQueries) {
+        val fn = graft.SparkEntry.queries(name)
+        val secs = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, dir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        entries += s""""$name":[${secs.map(fmt).mkString(",")}]"""
+        println(s"SCALE $dir $name " + secs.map(fmt).mkString(" "))
+      }
+      val (pairs, fSecs) = flagshipCount(spark, dir)
+      entries += s""""flagship_count":[${fSecs.map(fmt).mkString(",")}]"""
+      entries += s""""flagship_pairs":$pairs"""
+      println(s"SCALE $dir flagship pairs=$pairs " +
+        fSecs.map(fmt).mkString(" "))
+      s"""{"dir":"$dir",${entries.mkString(",")}}"""
+    }
+    val line = s"""{"metric":"scale_curve","points":[${points.mkString(",")}],"loadavg_start":"$loadStart","loadavg_end":"$loadavg","cpus":"$cpus"}"""
+    println(line)
+    val out = java.nio.file.Paths.get("target", "bench_sf1.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out,
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.stop()
+  }
+
+  /** The Bench flagship keyed-overlap count with the coordinate modulus
+    * scaled to the event count: at sf0.1 (100k events) this is EXACTLY
+    * Bench's `flagship_80m_count` workload (mod 100000); at a 10x slice
+    * the domain widens 10x so pair counts grow ~linearly with rows. */
+  private def flagshipCount(spark: SparkSession,
+      dir: String): (Long, Seq[Double]) = {
+    val ev = graft.Tables.load(spark, dir, "events")
+      .select("event_id", "user_id")
+    val n = ev.count()
+    val mod = math.max(100000L, (n / 100000L) * 100000L)
+    def tbl(mult: Int, width: Int) = ev.select(
+      (col("user_id") % 20).cast("int").as("contig"),
+      ((col("event_id") * mult) % mod).cast("int").as("pos_start"),
+      ((col("event_id") * mult) % mod + col("event_id") % width * 20)
+        .cast("int").as("pos_end"))
+    val a = tbl(37, 1000).repartition(32).cache()
+    val b = tbl(53, 700).repartition(32).cache()
+    a.count(); b.count()
+    try {
+      val cond = a("contig") === b("contig") &&
+        a("pos_start") <= b("pos_end") && a("pos_end") >= b("pos_start")
+      var pairs = 0L
+      val secs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        pairs = a.join(b, cond).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      (pairs, secs)
+    } finally { a.unpersist(); b.unpersist() }
+  }
+}

@@ -1,0 +1,74 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Build a local ~Nx scale slice of the driver testdata (default 10x of
+  * sf0.1 -> "sf1") for two-point scale curves: `events` and `documents`
+  * are replicated `copies` times with id offsets (document text gets a
+  * per-copy suffix so cross-copy rows are NOT exact duplicates — the dup
+  * structure stays exactly `copies` x the source's), every other table is
+  * byte-copied through. Deterministic, derived only from the driver
+  * parquet. Output goes under the repo (default `target/sf1`); nothing
+  * outside the repo is touched.
+  *
+  * Usage: runMain graft.tools.GenScale [srcDir] [dstDir] [copies]
+  */
+object GenScale {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dst = if (args.length > 1) args(1) else "target/sf1"
+    val copies = if (args.length > 2) args(2).toInt else 10
+    require(copies >= 1, s"copies must be >= 1 (got $copies)")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // events: raw read with nanosAsLong (ts stays a nanos Long; the
+    // written slice's plain-INT64 ts round-trips through the same
+    // Tables.load branch as the driver's NANOS parquet). Offset ids by
+    // k * rowcount — flagship arithmetic (mod/width on event_id) then
+    // sees a genuinely larger id domain.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    val nEv = ev.count()
+    ev.select(col("*"),
+        explode(sequence(lit(0L), lit(copies - 1L))).as("k"))
+      .select((col("event_id") + col("k") * nEv).as("event_id"),
+        col("ts"), col("user_id"), col("event_type"), col("value"),
+        col("props"))
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$dst/events.parquet")
+
+    // documents: id offset well under the +1M/+2M ranges dupCorpus
+    // injects; per-copy text suffix keeps cross-copy texts distinct
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val docCols = Seq(
+      (col("doc_id") + col("k") * 100000L).as("doc_id"),
+      when(col("k") === 0, col("text"))
+        .otherwise(concat(col("text"), lit(" v"), col("k"))).as("text")) ++
+      docs.columns.filterNot(c => c == "doc_id" || c == "text").map(col)
+    docs.select(col("*"),
+        explode(sequence(lit(0L), lit(copies - 1L))).as("k"))
+      .select(docCols: _*)
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+
+    // passthrough tables: byte-copy (each is a single parquet file)
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    graft.Tables.names
+      .filterNot(n => n == "events" || n == "documents")
+      .foreach { n =>
+        Files.copy(Paths.get(s"$src/$n.parquet"),
+          Paths.get(s"$dst/$n.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+    println(s"GENSCALE wrote $dst (events ${nEv * copies} rows, " +
+      s"documents ${docs.count() * copies} rows, $copies copies of $src)")
+    spark.stop()
+  }
+}
