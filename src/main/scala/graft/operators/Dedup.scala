@@ -449,75 +449,244 @@ object Dedup {
     * (shuffle + join + agg + codegen compile of several round plans). */
   private val MicroGraphMaxEdgesDefault = 1000000L
 
+  /** Open-addressed primitive union-find over 64-bit ids — the Long/Int
+    * id-column specialization of the union-find cores below. Linear
+    * probing over three flat arrays (~17 B/node at 50% load vs ~96 B/node
+    * for a boxed HashMap entry), path-halving find, union-by-min (the
+    * numerically smaller root always wins, so each final root IS the
+    * component's minimum id — identical semantics to SQL `min`). */
+  private final class LongUnionFind(expectedNodes: Int) {
+    private var cap = java.lang.Integer.highestOneBit(
+      math.max(64, expectedNodes) * 2 - 1) << 1
+    private var keys = new Array[Long](cap)
+    private var parent = new Array[Long](cap)
+    private var used = new Array[Boolean](cap)
+    private var n = 0
+    private def slot(k: Long): Int = {
+      var h = k * -7046029254386353131L // splitmix64 odd multiplier
+      h ^= h >>> 32
+      var i = h.toInt & (cap - 1)
+      while (used(i) && keys(i) != k) i = (i + 1) & (cap - 1)
+      i
+    }
+    def add(k: Long): Unit = {
+      val i = slot(k)
+      if (!used(i)) {
+        used(i) = true; keys(i) = k; parent(i) = k; n += 1
+        if (n.toLong * 2 > cap) grow()
+      }
+    }
+    private def grow(): Unit = {
+      val ok = keys; val op = parent; val ou = used; val ocap = cap
+      cap <<= 1
+      keys = new Array[Long](cap)
+      parent = new Array[Long](cap)
+      used = new Array[Boolean](cap)
+      var i = 0
+      while (i < ocap) {
+        if (ou(i)) {
+          val s = slot(ok(i))
+          used(s) = true; keys(s) = ok(i); parent(s) = op(i)
+        }
+        i += 1
+      }
+    }
+    def find(x0: Long): Long = {
+      var x = x0
+      var i = slot(x)
+      var p = parent(i)
+      while (p != x) { // path halving: point x at its grandparent
+        val gp = parent(slot(p))
+        parent(i) = gp
+        x = gp
+        i = slot(x)
+        p = parent(i)
+      }
+      x
+    }
+    def union(a: Long, b: Long): Unit = {
+      add(a); add(b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent(slot(rb)) = ra else parent(slot(ra)) = rb
+      }
+    }
+    /** All (node, root) pairs; find() path-halving during iteration only
+      * rewrites parent VALUES, never moves slots, so scanning is safe. */
+    def nodeRoots: Iterator[(Long, Long)] = (0 until cap).iterator
+      .filter(used).map(i => (keys(i), find(keys(i))))
+  }
+
+  /** Union-find over one partition's `(src, dst)` edge rows, emitting a
+    * `(node, root)` row per distinct node seen — dispatched to the
+    * primitive [[LongUnionFind]] for Long/Int id columns, else a boxed
+    * HashMap with Spark's interpreted ordering over internal values (so
+    * string labels order exactly like SQL `min`). Shared by the
+    * single-task micro path and the per-partition contraction pass. */
+  private def unionFindPartition(
+      dt: org.apache.spark.sql.types.DataType)(
+      it: Iterator[org.apache.spark.sql.catalyst.InternalRow])
+      : Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    dt match {
+      case LongType | IntegerType =>
+        val isInt = dt == IntegerType
+        val uf = new LongUnionFind(1 << 12)
+        it.foreach { row =>
+          val s = if (isInt) row.getInt(0).toLong else row.getLong(0)
+          val d = if (isInt) row.getInt(1).toLong else row.getLong(1)
+          uf.union(s, d)
+        }
+        uf.nodeRoots.map { case (id, root) =>
+          val vals = if (isInt) Array[Any](id.toInt, root.toInt)
+            else Array[Any](id, root)
+          new GenericInternalRow(vals): InternalRow
+        }
+      case _ =>
+        val ord = org.apache.spark.sql.GraftSqlShim.interpretedOrdering(dt)
+        val parent = new java.util.HashMap[Any, Any]()
+        def find(x0: Any): Any = {
+          var x = x0
+          var p = parent.get(x)
+          while (p != x) { // path halving: point x at its grandparent
+            val gp = parent.get(p)
+            parent.put(x, gp)
+            x = gp
+            p = parent.get(x)
+          }
+          x
+        }
+        def add(x: Any): Unit = if (!parent.containsKey(x)) parent.put(x, x)
+        // row.copy() for buffer-backed types only: the LogicalRDD scan
+        // pipes rows through an UnsafeProjection that REUSES one output
+        // buffer, so a UTF8String/binary value extracted from row N is
+        // clobbered at row N+1 unless the row is copied first. Primitive
+        // ids are extracted by value — copying 1M rows there would be
+        // pure GC churn.
+        val bufferBacked = dt match {
+          case org.apache.spark.sql.types.StringType |
+               org.apache.spark.sql.types.BinaryType => true
+          case _ => false
+        }
+        val rows = if (bufferBacked) it.map(_.copy()) else it
+        rows.foreach { row =>
+          val s = row.get(0, dt)
+          val d = row.get(1, dt)
+          add(s); add(d)
+          val rs = find(s); val rd = find(d)
+          if (rs != rd) {
+            if (ord.lt(rs, rd)) parent.put(rd, rs) else parent.put(rs, rd)
+          }
+        }
+        // snapshot keys before the final finds (find mutates map values)
+        val nodes = parent.keySet().toArray
+        nodes.iterator.map { id =>
+          new GenericInternalRow(Array[Any](id, find(id))): InternalRow
+        }
+    }
+  }
+
   /** Single-task union-find over a symmetric `(src, dst)` edge list —
     * the micro-graph fast path of [[connectedComponents]]. One
     * `mapPartitions` over a `coalesce(1)` of the (already checkpointed,
-    * so cheap-to-rescan) edges: path-halving find, union-by-min-label —
-    * the smaller root always wins, so each final root IS the component's
-    * minimum id. Works on any id type via Spark's interpreted ordering
-    * over internal values (so string labels order exactly like SQL
-    * `min`). Returns `(id, lbl)` rows. */
+    * so cheap-to-rescan) edges. Returns `(id, lbl)` rows. */
   private def unionFindLabels(edges: DataFrame): DataFrame = {
-    import org.apache.spark.sql.catalyst.InternalRow
-    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
     import org.apache.spark.sql.types.{StructField, StructType}
     val dt = edges.schema("src").dataType
     val out = StructType(Seq(
       StructField("id", dt, nullable = false),
       StructField("lbl", dt, nullable = false)))
-    val rdd = edges.queryExecution.toRdd.coalesce(1).mapPartitions { it =>
-      val ord = org.apache.spark.sql.GraftSqlShim.interpretedOrdering(dt)
-      val parent = new java.util.HashMap[Any, Any]()
-      def find(x0: Any): Any = {
-        var x = x0
-        var p = parent.get(x)
-        while (p != x) { // path halving: point x at its grandparent
-          val gp = parent.get(p)
-          parent.put(x, gp)
-          x = gp
-          p = parent.get(x)
-        }
-        x
-      }
-      def add(x: Any): Unit = if (!parent.containsKey(x)) parent.put(x, x)
-      // row.copy() for buffer-backed types only: the LogicalRDD scan
-      // pipes rows through an UnsafeProjection that REUSES one output
-      // buffer, so a UTF8String/binary value extracted from row N is
-      // clobbered at row N+1 unless the row is copied first. Primitive
-      // ids are extracted by value — copying 1M rows there would be pure
-      // GC churn.
-      val bufferBacked = dt match {
-        case org.apache.spark.sql.types.StringType |
-             org.apache.spark.sql.types.BinaryType => true
-        case _ => false
-      }
-      val rows = if (bufferBacked) it.map(_.copy()) else it
-      rows.foreach { row =>
-        val s = row.get(0, dt)
-        val d = row.get(1, dt)
-        add(s); add(d)
-        val rs = find(s); val rd = find(d)
-        if (rs != rd) {
-          if (ord.lt(rs, rd)) parent.put(rd, rs) else parent.put(rs, rd)
-        }
-      }
-      // snapshot keys before the final finds (find mutates map values)
-      val nodes = parent.keySet().toArray
-      nodes.iterator.map { id =>
-        new GenericInternalRow(Array[Any](id, find(id))): InternalRow
-      }
-    }
+    val rdd = edges.queryExecution.toRdd.coalesce(1)
+      .mapPartitions(unionFindPartition(dt))
     org.apache.spark.sql.GraftSqlShim.ofInternalRows(
       edges.sparkSession, out, rdd)
   }
 
+  /** Local-contraction pre-pass (the "filtering" phase of two-phase
+    * distributed CC): range-partition the symmetric edge list by `src`
+    * and union-find each partition independently, emitting one
+    * `(node, localRoot)` spanning-forest row per distinct node a
+    * partition sees. The union of these per-partition forests has
+    * EXACTLY the original graph's connectivity (each partition's forest
+    * is a compressed spanning forest of its edge subset; a node seen by
+    * several partitions emits several rows, which re-unite its local
+    * roots downstream) — but at most Σ_p distinct-nodes(p) edges instead
+    * of the full pair count.
+    *
+    * RANGE partitioning is what makes the pass pay: duplicate-pair
+    * graphs are id-local (LSH/fingerprint candidates come out grouped,
+    * block structures are contiguous), so consecutive ids — and hence
+    * nearly every edge's two endpoints — land in the same partition, and
+    * whole chains/stars collapse to single roots in one pass, leaving
+    * ~one row per node with only partition-boundary components split.
+    * On a graph with NO id locality the forest can exceed the input
+    * (every node seen by ~2 partitions), which is why the caller guards
+    * on the achieved reduction and falls back to the propagation loop
+    * over the original edges.
+    *
+    * Returns the forest (cols `src`=node, `dst`=localRoot) as an
+    * RDD-checkpointed DataFrame plus its row count (the count job is
+    * what materializes the checkpoint). Per-task memory is bounded by
+    * the partition's distinct-node count (~17 B/node for Long/Int ids),
+    * set by the shuffle-partition sizing — unlike the micro path this
+    * phase is fully distributed. */
+  private def spanningForest(edges: DataFrame): (DataFrame, Long) = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val spark = edges.sparkSession
+    val dt = edges.schema("src").dataType
+    val out = StructType(Seq(
+      StructField("src", dt, nullable = false),
+      StructField("dst", dt, nullable = false)))
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val rdd = edges.repartitionByRange(n, col("src"))
+      .queryExecution.toRdd
+      .mapPartitions(unionFindPartition(dt))
+      .localCheckpoint()
+    val cnt = rdd.count()
+    (org.apache.spark.sql.GraftSqlShim.ofInternalRows(spark, out, rdd), cnt)
+  }
+
+  /** Symmetrize a `(src, dst)` pair list in ONE pass (explode, not a
+    * union — a union would evaluate the whole upstream candidate
+    * pipeline twice). Duplicate edges are NOT removed: min-aggregation
+    * is idempotent to them, so a `distinct()` here would spend a full
+    * extra shuffle to save only duplicated message volume (dedup pair
+    * lists are already distinct). */
+  private def symmetrize(e: DataFrame): DataFrame =
+    e.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
+
+  /** Contraction-stall guard: the spanning forest must come in under
+    * this fraction of the input edge count for the contracted graph to
+    * be used — otherwise the graph has no id locality, the pass bought
+    * nothing, and the propagation loop runs on the original edges. */
+  private val ContractionStallFraction = 0.7
+
+  /** Post-contraction micro-path relaxation: the forest is bounded by
+    * the distinct-NODE count (not the pair count), and the primitive
+    * union-find costs ~17 B/node for Long/Int ids, so a single task
+    * comfortably absorbs a few times [[MicroGraphMaxEdgesDefault]]. */
+  private val PostContractionMicroFactor = 4L
+
+  /** Spanning-forest row count of the last [[connectedComponents]]
+    * contraction pass on this JVM, -1 when the pass did not run
+    * (micro-graph path). Diagnostics only, like [[lastIterations]]. */
+  @volatile private[graft] var lastForestEdges: Long = -1L
+
   /** @param microGraphMaxEdges symmetric-edge-count threshold at or below
     *   which components are resolved by the single-task union-find fast
-    *   path instead of distributed label-propagation rounds (identical
-    *   result, O(1) jobs instead of O(rounds) — and none of the per-round
+    *   path instead of the distributed phases (identical result, O(1)
+    *   jobs instead of O(rounds) — and none of the per-round
     *   generated-plan compilation). The count is read off the (always
     *   required) symmetrize checkpoint, so the gate costs nothing. Set to
-    *   0 to force the distributed loop. */
+    *   0 to force the distributed path. Above the threshold a
+    *   local-contraction pre-pass ([[spanningForest]]) runs first; the
+    *   propagation loop only sees the contracted graph (or the original
+    *   edges when contraction stalls on a non-id-local graph). */
   def connectedComponents(pairs: DataFrame, id1: String = "id1",
       id2: String = "id2", maxIterations: Int = 50,
       microGraphMaxEdges: Long = MicroGraphMaxEdgesDefault): DataFrame = {
@@ -527,19 +696,10 @@ object Dedup {
         "diameter + 1")
     val e = pairs.select(col(id1).as("src"), col(id2).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
-    // symmetrize in ONE pass over the pair list (explode, not a union —
-    // a union would evaluate the whole upstream candidate pipeline
-    // twice) and land directly in the partitioned checkpoint: one
-    // upstream evaluation, one shuffle, one materialization. Duplicate
-    // edges are NOT removed: min-aggregation is idempotent to them, so a
-    // `distinct()` here would spend a full extra shuffle to save only
-    // duplicated message volume (dedup pair lists are already distinct).
-    val sym = e.select(explode(array(
-        struct(col("src"), col("dst")),
-        struct(col("dst").as("src"), col("src").as("dst")))).as("p"))
-      .select(col("p.src").as("src"), col("p.dst").as("dst"))
+    // symmetrized edges land directly in the partitioned checkpoint: one
+    // upstream evaluation, one shuffle, one materialization
     val (edges, edgeCount) = org.apache.spark.sql.GraftSqlShim
-      .checkpointHashPartitionedCounted(sym, "src")
+      .checkpointHashPartitionedCounted(symmetrize(e), "src")
     if (edgeCount <= microGraphMaxEdges) {
       // micro-graph: one single-task job resolves everything. The result
       // is checkpointed (it is tiny) so the edge blocks can be freed
@@ -547,9 +707,51 @@ object Dedup {
       val labels = unionFindLabels(edges).localCheckpoint()
       org.apache.spark.sql.GraftSqlShim.unpersistCheckpoint(edges)
       lastIterations = 0
+      lastForestEdges = -1L
       log.info(s"connectedComponents: micro-graph path, $edgeCount edges")
       return labels.select(col("id"), col("lbl").as("group_id"))
     }
+    // local-contraction pre-pass: solve each range partition with a
+    // single union-find pass and keep only the spanning forest. On the
+    // id-local graphs dedup produces this collapses the edge list to
+    // ~one row per node in one distributed pass, and the (tiny) forest
+    // then resolves on the micro path — replacing O(log d) join rounds
+    // with one shuffle + one map pass.
+    val (forest, forestCount) = spanningForest(edges)
+    lastForestEdges = forestCount
+    if (forestCount >= edgeCount * ContractionStallFraction) {
+      // no id locality — the pass bought nothing; loop on the originals
+      log.info(s"connectedComponents: contraction stalled " +
+        s"($edgeCount edges -> $forestCount forest rows), " +
+        "running propagation on the original edges")
+      org.apache.spark.sql.GraftSqlShim.unpersistCheckpoint(forest)
+      return propagationLoop(edges, edgeCount, maxIterations)
+    }
+    org.apache.spark.sql.GraftSqlShim.unpersistCheckpoint(edges)
+    if (forestCount <= microGraphMaxEdges * PostContractionMicroFactor) {
+      val labels = unionFindLabels(forest).localCheckpoint()
+      org.apache.spark.sql.GraftSqlShim.unpersistCheckpoint(forest)
+      lastIterations = 0
+      log.info(s"connectedComponents: contracted $edgeCount edges to " +
+        s"$forestCount forest rows, resolved on the micro path")
+      return labels.select(col("id"), col("lbl").as("group_id"))
+    }
+    // still huge after contraction: propagate over the (smaller)
+    // contracted graph — its node set is exactly the original node set,
+    // so the loop's labels are directly the final labels
+    log.info(s"connectedComponents: contracted $edgeCount edges to " +
+      s"$forestCount forest rows, running propagation on the forest")
+    val (fEdges, fCount) = org.apache.spark.sql.GraftSqlShim
+      .checkpointHashPartitionedCounted(symmetrize(forest), "src")
+    org.apache.spark.sql.GraftSqlShim.unpersistCheckpoint(forest)
+    propagationLoop(fEdges, fCount, maxIterations)
+  }
+
+  /** Iterative min-label propagation over a checkpointed symmetric edge
+    * list (see the algorithm notes above [[connectedComponents]]).
+    * Unpersists `edges` when done. */
+  private def propagationLoop(edges: DataFrame, edgeCount: Long,
+      maxIterations: Int): DataFrame = {
     val lblType = edges.schema("src").dataType
     var labels: DataFrame = null
     var prevCkpt: DataFrame = null
@@ -590,16 +792,22 @@ object Dedup {
       // Jumping is deferred past the first rounds because near-star dup
       // graphs converge in 2–3 rounds anyway and the joins would only
       // add per-round cost (at scale: extra labels-sized shuffles).
+      // both round checkpoints are the STATS-TRUNCATING lazy variant:
+      // Dataset.localCheckpoint(false) captures originStats, and with a
+      // join-bearing plan checkpointed every round those size estimates
+      // compound geometrically until planning wedges in BigInteger
+      // multiplication (see GraftSqlShim.lazyCheckpointNoStats)
       var roundMid: DataFrame = null
-      val next = (if (it < ShortcutAfter) agg else {
-        val m = agg.localCheckpoint(false)
+      val next = org.apache.spark.sql.GraftSqlShim.lazyCheckpointNoStats(
+        if (it < ShortcutAfter) agg else {
+        val m = org.apache.spark.sql.GraftSqlShim.lazyCheckpointNoStats(agg)
         roundMid = m
         val mm = m.select(col("id").as("lid"), col("lbl").as("llbl"))
         val j1 = m.join(mm, m("lbl") === mm("lid"))
           .select(m("id"), col("llbl").as("lbl"), col("prev"))
         j1.join(mm, j1("lbl") === mm("lid"))
           .select(j1("id"), col("llbl").as("lbl"), j1("prev"))
-      }).localCheckpoint(false)
+      })
       // LAZY checkpoints: this change-detection count is the single
       // distributed job of the round — it computes the aggregation (and
       // shortcut join), persists the checkpoint blocks as a side effect,

@@ -63,6 +63,29 @@ object GraftSqlShim {
       catalyst.plans.physical.HashPartitioning(Seq(attr), n))(spark)), count)
   }
 
+  /** Lazy `localCheckpoint` that TRUNCATES plan statistics: the result
+    * is a bare [[execution.LogicalRDD]] with no `originStats`, unlike
+    * `Dataset.localCheckpoint(eager = false)` which eagerly captures the
+    * origin plan's `Statistics` into the checkpoint node
+    * (`LogicalRDD.fromDataset`). Catalyst's size-only estimator takes
+    * the PRODUCT of child sizes at every join, so an iterative algorithm
+    * that checkpoints a join-bearing plan each round compounds those
+    * BigInt estimates round over round — the digit count grows
+    * geometrically and from ~10 rounds planning time disappears into
+    * BigInteger multiplication (hours-long "hangs" in
+    * `SizeInBytesOnlyStatsPlanVisitor`). A bare LogicalRDD reports the
+    * session default size instead, which is also the honest answer for
+    * a not-yet-materialized checkpoint. Blocks still materialize at the
+    * caller's first job over the result, exactly like the lazy Dataset
+    * variant; free them with [[unpersistCheckpoint]]. */
+  def lazyCheckpointNoStats(df: Dataset[_]): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[CSparkSession]
+    val qe = df.queryExecution
+    // same shape as Dataset.localCheckpoint: copy the reused UnsafeRows
+    val rdd = qe.toRdd.map(_.copy()).localCheckpoint()
+    ofRows(spark, execution.LogicalRDD(qe.analyzed.output, rdd)(spark))
+  }
+
   /** Wrap an `InternalRow` RDD with a known schema into a DataFrame (a
     * bare [[execution.LogicalRDD]] scan). */
   def ofInternalRows(spark: SparkSession, schema: types.StructType,

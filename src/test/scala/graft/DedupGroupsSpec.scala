@@ -172,4 +172,90 @@ class DedupGroupsSpec extends SparkTestBase {
     // 99 is in no pair and must pass through untouched
     assert(kept == Set(1L, 10L, 99L))
   }
+
+  /** 80 disjoint 50-node chains at ids k*1000 .. k*1000+49 — id-local,
+    * so the range-partitioned contraction pass collapses nearly every
+    * chain inside one partition. */
+  private def localChains: Seq[(Long, Long)] =
+    for (k <- 0L until 80L; i <- 0L until 49L)
+      yield (k * 1000 + i, k * 1000 + i + 1)
+
+  test("id-local graph above the micro gate contracts to the micro path") {
+    // 7840 symmetric edges > microGraphMaxEdges=1500, so the distributed
+    // phases engage; the contraction forest (~one row per node, ~4000)
+    // clears the stall guard AND the post-contraction micro threshold
+    // (4x1500), so zero propagation rounds run
+    val labels = Dedup.connectedComponents(
+        localChains.toDF("id1", "id2"), microGraphMaxEdges = 1500L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (for (k <- 0L until 80L; i <- 0L to 49L)
+      yield (k * 1000 + i) -> (k * 1000)).toMap
+    assert(labels == expected)
+    assert(Dedup.lastIterations == 0,
+      s"expected micro resolution, ran ${Dedup.lastIterations} rounds")
+    assert(Dedup.lastForestEdges > 0 && Dedup.lastForestEdges < 7840 * 0.7,
+      s"forest ${Dedup.lastForestEdges} rows did not contract")
+  }
+
+  test("contracted graph above the micro threshold still loops correctly") {
+    // microGraphMaxEdges=0 disables the micro path entirely (both gates):
+    // the loop runs over the contracted forest and must agree
+    val labels = Dedup.connectedComponents(
+        localChains.toDF("id1", "id2"), microGraphMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (for (k <- 0L until 80L; i <- 0L to 49L)
+      yield (k * 1000 + i) -> (k * 1000)).toMap
+    assert(labels == expected)
+    assert(Dedup.lastIterations > 0, "propagation loop did not run")
+    assert(Dedup.lastForestEdges > 0, "contraction pass did not run")
+  }
+
+  test("non-id-local graph falls back to propagation and stays correct") {
+    // pseudo-random permutation edges: no id locality, so contraction
+    // stalls (or barely reduces) and the guard routes to the loop
+    val n = 2000
+    val pairs = (0 until n).map(i => (i.toLong, ((i * 7919) % n).toLong))
+      .filter { case (a, b) => a != b }
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(k => k -> find(k)).toMap
+    val labels = Dedup.connectedComponents(
+        pairs.toDF("id1", "id2"), microGraphMaxEdges = 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == expected)
+    assert(Dedup.lastIterations > 0, "propagation loop did not run")
+  }
+
+  test("self-pairs survive every path as singleton groups") {
+    // a node whose only pair is (u, u) must still be labeled — through
+    // the micro path, the contraction pass, and the loop
+    val pairs = Seq((7L, 7L), (1L, 2L))
+    assert(cc(pairs) == Map(1L -> 1L, 2L -> 1L, 7L -> 7L))
+    assert(ccLoop(pairs) == Map(1L -> 1L, 2L -> 1L, 7L -> 7L))
+  }
+
+  test("integer id columns run the primitive union-find correctly") {
+    val pairs = Seq((5, 6), (6, 7), (100, 101)).toDF("id1", "id2")
+    val expected = Map(5 -> 5, 6 -> 5, 7 -> 5, 100 -> 100, 101 -> 100)
+    val micro = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(micro == expected)
+    val loop = Dedup.connectedComponents(pairs, microGraphMaxEdges = 0L)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(loop == expected)
+  }
+
+  test("negative ids hash and order correctly in the primitive path") {
+    val pairs = Seq((-5L, -6L), (-6L, 3L), (0L, -1L))
+    assert(cc(pairs) == Map(-6L -> -6L, -5L -> -6L, 3L -> -6L,
+      -1L -> -1L, 0L -> -1L))
+    assert(ccLoop(pairs) == cc(pairs))
+  }
 }
