@@ -69,6 +69,13 @@ object Bench {
           Option(t.getMessage).getOrElse(t.getClass.getName).take(200)
         Seq.empty
       }
+    } ++ {
+      try ccLoopFlagship(spark, sfDir, timed)
+      catch { case t: Throwable =>
+        errors("cc_loop_setup") =
+          Option(t.getMessage).getOrElse(t.getClass.getName).take(200)
+        Seq.empty
+      }
     }
     // 3-sample medians for the gate-watched sub-3 s queries: this box
     // shows ±2× wall variance at that scale (it has cost two rounds of
@@ -223,5 +230,39 @@ object Bench {
       spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
       a.unpersist(); b.unpersist()
     }
+  }
+
+  /** Distributed-CC evidence at real size. q69 (timed in the main query
+    * loop) exercises the DEFAULT path on its 2.5 M-edge id-local graph:
+    * since the local-contraction pre-pass landed that is contraction +
+    * micro resolve, zero propagation rounds. This entry pins the OTHER
+    * at-scale path: node ids are scrambled, so range partitioning sees
+    * no id locality, the contraction stall guard fires, and the
+    * alternating-star engine resolves the full 2.5 M-edge list in
+    * O(log d) rounds (6 observed for the 63-hop chains). The timing
+    * honestly includes the stalled contraction attempt — that IS the
+    * cost of this path. Row count (not labels) is asserted trivially by count();
+    * label correctness for both paths is the driver-oracled q69/q68. */
+  private def ccLoopFlagship(spark: SparkSession, sfDir: String,
+      timed: String => (=> Unit) => (String, Double)): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    val J = 64
+    val pairs = Tables.load(spark, sfDir, "events")
+      .select(col("event_id").cast("long").as("e"))
+      .where(col("e") < 20000)
+      .select(col("e"), explode(sequence(lit(1), lit(J - 1))).as("j"))
+      .select((col("e") * J + col("j") - 1).as("a"),
+        (col("e") * J + col("j")).as("b"))
+      // xxhash64 scramble: same graph topology, zero id locality. Not
+      // formally bijective, but a collision among 1.28 M nodes in a
+      // 64-bit space is ~5e-8 — and this entry asserts no labels, only
+      // the timing of the stall-guarded loop path. (ANSI forbids the
+      // natural odd-multiply scramble — Long overflow throws — and a
+      // xorshift mix is near-order-preserving on 21-bit inputs: each
+      // step approximates an odd multiply, so locality survives it.)
+      .select(xxhash64(col("a")).as("id1"), xxhash64(col("b")).as("id2"))
+    Seq(timed("cc_star_2m5_scrambled")(
+      graft.operators.Dedup.connectedComponents(pairs, maxIterations = 30)
+        .count()))
   }
 }

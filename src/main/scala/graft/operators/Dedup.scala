@@ -677,6 +677,11 @@ object Dedup {
     * (micro-graph path). Diagnostics only, like [[lastIterations]]. */
   @volatile private[graft] var lastForestEdges: Long = -1L
 
+  /** Which engine resolved the last [[connectedComponents]] call:
+    * "micro", "contract-micro", "star", or "propagation". Diagnostics
+    * only, like [[lastIterations]]. */
+  @volatile private[graft] var lastEngine: String = ""
+
   /** @param microGraphMaxEdges symmetric-edge-count threshold at or below
     *   which components are resolved by the single-task union-find fast
     *   path instead of the distributed phases (identical result, O(1)
@@ -708,6 +713,7 @@ object Dedup {
       org.apache.spark.sql.GraftSqlShim.unpersistCheckpoint(edges)
       lastIterations = 0
       lastForestEdges = -1L
+      lastEngine = "micro"
       log.info(s"connectedComponents: micro-graph path, $edgeCount edges")
       return labels.select(col("id"), col("lbl").as("group_id"))
     }
@@ -720,18 +726,25 @@ object Dedup {
     val (forest, forestCount) = spanningForest(edges)
     lastForestEdges = forestCount
     if (forestCount >= edgeCount * ContractionStallFraction) {
-      // no id locality — the pass bought nothing; loop on the originals
+      // no id locality — the pass bought nothing. Min-label propagation
+      // is the WRONG loop here: its pointer-jumping speedup needs ids
+      // that form a gradient along the graph (the id-local case); on
+      // arbitrary ids the min only creeps outward a couple of hops per
+      // round, O(diameter) rounds. Alternating star contraction
+      // converges on ANY id assignment in ~log rounds.
       log.info(s"connectedComponents: contraction stalled " +
         s"($edgeCount edges -> $forestCount forest rows), " +
-        "running propagation on the original edges")
+        "running alternating star rounds on the original edges")
       org.apache.spark.sql.GraftSqlShim.unpersistCheckpoint(forest)
-      return propagationLoop(edges, edgeCount, maxIterations)
+      lastEngine = "star"
+      return starLoop(edges, maxIterations)
     }
     org.apache.spark.sql.GraftSqlShim.unpersistCheckpoint(edges)
     if (forestCount <= microGraphMaxEdges * PostContractionMicroFactor) {
       val labels = unionFindLabels(forest).localCheckpoint()
       org.apache.spark.sql.GraftSqlShim.unpersistCheckpoint(forest)
       lastIterations = 0
+      lastEngine = "contract-micro"
       log.info(s"connectedComponents: contracted $edgeCount edges to " +
         s"$forestCount forest rows, resolved on the micro path")
       return labels.select(col("id"), col("lbl").as("group_id"))
@@ -744,7 +757,105 @@ object Dedup {
     val (fEdges, fCount) = org.apache.spark.sql.GraftSqlShim
       .checkpointHashPartitionedCounted(symmetrize(forest), "src")
     org.apache.spark.sql.GraftSqlShim.unpersistCheckpoint(forest)
+    lastEngine = "propagation"
     propagationLoop(fEdges, fCount, maxIterations)
+  }
+
+  /** Alternating large-star/small-star contraction over a checkpointed
+    * SYMMETRIC edge list — the fallback engine for graphs with no id
+    * locality, where the contraction pre-pass stalls AND min-label
+    * propagation degrades to O(diameter) rounds (its pointer jumps only
+    * compress label chains the min has already reached; on arbitrary ids
+    * the frontier moves a couple of graph hops per round). The star
+    * operations restructure the EDGE SET itself instead of propagating
+    * labels, so convergence is O(log²) rounds worst case — and a handful
+    * in practice — independent of how ids are laid out (public
+    * algorithm: Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC 2014).
+    *
+    * Round = two halves over the canonical (hi, lo) edge list:
+    *  - large-star: every node links its strictly LARGER neighbors to
+    *    the minimum of its closed neighborhood;
+    *  - small-star: every node links its strictly smaller neighbors
+    *    (and itself) to that minimum.
+    * Both preserve connectivity exactly; the fixed point is a disjoint
+    * union of stars whose centers are the component minima. Convergence
+    * is detected structurally in the round's single count job: the
+    * canonical edge list is star-shaped iff every `hi` has exactly one
+    * `lo` and no `lo` appears as a `hi` (a star rooted anywhere but the
+    * component minimum violates the second clause, so this cannot fire
+    * early).
+    *
+    * At scale each half is one edge-sized groupBy + join (the edge list
+    * only shrinks: `distinct` bounds it by the input), versus the
+    * propagation loop's cheaper labels-only shuffles — which is why this
+    * engine is reserved for the no-locality regime instead of replacing
+    * the loop outright. Ids of any orderable type work; comparisons and
+    * `min` are Spark SQL semantics (strings collate like SQL `min`).
+    * Unpersists `edges` when done. */
+  private[graft] def starLoop(edges: DataFrame,
+      maxIterations: Int): DataFrame = {
+    val shim = org.apache.spark.sql.GraftSqlShim
+    // node inventory for the final labeling: every node of the symmetric
+    // list appears as src. Forced eagerly — edges' checkpoint blocks are
+    // freed before labels are consumed, and a lazy plan would then read
+    // a severed lineage.
+    val nodes = shim.lazyCheckpointNoStats(
+      edges.select(col("src").as("id")).distinct())
+    nodes.count()
+    // canonical orientation (hi > lo): each undirected edge once;
+    // self-loops drop out (their nodes live on in `nodes`)
+    var c = shim.lazyCheckpointNoStats(
+      edges.where(col("src") > col("dst"))
+        .select(col("src").as("hi"), col("dst").as("lo")).distinct())
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIterations) {
+      val s = symmetrize(c.select(col("hi").as("src"), col("lo").as("dst")))
+      val mn = s.groupBy("src")
+        .agg(least(col("src"), min(col("dst"))).as("m"))
+        .select(col("src").as("u"), col("m"))
+      // no distinct here: Σ_u |Γ⁺(u)| = one row per undirected edge, so
+      // the output is already bounded by |c|; dedup would only trim
+      // coincidental equal pairs at the price of a full shuffle
+      val large = s.join(mn, s("src") === mn("u"))
+        .where(s("dst") > s("src"))
+        .select(s("dst").as("hi"), mn("m").as("lo")) // hi > src >= m = lo
+      val mn2 = large.groupBy("hi").agg(min("lo").as("m2"))
+      val next = shim.lazyCheckpointNoStats(
+        large.join(mn2, "hi")
+          .where(col("lo") =!= col("m2"))
+          .select(col("lo").as("hi"), col("m2").as("lo")) // lo > m2 (lo != m2, m2 = min)
+          .union(mn2.select(col("hi"), col("m2").as("lo"))) // hi > m2
+          .distinct())
+      // single job of the round: materializes the checkpoint and counts
+      // star-shape violations (multi-parent his, or a parent that is
+      // itself somebody's hi)
+      val p = next.groupBy("hi")
+        .agg(min("lo").as("p"), count(lit(1)).as("deg"))
+      val parentsAsHi = p.select(col("p").as("v"))
+        .join(next.select(col("hi").as("v")), "v", "left_semi")
+      converged = p.where(col("deg") > 1).select(col("hi").as("v"))
+        .union(parentsAsHi).count() == 0L
+      shim.unpersistCheckpoint(c)
+      c = next
+      it += 1
+      log.info(s"connectedComponents: star round $it converged=$converged")
+    }
+    shim.unpersistCheckpoint(edges)
+    lastIterations = it
+    if (!converged) {
+      shim.unpersistCheckpoint(c)
+      shim.unpersistCheckpoint(nodes)
+      throw new IllegalStateException(
+        s"connectedComponents star rounds did not converge after " +
+          s"$maxIterations rounds; raise maxIterations")
+    }
+    // at the fixed point every hi has exactly one lo = its component
+    // minimum; roots and singletons label themselves
+    nodes.join(c.select(col("hi").as("id"), col("lo").as("lbl")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("group_id"))
   }
 
   /** Iterative min-label propagation over a checkpointed symmetric edge

@@ -210,7 +210,7 @@ class DedupGroupsSpec extends SparkTestBase {
     assert(Dedup.lastForestEdges > 0, "contraction pass did not run")
   }
 
-  test("non-id-local graph falls back to propagation and stays correct") {
+  test("non-id-local graph falls back to star rounds and stays correct") {
     // pseudo-random permutation edges: no id locality, so contraction
     // stalls (or barely reduces) and the guard routes to the loop
     val n = 2000
@@ -230,7 +230,9 @@ class DedupGroupsSpec extends SparkTestBase {
         pairs.toDF("id1", "id2"), microGraphMaxEdges = 100L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels == expected)
-    assert(Dedup.lastIterations > 0, "propagation loop did not run")
+    assert(Dedup.lastEngine == "star",
+      s"expected star engine, got ${Dedup.lastEngine}")
+    assert(Dedup.lastIterations > 0, "star rounds did not run")
   }
 
   test("self-pairs survive every path as singleton groups") {
@@ -257,5 +259,92 @@ class DedupGroupsSpec extends SparkTestBase {
     assert(cc(pairs) == Map(-6L -> -6L, -5L -> -6L, 3L -> -6L,
       -1L -> -1L, 0L -> -1L))
     assert(ccLoop(pairs) == cc(pairs))
+  }
+
+  /** Bijective id scramble (odd-multiplier mix, driver-side Scala so
+    * wraparound is fine): destroys the id gradient along the graph, the
+    * regime where min-label propagation degrades to O(diameter) and the
+    * star engine must take over. */
+  private def mix(i: Long): Long = {
+    val x = i * 0x9E3779B97F4A7C15L
+    x ^ (x >>> 31)
+  }
+
+  test("scrambled deep chains route to star rounds and converge in O(log d)") {
+    // 8 chains of 50 nodes with scrambled ids: no locality, so the
+    // contraction pre-pass stalls and the star engine runs. Star rounds
+    // must converge in far fewer than the ~diameter rounds min-label
+    // propagation would need on these ids.
+    val pairs = for (k <- 0L until 8L; i <- 0L until 49L)
+      yield (mix(k * 50 + i), mix(k * 50 + i + 1))
+    val labels = Dedup.connectedComponents(
+        pairs.toDF("id1", "id2"), microGraphMaxEdges = 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (for (k <- 0L until 8L) yield {
+      val ids = (0L to 49L).map(i => mix(k * 50 + i))
+      ids.map(_ -> ids.min)
+    }).flatten.toMap
+    assert(labels == expected)
+    assert(Dedup.lastEngine == "star",
+      s"expected star engine, got ${Dedup.lastEngine}")
+    assert(Dedup.lastIterations > 0 && Dedup.lastIterations <= 12,
+      s"star rounds not O(log d): ${Dedup.lastIterations} rounds for diameter 49")
+  }
+
+  test("string ids survive the star engine with SQL min semantics") {
+    // chain over scrambled hex-string ids: stall guard fires, star rounds
+    // run over a non-primitive type; group id = lexicographic min
+    val ids = (0 until 80).map(i => f"${mix(i.toLong)}%016x")
+    val pairs = (0 until 79).map(i => (ids(i), ids(i + 1)))
+    val labels = Dedup.connectedComponents(
+        pairs.toDF("id1", "id2"), microGraphMaxEdges = 10L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(labels == ids.map(_ -> ids.min).toMap)
+    assert(Dedup.lastEngine == "star",
+      s"expected star engine, got ${Dedup.lastEngine}")
+    // the micro path agrees on the identical input
+    val micro = Dedup.connectedComponents(pairs.toDF("id1", "id2"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(micro == labels)
+  }
+
+  test("self-pairs survive the star engine as singleton groups") {
+    // (u, u) canonicalizes away inside starLoop (hi > lo drops it); the
+    // node inventory must still label u with itself
+    val chain = (0 until 40).map(i => (mix(i.toLong), mix(i.toLong + 1)))
+    val lone = mix(9999L)
+    val pairs = chain :+ (lone, lone)
+    val labels = Dedup.connectedComponents(
+        pairs.toDF("id1", "id2"), microGraphMaxEdges = 10L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Dedup.lastEngine == "star",
+      s"expected star engine, got ${Dedup.lastEngine}")
+    assert(labels(lone) == lone)
+    val chainIds = (0L to 40L).map(mix)
+    assert(chainIds.forall(id => labels(id) == chainIds.min))
+  }
+
+  test("star engine matches brute force on a random scrambled graph") {
+    val rnd = new scala.util.Random(42)
+    val n = 600
+    val pairs = (0 until 900).map(_ =>
+      (mix(rnd.nextInt(n).toLong), mix(rnd.nextInt(n).toLong)))
+      .filter { case (a, b) => a != b }
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(k => k -> find(k)).toMap
+    val labels = Dedup.connectedComponents(
+        pairs.toDF("id1", "id2"), microGraphMaxEdges = 10L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Dedup.lastEngine == "star",
+      s"expected star engine, got ${Dedup.lastEngine}")
+    assert(labels == expected)
   }
 }
