@@ -590,6 +590,31 @@ object SparkEntry {
         .groupBy("group_id")
         .agg(count(lit(1)).as("n_members"), sum(col("id")).as("sum_id"),
           max(col("id")).as("max_id")) }),
+    // the alternating-star engine under the driver oracle: the q69 block
+    // chains with ids scrambled by an oracle-expressible bijection,
+    // id' = ((id*7919) % 32768) * 65536 + id — unlike a hash, DuckDB can
+    // compute it; unlike a digit swap, consecutive ids jump ~24% of the
+    // domain, so RANGE partitions (contiguous 1/32 slices) never keep a
+    // chain's endpoints together, the contraction pre-pass stalls, and
+    // the star engine resolves the graph. 500 events × 63-hop chains =
+    // 63 000 symmetric edges, held above the (lowered) micro gate so the
+    // distributed path is engaged by the planner gate; at-scale star
+    // timing lives in the cc_star_2m5_scrambled bench entry.
+    "q70_dedup_groups_star" -> ((s, dir) => { prep(s, dir)
+      val J = 64
+      def mix(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        (c * 7919L % 32768L) * 65536L + c
+      val pairs = Tables.load(s, dir, "events")
+        .select(col("event_id").cast("long").as("e"))
+        .where(col("e") < 500)
+        .select(col("e"), explode(sequence(lit(1), lit(J - 1))).as("j"))
+        .select(mix(col("e") * J + col("j") - 1).as("id1"),
+          mix(col("e") * J + col("j")).as("id2"))
+      Dedup.connectedComponents(pairs, maxIterations = 30,
+          microGraphMaxEdges = 1000L)
+        .groupBy("group_id")
+        .agg(count(lit(1)).as("n_members"), sum(col("id")).as("sum_id"),
+          max(col("id")).as("max_id")) }),
     "q24_text_stats" -> ((s, dir) => { prep(s, dir)
       val d = Tables.load(s, dir, "documents")
       d.select(col("doc_id"),
@@ -1177,6 +1202,21 @@ object SparkEntry {
           |       CAST(event_id * 4096 + 2016 AS BIGINT) AS sum_id,
           |       CAST(event_id * 64 + 63 AS BIGINT) AS max_id
           |FROM events WHERE event_id < 20000""".stripMargin,
+      // the component of event e is {mix(64e+j) : j in 0..63} under the
+      // scramble bijection — enumerated per event with generate_series
+      // instead of any graph traversal
+      "q70_dedup_groups_star" ->
+        """SELECT CAST(min(m) AS BIGINT) AS group_id,
+          |       CAST(count(*) AS BIGINT) AS n_members,
+          |       CAST(sum(m) AS BIGINT) AS sum_id,
+          |       CAST(max(m) AS BIGINT) AS max_id
+          |FROM (
+          |  SELECT event_id AS eid,
+          |         (CAST(event_id * 64 + j AS BIGINT) * 7919 % 32768)
+          |         * 65536 + CAST(event_id * 64 + j AS BIGINT) AS m
+          |  FROM events, generate_series(0, 63) t(j)
+          |  WHERE event_id < 500
+          |) GROUP BY eid""".stripMargin,
       "q58_dedup_canonical" -> dupCanonicalOracle,
       "q24_text_stats" -> textStatsOracle,
       "q25_langid" -> langIdOracle,
