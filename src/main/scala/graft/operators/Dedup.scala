@@ -811,16 +811,18 @@ object Dedup {
     var it = 0
     var converged = false
     while (!converged && it < maxIterations) {
-      val s = symmetrize(c.select(col("hi").as("src"), col("lo").as("dst")))
-      val mn = s.groupBy("src")
-        .agg(least(col("src"), min(col("dst"))).as("m"))
-        .select(col("src").as("u"), col("m"))
-      // no distinct here: Σ_u |Γ⁺(u)| = one row per undirected edge, so
-      // the output is already bounded by |c|; dedup would only trim
-      // coincidental equal pairs at the price of a full shuffle
-      val large = s.join(mn, s("src") === mn("u"))
-        .where(s("dst") > s("src"))
-        .select(s("dst").as("hi"), mn("m").as("lo")) // hi > src >= m = lo
+      // large-star without symmetrizing: m(u) = min(Γ(u) ∪ {u}) can only
+      // be u or a SMALLER neighbor, and the canonical rows already group
+      // u's smaller neighbors under hi = u — so the closed-neighborhood
+      // min is one groupBy over |c| rows (not 2|c| symmetric rows), and
+      // the emit "link every larger neighbor v of u to m(u)" is a left
+      // join of the edge rows (hi = v, lo = u) against it, coalescing to
+      // u itself for nodes with no smaller neighbor. One output row per
+      // input row — no distinct needed at this stage.
+      val mn = c.groupBy("hi").agg(min("lo").as("m"))
+        .select(col("hi").as("u"), col("m"))
+      val large = c.join(mn, c("lo") === mn("u"), "left")
+        .select(c("hi"), coalesce(mn("m"), c("lo")).as("lo")) // hi > lo >= m
       val mn2 = large.groupBy("hi").agg(min("lo").as("m2"))
       val next = shim.lazyCheckpointNoStats(
         large.join(mn2, "hi")

@@ -3,10 +3,11 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Ad-hoc per-round timing of the distributed connectedComponents loop
-  * on the q69 graph (2.5M symmetric edges at sf0.1). Raises the
-  * graft.Dedup logger to INFO so the per-round `changed=` lines print
-  * with log4j timestamps, bracketing each round's wall cost.
+/** Ad-hoc timing of the distributed connectedComponents path on the
+  * q69 graph (2.5M symmetric edges at sf0.1) — since the contraction
+  * pre-pass landed this is contraction + micro resolve; see ScratchCC3
+  * for the scrambled-id star path. Raises the graft.Dedup logger to
+  * INFO so the engine/round lines print with log4j timestamps.
   */
 object ScratchCC {
   def main(args: Array[String]): Unit = {
