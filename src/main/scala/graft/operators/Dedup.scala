@@ -156,12 +156,21 @@ object Dedup {
   val TestBroadcastMaxBytesConf = "spark.graft.dedup.testBroadcastMaxBytes"
   private val TestBroadcastMaxBytesDefault: Long = 256L << 20
 
-  /** Broadcast `df` only when the optimizer's size estimate for the
-    * originating `gateOn` frame is under [[TestBroadcastMaxBytesConf]].
-    * The gate reads the SOURCE frame's stats (not the derived banded /
-    * exploded plan, whose estimates explode-multiply) — the question is
-    * "is the eval corpus small", and the broadcast sides are all
-    * bounded by it. */
+  /** Broadcast `df` only when the originating `gateOn` frame is under
+    * [[TestBroadcastMaxBytesConf]]. The gate reads the SOURCE frame
+    * (not the derived banded / exploded plan, whose estimates
+    * explode-multiply) — the question is "is the eval corpus small",
+    * and the broadcast sides are all bounded by it.
+    *
+    * Two tiers: the optimizer's size estimate is a free fast-accept,
+    * but Spark's size-only estimator passes a parent scan's size
+    * THROUGH filters, so a tiny eval slice of a large table estimates
+    * at the full table's size. When the estimate alone would degrade,
+    * spend ONE aggregation job over the gate frame (the test side
+    * only — never the train side) measuring its actual bytes before
+    * giving up the broadcast: wrongly degrading shuffles the entire
+    * train corpus, which is orders of magnitude costlier than the
+    * measurement. */
   private def broadcastIfSmall(df: DataFrame, gateOn: DataFrame): DataFrame = {
     val thr = gateOn.sparkSession.conf
       .get(TestBroadcastMaxBytesConf, TestBroadcastMaxBytesDefault.toString)
@@ -169,8 +178,40 @@ object Dedup {
     if (thr < 0) broadcast(df)
     else {
       val est = gateOn.queryExecution.optimizedPlan.stats.sizeInBytes
-      if (est <= thr) broadcast(df) else df
+      if (est <= thr) broadcast(df)
+      else if (measuredBytes(gateOn) <= thr) broadcast(df)
+      else {
+        log.warn(s"graft decontamination: test corpus measured over " +
+          s"$TestBroadcastMaxBytesConf=$thr bytes; degrading broadcasts " +
+          "to shuffled equi-joins (same result, the train side will " +
+          "shuffle). Raise the conf (or set it negative) to force " +
+          "broadcasting.")
+        df
+      }
     }
+  }
+
+  /** Actual (estimated-per-row, exact-per-string) byte size of `df`:
+    * one aggregation job summing fixed-type widths plus
+    * `octet_length` of string/binary columns, +16 bytes/row row
+    * overhead. Used by [[broadcastIfSmall]] as the second-tier gate. */
+  private def measuredBytes(df: DataFrame): Long = {
+    import org.apache.spark.sql.types._
+    val fieldSizes = df.schema.fields.map { f =>
+      f.dataType match {
+        case StringType | BinaryType =>
+          coalesce(octet_length(col(f.name)).cast("long"), lit(0L)) + lit(8L)
+        case ArrayType(et, _) =>
+          // element defaultSize is exact for fixed-width elements and a
+          // rough floor for nested/variable ones — fine for a gate
+          coalesce(size(col(f.name)).cast("long"), lit(0L)) *
+            lit(et.defaultSize.toLong) + lit(16L)
+        case dt => lit(dt.defaultSize.toLong)
+      }
+    }
+    val rowSize = fieldSizes.reduceOption(_ + _).getOrElse(lit(0L)) + lit(16L)
+    val r = df.select(sum(rowSize).as("bytes")).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 
   def crossCorpusDupPairs(train: DataFrame, test: DataFrame, idCol: String,
@@ -190,7 +231,10 @@ object Dedup {
     // the one thing this operator exists to avoid. They are size-GATED
     // (broadcastIfSmall): a genuinely large second corpus degrades to a
     // shuffled equi-join on the same keys instead of a driver OOM.
-    def bc(df: DataFrame): DataFrame = broadcastIfSmall(df, test)
+    // gate on just the columns that feed the broadcast sides — the
+    // user's corpus may carry wide payload columns that never broadcast
+    def bc(df: DataFrame): DataFrame =
+      broadcastIfSmall(df, test.select(col(idCol), col(textCol)))
     val cands = banded(train, "train_id")
       .join(bc(banded(test, "test_id")), Seq("band", "bucket"))
       .select("train_id", "test_id").distinct()
@@ -233,7 +277,7 @@ object Dedup {
         explode(shingleHashes(col(textCol), n)).as("g"))
     val testGrams = grams(test, "test_id")
     val hits = grams(train, "train_id").select(col("g"))
-      .join(broadcastIfSmall(testGrams, test), "g")
+      .join(broadcastIfSmall(testGrams, test.select(col(idCol), col(textCol))), "g")
       .select("test_id", "g").distinct()
       .groupBy("test_id").agg(count(lit(1)).as("n_hits"))
     hits.where(col("n_hits") >= minHits)
@@ -265,26 +309,34 @@ object Dedup {
   }
 
   /** Exact duplicate pairs (identical `textCol`), id1 < id2. Shuffle
-    * shape: one groupBy keyed on the 8-byte content fingerprint (the
-    * text itself is never a shuffle/compare key — it rides as a value
-    * and partitions hash on a BIGINT, the q26/q27 hygiene), pair
-    * expansion within groups gated on FULL text equality — so the
-    * result stays exact even across (astronomically unlikely) hash
-    * collisions, where one fingerprint group holds two distinct texts. */
-  def exactDupPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    // isNotNull: GROUP BY treats NULLs as equal, so NULL-text documents
-    // would otherwise all pair as "duplicates" of each other (and
-    // dropDuplicateDocs would then delete all but one of them)
-    docs.where(col(textCol).isNotNull)
+    * shape: a self-equi-join keyed on the 8-byte content fingerprint
+    * (the text itself is never a shuffle/sort key — it rides as a
+    * value and partitions hash on a BIGINT, the q26/q27 hygiene), with
+    * FULL text equality verified on each matched pair — so the result
+    * stays exact even across (astronomically unlikely) hash collisions
+    * where one fingerprint holds two distinct texts. A join rather
+    * than a per-fingerprint collect_list keeps heavy duplicate classes
+    * spill-safe: the join buffers same-key matches in a spillable row
+    * array, where a single aggregation value holding k copies of the
+    * text would hit the 2 GB row limit on boilerplate duplicated
+    * ~10^5 times (routine in web-crawl dedup). */
+  def exactDupPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // isNotNull: NULL-text documents must not pair with each other (and
+    // dropDuplicateDocs would otherwise delete all but one of them)
+    val d = docs.where(col(textCol).isNotNull)
       .select(col(idCol).as("id"), col(textCol).as("t"),
         TextStats.contentFingerprint(col(textCol)).as("fp"))
-      .groupBy("fp")
-      .agg(sort_array(collect_list(struct(col("t"), col("id")))).as("rs"))
-      .where(size(col("rs")) > 1)
-      .select(col("rs"), explode(col("rs")).as("a"))
-      .select(col("a"), explode(col("rs")).as("b"))
-      .where(col("a.t") === col("b.t") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+    val a = d.select(col("fp"), col("id").as("id1"), col("t").as("t1"))
+    val b = d.select(col("fp"), col("id").as("id2"), col("t").as("t2"))
+    // coalesce() keeps ExtractEquiJoinKeys from lifting the text
+    // equality into the join keys (which would put raw text back into
+    // the shuffle/sort key); it remains a post-match condition
+    // evaluated on the fp-keyed join's matches
+    a.join(b, Seq("fp"))
+      .where(coalesce(col("t1") === col("t2"), lit(false)) &&
+        col("id1") < col("id2"))
+      .select("id1", "id2")
+  }
 
   /** `shiftright` with a Column shift amount (the Scala helper only
     * accepts a literal Int). */
@@ -623,8 +675,8 @@ object Dedup {
     * ~one row per node with only partition-boundary components split.
     * On a graph with NO id locality the forest can exceed the input
     * (every node seen by ~2 partitions), which is why the caller guards
-    * on the achieved reduction and falls back to the propagation loop
-    * over the original edges.
+    * on the achieved reduction and falls back to the alternating-star
+    * engine ([[starLoop]]) on the original edges.
     *
     * Returns the forest (cols `src`=node, `dst`=localRoot) as an
     * RDD-checkpointed DataFrame plus its row count (the count job is
@@ -663,7 +715,9 @@ object Dedup {
   /** Contraction-stall guard: the spanning forest must come in under
     * this fraction of the input edge count for the contracted graph to
     * be used — otherwise the graph has no id locality, the pass bought
-    * nothing, and the propagation loop runs on the original edges. */
+    * nothing, and the alternating-star engine ([[starLoop]]) runs on
+    * the original edges (NOT min-label propagation, whose pointer
+    * jumps need an id gradient to deliver O(log d) rounds). */
   private val ContractionStallFraction = 0.7
 
   /** Post-contraction micro-path relaxation: the forest is bounded by
@@ -689,9 +743,11 @@ object Dedup {
     *   generated-plan compilation). The count is read off the (always
     *   required) symmetrize checkpoint, so the gate costs nothing. Set to
     *   0 to force the distributed path. Above the threshold a
-    *   local-contraction pre-pass ([[spanningForest]]) runs first; the
-    *   propagation loop only sees the contracted graph (or the original
-    *   edges when contraction stalls on a non-id-local graph). */
+    *   local-contraction pre-pass ([[spanningForest]]) runs first: a
+    *   small forest resolves on the micro path, a large one feeds the
+    *   propagation loop (which therefore never sees the original
+    *   edges), and a stalled contraction (non-id-local graph) routes
+    *   to the alternating-star engine ([[starLoop]]) instead. */
   def connectedComponents(pairs: DataFrame, id1: String = "id1",
       id2: String = "id2", maxIterations: Int = 50,
       microGraphMaxEdges: Long = MicroGraphMaxEdgesDefault): DataFrame = {
@@ -862,8 +918,12 @@ object Dedup {
 
   /** Iterative min-label propagation over a checkpointed symmetric edge
     * list (see the algorithm notes above [[connectedComponents]]).
-    * Unpersists `edges` when done. */
-  private def propagationLoop(edges: DataFrame, edgeCount: Long,
+    * Unpersists `edges` when done. private[graft] so specs can pin the
+    * pointer-jump round count directly: through the public API the
+    * contraction pre-pass collapses chain graphs before this loop ever
+    * sees them, so an end-to-end round-count assertion would not detect
+    * a broken jump. */
+  private[graft] def propagationLoop(edges: DataFrame, edgeCount: Long,
       maxIterations: Int): DataFrame = {
     val lblType = edges.schema("src").dataType
     var labels: DataFrame = null

@@ -44,11 +44,20 @@ object GenScale {
       .repartition(8)
       .write.mode("overwrite").parquet(s"$dst/events.parquet")
 
-    // documents: id offset well under the +1M/+2M ranges dupCorpus
-    // injects; per-copy text suffix keeps cross-copy texts distinct
+    // documents: per-copy id stride measured off the source (like
+    // events), per-copy text suffix keeps cross-copy texts distinct.
+    // ALL generated ids must stay under the +1M/+2M ranges dupCorpus
+    // injects — a collision there would silently corrupt the "dup
+    // structure stays exactly copies x the source" invariant, so fail
+    // loud at generation time instead.
     val docs = spark.read.parquet(s"$src/documents.parquet")
+    val docStride = docs.agg(max("doc_id")).head().getLong(0) + 1L
+    require(docStride * copies <= 1000000L,
+      s"doc_id range would reach ${docStride * copies}, colliding with " +
+        "the +1M dup-injection id range (dupCorpus); use fewer copies " +
+        "or a smaller source")
     val docCols = Seq(
-      (col("doc_id") + col("k") * 100000L).as("doc_id"),
+      (col("doc_id") + col("k") * docStride).as("doc_id"),
       when(col("k") === 0, col("text"))
         .otherwise(concat(col("text"), lit(" v"), col("k"))).as("text")) ++
       docs.columns.filterNot(c => c == "doc_id" || c == "text").map(col)

@@ -51,8 +51,9 @@ class DedupGroupsSpec extends SparkTestBase {
   }
 
   test("deep chain (diameter 25) converges to the chain head") {
-    // min-label propagation moves one hop per round: this needs ~25
-    // rounds, well past the star-shaped 2-4 the dup corpus produces
+    // forced distributed path on a deep chain (the dup corpus itself is
+    // star-shaped); the contraction pre-pass collapses most of it, any
+    // remainder resolves downstream
     val chain = (100L to 124L).map(i => (i, i + 1))
     val labels = ccLoop(chain)
     assert(labels == (100L to 125L).map(_ -> 100L).toMap)
@@ -60,16 +61,25 @@ class DedupGroupsSpec extends SparkTestBase {
 
   test("diameter-100 chain converges within default maxIterations " +
        "(pointer-jumping shortcut)") {
-    // without the lbl <- lbl(lbl) shortcut this needs ~101 rounds and
-    // would blow the default maxIterations=50; with it, distance roughly
-    // doubles per round after round 3 (~10 rounds total)
+    // end-to-end: the public API resolves the chain correctly (the
+    // contraction pre-pass collapses it first, so this does NOT pin the
+    // propagation loop's round count — the direct assertion follows)
     val chain = (1000L to 1099L).map(i => (i, i + 1))
     val labels = ccLoop(chain)
     assert(labels == (1000L to 1100L).map(_ -> 1000L).toMap)
-    // O(log d) evidence: 3 plain rounds reach distance 3, then the
-    // double pointer jump multiplies reach ~4x per round (3 -> 15 -> 63
-    // -> 255 covers d=100 by round 6), plus one quiescent round — a
-    // single-hop loop would need ~101 rounds, single-jump ~10
+
+    // O(log d) evidence on the RAW loop (bypassing contraction, which
+    // would shrink the chain to a ~4-star forest and let even a broken
+    // jump converge): 3 plain rounds reach distance 3, then the double
+    // pointer jump multiplies reach ~4x per round (3 -> 15 -> 63 -> 255
+    // covers d=100 by round 6), plus one quiescent round — a single-hop
+    // loop would need ~101 rounds, single-jump ~10
+    val sym = chain.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val (edges, cnt) = org.apache.spark.sql.GraftSqlShim
+      .checkpointHashPartitionedCounted(sym.toDF("src", "dst"), "src")
+    val direct = Dedup.propagationLoop(edges, cnt, maxIterations = 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(direct == (1000L to 1100L).map(_ -> 1000L).toMap)
     assert(Dedup.lastIterations >= 4 && Dedup.lastIterations <= 9,
       s"diameter-100 chain took ${Dedup.lastIterations} rounds")
   }

@@ -26,10 +26,19 @@ class OperatorsSpec extends SparkTestBase {
   }
 
   test("exactDupPairs shuffles on the 8-byte fingerprint, never raw text") {
-    val plan = Dedup.exactDupPairs(docs, "doc_id", "text")
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("hashpartitioning(fp#"), plan)
-    assert(!plan.contains("hashpartitioning(t#"), plan)
+    // kill the broadcast (a 6-row input would broadcast-join) so the
+    // at-scale exchange shape is what gets asserted: the self-join must
+    // hash-partition on fp ALONE — the coalesce() wrapper keeps the text
+    // equality out of the extracted join keys
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = Dedup.exactDupPairs(docs, "doc_id", "text")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("hashpartitioning(fp#"), plan)
+      assert(!plan.contains("hashpartitioning(t#"), plan)
+      assert(!plan.contains("hashpartitioning(t1#"), plan)
+      assert(!plan.contains("hashpartitioning(t2#"), plan)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
   test("kernels skip NULL array elements instead of hashing them as 0") {
@@ -242,6 +251,33 @@ class OperatorsSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("decontamination size gate: a small filtered slice of a large " +
+       "frame still broadcasts (measured-bytes second tier)") {
+    // Spark's size-only estimator passes a parent's size THROUGH
+    // filters, so this eval slice's ESTIMATE is the full range's size
+    // (well over the 2 KB threshold below) while its actual bytes are a
+    // few hundred. The gate must spend the measurement job and keep the
+    // broadcast rather than degrade to shuffling the train side.
+    val bigSource = spark.range(0, 50000)
+      .select((col("id") + 100L).as("doc_id"),
+        concat(lit("the quick brown fox jumps over the lazy dog row "),
+          col("id")).as("text"))
+    val slice = bigSource.where(col("doc_id") % 10000L === 1L) // 5 rows
+    val est = slice.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(est > 2048, s"premise: estimate must exceed the threshold ($est)")
+    spark.conf.set(graft.operators.Dedup.TestBroadcastMaxBytesConf, "2048")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = graft.operators.Dedup
+        .crossCorpusDupPairs(docs, slice, "doc_id", "text", threshold = 0.8)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastExchange"), plan)
+    } finally {
+      spark.conf.unset(graft.operators.Dedup.TestBroadcastMaxBytesConf)
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
   }
 
   test("decontamination size gate: oversized test side degrades to a shuffle join") {

@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 /** Smoke the two at-scale connectedComponents paths on the q69 graph
   * (2.5 M symmetric edges at sf0.1): default (contraction + micro) and
-  * scrambled-id (stall guard → propagation loop), with round logging.
+  * scrambled-id (stall guard → alternating-star rounds), with round
+  * logging.
   */
 object ScratchCC3 {
   def main(args: Array[String]): Unit = {
