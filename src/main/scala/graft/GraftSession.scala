@@ -124,7 +124,27 @@ object Tables {
     // re-reads) — other TIMESTAMP(NANOS) parquet in the same session will
     // also surface as Long.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    nanosTsToMicros(name, spark.read.parquet(s"$sfDir/$name.parquet"))
+  }
+
+  /** Streaming analogue of [[load]]: the same table as a file-stream
+    * source, with the schema and the nanos-`ts` conversion mirroring
+    * the batch read exactly (a streaming source cannot infer schemas,
+    * so the batch footer read supplies it). */
+  def loadStream(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/$name.parquet").schema
+    // FileStreamSource force-sets basePath to its own path whenever the
+    // path is NOT a glob — and a single-FILE basePath fails partition
+    // discovery ("Option 'basePath' must be a directory"). The driver
+    // testdata is one parquet file per table, so address it through an
+    // exact-match one-character-class glob: globs skip that override.
+    nanosTsToMicros(name,
+      spark.readStream.schema(schema)
+        .parquet(s"$sfDir/[${name.head}]${name.tail}.parquet"))
+  }
+
+  private def nanosTsToMicros(name: String, df: DataFrame): DataFrame =
     if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
       // FLOOR division, not `DIV` (which truncates toward zero): a
       // pre-epoch nanosecond like -1500 must floor to -2 µs the way a
@@ -135,7 +155,6 @@ object Tables {
           org.apache.spark.sql.functions.expr(
             "(ts DIV 1000) - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)")))
     } else df
-  }
 
   private val registeredDir =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()

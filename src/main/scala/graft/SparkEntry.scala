@@ -318,6 +318,26 @@ object SparkEntry {
     resetGraftConfs(spark)
   }
 
+  /** Execute a Structured-Streaming frame to completion over its
+    * bounded file source (Trigger.AvailableNow) into a memory sink and
+    * return the sink's table — how the streaming operators run under
+    * the driver's batch oracle. A fresh checkpoint dir per invocation:
+    * a reused one would mark the input files already-processed and
+    * replay nothing. */
+  private def runStreamToTable(df: DataFrame, name: String,
+      mode: String): DataFrame = {
+    val spark = df.sparkSession
+    val ck = java.nio.file.Files
+      .createTempDirectory(s"graft_stream_ck_$name").toString
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode)
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Every query fn MUST be self-contained under ANY execution order
     * (Verify iterates an unordered Map): without this reset, a
     * conf-pinning entry like q14 (algorithm=nearest) or q42
@@ -615,6 +635,34 @@ object SparkEntry {
         .groupBy("group_id")
         .agg(count(lit(1)).as("n_members"), sum(col("id")).as("sum_id"),
           max(col("id")).as("max_id")) }),
+    // the streaming family under the driver's batch oracle: a REAL
+    // Structured-Streaming run (file-stream source -> watermarked
+    // stateful aggregation -> memory sink, Trigger.AvailableNow).
+    // Complete output mode makes the bounded replay exactly the batch
+    // aggregation regardless of how the trigger batches the files
+    // (append mode would hold back every window the final watermark
+    // has not passed).
+    "q71_streaming_window" -> ((s, dir) => { prep(s, dir)
+      val stream = Tables.loadStream(s, dir, "events")
+      val agg = graft.streaming.StreamingOps.windowedCounts(
+        stream, "ts", "event_type",
+        windowLen = "1 hour", slide = "1 hour", watermark = "2 hours")
+      runStreamToTable(agg, "graft_q71_mem", "complete")
+        .select(col("window.start").as("h"), col("event_type"),
+          col("n_events"), round(col("sum_value"), 4).as("sum_value")) }),
+    // streaming exact-dedup state machine under the oracle: one row per
+    // first-seen user_id. Only the KEY is projected (which duplicate
+    // survives is batch-order-dependent); the watermark delay is pinned
+    // past the replayed data's span so state cannot be evicted BETWEEN
+    // trigger batches — dropDuplicatesWithinWatermark only guarantees
+    // dedup within the watermark, and an eviction mid-replay would
+    // re-emit a key and break exactness against SELECT DISTINCT.
+    "q72_streaming_dedup" -> ((s, dir) => { prep(s, dir)
+      val stream = Tables.loadStream(s, dir, "events")
+      val dd = graft.streaming.StreamingOps.dedupStream(
+        stream, "user_id", "ts", watermark = "3650 days")
+      runStreamToTable(dd.select(col("user_id")), "graft_q72_mem",
+        "append") }),
     "q24_text_stats" -> ((s, dir) => { prep(s, dir)
       val d = Tables.load(s, dir, "documents")
       d.select(col("doc_id"),
@@ -1217,6 +1265,16 @@ object SparkEntry {
           |  FROM events, generate_series(0, 63) t(j)
           |  WHERE event_id < 500
           |) GROUP BY eid""".stripMargin,
+      // tumbling-window streaming aggregation == plain hour-bucket GROUP
+      // BY over the bounded replay (complete output mode)
+      "q71_streaming_window" ->
+        """SELECT date_trunc('hour', ts) AS h, event_type,
+          |       COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+          |FROM events
+          |GROUP BY 1, 2""".stripMargin,
+      // streaming dropDuplicates on the key alone == DISTINCT keys
+      "q72_streaming_dedup" ->
+        "SELECT DISTINCT user_id FROM events",
       "q58_dedup_canonical" -> dupCanonicalOracle,
       "q24_text_stats" -> textStatsOracle,
       "q25_langid" -> langIdOracle,
