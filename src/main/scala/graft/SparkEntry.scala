@@ -663,6 +663,20 @@ object SparkEntry {
         stream, "user_id", "ts", watermark = "3650 days")
       runStreamToTable(dd.select(col("user_id")), "graft_q72_mem",
         "append") }),
+    // batched exact k-NN join (many queries at once): 20 query vectors
+    // against the whole corpus, heap-bounded partial top-k per
+    // partition — the shuffle carries survivors, never the full score
+    // matrix. Rank-exact like q30 (ints only; no float compare).
+    "q73_knn_join" -> ((s, dir) => { prep(s, dir)
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.knnJoin(emb.where(col("vec_id") < 20), emb,
+        "vec_id", "embedding", k = 5) }),
+    // substring dedup at span granularity over the near-dup corpus:
+    // exact + near duplicates plant long shared token runs inside
+    // otherwise-distinct neighbors
+    "q74_repeated_spans" -> ((s, dir) => { prep(s, dir)
+      Dedup.repeatedSpans(dupCorpus(s, dir, near = true),
+        "doc_id", "text", n = 8) }),
     "q24_text_stats" -> ((s, dir) => { prep(s, dir)
       val d = Tables.load(s, dir, "documents")
       d.select(col("doc_id"),
@@ -1275,6 +1289,42 @@ object SparkEntry {
       // streaming dropDuplicates on the key alone == DISTINCT keys
       "q72_streaming_dedup" ->
         "SELECT DISTINCT user_id FROM events",
+      // brute-force per-query cosine ranking (q30's oracle, batched):
+      // rank-only output keeps the compare integral
+      "q73_knn_join" ->
+        """SELECT query_id, vec_id, rank FROM (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+          |         row_number() OVER (PARTITION BY q.vec_id
+          |           ORDER BY list_cosine_similarity(
+          |             CAST(c.embedding AS DOUBLE[]),
+          |             CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+          |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+          |  WHERE q.vec_id < 20) t
+          |WHERE rank <= 5""".stripMargin,
+      // the span merge as gaps-and-islands SQL over gram STRINGS (the
+      // engine groups 64-bit gram hashes; equal strings hash equal, and
+      // a collision between distinct grams is negligible — the q27
+      // fingerprint discipline)
+      "q74_repeated_spans" -> ("WITH " + corpusNearBody +
+        """,
+          |toks AS (
+          |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+          |  FROM corpus WHERE text IS NOT NULL),
+          |positions AS (
+          |  SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS j
+          |  FROM toks WHERE len(t) >= 8),
+          |grams AS (
+          |  SELECT doc_id, j - 1 AS pos, array_to_string(t[j:j+7], ' ') AS g
+          |  FROM positions),
+          |dup AS (SELECT g FROM grams GROUP BY g HAVING min(doc_id) <> max(doc_id)),
+          |hits AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)),
+          |marked AS (
+          |  SELECT doc_id, pos,
+          |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+          |  FROM hits)
+          |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end,
+          |       COUNT(*) AS n_grams
+          |FROM marked GROUP BY doc_id, grp""".stripMargin),
       "q58_dedup_canonical" -> dupCanonicalOracle,
       "q24_text_stats" -> textStatsOracle,
       "q25_langid" -> langIdOracle,

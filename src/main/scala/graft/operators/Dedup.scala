@@ -283,6 +283,54 @@ object Dedup {
     hits.where(col("n_hits") >= minHits)
   }
 
+  /**
+   * Cross-document repeated n-gram spans — exact substring dedup at
+   * SPAN granularity: a position is "repeated" when its word n-gram
+   * also occurs in another document, and consecutive repeated
+   * positions merge into maximal spans `(doc_id, span_start, span_end,
+   * n_grams)` (token indices, end inclusive). This is the
+   * repeated-substring pass of modern training pipelines (public
+   * method: Lee et al., "Deduplicating Training Data Makes Language
+   * Models Better", ACL 2022 — theirs is a single-node suffix array,
+   * this is the distributed positional-n-gram formulation), catching
+   * boilerplate reuse INSIDE otherwise-distinct documents that
+   * whole-document Jaccard scores near 0.
+   *
+   * Scale shape: positional grams shuffle on the 8-byte gram hash
+   * (never gram text); cross-document grams fall out of a min!=max
+   * partial aggregation (no countDistinct expansion); positions come
+   * back through a semi-join on the hash; span merging is one
+   * per-document window over HIT positions (bounded by hits, not
+   * tokens).
+   */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = words(col(textCol))
+    val grams = docs
+      .where(col(textCol).isNotNull && size(toks) >= n)
+      .select(col(idCol).as("doc_id"),
+        explode(transform(sequence(lit(0), size(toks) - n),
+          i => struct(i.as("pos"),
+            xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n)))).as("g"))))
+          .as("pg"))
+      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
+    val crossDoc = grams.groupBy("g")
+      .agg(min("doc_id").as("d0"), max("doc_id").as("d1"))
+      .where(col("d0") =!= col("d1"))
+      .select("g")
+    val hits = grams.join(crossDoc, Seq("g"), "left_semi")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    hits
+      .select(col("doc_id"), col("pos"),
+        (col("pos") - row_number().over(w)).as("grp"))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").cast("long").as("span_start"),
+        (max("pos") + lit(n - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select("doc_id", "span_start", "span_end", "n_grams")
+  }
+
   /** Decontaminate an eval set: drop every test document whose n-gram
     * content near-matches any training document at `threshold`. One
     * anti-join against the distinct contaminated test ids. */

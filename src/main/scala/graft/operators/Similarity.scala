@@ -46,6 +46,67 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact batched k-NN JOIN: the top-`k` corpus rows by cosine for
+    * EVERY query row at once (rows whose ids collide are excluded as
+    * self-pairs), ranked deterministically (score DESC, id ASC).
+    * Returns `(query_id, vec_id, rank)`.
+    *
+    * Scale shape (many queries × huge corpus): the query set
+    * broadcasts into a map-side scoring pass over the corpus — the
+    * corpus never shuffles — then each corpus partition keeps only its
+    * local top-k per query in one heap-bounded pass, so the only
+    * shuffle is ≤ |queries|·k rows per partition (the final per-query
+    * window ranks those survivors), never the |queries|·|corpus| score
+    * matrix. Per-task memory is |queries in partition|·k heap entries.
+    * The per-partition heap is genuine per-partition imperative state —
+    * the declarative alternative (collect_list per (partition, query))
+    * would buffer every scored row of a partition in one aggregation
+    * value. Ids are cast to long (integral ids required). */
+  def knnJoin(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive (got $k)")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(idCol).cast("long").as("qid"),
+      col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).cast("long").as("cid"),
+      col(vecCol).as("cv"))
+    val scored = c.join(broadcast(q), col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        cosine(col("cv"), col("qv")).as("score"))
+      // cosine is NULL on zero-norm / NULL / length-mismatched vectors:
+      // such pairs are unrankable and must not reach the primitive
+      // Double encoder below
+      .where(col("score").isNotNull)
+      .as[(Long, Long, Double)]
+    // the priority queue's max must be the WORST kept element (it gets
+    // evicted when size exceeds k): worse = lower score, then higher id
+    val worstFirst = Ordering.by[(Double, Long), (Double, Long)] {
+      case (s, id) => (-s, id)
+    }
+    val partial = scored.mapPartitions { it =>
+      val heaps = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
+      it.foreach { case (qid, cid, s) =>
+        val h = heaps.getOrElseUpdate(qid,
+          scala.collection.mutable.PriorityQueue.empty(worstFirst))
+        h.enqueue((s, cid))
+        if (h.size > k) h.dequeue()
+      }
+      heaps.iterator.flatMap { case (qid, h) =>
+        h.iterator.map { case (s, cid) => (qid, cid, s) }
+      }
+    }.toDF("qid", "cid", "score")
+    val w = Window.partitionBy("qid")
+      .orderBy(col("score").desc, col("cid"))
+    partial
+      .select(col("qid"), col("cid"), row_number().over(w).as("rank"))
+      .where(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("cid").as("vec_id"),
+        col("rank"))
+  }
+
   /** Sign-random-projection bucket id from `planes` pseudo-random
     * hyperplanes — compiled kernel (see [[graft.functions.SrpBucket]]);
     * plane components are ±1 from mix64(plane·dim + dim) parity —

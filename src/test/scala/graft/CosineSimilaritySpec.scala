@@ -140,4 +140,37 @@ class CosineSimilaritySpec extends SparkTestBase {
     val expected = (3.0 + 4.0 + 3.0) / (math.sqrt(14.0) * math.sqrt(14.0))
     assert(math.abs(interp - expected) < 1e-12)
   }
+
+  test("knnJoin matches per-query brute force (randomized, with ties)") {
+    val rnd = new scala.util.Random(17)
+    // small vocabulary of component values so score TIES actually occur
+    // and the (score DESC, id ASC) tie-break is exercised
+    val corpus = (0L until 60L).map(i =>
+      (i, Seq.fill(8)(rnd.nextInt(3).toFloat - 1f))).toDF("vec_id", "embedding")
+    val queries = corpus.where($"vec_id" < 7)
+    val got = Similarity.knnJoin(queries, corpus, "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force per query through the independently-tested cosineTopK
+    // path (self excluded the same way)
+    val rows = corpus.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val expected = (0L until 7L).flatMap { qid =>
+      val c = corpus.where($"vec_id" =!= qid)
+      Similarity.cosineTopK(c, "vec_id", "embedding", rows(qid), 4)
+        .collect().zipWithIndex
+        .map { case (r, i) => (qid, r.getLong(0), i + 1) }
+    }.toSet
+    assert(got == expected)
+  }
+
+  test("knnJoin with k larger than the corpus returns everything ranked") {
+    val corpus = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)), (3L, Seq(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.knnJoin(corpus.where($"vec_id" === 1), corpus,
+        "vec_id", "embedding", k = 10)
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toSet
+    // query 1 = (1,0): cos(3)=1/sqrt(2) ~ 0.707 > cos(2)=0
+    assert(got == Set((3L, 1), (2L, 2)))
+  }
 }

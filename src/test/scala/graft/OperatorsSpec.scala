@@ -253,6 +253,35 @@ class OperatorsSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("repeatedSpans finds cross-document runs, merges them maximally, " +
+       "and ignores within-document repetition") {
+    val shared = (1 to 12).map(i => s"tok$i").mkString(" ") // 12 shared tokens
+    val d = Seq(
+      (1L, s"alpha beta $shared gamma delta epsilon zeta eta theta iota"),
+      (2L, s"one two three four five six $shared seven eight nine ten"),
+      // within-doc repetition ONLY: an 8-gram repeated twice in the same
+      // doc must NOT mark spans (min(doc) == max(doc))
+      (3L, ("w1 w2 w3 w4 w5 w6 w7 w8 " * 2) + "tail1 tail2 tail3"),
+      (4L, "completely unrelated text with nothing shared at all here ok")
+    ).toDF("doc_id", "text")
+    val spans = graft.operators.Dedup.repeatedSpans(d, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // doc 1: shared run = tokens 2..13 (0-based); 8-grams fully inside it
+    // start at positions 2..6 (5 grams), span covers 2..13
+    // doc 2: shared run = tokens 6..17; gram starts 6..10, span 6..17
+    assert(spans == Set((1L, 2L, 13L, 5L), (2L, 6L, 17L, 5L)))
+  }
+
+  test("repeatedSpans shuffles gram hashes, never gram text") {
+    val d = Seq((1L, "a b c d e f g h i"), (2L, "a b c d e f g h j"))
+      .toDF("doc_id", "text")
+    val plan = graft.operators.Dedup.repeatedSpans(d, "doc_id", "text", n = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(g#"), plan)
+    assert(!plan.contains("hashpartitioning(text#"), plan)
+  }
+
   test("decontamination size gate: a small filtered slice of a large " +
        "frame still broadcasts (measured-bytes second tier)") {
     // Spark's size-only estimator passes a parent's size THROUGH
