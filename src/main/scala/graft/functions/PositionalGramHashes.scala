@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Positional twin of [[ShingleHashes]]: one compiled pass that
+ * lower-cases, tokenizes on ASCII whitespace, slides an `n`-word
+ * window, and emits the 64-bit gram hashes **in document order** —
+ * element `i` is the hash of the gram starting at token position `i`
+ * (the input to `posexplode` in span-level substring dedup, where
+ * POSITIONS are the point). No sort, no dedup: a gram repeated at two
+ * positions appears twice, at its positions. Documents shorter than
+ * `n` tokens (and empty text) yield an empty array — a short document
+ * contains no full gram, unlike [[ShingleHashes]]'s whole-document
+ * fallback shingle, which exists for set-similarity semantics.
+ *
+ * Tokenization and the two-lane murmur window hash are shared with
+ * [[ShingleHashes]] so both kernels agree with the declarative
+ * `split("\\s+")` twin the oracles replicate.
+ */
+case class PositionalGramHashes(child: Expression, n: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "gram size must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "positional_gram_hashes"
+
+  private def hashWindow(words: Array[UTF8String], from: Int, len: Int): Long = {
+    var h1 = 42
+    var h2 = -1876011247 // 0x902E5711 — independent seed lane
+    var i = from
+    val end = from + len
+    while (i < end) {
+      val w = words(i)
+      val bytes = w.getBytes
+      h1 = Murmur3_x86_32.hashUnsafeBytes2(bytes,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, h1)
+      h2 = Murmur3_x86_32.hashUnsafeBytes2(bytes,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, h2)
+      i += 1
+    }
+    (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toLowerCase
+    val s = text.toString
+    val words = new scala.collection.mutable.ArrayBuffer[UTF8String](64)
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && TextProfile.isAsciiWs(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !TextProfile.isAsciiWs(s.charAt(i))) i += 1
+      if (i > start) words += UTF8String.fromString(s.substring(start, i))
+    }
+    val wArr = words.toArray
+    if (wArr.length < n) return new GenericArrayData(Array.empty[Long])
+    val m = wArr.length - n + 1
+    val hs = new Array[Long](m)
+    var j = 0
+    while (j < m) { hs(j) = hashWindow(wArr, j, n); j += 1 }
+    new GenericArrayData(hs)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PositionalGramHashes = copy(child = newChild)
+}

@@ -303,18 +303,21 @@ object Dedup {
    * per-document window over HIT positions (bounded by hits, not
    * tokens).
    */
+  /** Ordered per-position gram hashes (compiled kernel, see
+    * [[graft.functions.PositionalGramHashes]]): element i = hash of
+    * the n-gram starting at token i; shorter-than-n docs → empty. */
+  def positionalGramHashes(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftSqlShim.column(
+      graft.functions.PositionalGramHashes(
+        org.apache.spark.sql.GraftSqlShim.lazyExpression(text), n))
+
   def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = words(col(textCol))
     val grams = docs
-      .where(col(textCol).isNotNull && size(toks) >= n)
+      .where(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"),
-        explode(transform(sequence(lit(0), size(toks) - n),
-          i => struct(i.as("pos"),
-            xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n)))).as("g"))))
-          .as("pg"))
-      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
+        posexplode(positionalGramHashes(col(textCol), n)).as(Seq("pos", "g")))
     val crossDoc = grams.groupBy("g")
       .agg(min("doc_id").as("d0"), max("doc_id").as("d1"))
       .where(col("d0") =!= col("d1"))

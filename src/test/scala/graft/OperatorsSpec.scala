@@ -273,6 +273,23 @@ class OperatorsSpec extends SparkTestBase {
     assert(spans == Set((1L, 2L, 13L, 5L), (2L, 6L, 17L, 5L)))
   }
 
+  test("positional gram hashes: one hash per position, equal grams " +
+       "hash equal, short docs empty") {
+    val d = Seq(
+      (1L, "a b c a b c d"),   // gram@0 == gram@3 ("a b c")
+      (2L, "x y"),             // shorter than n -> no grams
+      (3L, "A  B\tC")          // case/whitespace-normalized == "a b c"
+    ).toDF("doc_id", "text")
+    val rows = d.select(col("doc_id"),
+        graft.operators.Dedup.positionalGramHashes(col("text"), 3).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(rows(1L).length == 5)           // 7 tokens, n=3 -> 5 positions
+    assert(rows(1L)(0) == rows(1L)(3))     // repeated gram, same hash
+    assert(rows(1L).distinct.length == 4)  // the other 4 grams distinct
+    assert(rows(2L).isEmpty)
+    assert(rows(3L) == Seq(rows(1L)(0)))   // normalization matches
+  }
+
   test("repeatedSpans shuffles gram hashes, never gram text") {
     val d = Seq((1L, "a b c d e f g h i"), (2L, "a b c d e f g h j"))
       .toDF("doc_id", "text")
