@@ -677,6 +677,12 @@ object SparkEntry {
     "q74_repeated_spans" -> ((s, dir) => { prep(s, dir)
       Dedup.repeatedSpans(dupCorpus(s, dir, near = true),
         "doc_id", "text", n = 8) }),
+    // the removal half: all-but-one span cutting (owner = min doc id
+    // per gram keeps its copy); string-exact compare of every
+    // resulting document
+    "q75_span_removal" -> ((s, dir) => { prep(s, dir)
+      Dedup.cutRepeatedSpans(dupCorpus(s, dir, near = true),
+        "doc_id", "text", n = 8) }),
     "q24_text_stats" -> ((s, dir) => { prep(s, dir)
       val d = Tables.load(s, dir, "documents")
       d.select(col("doc_id"),
@@ -1325,6 +1331,49 @@ object SparkEntry {
           |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end,
           |       COUNT(*) AS n_grams
           |FROM marked GROUP BY doc_id, grp""".stripMargin),
+      // all-but-one span cutting: non-owner hit positions merge into
+      // ranges, surviving tokens re-join (normalized form); untouched
+      // docs pass through verbatim. DuckDB zips parallel unnests, so
+      // (tok, position) pairs come from two unnests in one select.
+      "q75_span_removal" -> ("WITH " + corpusNearBody +
+        """,
+          |toks AS (
+          |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+          |  FROM corpus WHERE text IS NOT NULL),
+          |positions AS (
+          |  SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS j
+          |  FROM toks WHERE len(t) >= 8),
+          |grams AS (
+          |  SELECT doc_id, j - 1 AS pos, array_to_string(t[j:j+7], ' ') AS g
+          |  FROM positions),
+          |own AS (
+          |  SELECT g, min(doc_id) AS d0 FROM grams
+          |  GROUP BY g HAVING min(doc_id) <> max(doc_id)),
+          |cuthits AS (
+          |  SELECT gr.doc_id, gr.pos FROM grams gr JOIN own o ON gr.g = o.g
+          |  WHERE gr.doc_id <> o.d0),
+          |marked AS (
+          |  SELECT doc_id, pos,
+          |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+          |  FROM cuthits),
+          |ranges AS (
+          |  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e
+          |  FROM marked GROUP BY doc_id, grp),
+          |tokpos AS (
+          |  SELECT doc_id, unnest(t) AS tok,
+          |         unnest(generate_series(0, len(t) - 1)) AS p
+          |  FROM toks),
+          |kept AS (
+          |  SELECT k.doc_id, k.tok, k.p FROM tokpos k
+          |  WHERE NOT EXISTS (SELECT 1 FROM ranges r
+          |    WHERE r.doc_id = k.doc_id AND k.p BETWEEN r.s AND r.e)),
+          |rebuilt AS (
+          |  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text
+          |  FROM kept GROUP BY doc_id)
+          |SELECT c.doc_id,
+          |       CASE WHEN c.doc_id IN (SELECT doc_id FROM ranges)
+          |            THEN coalesce(rb.text, '') ELSE c.text END AS text
+          |FROM corpus c LEFT JOIN rebuilt rb USING (doc_id)""".stripMargin),
       "q58_dedup_canonical" -> dupCanonicalOracle,
       "q24_text_stats" -> textStatsOracle,
       "q25_langid" -> langIdOracle,

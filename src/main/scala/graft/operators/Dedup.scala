@@ -311,9 +311,12 @@ object Dedup {
       graft.functions.PositionalGramHashes(
         org.apache.spark.sql.GraftSqlShim.lazyExpression(text), n))
 
-  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Positions whose n-gram occurs in more than one document, with the
+    * gram's OWNER (minimum doc id) carried along — the shared core of
+    * [[repeatedSpans]] (which keeps every hit) and
+    * [[cutRepeatedSpans]] (which cuts only non-owner hits). */
+  private def repeatedHits(docs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
     val grams = docs
       .where(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"),
@@ -321,8 +324,14 @@ object Dedup {
     val crossDoc = grams.groupBy("g")
       .agg(min("doc_id").as("d0"), max("doc_id").as("d1"))
       .where(col("d0") =!= col("d1"))
-      .select("g")
-    val hits = grams.join(crossDoc, Seq("g"), "left_semi")
+      .select("g", "d0")
+    grams.join(crossDoc, Seq("g"))
+  }
+
+  /** Merge hit positions into maximal `(doc_id, span_start, span_end,
+    * n_grams)` spans: one per-document window, gaps-and-islands. */
+  private def mergeHitSpans(hits: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy("pos")
     hits
       .select(col("doc_id"), col("pos"),
@@ -332,6 +341,47 @@ object Dedup {
         (max("pos") + lit(n - 1)).cast("long").as("span_end"),
         count(lit(1)).as("n_grams"))
       .select("doc_id", "span_start", "span_end", "n_grams")
+  }
+
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame =
+    mergeHitSpans(repeatedHits(docs, idCol, textCol, n), n)
+
+  /**
+   * CUT repeated spans out of documents — the removal half of
+   * substring dedup: tokens covered by a cross-document repeated
+   * n-gram run are dropped from every document EXCEPT the gram's
+   * owner (minimum doc id), so exactly one copy of the duplicated
+   * content survives in the corpus (the all-but-one policy of the
+   * suffix-array pipeline). Returns `(doc_id, text)`: documents with
+   * cuts are re-joined from their surviving tokens in the kernel's
+   * normalized form (lower-cased, single-spaced); untouched documents
+   * pass through verbatim.
+   *
+   * Scale shape: [[repeatedHits]]'s hash-keyed shuffles, one window
+   * over non-owner hits, then cut ranges collect per document
+   * (bounded by a document's span count) and the token filter is one
+   * map-side higher-order expression — document text itself never
+   * rides a shuffle key and is never exploded row-per-token.
+   */
+  def cutRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val cutRanges =
+      mergeHitSpans(
+        repeatedHits(docs, idCol, textCol, n)
+          .where(col("doc_id") =!= col("d0")), n)
+        .groupBy("doc_id")
+        .agg(collect_list(struct(col("span_start"), col("span_end")))
+          .as("cuts"))
+    val toks = words(col(textCol))
+    val kept = filter(toks, (_, i) =>
+      !exists(col("cuts"), c =>
+        i >= c.getField("span_start") && i <= c.getField("span_end")))
+    docs
+      .join(cutRanges, docs(idCol) === cutRanges("doc_id"), "left")
+      .select(docs(idCol).as("doc_id"),
+        when(col("cuts").isNull, docs(textCol))
+          .otherwise(concat_ws(" ", kept)).as("text"))
   }
 
   /** Decontaminate an eval set: drop every test document whose n-gram

@@ -273,6 +273,24 @@ class OperatorsSpec extends SparkTestBase {
     assert(spans == Set((1L, 2L, 13L, 5L), (2L, 6L, 17L, 5L)))
   }
 
+  test("cutRepeatedSpans keeps the owner's copy, cuts the others, " +
+       "passes untouched docs verbatim") {
+    val shared = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val d = Seq(
+      (1L, s"alpha beta $shared gamma delta epsilon zeta eta theta iota"),
+      (2L, s"one two three four five six $shared seven eight nine ten"),
+      (4L, "Completely Unrelated  Text untouched HERE") // case/space kept
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.cutRepeatedSpans(d, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1 owns every shared gram (min id) -> verbatim pass-through
+    assert(got(1L) == s"alpha beta $shared gamma delta epsilon zeta eta theta iota")
+    // doc 2 loses tokens 6..17 (the shared run), keeps the rest joined
+    assert(got(2L) == "one two three four five six seven eight nine ten")
+    // untouched doc passes through with original case and spacing
+    assert(got(4L) == "Completely Unrelated  Text untouched HERE")
+  }
+
   test("positional gram hashes: one hash per position, equal grams " +
        "hash equal, short docs empty") {
     val d = Seq(
