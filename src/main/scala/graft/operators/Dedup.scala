@@ -821,6 +821,46 @@ object Dedup {
     * jumps need an id gradient to deliver O(log d) rounds). */
   private val ContractionStallFraction = 0.7
 
+  /** Rows the predictive stall probe reads (one prefix partition of
+    * the hash-partitioned edge checkpoint — a random subset of src
+    * hash buckets, unbiased for the |src−dst| distribution). */
+  private val StallProbeRows = 50000
+
+  /** Predict a contraction stall BEFORE paying the pass (numeric ids
+    * only): the per-partition union-find can merge an edge only when
+    * both endpoints land in the same RANGE partition, so when the
+    * median |src − dst| of a bounded sample exceeds the per-partition
+    * id width, nearly every edge crosses partitions and the pass is
+    * guaranteed to stall — skip straight to the star engine instead of
+    * spending a full scan+shuffle to learn it. Strictly conservative
+    * (fires only when the median diff exceeds a WHOLE partition
+    * width): borderline-local graphs still try contraction, whose
+    * stall guard remains the ground truth. One small job; non-numeric
+    * ids skip the probe and keep today's try-then-guard behavior. */
+  private def contractionStallPredicted(edges: DataFrame): Boolean =
+    edges.schema("src").dataType match {
+      case _: org.apache.spark.sql.types.NumericType =>
+        val n = edges.sparkSession.conf
+          .get("spark.sql.shuffle.partitions").toInt
+        // diffs in DOUBLE: ANSI long subtraction overflows on ids that
+        // span the Long domain, and a probe needs magnitude, not
+        // exactness
+        val r = edges.limit(StallProbeRows)
+          .agg(percentile_approx(
+              abs(col("src").cast("double") - col("dst").cast("double")),
+              lit(0.5), lit(1000)).as("med"),
+            min(col("src").cast("double")).as("lo"),
+            max(col("src").cast("double")).as("hi"))
+          .head()
+        if (r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2)) false
+        else {
+          val med = r.getDouble(0)
+          val width = (r.getDouble(2) - r.getDouble(1)) / n
+          med > math.max(width, 1.0)
+        }
+      case _ => false
+    }
+
   /** Post-contraction micro-path relaxation: the forest is bounded by
     * the distinct-NODE count (not the pair count), and the primitive
     * union-find costs ~17 B/node for Long/Int ids, so a single task
@@ -873,6 +913,17 @@ object Dedup {
       lastEngine = "micro"
       log.info(s"connectedComponents: micro-graph path, $edgeCount edges")
       return labels.select(col("id"), col("lbl").as("group_id"))
+    }
+    // predictive stall probe: on a clearly non-id-local graph the
+    // contraction pass below cannot merge anything — route straight to
+    // the star engine and save its full scan+shuffle
+    if (contractionStallPredicted(edges)) {
+      log.info(s"connectedComponents: stall probe predicts no id " +
+        s"locality ($edgeCount edges), running alternating star " +
+        "rounds on the original edges")
+      lastForestEdges = -1L
+      lastEngine = "star"
+      return starLoop(edges, maxIterations)
     }
     // local-contraction pre-pass: solve each range partition with a
     // single union-find pass and keep only the spanning forest. On the

@@ -245,6 +245,38 @@ class DedupGroupsSpec extends SparkTestBase {
     assert(Dedup.lastIterations > 0, "star rounds did not run")
   }
 
+  test("stall probe: clearly non-local numeric graph skips the " +
+       "contraction pass entirely") {
+    // every edge spans half the id range (median diff = 2x the
+    // 4-partition width) — the probe must route to star WITHOUT
+    // running contraction (lastForestEdges stays -1)
+    val pairs = (0L until 2000L).map(i => (i, i + 1000000L))
+    val labels = Dedup.connectedComponents(pairs.toDF("id1", "id2"),
+        microGraphMaxEdges = 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == pairs.flatMap { case (a, b) =>
+      Seq(a -> a, b -> a) }.toMap)
+    assert(Dedup.lastEngine == "star",
+      s"expected star engine, got ${Dedup.lastEngine}")
+    assert(Dedup.lastForestEdges == -1L,
+      s"contraction ran (forest=${Dedup.lastForestEdges}) despite the probe")
+  }
+
+  test("stall probe: id-local graph still takes the contraction path") {
+    // the probe must NOT fire on a local graph (median diff 1); the
+    // contraction pass runs and its forest resolves downstream
+    val chains = for (k <- 0L until 40L; i <- 0L until 49L)
+      yield (k * 1000 + i, k * 1000 + i + 1)
+    val labels = Dedup.connectedComponents(chains.toDF("id1", "id2"),
+        microGraphMaxEdges = 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (for (k <- 0L until 40L; i <- 0L to 49L)
+      yield (k * 1000 + i) -> (k * 1000)).toMap
+    assert(labels == expected)
+    assert(Dedup.lastForestEdges > 0,
+      "contraction pass did not run on an id-local graph")
+  }
+
   test("self-pairs survive every path as singleton groups") {
     // a node whose only pair is (u, u) must still be labeled — through
     // the micro path, the contraction pass, and the loop
