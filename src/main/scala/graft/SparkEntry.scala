@@ -334,7 +334,16 @@ object SparkEntry {
       .option("checkpointLocation", ck)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    try q.awaitTermination()
+    finally {
+      // the checkpoint only matters while the (run-to-completion)
+      // query lives; repeated bench/verify invocations would otherwise
+      // leak state-store files per run
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete()
+      }
+      rm(new java.io.File(ck))
+    }
     spark.table(name)
   }
 
@@ -1314,7 +1323,9 @@ object SparkEntry {
       "q74_repeated_spans" -> ("WITH " + corpusNearBody +
         """,
           |toks AS (
-          |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+          |  SELECT doc_id, list_filter(
+          |    regexp_split_to_array(lower(trim(text)), '\s+'),
+          |    x -> x <> '') AS t
           |  FROM corpus WHERE text IS NOT NULL),
           |positions AS (
           |  SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS j
@@ -1338,7 +1349,9 @@ object SparkEntry {
       "q75_span_removal" -> ("WITH " + corpusNearBody +
         """,
           |toks AS (
-          |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+          |  SELECT doc_id, list_filter(
+          |    regexp_split_to_array(lower(trim(text)), '\s+'),
+          |    x -> x <> '') AS t
           |  FROM corpus WHERE text IS NOT NULL),
           |positions AS (
           |  SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS j

@@ -38,49 +38,16 @@ case class ShingleHashes(child: Expression, n: Int)
 
   override def prettyName: String = "shingle_hashes"
 
-  // 64-bit hash of a word range: combine two independent 32-bit murmur
-  // lanes over the same bytes (word-boundary mixed between words)
-  private def hashWindow(words: Array[UTF8String], from: Int, len: Int): Long = {
-    var h1 = 42
-    var h2 = -1876011247 // 0x902E5711 — independent seed lane
-    var i = from
-    val end = from + len
-    while (i < end) {
-      val w = words(i)
-      val bytes = w.getBytes
-      h1 = Murmur3_x86_32.hashUnsafeBytes2(bytes,
-        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, h1)
-      h2 = Murmur3_x86_32.hashUnsafeBytes2(bytes,
-        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, h2)
-      i += 1
-    }
-    (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
-  }
-
   override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toLowerCase
-    // manual whitespace tokenization on the regex `\s` class (ASCII) —
-    // Character.isWhitespace also matches U+3000 etc. and would diverge
-    // from the declarative split("\\s+") twin the oracles replicate
-    val s = text.toString
-    val words = new scala.collection.mutable.ArrayBuffer[UTF8String](64)
-    var i = 0
-    val len = s.length
-    while (i < len) {
-      while (i < len && TextProfile.isAsciiWs(s.charAt(i))) i += 1
-      val start = i
-      while (i < len && !TextProfile.isAsciiWs(s.charAt(i))) i += 1
-      if (i > start) words += UTF8String.fromString(s.substring(start, i))
-    }
-    val wArr = words.toArray
+    val wArr = WordHashing.tokenize(input.asInstanceOf[UTF8String])
     if (wArr.isEmpty) return new GenericArrayData(Array.empty[Long])
     val out =
-      if (wArr.length < n) Array(hashWindow(wArr, 0, wArr.length))
+      if (wArr.length < n) Array(WordHashing.hashWindow(wArr, 0, wArr.length))
       else {
         val m = wArr.length - n + 1
         val hs = new Array[Long](m)
         var j = 0
-        while (j < m) { hs(j) = hashWindow(wArr, j, n); j += 1 }
+        while (j < m) { hs(j) = WordHashing.hashWindow(wArr, j, n); j += 1 }
         hs
       }
     // sorted distinct

@@ -16,8 +16,15 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
-  /** Lower-cased whitespace tokens. */
-  def words(text: Column): Column = split(lower(trim(text)), "\\s+")
+  /** Lower-cased whitespace tokens. Empty tokens are dropped: `trim`
+    * strips SPACES only, so text leading (or ending) with a tab or
+    * newline makes the bare regex split emit phantom "" tokens, which
+    * would shift every token index off the compiled kernels'
+    * positions ([[graft.functions.WordHashing]] tokenizes the same
+    * text with no phantoms) — span-level substring dedup indexes
+    * tokens by kernel position, so the two layers must agree. */
+  def words(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => t =!= lit(""))
 
   /** Distinct word n-gram shingles; documents shorter than `n` words
     * collapse to a single whole-document shingle. */

@@ -70,6 +70,16 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val q = queries.select(col(idCol).cast("long").as("qid"),
       col(vecCol).as("qv"))
+    // the partial top-k heaps key on the CAST query id: duplicate ids
+    // (or distinct fractional ids that cast to the same long) would
+    // silently pool two queries' candidates into one k-bounded ranking
+    // — fail loud instead. The query side is the small (broadcast)
+    // side, so the check is one cheap aggregation.
+    val qa = q.agg(count(lit(1)).as("rows"),
+      count_distinct(col("qid")).as("ids")).head()
+    require(qa.getLong(0) == qa.getLong(1),
+      s"knnJoin query ids must be unique after cast to long " +
+        s"(${qa.getLong(0)} rows, ${qa.getLong(1)} distinct ids)")
     val c = corpus.select(col(idCol).cast("long").as("cid"),
       col(vecCol).as("cv"))
     val scored = c.join(broadcast(q), col("cid") =!= col("qid"))

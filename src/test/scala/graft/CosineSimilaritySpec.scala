@@ -163,6 +163,17 @@ class CosineSimilaritySpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("knnJoin rejects duplicate query ids instead of pooling heaps") {
+    val corpus = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)), (3L, Seq(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val dupQueries = corpus.union(corpus.where($"vec_id" === 1))
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.knnJoin(dupQueries, corpus, "vec_id", "embedding", k = 2)
+    }
+    assert(ex.getMessage.contains("unique"))
+  }
+
   test("knnJoin with k larger than the corpus returns everything ranked") {
     val corpus = Seq(
       (1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)), (3L, Seq(1f, 1f)))

@@ -291,6 +291,25 @@ class OperatorsSpec extends SparkTestBase {
     assert(got(4L) == "Completely Unrelated  Text untouched HERE")
   }
 
+  test("leading tab/newline: kernel positions and words() indexes agree " +
+       "(no phantom empty token)") {
+    val shared = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val d = Seq(
+      (1L, s"$shared trailing words here"),
+      // leading tab + newline: trim strips SPACES only, so a bare regex
+      // split would emit a phantom "" first token and shift indexes
+      (2L, s"\t\n$shared other trailing content")
+    ).toDF("doc_id", "text")
+    val spans = graft.operators.Dedup.repeatedSpans(d, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // both docs: shared run = tokens 0..9, grams 0..2, span 0..9
+    assert(spans == Set((1L, 0L, 9L), (2L, 0L, 9L)))
+    val cut = graft.operators.Dedup.cutRepeatedSpans(d, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cut(1L) == s"$shared trailing words here") // owner, verbatim
+    assert(cut(2L) == "other trailing content")       // run cut exactly
+  }
+
   test("positional gram hashes: one hash per position, equal grams " +
        "hash equal, short docs empty") {
     val d = Seq(
