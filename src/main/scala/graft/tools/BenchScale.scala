@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
   */
 object BenchScale {
   private val ScaleQueries = Seq(
-    "q21_dedup_minhash", "q56_dedup_groups", "q69_dedup_groups_large")
+    "q21_dedup_minhash", "q56_dedup_groups", "q69_dedup_groups_large",
+    "q74_repeated_spans")
 
   def main(args: Array[String]): Unit = {
     val dirs = if (args.nonEmpty) args.toSeq
