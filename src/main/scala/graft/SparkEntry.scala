@@ -692,6 +692,11 @@ object SparkEntry {
     "q75_span_removal" -> ((s, dir) => { prep(s, dir)
       Dedup.cutRepeatedSpans(dupCorpus(s, dir, near = true),
         "doc_id", "text", n = 8) }),
+    // fixed-size token chunking with overlap (embedding/RAG prep):
+    // pure map-side, string-exact per chunk
+    "q76_chunking" -> ((s, dir) => { prep(s, dir)
+      TextStats.chunkTokens(Tables.load(s, dir, "documents"),
+        "doc_id", "text", size = 64, overlap = 16) }),
     "q24_text_stats" -> ((s, dir) => { prep(s, dir)
       val d = Tables.load(s, dir, "documents")
       d.select(col("doc_id"),
@@ -1387,6 +1392,21 @@ object SparkEntry {
           |       CASE WHEN c.doc_id IN (SELECT doc_id FROM ranges)
           |            THEN coalesce(rb.text, '') ELSE c.text END AS text
           |FROM corpus c LEFT JOIN rebuilt rb USING (doc_id)""".stripMargin),
+      // 64-token chunks starting every 48 tokens; chunk text compared
+      // string-exact, chunk_id = start / stride
+      "q76_chunking" ->
+        """WITH toks AS (
+          |  SELECT doc_id, list_filter(
+          |    regexp_split_to_array(lower(trim(text)), '\s+'),
+          |    x -> x <> '') AS t
+          |  FROM documents WHERE text IS NOT NULL),
+          |starts AS (
+          |  SELECT doc_id, t, unnest(generate_series(0, len(t) - 1, 48)) AS s
+          |  FROM toks WHERE len(t) > 0)
+          |SELECT doc_id, CAST(s / 48 AS BIGINT) AS chunk_id,
+          |       array_to_string(t[s+1:s+64], ' ') AS chunk_text,
+          |       CAST(least(64, len(t) - s) AS BIGINT) AS n_tokens
+          |FROM starts""".stripMargin,
       "q58_dedup_canonical" -> dupCanonicalOracle,
       "q24_text_stats" -> textStatsOracle,
       "q25_langid" -> langIdOracle,

@@ -110,6 +110,43 @@ object TextStats {
   def contentFingerprint(text: Column): Column =
     when(text.isNull, lit(null).cast("long")).otherwise(xxhash64(text))
 
+  /**
+   * Fixed-size token chunking with overlap — the embedding/RAG prep
+   * primitive: each document becomes `(doc_id, chunk_id, chunk_text,
+   * n_tokens)` rows of `size`-token windows starting every
+   * `size - overlap` tokens (the last chunk may be shorter; documents
+   * produce a chunk start at every stride position below their token
+   * count, so every token is covered and consecutive chunks share
+   * `overlap` tokens). Chunk text is the normalized (lower-cased,
+   * single-spaced) token stream. NULL/empty docs produce no rows.
+   *
+   * Scale shape: pure map-side — one tokenize + one bounded explode
+   * per document, zero shuffles; downstream embedding/indexing decides
+   * the partitioning.
+   */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+      size: Int = 64, overlap: Int = 16): DataFrame = {
+    require(size > 0, s"chunk size must be positive (got $size)")
+    require(overlap >= 0 && overlap < size,
+      s"overlap must be in [0, size) (got $overlap for size $size)")
+    val step = size - overlap
+    val toks = Dedup.words(col(textCol))
+    docs.where(col(textCol).isNotNull && size_(toks) > 0)
+      .select(col(idCol).as("doc_id"), toks.as("__toks"))
+      .select(col("doc_id"), col("__toks"),
+        posexplode(sequence(lit(0), size_(col("__toks")) - 1, lit(step)))
+          .as(Seq("chunk_id", "start")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        slice(col("__toks"), col("start") + 1, lit(size)).as("__chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        concat_ws(" ", col("__chunk")).as("chunk_text"),
+        size_(col("__chunk")).cast("long").as("n_tokens"))
+  }
+
+  // functions.size shadowed by the chunk-size parameter name above
+  private def size_(c: Column): Column =
+    org.apache.spark.sql.functions.size(c)
+
   /** Convenience: append the full stats column set. */
   def withStats(docs: DataFrame, textCol: String): DataFrame =
     docs

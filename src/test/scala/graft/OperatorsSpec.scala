@@ -291,6 +291,30 @@ class OperatorsSpec extends SparkTestBase {
     assert(got(4L) == "Completely Unrelated  Text untouched HERE")
   }
 
+  test("chunkTokens: stride/overlap arithmetic, short tail, empty docs") {
+    val d = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),
+      (2L, null: String),
+      (3L, "   ")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextStats
+      .chunkTokens(d, "doc_id", "text", size = 4, overlap = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSet
+    // step 3: starts 0,3,6,9 — consecutive chunks share 1 token, the
+    // tail chunk is short; NULL and blank docs emit nothing
+    assert(got == Set(
+      (1L, 0L, "t0 t1 t2 t3", 4L),
+      (1L, 1L, "t3 t4 t5 t6", 4L),
+      (1L, 2L, "t6 t7 t8 t9", 4L),
+      (1L, 3L, "t9", 1L)))
+    intercept[IllegalArgumentException] {
+      graft.operators.TextStats.chunkTokens(d, "doc_id", "text",
+        size = 4, overlap = 4)
+    }
+  }
+
   test("leading tab/newline: kernel positions and words() indexes agree " +
        "(no phantom empty token)") {
     val shared = (1 to 10).map(i => s"tok$i").mkString(" ")
