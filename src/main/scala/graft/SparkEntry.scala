@@ -897,7 +897,7 @@ object SparkEntry {
     * q56 group oracle. */
   private val jaccardPairsCtes: String =
     """,
-      |w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM corpus),
+      |w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws FROM corpus),
       |s AS (SELECT doc_id,
       |        CASE WHEN len(ws) >= 3
       |             THEN list_distinct(list_transform(range(1, len(ws) - 1),
@@ -967,9 +967,9 @@ object SparkEntry {
   private val textStatsOracle: String =
     s"""WITH base AS (
        |  SELECT doc_id, text,
-       |    regexp_split_to_array(lower(trim(text)), '\\s+') AS ws,
+       |    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS ws,
        |    CASE WHEN length(trim(text)) = 0 THEN 0
-       |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+       |         ELSE len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) END AS n_tokens,
        |    round(CASE WHEN length(text) = 0 THEN 0.0
        |      ELSE (length(text) - length(regexp_replace(text, '[\\.,;:!\\?''"()\\[\\]{}-]', '', 'g'))) * 1.0 / length(text) END, 6) AS punct_ratio,
        |    round(CASE WHEN length(text) = 0 THEN 0.0
@@ -986,7 +986,7 @@ object SparkEntry {
        |FROM st""".stripMargin
 
   private val langIdOracle: String =
-    s"""WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents),
+    s"""WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS ws FROM documents),
        |h AS (SELECT doc_id,
        |  len(list_filter(ws, x -> x IN ${sqlList(TextStats.deStopList)})) AS de,
        |  len(list_filter(ws, x -> x IN ${sqlList(TextStats.enStopList)})) AS en,
@@ -1010,9 +1010,9 @@ object SparkEntry {
        |),
        |base AS (
        |  SELECT doc_id, text,
-       |    regexp_split_to_array(lower(trim(text)), '\\s+') AS ws,
+       |    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS ws,
        |    CASE WHEN length(trim(text)) = 0 THEN 0
-       |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+       |         ELSE len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) END AS n_tokens,
        |    round(CASE WHEN length(text) = 0 THEN 0.0
        |      ELSE (length(text) - length(regexp_replace(text, '[\\.,;:!\\?''"()\\[\\]{}-]', '', 'g'))) * 1.0 / length(text) END, 6) AS punct_ratio,
        |    round(CASE WHEN length(text) = 0 THEN 0.0
@@ -1393,7 +1393,9 @@ object SparkEntry {
           |            THEN coalesce(rb.text, '') ELSE c.text END AS text
           |FROM corpus c LEFT JOIN rebuilt rb USING (doc_id)""".stripMargin),
       // 64-token chunks starting every 48 tokens; chunk text compared
-      // string-exact, chunk_id = start / stride
+      // string-exact, chunk_id = start / stride. A tail start whose
+      // previous chunk already reached the end (s - 48 + 64 >= len) is
+      // skipped — its chunk would be a strict subset of the previous.
       "q76_chunking" ->
         """WITH toks AS (
           |  SELECT doc_id, list_filter(
@@ -1406,7 +1408,8 @@ object SparkEntry {
           |SELECT doc_id, CAST(s / 48 AS BIGINT) AS chunk_id,
           |       array_to_string(t[s+1:s+64], ' ') AS chunk_text,
           |       CAST(least(64, len(t) - s) AS BIGINT) AS n_tokens
-          |FROM starts""".stripMargin,
+          |FROM starts
+          |WHERE s = 0 OR s + 16 < len(t)""".stripMargin,
       "q58_dedup_canonical" -> dupCanonicalOracle,
       "q24_text_stats" -> textStatsOracle,
       "q25_langid" -> langIdOracle,
@@ -1472,14 +1475,14 @@ object SparkEntry {
           |test AS (SELECT doc_id + 2000000 AS doc_id,
           |                text || ' graft dup marker' AS text
           |         FROM documents WHERE doc_id % 7 = 0),
-          |tw AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM train),
+          |tw AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws FROM train),
           |ts AS (SELECT doc_id,
           |        CASE WHEN len(ws) >= 3
           |             THEN list_distinct(list_transform(range(1, len(ws) - 1),
           |                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
           |             ELSE [array_to_string(ws, ' ')] END AS sh
           |      FROM tw),
-          |ew AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM test),
+          |ew AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws FROM test),
           |es AS (SELECT doc_id,
           |        CASE WHEN len(ws) >= 3
           |             THEN list_distinct(list_transform(range(1, len(ws) - 1),
@@ -1527,14 +1530,14 @@ object SparkEntry {
           |test AS (SELECT doc_id + 2000000 AS doc_id,
           |                text || ' graft dup marker' AS text
           |         FROM documents WHERE doc_id % 7 = 0),
-          |tw AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM train),
+          |tw AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws FROM train),
           |ts AS (SELECT doc_id,
           |        CASE WHEN len(ws) >= 5
           |             THEN list_distinct(list_transform(range(1, len(ws) - 3),
           |                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]))
           |             ELSE [array_to_string(ws, ' ')] END AS sh
           |      FROM tw),
-          |ew AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM test),
+          |ew AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws FROM test),
           |es AS (SELECT doc_id,
           |        CASE WHEN len(ws) >= 5
           |             THEN list_distinct(list_transform(range(1, len(ws) - 3),
@@ -1565,17 +1568,17 @@ object SparkEntry {
         """WITH lp AS (
           |  SELECT doc_id + 3000000 AS doc_id,
           |    repeat(array_to_string(
-          |      (regexp_split_to_array(lower(trim(text)), '\s+'))[1:3], ' ')
+          |      (list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> ''))[1:3], ' ')
           |      || ' ', 9) ||
           |    array_to_string(
-          |      (regexp_split_to_array(lower(trim(text)), '\s+'))[1:3], ' ')
+          |      (list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> ''))[1:3], ' ')
           |      AS text
           |  FROM documents WHERE doc_id % 3 = 0),
           |corpus AS (
           |  SELECT doc_id, text FROM documents
           |  UNION ALL SELECT doc_id, text FROM lp),
           |w AS (SELECT doc_id,
-          |             regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+          |             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws
           |      FROM corpus)
           |SELECT doc_id, round((total - dist) * 1.0 / total, 6) AS rep_ratio
           |FROM (

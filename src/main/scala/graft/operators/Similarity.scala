@@ -68,8 +68,15 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
+    // NULL ids (including non-numeric ids the cast nulls out) are
+    // dropped — they could never join or be ranked. The checkpoint
+    // evaluates the (possibly derived) query pipeline ONCE for both
+    // the uniqueness check and the broadcast; the retained blocks are
+    // bounded by the query set, which must be broadcast-small anyway.
     val q = queries.select(col(idCol).cast("long").as("qid"),
       col(vecCol).as("qv"))
+      .where(col("qid").isNotNull)
+      .localCheckpoint()
     // the partial top-k heaps key on the CAST query id: duplicate ids
     // (or distinct fractional ids that cast to the same long) would
     // silently pool two queries' candidates into one k-bounded ranking

@@ -114,11 +114,13 @@ object TextStats {
    * Fixed-size token chunking with overlap — the embedding/RAG prep
    * primitive: each document becomes `(doc_id, chunk_id, chunk_text,
    * n_tokens)` rows of `size`-token windows starting every
-   * `size - overlap` tokens (the last chunk may be shorter; documents
-   * produce a chunk start at every stride position below their token
-   * count, so every token is covered and consecutive chunks share
-   * `overlap` tokens). Chunk text is the normalized (lower-cased,
-   * single-spaced) token stream. NULL/empty docs produce no rows.
+   * `size - overlap` tokens. The last chunk may be shorter; a tail
+   * start whose predecessor already reached the document's end is
+   * SKIPPED (its chunk would be a strict subset of the previous one —
+   * an embedding pipeline would index duplicate text), so every token
+   * is covered exactly and no chunk is contained in another. Chunk
+   * text is the normalized (lower-cased, single-spaced) token stream.
+   * NULL/empty docs produce no rows.
    *
    * Scale shape: pure map-side — one tokenize + one bounded explode
    * per document, zero shuffles; downstream embedding/indexing decides
@@ -130,12 +132,18 @@ object TextStats {
     require(overlap >= 0 && overlap < size,
       s"overlap must be in [0, size) (got $overlap for size $size)")
     val step = size - overlap
-    val toks = Dedup.words(col(textCol))
-    docs.where(col(textCol).isNotNull && size_(toks) > 0)
-      .select(col(idCol).as("doc_id"), toks.as("__toks"))
+    // tokenize once (filter-then-project would run the split twice)
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        Dedup.words(col(textCol)).as("__toks"))
+      .where(size_(col("__toks")) > 0)
       .select(col("doc_id"), col("__toks"),
         posexplode(sequence(lit(0), size_(col("__toks")) - 1, lit(step)))
           .as(Seq("chunk_id", "start")))
+      // drop a tail start whose PREVIOUS chunk already reached the end
+      // (start - step + size >= len): its chunk is a strict subset
+      .where(col("start") === 0 ||
+        col("start") - step + size < size_(col("__toks")))
       .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
         slice(col("__toks"), col("start") + 1, lit(size)).as("__chunk"))
       .select(col("doc_id"), col("chunk_id"),

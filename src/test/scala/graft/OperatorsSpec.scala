@@ -295,20 +295,26 @@ class OperatorsSpec extends SparkTestBase {
     val d = Seq(
       (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),
       (2L, null: String),
-      (3L, "   ")
+      (3L, "   "),
+      (5L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9 t10")
     ).toDF("doc_id", "text")
     val got = graft.operators.TextStats
       .chunkTokens(d, "doc_id", "text", size = 4, overlap = 1)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
       .toSet
-    // step 3: starts 0,3,6,9 — consecutive chunks share 1 token, the
-    // tail chunk is short; NULL and blank docs emit nothing
+    // step 3: starts 0,3,6 — consecutive chunks share 1 token; start 9
+    // is SKIPPED (chunk "t9" would be a strict subset of "t6..t9");
+    // NULL and blank docs emit nothing
     assert(got == Set(
       (1L, 0L, "t0 t1 t2 t3", 4L),
       (1L, 1L, "t3 t4 t5 t6", 4L),
       (1L, 2L, "t6 t7 t8 t9", 4L),
-      (1L, 3L, "t9", 1L)))
+      // 11 tokens: the tail chunk carries a NEW token (t10) and is kept
+      (5L, 0L, "t0 t1 t2 t3", 4L),
+      (5L, 1L, "t3 t4 t5 t6", 4L),
+      (5L, 2L, "t6 t7 t8 t9", 4L),
+      (5L, 3L, "t9 t10", 2L)))
     intercept[IllegalArgumentException] {
       graft.operators.TextStats.chunkTokens(d, "doc_id", "text",
         size = 4, overlap = 4)
