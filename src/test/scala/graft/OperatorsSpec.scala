@@ -273,6 +273,73 @@ class OperatorsSpec extends SparkTestBase {
     assert(spans == Set((1L, 2L, 13L, 5L), (2L, 6L, 17L, 5L)))
   }
 
+  test("repeatedSpans matches a driver-side brute force (randomized)") {
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    val n = 4 // tiny vocab + small n so cross-doc gram repeats are common
+    val corpus = (1L to 12L).map { id =>
+      id -> Seq.fill(20 + rnd.nextInt(15))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    }
+    // reference implementation: positional grams, cross-doc filter,
+    // consecutive-position merge
+    val grams = corpus.flatMap { case (id, t) =>
+      t.split("\\s+").toSeq.sliding(n).zipWithIndex.collect {
+        case (g, i) if g.size == n => (id, i, g.mkString(" "))
+      }
+    }
+    val crossDoc = grams.groupBy(_._3)
+      .filter { case (_, gs) => gs.map(_._1).distinct.size > 1 }.keySet
+    val expected = grams.filter(g => crossDoc(g._3))
+      .groupBy(_._1).flatMap { case (id, hs) =>
+        val ps = hs.map(_._2).sorted
+        val runs = ps.foldLeft(List.empty[List[Int]]) {
+          case (acc @ (run @ (last :: _)) :: rest, p) if p == last + 1 =>
+            (p :: run) :: rest
+          case (acc, p) => List(p) :: acc
+        }
+        runs.map(r => (id, r.min.toLong, (r.max + n - 1).toLong, r.size.toLong))
+      }.toSet
+    val got = graft.operators.Dedup
+      .repeatedSpans(corpus.toDF("doc_id", "text"), "doc_id", "text", n)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expected)
+    assert(expected.nonEmpty, "premise: the random corpus must collide")
+  }
+
+  test("chunkTokens invariants hold on random docs (coverage, no " +
+       "subset chunks, overlap stitching)") {
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 8) {
+      val size = 3 + rnd.nextInt(6)
+      val overlap = rnd.nextInt(size)
+      val step = size - overlap
+      val nTok = 1 + rnd.nextInt(40)
+      val toks = (0 until nTok).map(i => s"w$i")
+      val d = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+      val chunks = graft.operators.TextStats
+        .chunkTokens(d, "doc_id", "text", size, overlap)
+        .collect().map(r => (r.getLong(1), r.getString(2).split(" ").toSeq))
+        .sortBy(_._1)
+      val covered = chunks.zipWithIndex.flatMap { case ((cid, ts), idx) =>
+        val start = cid.toInt * step
+        // chunk content must be the real token window at its stride start
+        assert(ts == toks.slice(start, math.min(start + size, nTok)),
+          s"trial $trial size=$size overlap=$overlap chunk $cid")
+        ts.map(t => t.drop(1).toInt)
+      }.toSet
+      assert(covered == (0 until nTok).toSet,
+        s"trial $trial: tokens not fully covered")
+      // no chunk is a subset of another (the tail-skip invariant)
+      val sets = chunks.map(_._2.toSet)
+      for (a <- sets.indices; b <- sets.indices if a != b)
+        assert(!sets(a).subsetOf(sets(b)),
+          s"trial $trial: chunk $a subset of $b (size=$size overlap=$overlap)")
+    }
+  }
+
   test("cutRepeatedSpans keeps the owner's copy, cuts the others, " +
        "passes untouched docs verbatim") {
     val shared = (1 to 12).map(i => s"tok$i").mkString(" ")
