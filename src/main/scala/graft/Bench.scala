@@ -92,8 +92,14 @@ object Bench {
           SparkEntry.queries(name)(spark, sfDir).count()
           (System.nanoTime() - t0) / 1e9
         }
+        // NonFatal only: an OOM/fatal error must propagate, and a
+        // reproducible rep failure must be visible in the artifact, not
+        // silently collapsed to the single-shot sample
         val samples = try Seq(v0, rep(), rep()) catch {
-          case _: Throwable => Seq(v0) // keep the single-shot on a rep error
+          case scala.util.control.NonFatal(t) =>
+            errors(name + "_median_rep") =
+              Option(t.getMessage).getOrElse(t.getClass.getName).take(200)
+            Seq(v0)
         }
         val sorted = samples.sorted
         name -> (sorted(sorted.size / 2), sorted.head, sorted.last)

@@ -178,23 +178,31 @@ object Dedup {
     * giving up the broadcast: wrongly degrading shuffles the entire
     * train corpus, which is orders of magnitude costlier than the
     * measurement. */
-  private def broadcastIfSmall(df: DataFrame, gateOn: DataFrame): DataFrame = {
+  private def broadcastIfSmall(df: DataFrame, gateOn: DataFrame): DataFrame =
+    if (smallEnoughToBroadcast(gateOn)) broadcast(df) else df
+
+  /** The gate DECISION alone — resolved once per operator invocation so
+    * a degraded-estimate gate frame pays the measurement aggregation a
+    * single time even when several broadcast sites share it
+    * (crossCorpusDupPairs has three). Logs the degrade warning at
+    * decision time. Also used by [[graft.operators.Similarity.knnJoin]]
+    * to gate its query-side broadcast. */
+  private[graft] def smallEnoughToBroadcast(gateOn: DataFrame): Boolean = {
     val thr = gateOn.sparkSession.conf
       .get(TestBroadcastMaxBytesConf, TestBroadcastMaxBytesDefault.toString)
       .toLong
-    if (thr < 0) broadcast(df)
+    if (thr < 0) true
     else {
       val est = gateOn.queryExecution.optimizedPlan.stats.sizeInBytes
-      if (est <= thr) broadcast(df)
-      else if (measuredBytes(gateOn) <= thr) broadcast(df)
-      else {
-        log.warn(s"graft decontamination: test corpus measured over " +
+      val small = est <= thr || measuredBytes(gateOn) <= thr
+      if (!small) {
+        log.warn(s"graft: gate frame measured over " +
           s"$TestBroadcastMaxBytesConf=$thr bytes; degrading broadcasts " +
-          "to shuffled equi-joins (same result, the train side will " +
+          "to shuffled equi-joins (same result, the large side will " +
           "shuffle). Raise the conf (or set it negative) to force " +
           "broadcasting.")
-        df
       }
+      small
     }
   }
 
@@ -239,9 +247,12 @@ object Dedup {
     // (broadcastIfSmall): a genuinely large second corpus degrades to a
     // shuffled equi-join on the same keys instead of a driver OOM.
     // gate on just the columns that feed the broadcast sides — the
-    // user's corpus may carry wide payload columns that never broadcast
-    def bc(df: DataFrame): DataFrame =
-      broadcastIfSmall(df, test.select(col(idCol), col(textCol)))
+    // user's corpus may carry wide payload columns that never broadcast.
+    // ONE decision for all three bc() sites: the measurement job (when
+    // the stats tier degrades) runs at most once per invocation.
+    val bcSmall = smallEnoughToBroadcast(
+      test.select(col(idCol), col(textCol)))
+    def bc(df: DataFrame): DataFrame = if (bcSmall) broadcast(df) else df
     val cands = banded(train, "train_id")
       .join(bc(banded(test, "test_id")), Seq("band", "bucket"))
       .select("train_id", "test_id").distinct()

@@ -68,15 +68,38 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    // NULL ids (including non-numeric ids the cast nulls out) are
-    // dropped — they could never join or be ranked. The checkpoint
-    // evaluates the (possibly derived) query pipeline ONCE for both
-    // the uniqueness check and the broadcast; the retained blocks are
-    // bounded by the query set, which must be broadcast-small anyway.
-    val q = queries.select(col(idCol).cast("long").as("qid"),
-      col(vecCol).as("qv"))
+    // FAIL-LOUD id cast: the heaps key on long ids, and a non-castable
+    // id (a string-id corpus, say) silently nulling out would yield an
+    // empty result with every guard vacuously green. try_cast + a
+    // per-row raise_error turns the first bad id into a clear error at
+    // zero extra passes; genuinely-NULL ids are still dropped (they
+    // could never join or be ranked).
+    def idLoud(side: String): Column =
+      when(col(idCol).isNotNull && col(idCol).try_cast("long").isNull,
+        raise_error(concat(
+          lit(s"knnJoin $side id '$idCol' is not castable to long: "),
+          col(idCol).cast("string"))))
+        .otherwise(col(idCol).try_cast("long"))
+    // The checkpoint evaluates the (possibly derived) query pipeline
+    // ONCE for both the uniqueness check and the broadcast; the
+    // retained blocks are freed below once the (tiny) result is
+    // materialized.
+    val q = queries.select(idLoud("query").as("qid"), col(vecCol).as("qv"))
       .where(col("qid").isNotNull)
       .localCheckpoint()
+    // the map-side-scoring design REQUIRES the query side to broadcast
+    // (the join is a theta join — without the broadcast it degenerates
+    // to a nested-loop over the corpus). Same size gate as the
+    // decontamination ops; an oversized batch fails loud with the
+    // remedy instead of OOMing the driver.
+    if (!graft.operators.Dedup.smallEnoughToBroadcast(q)) {
+      org.apache.spark.sql.GraftSqlShim.unpersistCheckpoint(q)
+      throw new IllegalArgumentException(
+        "knnJoin query batch exceeds " +
+          s"${graft.operators.Dedup.TestBroadcastMaxBytesConf}: the " +
+          "query side must broadcast into the map-side scoring pass. " +
+          "Split the batch into smaller calls, or raise the conf.")
+    }
     // the partial top-k heaps key on the CAST query id: duplicate ids
     // (or distinct fractional ids that cast to the same long) would
     // silently pool two queries' candidates into one k-bounded ranking
@@ -87,15 +110,16 @@ object Similarity {
     require(qa.getLong(0) == qa.getLong(1),
       s"knnJoin query ids must be unique after cast to long " +
         s"(${qa.getLong(0)} rows, ${qa.getLong(1)} distinct ids)")
-    val c = corpus.select(col(idCol).cast("long").as("cid"),
-      col(vecCol).as("cv"))
+    val c = corpus.select(idLoud("corpus").as("cid"), col(vecCol).as("cv"))
     val scored = c.join(broadcast(q), col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"),
         cosine(col("cv"), col("qv")).as("score"))
-      // cosine is NULL on zero-norm / NULL / length-mismatched vectors:
-      // such pairs are unrankable and must not reach the primitive
-      // Double encoder below
-      .where(col("score").isNotNull)
+      // cosine is NULL on zero-norm / NULL / length-mismatched vectors
+      // and NaN on NaN/Inf components: both are unrankable, and NaN
+      // additionally orders INCONSISTENTLY between the heap's Scala
+      // Double ordering (worst, evicted first) and the final window's
+      // score DESC (largest, rank 1) — exclude both uniformly
+      .where(col("score").isNotNull && !isnan(col("score")))
       .as[(Long, Long, Double)]
     // the priority queue's max must be the WORST kept element (it gets
     // evicted when size exceeds k): worse = lower score, then higher id
@@ -117,11 +141,18 @@ object Similarity {
     }.toDF("qid", "cid", "score")
     val w = Window.partitionBy("qid")
       .orderBy(col("score").desc, col("cid"))
-    partial
+    val result = partial
       .select(col("qid"), col("cid"), row_number().over(w).as("rank"))
       .where(col("rank") <= k)
       .select(col("qid").as("query_id"), col("cid").as("vec_id"),
         col("rank"))
+      // EAGER final checkpoint (≤ |queries|·k rows — tiny) so the query
+      // frame's blocks can be freed deterministically here instead of
+      // accumulating across calls until GC-driven cleanup; the scoring
+      // pass runs exactly once either way
+      .localCheckpoint()
+    org.apache.spark.sql.GraftSqlShim.unpersistCheckpoint(q)
+    result
   }
 
   /** Sign-random-projection bucket id from `planes` pseudo-random

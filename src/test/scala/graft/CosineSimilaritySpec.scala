@@ -184,4 +184,47 @@ class CosineSimilaritySpec extends SparkTestBase {
     // query 1 = (1,0): cos(3)=1/sqrt(2) ~ 0.707 > cos(2)=0
     assert(got == Set((3L, 1), (2L, 2)))
   }
+
+  test("knnJoin fails loud on ids that are not castable to long") {
+    val corpus = Seq(
+      ("a", Seq(1f, 0f)), ("b", Seq(0f, 1f)), ("c", Seq(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    // a string-id corpus used to null out under cast("long") and return
+    // an EMPTY result with every guard vacuously green
+    val ex = intercept[Exception] {
+      Similarity.knnJoin(corpus, corpus, "vec_id", "embedding", k = 2)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("not castable to long")))
+  }
+
+  test("knnJoin excludes NaN scores uniformly (heap vs window ordering)") {
+    // corpus row 9 carries a NaN component: its cosine vs anything is
+    // NaN, which the heap ordering treats as WORST but the window's
+    // score DESC would rank FIRST — it must simply never appear
+    val corpus = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0f, 1f)),
+      (9L, Seq(Float.NaN, 1f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.knnJoin(corpus.where($"vec_id" === 1), corpus,
+        "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((2L, 1), (3L, 2)))
+  }
+
+  test("knnJoin size-gates the query broadcast and fails with a remedy") {
+    val corpus = (0L until 50L).map(i =>
+      (i, Seq.fill(8)(i.toFloat))).toDF("vec_id", "embedding")
+    val conf = graft.operators.Dedup.TestBroadcastMaxBytesConf
+    spark.conf.set(conf, "1") // 1 byte: everything is oversized
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        Similarity.knnJoin(corpus, corpus, "vec_id", "embedding", k = 2)
+      }
+      assert(ex.getMessage.contains("broadcast"))
+    } finally spark.conf.unset(conf)
+  }
 }
