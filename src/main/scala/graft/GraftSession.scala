@@ -124,7 +124,7 @@ object Tables {
     // re-reads) — other TIMESTAMP(NANOS) parquet in the same session will
     // also surface as Long.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    nanosTsToMicros(name, spark.read.parquet(s"$sfDir/$name.parquet"))
+    normalizeTs(name, spark.read.parquet(s"$sfDir/$name.parquet"))
   }
 
   /** Streaming analogue of [[load]]: the same table as a file-stream
@@ -139,22 +139,41 @@ object Tables {
     // discovery ("Option 'basePath' must be a directory"). The driver
     // testdata is one parquet file per table, so address it through an
     // exact-match one-character-class glob: globs skip that override.
-    nanosTsToMicros(name,
+    normalizeTs(name,
       spark.readStream.schema(schema)
         .parquet(s"$sfDir/[${name.head}]${name.tail}.parquet"))
   }
 
-  private def nanosTsToMicros(name: String, df: DataFrame): DataFrame =
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
-      // FLOOR division, not `DIV` (which truncates toward zero): a
-      // pre-epoch nanosecond like -1500 must floor to -2 µs the way a
-      // native nanosecond-to-micros conversion does, or pre-epoch rows
-      // sit 1 µs later than the DuckDB oracle's read
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr(
-            "(ts DIV 1000) - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)")))
-    } else df
+  /** Normalize `events.ts` to a proper TimestampType regardless of how the
+    * parquet writer stamped it. Two shapes appear in driver testdata:
+    *  - TIMESTAMP(NANOS), which Spark reads only as a raw Long (under the
+    *    nanosAsLong flip) → floor-divide to micros;
+    *  - timestamp[us] with isAdjustedToUTC=false, which Spark reads as
+    *    TIMESTAMP_NTZ → cast to TimestampType. The cast reinterprets the
+    *    wall-clock fields in the session time zone; the session is pinned
+    *    to UTC, so the underlying epoch-micros value is unchanged (exact,
+    *    no rounding), matching DuckDB's native read of the same file.
+    * Mirrors the reference's cast-at-the-boundary posture (reference:
+    * sequila/sequila-core/src/physical_planner/interval_join.rs:1661-1672
+    * casts bound expressions to the join's coordinate type regardless of
+    * the source column type). */
+  private def normalizeTs(name: String, df: DataFrame): DataFrame =
+    if (name != "events") df
+    else df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // FLOOR division, not `DIV` (which truncates toward zero): a
+        // pre-epoch nanosecond like -1500 must floor to -2 µs the way a
+        // native nanosecond-to-micros conversion does, or pre-epoch rows
+        // sit 1 µs later than the DuckDB oracle's read
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr(
+              "(ts DIV 1000) - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          df("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 
   private val registeredDir =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()

@@ -16,25 +16,39 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.install(spark)
     new java.io.File(outDir).mkdirs()
+    var failed = Vector.empty[(String, String)]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        // a STALE result from a previous run into the same outDir must
-        // not survive a failure — the oracle compare would read it and
-        // report the regression as green
-        def rm(f: java.io.File): Unit = {
-          val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete()
-        }
-        rm(new java.io.File(s"$outDir/$name"))
+        // FAIL LOUD, never silently shrink the surface (round 10: four
+        // queries threw at construction and simply vanished from the
+        // ledger, which then read as fully green). Overwrite the result
+        // with a one-row `graft_verify_error` frame: the oracle compare
+        // sees a schema + hash mismatch and the ledger shows an explicit
+        // red row instead of an absence. Also exit non-zero below.
+        val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
+        System.err.println(s"[verify] $name FAILED: $msg")
+        failed :+= (name -> msg)
+        import spark.implicits._
+        Seq(msg).toDF("graft_verify_error").coalesce(1)
+          .write.mode("overwrite").parquet(s"$outDir/$name")
       }
     }
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${Verify.q(k)}: ${Verify.q(v)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    if (failed.nonEmpty) {
+      Files.writeString(Paths.get(s"$outDir/verify_failures.json"),
+        failed.map { case (k, v) => s"${Verify.q(k)}: ${Verify.q(v)}" }
+          .mkString("{", ",", "}"))
+      System.err.println(
+        s"[verify] ${failed.size}/${SparkEntry.queries.size} queries FAILED: " +
+          failed.map(_._1).mkString(", "))
+    }
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 
   /** JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -54,15 +54,17 @@ object AsofCondition extends PredicateHelper {
 
   private def integral(e: Expression): Boolean = e.dataType match {
     case ByteType | ShortType | IntegerType | LongType => true
-    case TimestampType | DateType => true
+    case TimestampType | TimestampNTZType | DateType => true
     case _ => false
   }
 
   /** Same temporal normalization as [[IntervalCondition]]: timestamps to
-    * epoch micros, dates to epoch days — as-of on raw TIMESTAMP columns
-    * runs on the Int64 index (strict = 1-micro/1-day shift, exact). */
+    * epoch micros (NTZ via the timezone-free [[NtzMicros]]), dates to
+    * epoch days — as-of on raw TIMESTAMP columns runs on the Int64 index
+    * (strict = 1-micro/1-day shift, exact). */
   private def norm(e: Expression): Expression = e.dataType match {
     case TimestampType => UnixMicros(e)
+    case TimestampNTZType => NtzMicros(e)
     case DateType => UnixDate(e)
     case _ => e
   }
@@ -146,8 +148,8 @@ object AsofCondition extends PredicateHelper {
 
     time match {
       case Some((bt, pt, fwd, strict)) if ok =>
-        val wide = Seq(bt, pt).exists(e =>
-          e.dataType == LongType || e.dataType == TimestampType)
+        val wide = Seq(bt, pt).exists(e => e.dataType == LongType ||
+          e.dataType == TimestampType || e.dataType == TimestampNTZType)
         Some(Extracted(leftKeys, rightKeys, norm(bt), norm(pt), fwd, strict,
           wide, residual.reduceOption(And)))
       case _ => None

@@ -41,11 +41,38 @@ case class IntervalCondition(
       * path's checked narrowing fails the query on valid data. */
     strictShifted: Boolean = false)
 
+/** Exact epoch-micros reinterpretation of a TIMESTAMP_NTZ operand. NTZ's
+  * physical representation IS a Long of microseconds since the epoch of
+  * its wall-clock fields, so this is a zero-cost identity at runtime —
+  * and timezone-FREE, unlike `Cast(ntz, TimestampType)` which consults
+  * the session zone (only order-exact under fixed-offset zones; a DST
+  * fold would collapse distinct wall-clock values). Spark has no builtin
+  * for this (`unix_micros` rejects NTZ), hence the 10-line expression. */
+case class NtzMicros(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == TimestampNTZType) {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    } else {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"NtzMicros requires TIMESTAMP_NTZ, got ${child.dataType.sql}")
+    }
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any = input
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => c)
+  override protected def withNewChildInternal(newChild: Expression)
+      : NtzMicros = copy(child = newChild)
+}
+
 object IntervalCondition extends PredicateHelper {
 
   private def integral(e: Expression): Boolean = e.dataType match {
     case ByteType | ShortType | IntegerType | LongType => true
-    case TimestampType | DateType => true
+    case TimestampType | TimestampNTZType | DateType => true
     case _ => false
   }
 
@@ -54,10 +81,12 @@ object IntervalCondition extends PredicateHelper {
     * epoch days. Comparisons are order-isomorphic, and the strict-op
     * shift below becomes exact: −1 micro / −1 day. This is what lets a
     * raw `a.ts <= b.ts_end` predicate plan onto the indexed join without
-    * the user hand-converting to epoch integers. (TimestampNTZ is left
-    * unrecognized → stock join fallback.) */
+    * the user hand-converting to epoch integers. TIMESTAMP_NTZ extracts
+    * its internal micros directly ([[NtzMicros]]) — comparing NTZ against
+    * NTZ is wall-clock-ordered either way, so the normalization is exact. */
   private def norm(e: Expression): Expression = e.dataType match {
     case TimestampType => UnixMicros(e)
+    case TimestampNTZType => NtzMicros(e)
     case DateType => UnixDate(e)
     case _ => e
   }
@@ -87,8 +116,8 @@ object IntervalCondition extends PredicateHelper {
       shifted: Boolean = false)
 
     def isWide(a: Expression, b: Expression): Boolean =
-      Seq(a, b).exists(e =>
-        e.dataType == LongType || e.dataType == TimestampType)
+      Seq(a, b).exists(e => e.dataType == LongType ||
+        e.dataType == TimestampType || e.dataType == TimestampNTZType)
 
     def asRange(c: Expression): Option[Range] = c match {
       case LessThanOrEqual(a, b) if fromLeft(a) && fromRight(b) &&

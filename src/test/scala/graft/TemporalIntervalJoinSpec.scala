@@ -141,20 +141,49 @@ class TemporalIntervalJoinSpec extends SparkTestBase with BeforeAndAfterEach {
     assert(got == Map("p1030" -> "b9", "p1100" -> "b11", "p0800" -> null))
   }
 
-  test("TimestampNTZ bounds fall back to stock Spark, still correct") {
-    // NTZ is deliberately unrecognized (no exact UnixMicros analogue
-    // wired) — the join must FALL BACK, not misplan
-    val a = Seq(("k", "2024-01-01T10:00:00", "2024-01-01T11:00:00"))
-      .toDF("key", "s", "e")
-      .select(col("key"), to_timestamp_ntz(col("s")).as("w_start"),
-        to_timestamp_ntz(col("e")).as("w_end"))
-    val b = Seq(("k", "2024-01-01T10:30:00", "2024-01-01T10:40:00"))
-      .toDF("key", "s", "e")
-      .select(col("key"), to_timestamp_ntz(col("s")).as("w_start"),
-        to_timestamp_ntz(col("e")).as("w_end"))
+  /** NTZ windows derived from [[tsWindows]] by wall-clock reinterpretation
+    * (session tz is UTC, so values are identical micros). */
+  private def ntzWindows(n: Int, seed: Int): DataFrame =
+    tsWindows(n, seed).select(col("key"),
+      col("w_start").cast("timestamp_ntz").as("w_start"),
+      col("w_end").cast("timestamp_ntz").as("w_end"))
+
+  test("TimestampNTZ bounds plan indexed (int64) and match stock") {
+    // Since round 11 the driver testdata itself reads as NTZ — the
+    // recognizer extracts NTZ's internal micros directly (NtzMicros,
+    // timezone-free), so NTZ range predicates get the indexed join
+    // instead of silently losing it to a stock hash/NLJ plan.
+    val a = ntzWindows(250, 5).cache(); val b = ntzWindows(250, 6).cache()
+    a.count(); b.count()
     val df = overlap(a, b)
-    assert(!planOf(df).contains("IntervalJoinExec"), planOf(df))
-    assert(df.count() == 1)
+    val plan = planOf(df)
+    assert(plan.contains("IntervalJoinExec"), plan)
+    assert(plan.contains("coord=int64"), plan)
+    assert(df.collect().map(_.toSeq).toSet == stockSet(overlap(a, b)))
+    // strict: exact 1-micro shift on the NTZ micros
+    val ds = overlap(a, b, strict = true)
+    assert(planOf(ds).contains("IntervalJoinExec"), planOf(ds))
+    assert(ds.collect().map(_.toSeq).toSet ==
+      stockSet(overlap(a, b, strict = true)))
+    a.unpersist(); b.unpersist()
+  }
+
+  test("as-of join on raw TimestampNTZ columns") {
+    val b = Seq(("u", "2024-01-01 09:00:00", "b9"),
+      ("u", "2024-01-01 11:00:00", "b11")).toDF("key", "t", "tag")
+      .select(col("key").as("bk"), to_timestamp_ntz(col("t")).as("bt"),
+        col("tag").as("btag"))
+    val p = Seq(("u", "2024-01-01 10:30:00", "p1030"),
+      ("u", "2024-01-01 11:00:00", "p1100"),
+      ("u", "2024-01-01 08:00:00", "p0800")).toDF("key", "t", "tag")
+      .select(col("key").as("pk"), to_timestamp_ntz(col("t")).as("pt"),
+        col("tag").as("ptag"))
+    val df = AsofJoin(b, p, b("bk") === p("pk") && b("bt") <= p("pt"))
+    assert(planOf(df).contains("join_type=AsofBackward"), planOf(df))
+    assert(planOf(df).contains("coord=int64"), planOf(df))
+    val got = df.select("btag", "ptag").collect()
+      .map(r => (r.getString(1), r.getString(0))).toMap
+    assert(got == Map("p1030" -> "b9", "p1100" -> "b11", "p0800" -> null))
   }
 
   test("as-of join on DATE columns (epoch days, narrow index)") {
