@@ -24,6 +24,11 @@ object Bench {
     Tables.registerAll(spark, sfDir)
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
     SparkEntry.queries("q16_interval_count")(spark, sfDir).count()
+    // q16 exercises only the COUNT-pushdown path; warm one
+    // pair-MATERIALIZING interval join too, or the alphabetically-first
+    // pair join (q10) absorbs ~0.6 s of one-time probe-loop codegen that
+    // its q13 twin never pays (r10 verdict nit #4)
+    SparkEntry.queries("q10_interval_join")(spark, sfDir).count()
     // pre-build the persisted IVF layout untimed: it is write-once
     // read-many (steady state has it on disk), so q31 measures the
     // partition-pruned probe — the recurring cost — not a one-time build,
@@ -31,6 +36,10 @@ object Bench {
     SparkEntry.ivfLayoutFor(spark, sfDir)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val gcSec = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // (name, (median, min, max)) triples contributed by non-queries-map
+    // entries (cc_star reps) — merged into the queries_median JSON below
+    val ccMedians =
+      scala.collection.mutable.ArrayBuffer.empty[(String, (Double, Double, Double))]
     def gcMillis: Long = {
       import scala.jdk.CollectionConverters._
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
@@ -70,7 +79,7 @@ object Bench {
         Seq.empty
       }
     } ++ {
-      try ccLoopFlagship(spark, sfDir, timed)
+      try ccLoopFlagship(spark, sfDir, timed, ccMedians)
       catch { case t: Throwable =>
         errors("cc_loop_setup") =
           Option(t.getMessage).getOrElse(t.getClass.getName).take(200)
@@ -104,7 +113,7 @@ object Bench {
         val sorted = samples.sorted
         name -> (sorted(sorted.size / 2), sorted.head, sorted.last)
       }
-    }
+    } ++ ccMedians
     def medJson(f: ((Double, Double, Double)) => Double): String =
       medians.map { case (k, v) => s"\"" + k + "\":" + f(v) }
         .mkString("{", ",", "}")
@@ -250,7 +259,9 @@ object Bench {
     * cost of this path. Row count (not labels) is asserted trivially by count();
     * label correctness for both paths is the driver-oracled q69/q68. */
   private def ccLoopFlagship(spark: SparkSession, sfDir: String,
-      timed: String => (=> Unit) => (String, Double)): Seq[(String, Double)] = {
+      timed: String => (=> Unit) => (String, Double),
+      medianSink: scala.collection.mutable.ArrayBuffer[(String, (Double, Double, Double))])
+      : Seq[(String, Double)] = {
     import org.apache.spark.sql.functions._
     val J = 64
     val pairs = Tables.load(spark, sfDir, "events")
@@ -267,8 +278,25 @@ object Bench {
       // xorshift mix is near-order-preserving on 21-bit inputs: each
       // step approximates an odd multiply, so locality survives it.)
       .select(xxhash64(col("a")).as("id1"), xxhash64(col("b")).as("id2"))
-    Seq(timed("cc_star_2m5_scrambled")(
+    def run(): Long =
       graft.operators.Dedup.connectedComponents(pairs, maxIterations = 30)
-        .count()))
+        .count()
+    // 3 samples + explicit median, like the gate queries: this entry
+    // showed a 2.5× cold-vs-warm spread in r10 (the first invocation
+    // bills codegen/JIT for ~8 round plans); the median is the
+    // steady-state claim. Each rep goes through timed() so a failing rep
+    // lands in the errors map, never silently collapses — but only the
+    // FIRST sample joins the results/total (round-over-round totals stay
+    // one-cc_star comparable); the reps feed queries_median.
+    val first = timed("cc_star_2m5_scrambled")(run())
+    val reps = Seq(
+      timed("cc_star_2m5_scrambled_rep2")(run()),
+      timed("cc_star_2m5_scrambled_rep3")(run()))
+    val ok = (first +: reps).map(_._2).filter(_ >= 0).sorted
+    if (ok.nonEmpty) {
+      medianSink += ("cc_star_2m5_scrambled" ->
+        (ok(ok.size / 2), ok.head, ok.last))
+    }
+    Seq(first)
   }
 }

@@ -644,6 +644,32 @@ object SparkEntry {
         .groupBy("group_id")
         .agg(count(lit(1)).as("n_members"), sum(col("id")).as("sum_id"),
           max(col("id")).as("max_id")) }),
+    // the alternating-star engine AT SCALE under the driver oracle
+    // (carried r9/r10 gap: q70 pins it at 63 k edges, the 2.5 M-edge run
+    // was bench-timing-only). Same oracle-expressible bijection, all
+    // 10 000 sf0.01 events: 630 000 pairs = 1.26 M symmetric edges —
+    // above the DEFAULT 1 M micro gate at sf0.01, so the distributed
+    // path is the planner's own choice there (the explicit 100 k gate
+    // only keeps smaller sfs on the same engine). The require() makes
+    // the ledger entry itself pin the engine: a silent fallback to any
+    // other engine fails the query, not just a scaladoc claim.
+    "q77_dedup_star_scale" -> ((s, dir) => { prep(s, dir)
+      val J = 64
+      def mix(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        (c * 7919L % 32768L) * 65536L + c
+      val pairs = Tables.load(s, dir, "events")
+        .select(col("event_id").cast("long").as("e"))
+        .where(col("e") < 10000)
+        .select(col("e"), explode(sequence(lit(1), lit(J - 1))).as("j"))
+        .select(mix(col("e") * J + col("j") - 1).as("id1"),
+          mix(col("e") * J + col("j")).as("id2"))
+      val cc = Dedup.connectedComponents(pairs, maxIterations = 30,
+        microGraphMaxEdges = 100000L)
+      require(Dedup.lastEngine == "star",
+        s"q77 pins the alternating-star engine, got '${Dedup.lastEngine}'")
+      cc.groupBy("group_id")
+        .agg(count(lit(1)).as("n_members"), sum(col("id")).as("sum_id"),
+          max(col("id")).as("max_id")) }),
     // the streaming family under the driver's batch oracle: a REAL
     // Structured-Streaming run (file-stream source -> watermarked
     // stateful aggregation -> memory sink, Trigger.AvailableNow).
@@ -1298,6 +1324,19 @@ object SparkEntry {
           |         * 65536 + CAST(event_id * 64 + j AS BIGINT) AS m
           |  FROM events, generate_series(0, 63) t(j)
           |  WHERE event_id < 500
+          |) GROUP BY eid""".stripMargin,
+      // q77: same closed-form block arithmetic, all sf0.01 events
+      "q77_dedup_star_scale" ->
+        """SELECT CAST(min(m) AS BIGINT) AS group_id,
+          |       CAST(count(*) AS BIGINT) AS n_members,
+          |       CAST(sum(m) AS BIGINT) AS sum_id,
+          |       CAST(max(m) AS BIGINT) AS max_id
+          |FROM (
+          |  SELECT event_id AS eid,
+          |         (CAST(event_id * 64 + j AS BIGINT) * 7919 % 32768)
+          |         * 65536 + CAST(event_id * 64 + j AS BIGINT) AS m
+          |  FROM events, generate_series(0, 63) t(j)
+          |  WHERE event_id < 10000
           |) GROUP BY eid""".stripMargin,
       // tumbling-window streaming aggregation == plain hour-bucket GROUP
       // BY over the bounded replay (complete output mode)

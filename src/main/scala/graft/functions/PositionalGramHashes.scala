@@ -2,8 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -24,7 +23,7 @@ import org.apache.spark.unsafe.types.UTF8String
  * `split("\\s+")` twin the oracles replicate.
  */
 case class PositionalGramHashes(child: Expression, n: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   require(n >= 1, "gram size must be >= 1")
 
@@ -38,15 +37,15 @@ case class PositionalGramHashes(child: Expression, n: Int)
 
   override def prettyName: String = "positional_gram_hashes"
 
-  override def nullSafeEval(input: Any): Any = {
-    val wArr = WordHashing.tokenize(input.asInstanceOf[UTF8String])
-    if (wArr.length < n) return new GenericArrayData(Array.empty[Long])
-    val m = wArr.length - n + 1
-    val hs = new Array[Long](m)
-    var j = 0
-    while (j < m) { hs(j) = WordHashing.hashWindow(wArr, j, n); j += 1 }
-    new GenericArrayData(hs)
-  }
+  override def nullSafeEval(input: Any): Any =
+    WordHashing.positionalGramHashes(input.asInstanceOf[UTF8String], n)
+
+  /** Real codegen (was `CodegenFallback` through round 10), mirroring
+    * [[ShingleHashes.doGenCode]]: one static invoke of the shared
+    * kernel, inlined into the enclosing whole-stage-codegen span. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WordHashing.positionalGramHashes($c, $n)")
 
   override protected def withNewChildInternal(
       newChild: Expression): PositionalGramHashes = copy(child = newChild)

@@ -2,8 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -23,7 +22,7 @@ import org.apache.spark.unsafe.types.UTF8String
  * Jaccard over shingle-string sets.
  */
 case class ShingleHashes(child: Expression, n: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   require(n >= 1, "shingle size must be >= 1")
 
@@ -37,28 +36,16 @@ case class ShingleHashes(child: Expression, n: Int)
 
   override def prettyName: String = "shingle_hashes"
 
-  override def nullSafeEval(input: Any): Any = {
-    val wArr = WordHashing.tokenize(input.asInstanceOf[UTF8String])
-    if (wArr.isEmpty) return new GenericArrayData(Array.empty[Long])
-    val out =
-      if (wArr.length < n) Array(WordHashing.hashWindow(wArr, 0, wArr.length))
-      else {
-        val m = wArr.length - n + 1
-        val hs = new Array[Long](m)
-        var j = 0
-        while (j < m) { hs(j) = WordHashing.hashWindow(wArr, j, n); j += 1 }
-        hs
-      }
-    // sorted distinct
-    java.util.Arrays.sort(out)
-    var uniq = 0
-    var k = 0
-    while (k < out.length) {
-      if (k == 0 || out(k) != out(k - 1)) { out(uniq) = out(k); uniq += 1 }
-      k += 1
-    }
-    new GenericArrayData(java.util.Arrays.copyOf(out, uniq))
-  }
+  override def nullSafeEval(input: Any): Any =
+    WordHashing.shingleHashes(input.asInstanceOf[UTF8String], n)
+
+  /** Real codegen (the kernel was `CodegenFallback` through round 10 —
+    * boxed `Expression.eval` dispatch per row in the hottest dedup
+    * scans): one static invoke of the shared kernel, inlined into the
+    * enclosing whole-stage-codegen span. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WordHashing.shingleHashes($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)

@@ -30,6 +30,54 @@ private[functions] object WordHashing {
     words.toArray
   }
 
+  /** Full [[graft.functions.ShingleHashes]] kernel as one static call —
+    * the target of that expression's generated code (and its interpreted
+    * eval), so codegen inlines a single static invoke instead of the
+    * CodegenFallback per-row `Expression.eval` dispatch. */
+  def shingleHashes(input: UTF8String, n: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val wArr = tokenize(input)
+    if (wArr.isEmpty) {
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Long])
+    }
+    val out =
+      if (wArr.length < n) Array(hashWindow(wArr, 0, wArr.length))
+      else {
+        val m = wArr.length - n + 1
+        val hs = new Array[Long](m)
+        var j = 0
+        while (j < m) { hs(j) = hashWindow(wArr, j, n); j += 1 }
+        hs
+      }
+    // sorted distinct
+    java.util.Arrays.sort(out)
+    var uniq = 0
+    var k = 0
+    while (k < out.length) {
+      if (k == 0 || out(k) != out(k - 1)) { out(uniq) = out(k); uniq += 1 }
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(out, uniq))
+  }
+
+  /** Full [[graft.functions.PositionalGramHashes]] kernel as one static
+    * call — same codegen rationale as [[shingleHashes]]. */
+  def positionalGramHashes(input: UTF8String, n: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val wArr = tokenize(input)
+    if (wArr.length < n) {
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Long])
+    }
+    val m = wArr.length - n + 1
+    val hs = new Array[Long](m)
+    var j = 0
+    while (j < m) { hs(j) = hashWindow(wArr, j, n); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(hs)
+  }
+
   /** 64-bit hash of a word range: two independent 32-bit murmur lanes
     * over the same bytes (word-boundary mixed between words). */
   def hashWindow(words: Array[UTF8String], from: Int, len: Int): Long = {

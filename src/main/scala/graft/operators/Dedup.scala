@@ -613,6 +613,14 @@ object Dedup {
     * under concurrent calls, so nothing but diagnostics may read it. */
   @volatile private[graft] var lastIterations: Int = -1
 
+  /** Per-round (edgeRows, wallSec) of the last [[starLoop]] run on this
+    * JVM — the r10 verdict flagged a 2.5× wall spread on the 2.5 M-edge
+    * scrambled bench with no per-round evidence to attribute it, so the
+    * loop now stamps each round. Diagnostics only, like
+    * [[lastIterations]]. */
+  @volatile private[graft] var lastStarRounds: Vector[(Long, Double)] =
+    Vector.empty
+
   /** Default [[connectedComponents]] `microGraphMaxEdges`: a 1 M-edge
     * graph is ~2 M union-find operations and ≤ ~200 MB of boxed hash map
     * on ONE task (2 M entries × ~96 B) — well inside any executor and
@@ -1036,7 +1044,9 @@ object Dedup {
         .select(col("src").as("hi"), col("dst").as("lo")).distinct())
     var it = 0
     var converged = false
+    var roundStats = Vector.empty[(Long, Double)]
     while (!converged && it < maxIterations) {
+      val roundT0 = System.nanoTime()
       // large-star without symmetrizing: m(u) = min(Γ(u) ∪ {u}) can only
       // be u or a SMALLER neighbor, and the canonical rows already group
       // u's smaller neighbors under hi = u — so the closed-neighborhood
@@ -1056,20 +1066,33 @@ object Dedup {
           .select(col("lo").as("hi"), col("m2").as("lo")) // lo > m2 (lo != m2, m2 = min)
           .union(mn2.select(col("hi"), col("m2").as("lo"))) // hi > m2
           .distinct())
-      // single job of the round: materializes the checkpoint and counts
-      // star-shape violations (multi-parent his, or a parent that is
-      // itself somebody's hi)
+      // first job of the round: materializes the checkpoint and computes
+      // the multi-parent violation count plus the round's edge count in
+      // one agg pass (the edge count is the shrink signal the r10 verdict
+      // asked to see per round)
       val p = next.groupBy("hi")
         .agg(min("lo").as("p"), count(lit(1)).as("deg"))
-      val parentsAsHi = p.select(col("p").as("v"))
-        .join(next.select(col("hi").as("v")), "v", "left_semi")
-      converged = p.where(col("deg") > 1).select(col("hi").as("v"))
-        .union(parentsAsHi).count() == 0L
+      val stats = p.agg(
+        sum(when(col("deg") > 1, 1L).otherwise(0L)).as("multi"),
+        sum("deg").as("edges")).head()
+      val multiParent = if (stats.isNullAt(0)) 0L else stats.getLong(0)
+      val edgeRows = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+      // second violation clause (a parent that is itself somebody's hi)
+      // needs a semi-join — only run it when the first clause passed;
+      // a mid-convergence round skips the job entirely
+      converged = multiParent == 0L &&
+        p.select(col("p").as("v"))
+          .join(next.select(col("hi").as("v")), "v", "left_semi")
+          .count() == 0L
       shim.unpersistCheckpoint(c)
       c = next
       it += 1
-      log.info(s"connectedComponents: star round $it converged=$converged")
+      val wallSec = (System.nanoTime() - roundT0) / 1e9
+      roundStats :+= (edgeRows, wallSec)
+      log.info(f"connectedComponents: star round $it edges=$edgeRows " +
+        f"multiParent=$multiParent converged=$converged wall=$wallSec%.2f s")
     }
+    lastStarRounds = roundStats
     shim.unpersistCheckpoint(edges)
     lastIterations = it
     if (!converged) {
