@@ -670,6 +670,33 @@ object SparkEntry {
       cc.groupBy("group_id")
         .agg(count(lit(1)).as("n_members"), sum(col("id")).as("sum_id"),
           max(col("id")).as("max_id")) }),
+    // TIMESTAMP_NTZ interval bounds end-to-end under the driver oracle:
+    // the r10 testdata regen made NTZ the *native* shape of events.ts,
+    // and the ledger queries all read the normalized (TimestampType)
+    // view — so without this entry the NtzMicros planner path would be
+    // spec-only. Click/purchase 6-hour windows re-cast to NTZ (identical
+    // micros under the pinned UTC session), keyed interval self-join,
+    // per-user overlap counts. The require() pins the indexed plan: a
+    // recognizer regression that silently fell back to a stock join
+    // would still produce right answers — at the hash-join/NLJ cost
+    // cliff the engine exists to avoid — so the plan IS the assertion.
+    "q78_interval_ntz" -> ((s, dir) => { prep(s, dir)
+      def side(t: String) = Tables.load(s, dir, "events")
+        .where(col("event_type") === t)
+        .select(col("user_id"),
+          col("ts").cast("timestamp_ntz").as("s0"),
+          (col("ts") + expr("INTERVAL 6 HOURS")).cast("timestamp_ntz")
+            .as("e0"))
+      val a = side("click").select(col("user_id").as("u"),
+        col("s0").as("a_s"), col("e0").as("a_e"))
+      val b = side("purchase").select(col("user_id").as("u2"),
+        col("s0").as("b_s"), col("e0").as("b_e"))
+      val joined = a.join(b, col("u") === col("u2") &&
+        col("a_s") <= col("b_e") && col("a_e") >= col("b_s"))
+      val plan = joined.queryExecution.executedPlan.toString
+      require(plan.contains("IntervalJoin") && plan.contains("coord=int64"),
+        s"q78 pins the indexed interval join on NTZ bounds; got:\n$plan")
+      joined.groupBy(col("u")).agg(count(lit(1)).as("n_overlaps")) }),
     // the streaming family under the driver's batch oracle: a REAL
     // Structured-Streaming run (file-stream source -> watermarked
     // stateful aggregation -> memory sink, Trigger.AvailableNow).
@@ -1338,6 +1365,16 @@ object SparkEntry {
           |  FROM events, generate_series(0, 63) t(j)
           |  WHERE event_id < 10000
           |) GROUP BY eid""".stripMargin,
+      // q78: DuckDB reads the same parquet ts natively (naive micros ==
+      // the NTZ wall-clock micros Spark joins on)
+      "q78_interval_ntz" ->
+        """SELECT a.user_id AS u, CAST(count(*) AS BIGINT) AS n_overlaps
+          |FROM (SELECT user_id, ts AS s, ts + INTERVAL 6 HOUR AS e
+          |      FROM events WHERE event_type = 'click') a
+          |JOIN (SELECT user_id, ts AS s, ts + INTERVAL 6 HOUR AS e
+          |      FROM events WHERE event_type = 'purchase') b
+          |  ON a.user_id = b.user_id AND a.s <= b.e AND a.e >= b.s
+          |GROUP BY 1""".stripMargin,
       // tumbling-window streaming aggregation == plain hour-bucket GROUP
       // BY over the bounded replay (complete output mode)
       "q71_streaming_window" ->
