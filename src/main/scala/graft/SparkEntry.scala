@@ -725,6 +725,44 @@ object SparkEntry {
         stream, "user_id", "ts", watermark = "3650 days")
       runStreamToTable(dd.select(col("user_id")), "graft_q72_mem",
         "append") }),
+    // stream-STREAM range join under the batch oracle: two live streams
+    // of the same events file (clicks vs purchases), keyed by user with
+    // a ±4 h event-time tolerance. Inner joins emit each matched pair
+    // exactly once regardless of how the trigger batches the replay, so
+    // append mode over the bounded run equals the batch join — PROVIDED
+    // buffered state is never evicted mid-replay; the watermark is
+    // pinned past the data span for exactness (at real ingest rates a
+    // user sets it to lateness tolerance, and the range condition bounds
+    // state, the 100-TB posture documented on streamStreamRangeJoin).
+    "q79_streaming_join" -> ((s, dir) => { prep(s, dir)
+      val l = Tables.loadStream(s, dir, "events")
+        .where(col("event_type") === "click")
+        .select(col("user_id").as("u"), col("ts").as("l_ts"),
+          col("event_id").as("click_id"))
+      val r = Tables.loadStream(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .select(col("user_id").as("u2"), col("ts").as("r_ts"),
+          col("event_id").as("purchase_id"))
+      val joined = graft.streaming.StreamingOps.streamStreamRangeJoin(
+        l, r, "u", "u2", "l_ts", "r_ts",
+        tolerance = "4 hours", watermark = "3650 days")
+      runStreamToTable(
+        joined.select(col("u"), col("click_id"), col("purchase_id")),
+        "graft_q79_mem", "append") }),
+    // gap-based session windows on a live stream vs the batch LAG/cumsum
+    // sessionization oracle: complete output mode makes the bounded
+    // replay emit exactly the final merged sessions (append would hold
+    // back every session the final watermark has not passed, i.e. all
+    // of them under the pinned-wide watermark).
+    "q80_streaming_sessions" -> ((s, dir) => { prep(s, dir)
+      val stream = Tables.loadStream(s, dir, "events")
+      val sess = graft.streaming.StreamingOps.sessionize(
+        stream, "ts", "user_id", gap = "30 minutes", watermark = "2 hours")
+      runStreamToTable(sess, "graft_q80_mem", "complete")
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"), round(col("sum_value"), 4).as("sum_value")) }),
     // batched exact k-NN join (many queries at once): 20 query vectors
     // against the whole corpus, heap-bounded partial top-k per
     // partition — the shuffle carries survivors, never the full score
@@ -1385,6 +1423,39 @@ object SparkEntry {
       // streaming dropDuplicates on the key alone == DISTINCT keys
       "q72_streaming_dedup" ->
         "SELECT DISTINCT user_id FROM events",
+      // stream-stream inner range join == the batch range join over the
+      // bounded replay (inner emission is batching-invariant)
+      "q79_streaming_join" ->
+        """SELECT a.user_id AS u, a.event_id AS click_id,
+          |       b.event_id AS purchase_id
+          |FROM (SELECT user_id, ts, event_id FROM events
+          |      WHERE event_type = 'click') a
+          |JOIN (SELECT user_id, ts, event_id FROM events
+          |      WHERE event_type = 'purchase') b
+          |  ON a.user_id = b.user_id
+          | AND a.ts >= b.ts - INTERVAL 4 HOUR
+          | AND a.ts <= b.ts + INTERVAL 4 HOUR""".stripMargin,
+      // gap-based sessionization in plain SQL: a session break is a
+      // >= 30 min gap to the previous event (matching session_window's
+      // half-open [t, t+gap) merge rule); session end = last event + gap
+      "q80_streaming_sessions" ->
+        """WITH m AS (
+          |  SELECT user_id, ts, value,
+          |         CASE WHEN lag(ts) OVER w IS NULL
+          |              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+          |              THEN 1 ELSE 0 END AS new_s
+          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+          |), s AS (
+          |  SELECT user_id, ts, value,
+          |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+          |           ROWS UNBOUNDED PRECEDING) AS sid
+          |  FROM m
+          |)
+          |SELECT user_id, min(ts) AS session_start,
+          |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+          |       CAST(count(*) AS BIGINT) AS n_events,
+          |       round(sum(value), 4) AS sum_value
+          |FROM s GROUP BY user_id, sid""".stripMargin,
       // brute-force per-query cosine ranking (q30's oracle, batched):
       // rank-only output keeps the compare integral
       "q73_knn_join" ->
