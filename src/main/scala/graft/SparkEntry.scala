@@ -763,6 +763,31 @@ object SparkEntry {
           col("session_window.start").as("session_start"),
           col("session_window.end").as("session_end"),
           col("n_events"), round(col("sum_value"), 4).as("sum_value")) }),
+    // PII redaction (emails / dotted-quad IPs / 8+-digit runs → typed
+    // placeholders) + per-kind hit counts. The synthetic corpus carries
+    // no PII, so every third document gets a deterministic email+IP+card
+    // suffix injected IDENTICALLY on both sides — the kernel then does
+    // real scrubbing work the oracle string-compares. Regexes are
+    // dialect-portable by construction (TextStats scaladoc); pure
+    // map-side, zero shuffles.
+    "q81_pii_redaction" -> ((s, dir) => { prep(s, dir)
+      import graft.operators.TextStats
+      val aug = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com from 10.0."),
+            (col("doc_id") % 256).cast("string"),
+            lit(".17 card 4111111122223333")))
+            .otherwise(col("text")).as("text"))
+      aug.select(col("doc_id"),
+        TextStats.redactPii(col("text")).as("clean"),
+        size(regexp_extract_all(col("text"), lit(TextStats.EmailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(TextStats.Ipv4Re), lit(0)))
+          .cast("long").as("n_ips"),
+        size(regexp_extract_all(col("text"), lit(TextStats.LongNumRe), lit(0)))
+          .cast("long").as("n_nums")) }),
     // batched exact k-NN join (many queries at once): 20 query vectors
     // against the whole corpus, heap-bounded partial top-k per
     // partition — the shuffle carries survivors, never the full score
@@ -1456,6 +1481,29 @@ object SparkEntry {
           |       CAST(count(*) AS BIGINT) AS n_events,
           |       round(sum(value), 4) AS sum_value
           |FROM s GROUP BY user_id, sid""".stripMargin,
+      // q81: same injection, same dialect-portable regexes (RE2 side)
+      "q81_pii_redaction" ->
+        """WITH t AS (
+          |  SELECT doc_id,
+          |         CASE WHEN doc_id % 3 = 0 THEN text || ' contact user'
+          |           || doc_id || '@mail.example.com from 10.0.'
+          |           || (doc_id % 256) || '.17 card 4111111122223333'
+          |         ELSE text END AS text
+          |  FROM documents)
+          |SELECT doc_id,
+          |  regexp_replace(regexp_replace(regexp_replace(text,
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+          |    '<EMAIL>', 'g'),
+          |    '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g'),
+          |    '\d{8,}', '<NUM>', 'g') AS clean,
+          |  CAST(len(regexp_extract_all(text,
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+          |    AS n_emails,
+          |  CAST(len(regexp_extract_all(text,
+          |    '\b\d{1,3}(\.\d{1,3}){3}\b')) AS BIGINT) AS n_ips,
+          |  CAST(len(regexp_extract_all(text, '\d{8,}')) AS BIGINT)
+          |    AS n_nums
+          |FROM t""".stripMargin,
       // brute-force per-query cosine ranking (q30's oracle, batched):
       // rank-only output keeps the compare integral
       "q73_knn_join" ->

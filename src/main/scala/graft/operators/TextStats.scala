@@ -100,6 +100,29 @@ object TextStats {
   def fingerprint(text: Column, k: Int = 5): Column =
     array_min(Dedup.shingleHashes(text, k))
 
+  /** PII patterns shared by [[redactPii]] and callers that count hits
+    * before scrubbing. Deliberately restricted to a regex subset (no
+    * lookaround, ASCII classes) that means the same thing in Java
+    * regex, RE2, and PCRE — a curation rule whose semantics depend on
+    * the engine's regex dialect cannot be validated across systems. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+  val LongNumRe = "\\d{8,}"
+
+  /** Training-data PII scrub: replace emails, dotted-quad IPs, and 8+
+    * digit runs (account/card-shaped numbers) with typed placeholder
+    * tokens, in that order — emails first so an address is consumed
+    * whole rather than leaving `<NUM>`-scrubbed fragments. Built on
+    * `regexp_replace` (codegen'd, global): pure map-side column work,
+    * zero shuffles at any scale. Placeholder TOKENS (not deletion) keep
+    * downstream tokenization/count stats meaningful. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      LongNumRe, "<NUM>")
+
   /** Full-document content fingerprint (xxhash64 of the text): the
     * scalable exact-dedup key — at 100 TB you join/group on this 8-byte
     * hash instead of shuffling document text. Distinct texts collide with

@@ -119,6 +119,22 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("redactPii scrubs emails, IPs and long digit runs; leaves prose alone") {
+    val df = Seq(
+      "mail bob.smith+x@corp.example.org now",
+      "server at 192.168.1.254 port 80",
+      "card 4111111122223333 and acct 12345678",
+      "version 1.2.3 has 123 small numbers",   // not an IP (3 quads), short digits
+      "clean prose stays untouched").toDF("text")
+      .select(TextStats.redactPii(col("text")).as("c"))
+    assert(df.collect().map(_.getString(0)).toSeq == Seq(
+      "mail <EMAIL> now",
+      "server at <IP> port 80",
+      "card <NUM> and acct <NUM>",
+      "version 1.2.3 has 123 small numbers",
+      "clean prose stays untouched"))
+  }
+
   test("NULL text: fingerprint and repetitionRatio return NULL, not constants") {
     val df = Seq((1L, null: String), (2L, "real text here"))
       .toDF("id", "text")
