@@ -788,6 +788,12 @@ object SparkEntry {
           .cast("long").as("n_ips"),
         size(regexp_extract_all(col("text"), lit(TextStats.LongNumRe), lit(0)))
           .cast("long").as("n_nums")) }),
+    // corpus vocabulary (term / corpus-frequency / doc-frequency) — the
+    // tokenizer-training prep aggregation, exploded tokens rolled up
+    // with map-side partial aggregation before the term-key shuffle
+    "q82_vocab_stats" -> ((s, dir) => { prep(s, dir)
+      graft.operators.TextStats.vocab(
+        Tables.load(s, dir, "documents"), "doc_id", "text") }),
     // batched exact k-NN join (many queries at once): 20 query vectors
     // against the whole corpus, heap-bounded partial top-k per
     // partition — the shuffle carries survivors, never the full score
@@ -1504,6 +1510,15 @@ object SparkEntry {
           |  CAST(len(regexp_extract_all(text, '\d{8,}')) AS BIGINT)
           |    AS n_nums
           |FROM t""".stripMargin,
+      // q82: same \s-split twin as every tokenization oracle
+      "q82_vocab_stats" ->
+        """WITH w AS (SELECT doc_id,
+          |  unnest(list_filter(regexp_split_to_array(lower(trim(text)),
+          |    '\s+'), x -> x <> '')) AS term
+          |  FROM documents)
+          |SELECT term, CAST(count(*) AS BIGINT) AS tf,
+          |       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+          |FROM w GROUP BY term""".stripMargin,
       // brute-force per-query cosine ranking (q30's oracle, batched):
       // rank-only output keeps the compare integral
       "q73_knn_join" ->

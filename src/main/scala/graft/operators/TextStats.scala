@@ -109,6 +109,20 @@ object TextStats {
   val Ipv4Re = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
   val LongNumRe = "\\d{8,}"
 
+  /** Corpus vocabulary statistics — tokenizer-training prep: one row
+    * per distinct (lower-cased, `\s`-tokenized) term with corpus term
+    * frequency and document frequency. Scale shape: explode + hash
+    * aggregate — partial (map-side) aggregation collapses each
+    * partition's term counts before the one shuffle on the term key,
+    * so stop-word-hot terms cost each partition at most one output row
+    * per term; df's count-distinct runs as Spark's standard two-phase
+    * expand aggregate, also partial-first. No collect, no crossJoin. */
+  def vocab(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(Dedup.words(col(textCol))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+
   /** Training-data PII scrub: replace emails, dotted-quad IPs, and 8+
     * digit runs (account/card-shaped numbers) with typed placeholder
     * tokens, in that order — emails first so an address is consumed
