@@ -988,6 +988,19 @@ object SparkEntry {
         .select((col("doc_id") + 2000000).as("doc_id"),
           concat(col("text"), lit(" graft dup marker")).as("text"))
       Dedup.ngramHitContamination(train, test, "doc_id", "text", n = 5) }),
+    // bloom-gated decontamination pointed at the TRAIN side (the actual
+    // drop-list): test-set gram hashes build a compact Bloom filter
+    // (distributed OR-reduce), the codegen'd membership probe prunes the
+    // train gram scan map-side, and the exact verify join removes the
+    // ~0.3% false positives — result is EXACTLY the exact-join answer
+    // (no false negatives), which is what the DuckDB oracle computes.
+    "q83_bloom_decontamination" -> ((s, dir) => { prep(s, dir)
+      val d = Tables.load(s, dir, "documents")
+      val train = d.select(col("doc_id"), col("text"))
+      val test = d.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(col("text"), lit(" graft dup marker")).as("text"))
+      Dedup.bloomNgramContamination(train, test, "doc_id", "text", n = 5) }),
     // deterministic sequence packing (concat-then-chunk): hash buckets
     // pack independently (bucketChars=1 -> 16 buckets here so the small
     // corpus produces multi-row packs; the default 4096 is the cluster
@@ -1759,6 +1772,33 @@ object SparkEntry {
           |SELECT e.doc_id AS test_id, count(*) AS n_hits
           |FROM eg e JOIN tg t ON e.g = t.g
           |GROUP BY e.doc_id
+          |HAVING count(*) >= 1""".stripMargin,
+      // exact semantics of the bloom-prefiltered pipeline: grouped by the
+      // TRAIN side (bloom adds no error after the verify join)
+      "q83_bloom_decontamination" ->
+        """WITH train AS (SELECT doc_id, text FROM documents),
+          |test AS (SELECT doc_id + 2000000 AS doc_id,
+          |                text || ' graft dup marker' AS text
+          |         FROM documents WHERE doc_id % 7 = 0),
+          |tw AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws FROM train),
+          |ts AS (SELECT doc_id,
+          |        CASE WHEN len(ws) >= 5
+          |             THEN list_distinct(list_transform(range(1, len(ws) - 3),
+          |                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]))
+          |             ELSE [array_to_string(ws, ' ')] END AS sh
+          |      FROM tw),
+          |ew AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws FROM test),
+          |es AS (SELECT doc_id,
+          |        CASE WHEN len(ws) >= 5
+          |             THEN list_distinct(list_transform(range(1, len(ws) - 3),
+          |                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]))
+          |             ELSE [array_to_string(ws, ' ')] END AS sh
+          |      FROM ew),
+          |tg AS (SELECT doc_id, unnest(sh) AS g FROM ts),
+          |eg AS (SELECT DISTINCT unnest(sh) AS g FROM es)
+          |SELECT t.doc_id AS train_id, count(*) AS n_hits
+          |FROM tg t JOIN eg e ON t.g = e.g
+          |GROUP BY t.doc_id
           |HAVING count(*) >= 1""".stripMargin,
       "q64_seq_packing" ->
         """SELECT doc_id, bucket,

@@ -301,6 +301,71 @@ object Dedup {
     hits.where(col("n_hits") >= minHits)
   }
 
+  /** Bloom membership probe column over a 64-bit hash (codegen'd; see
+    * [[graft.functions.BloomContains]]). `false` = definitely absent. */
+  def bloomContains(hash: Column, bits: Array[Long], numHashes: Int): Column =
+    org.apache.spark.sql.GraftSqlShim.column(
+      graft.functions.BloomContains(
+        org.apache.spark.sql.GraftSqlShim.lazyExpression(hash), bits, numHashes))
+
+  /** Distributed Bloom-filter build over a single 64-bit-hash column:
+    * per-partition bitsets OR-merged with a tree reduction — the driver
+    * receives `O(bits)` (the compact filter), never the rows. One count
+    * job sizes the filter first; 12 bits/key + 6 probes ≈ 0.3% fpp. */
+  private[graft] def buildBloom(hashes: DataFrame, hashCol: String,
+      bitsPerKey: Int = 12, numHashes: Int = 6): Array[Long] = {
+    import graft.functions.BloomKernel
+    val n = hashes.count()
+    val words = BloomKernel.sizeWords(n, bitsPerKey)
+    if (n == 0) return new Array[Long](words)
+    val perPartition = hashes.select(col(hashCol).cast("long")).rdd
+      .mapPartitions { it =>
+        val a = new Array[Long](words)
+        var any = false
+        it.foreach { row =>
+          if (!row.isNullAt(0)) { BloomKernel.add(a, numHashes, row.getLong(0)); any = true }
+        }
+        if (any) Iterator.single(a) else Iterator.empty
+      }
+    perPartition.treeReduce { (x, y) =>
+      var i = 0
+      while (i < words) { x(i) |= y(i); i += 1 }
+      x
+    }
+  }
+
+  /**
+   * Bloom-gated n-gram decontamination — [[ngramHitContamination]]'s
+   * semantics pointed at the TRAIN side (the actual decontamination
+   * action: find and drop train documents that leak ≥ `minHits` distinct
+   * test-set n-grams), with the 100-TB pruning structure: the test-set
+   * gram hashes build a compact Bloom filter (distributed OR-reduce,
+   * driver holds only the bitset; 12 bits/key covers ~178 M grams in
+   * 256 MiB), the filter rides the train gram scan as a codegen'd
+   * map-side predicate, and ONLY survivors — true leaks plus an
+   * fpp-sized (~0.3%) trickle of false positives — reach the exact
+   * verify join that removes the false positives. No false negatives by
+   * construction, so the result is EXACTLY the exact-join answer while
+   * the verify join's input shrinks from |train grams| to
+   * |leaks| + fpp·|train grams|. The verify side stays size-gated
+   * ([[TestBroadcastMaxBytesConf]]) like every cross-corpus broadcast.
+   */
+  def bloomNgramContamination(train: DataFrame, test: DataFrame,
+      idCol: String, textCol: String, n: Int = 13, minHits: Long = 1L,
+      bitsPerKey: Int = 12, numHashes: Int = 6): DataFrame = {
+    val testGrams = test.where(col(textCol).isNotNull)
+      .select(explode(shingleHashes(col(textCol), n)).as("g")).distinct()
+    val bits = buildBloom(testGrams, "g", bitsPerKey, numHashes)
+    train.where(col(textCol).isNotNull)
+      .select(col(idCol).as("train_id"),
+        explode(shingleHashes(col(textCol), n)).as("g"))
+      .where(bloomContains(col("g"), bits, numHashes))
+      .join(broadcastIfSmall(testGrams, test.select(col(idCol), col(textCol))),
+        Seq("g"), "leftsemi")
+      .groupBy("train_id").agg(count(lit(1)).as("n_hits"))
+      .where(col("n_hits") >= minHits)
+  }
+
   /**
    * Cross-document repeated n-gram spans — exact substring dedup at
    * SPAN granularity: a position is "repeated" when its word n-gram

@@ -237,6 +237,43 @@ class OperatorsSpec extends SparkTestBase {
     assert(hits == Map(201L -> 6L))
   }
 
+  test("bloom kernel: no false negatives, bounded false-positive rate") {
+    import graft.functions.BloomKernel
+    val rnd = new scala.util.Random(42)
+    val members = Array.fill(10000)(rnd.nextLong())
+    val words = BloomKernel.sizeWords(members.length, 12)
+    val bits = new Array[Long](words)
+    members.foreach(BloomKernel.add(bits, 6, _))
+    // no false negatives — every inserted key must probe true
+    assert(members.forall(BloomKernel.mightContain(bits, 6, _)))
+    // fp rate near the 12-bits/key, 6-probe design point (~0.3%)
+    val memberSet = members.toSet
+    val probes = Iterator.continually(rnd.nextLong())
+      .filterNot(memberSet).take(100000).toArray
+    val fps = probes.count(BloomKernel.mightContain(bits, 6, _))
+    assert(fps < 1500, s"false-positive rate too high: $fps / 100000")
+  }
+
+  test("bloomNgramContamination equals the exact gram join, train-side") {
+    val filler = (1 to 80).map(i => s"filler$i").mkString(" ")
+    val test = Seq(
+      (201L, s"$filler a completely different document about spark query engines and joins $filler"),
+      (202L, "nothing here overlaps with any training material at all today")
+    ).toDF("doc_id", "text")
+    val bloom = graft.operators.Dedup
+      .bloomNgramContamination(docs, test, "doc_id", "text", n = 5)
+    // exact reference: distinct shared gram hashes per train doc
+    val trainG = docs.select(col("doc_id").as("train_id"),
+      explode(Dedup.shingleHashes(col("text"), 5)).as("g"))
+    val testG = test.select(explode(Dedup.shingleHashes(col("text"), 5)).as("g")).distinct()
+    val exact = trainG.join(testG, Seq("g"), "leftsemi")
+      .groupBy("train_id").agg(count(lit(1)).as("n_hits"))
+    assert(bloom.except(exact).isEmpty && exact.except(bloom).isEmpty)
+    // doc 3's grams were pasted verbatim into test 201 → doc 3 flagged
+    val flagged = bloom.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.contains(3L) && flagged(3L) == 6L)
+  }
+
   test("decontaminate drops only contaminated test docs") {
     val test = Seq(
       (101L, "the quick brown fox jumps over the lazy dog near the river delta"),
