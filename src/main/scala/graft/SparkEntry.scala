@@ -1001,6 +1001,15 @@ object SparkEntry {
         .select((col("doc_id") + 2000000).as("doc_id"),
           concat(col("text"), lit(" graft dup marker")).as("text"))
       Dedup.bloomNgramContamination(train, test, "doc_id", "text", n = 5) }),
+    // nearest-centroid assignment (embedding-space clustering / corpus
+    // bucketing): 8 fixed centroids broadcast; the argmax is over the
+    // QUANTIZED integer dot product, so assignment + tie-break are
+    // bit-identical across engines — DuckDB recomputes every dot and
+    // the winner exactly (no float compare anywhere).
+    "q84_cluster_assign" -> ((s, dir) => { prep(s, dir)
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.centroidAssign(emb, "vec_id", "embedding",
+        emb.where(col("vec_id") < 8), "vec_id", "embedding") }),
     // deterministic sequence packing (concat-then-chunk): hash buckets
     // pack independently (bucketChars=1 -> 16 buckets here so the small
     // corpus produces multi-row packs; the default 4096 is the cluster
@@ -1800,6 +1809,21 @@ object SparkEntry {
           |FROM tg t JOIN eg e ON t.g = e.g
           |GROUP BY t.doc_id
           |HAVING count(*) >= 1""".stripMargin,
+      // every dot is an exact integer (round-half-away-from-zero
+      // quantization at 1e4, double-precision multiply before round on
+      // both engines), so argmax + lowest-id tie-break reproduce exactly
+      "q84_cluster_assign" ->
+        """WITH c AS (SELECT vec_id AS cid, embedding AS cvec
+          |           FROM embeddings WHERE vec_id < 8),
+          |d AS (SELECT e.vec_id, c.cid,
+          |        CAST(list_sum(list_transform(generate_series(1, len(e.embedding)),
+          |          i -> CAST(round(CAST(e.embedding[i] AS DOUBLE) * 10000) AS BIGINT)
+          |             * CAST(round(CAST(c.cvec[i] AS DOUBLE) * 10000) AS BIGINT)))
+          |          AS BIGINT) AS dot_q
+          |      FROM embeddings e, c)
+          |SELECT vec_id, cid AS cluster_id, dot_q FROM d
+          |QUALIFY row_number() OVER (PARTITION BY vec_id
+          |                           ORDER BY dot_q DESC, cid) = 1""".stripMargin,
       "q64_seq_packing" ->
         """SELECT doc_id, bucket,
           |  CAST(floor(cum_before / 4096.0) AS BIGINT) AS pack_id

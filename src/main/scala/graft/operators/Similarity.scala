@@ -46,6 +46,52 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact integer dot product of quantized embeddings — the
+    * cross-engine-deterministic similarity (see
+    * [[graft.functions.QuantizedDot]]). */
+  def quantizedDot(a: Column, b: Column, scale: Int = 10000): Column =
+    org.apache.spark.sql.GraftSqlShim.column(
+      graft.functions.QuantizedDot(
+        org.apache.spark.sql.GraftSqlShim.lazyExpression(a),
+        org.apache.spark.sql.GraftSqlShim.lazyExpression(b), scale))
+
+  /**
+   * Nearest-centroid assignment — the routing step of embedding-space
+   * clustering (corpus bucketing for mixture balancing, semantic dedup
+   * sharding, topic quotas). Each point gets the centroid with the
+   * maximal QUANTIZED integer dot product (ties → lowest centroid id),
+   * so the assignment is exactly reproducible on any engine — a
+   * float argmax can flip on near-ties between engines/runs.
+   *
+   * Returns `(idCol, cluster_id, dot_q)`.
+   *
+   * Scale shape: centroids broadcast (K rows — K is user-chosen and
+   * small); the corpus replicates each row K ways MAP-SIDE through the
+   * broadcast nested-loop join, and the per-point argmax collapses back
+   * to one row per point in the partial (map-side) aggregation — the
+   * shuffle carries |points| single rows, never |points|·K, and the
+   * corpus embedding column itself never rides a shuffle. Centroids
+   * come from the caller ([[trainCentroids]] for sampled k-means, or
+   * any fixed reference set).
+   */
+  def centroidAssign(points: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centIdCol: String, centVecCol: String,
+      scale: Int = 10000): DataFrame = {
+    val cents = broadcast(centroids
+      .select(col(centIdCol).cast("long").as("cluster_id"),
+        col(centVecCol).as("graft_cvec")))
+    points.select(col(idCol), col(vecCol))
+      .crossJoin(cents)
+      .select(col(idCol), col("cluster_id"),
+        quantizedDot(col(vecCol), col("graft_cvec"), scale).as("dot_q"))
+      .where(col("dot_q").isNotNull)
+      .groupBy(idCol)
+      .agg(max_by(struct(col("cluster_id"), col("dot_q")),
+        struct(col("dot_q"), -col("cluster_id"))).as("best"))
+      .select(col(idCol), col("best.cluster_id").as("cluster_id"),
+        col("best.dot_q").as("dot_q"))
+  }
+
   /** Exact batched k-NN JOIN: the top-`k` corpus rows by cosine for
     * EVERY query row at once (rows whose ids collide are excluded as
     * self-pairs), ranked deterministically (score DESC, id ASC).

@@ -32,6 +32,38 @@ class CosineSimilaritySpec extends SparkTestBase {
     assert(got == Seq(1.0, 0.0))
   }
 
+  test("quantizedDot: exact integers, half-away-from-zero rounding") {
+    // 0.00005f quantizes to 1 at scale 1e4 only if rounding is away
+    // from zero on the DOUBLE product (0.00005f→double ≈ 5.0000e-5 but
+    // not exactly — assert against the kernel's own rule recomputed)
+    val df = Seq((Seq(1.5f, -2.5f, 0.32f), Seq(1f, 1f, 1f))).toDF("a", "b")
+    val got = df.select(Similarity.quantizedDot($"a", $"b", 10)).collect()(0).getLong(0)
+    // round(15.0)=15, round(-25.0) away from zero = -25, round(3.2)=3; dot with (10,10,10)
+    assert(got == (15L * 10 + -25L * 10 + 3L * 10))
+    val nulls = Seq((Some(Seq(1f, 2f)), Some(Seq(1f, 2f, 3f))))
+      .toDF("a", "b")
+      .select(Similarity.quantizedDot($"a", $"b")).collect()
+    assert(nulls(0).isNullAt(0))
+  }
+
+  test("centroidAssign routes to the max-dot centroid, lowest id on ties") {
+    val pts = Seq(
+      (100L, Seq(1f, 0f)), // → centroid 0
+      (101L, Seq(0f, 1f)), // → centroid 1
+      (102L, Seq(1f, 1f))  // tie between 0 and 1 → lowest id 0
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.centroidAssign(pts, "vec_id", "embedding",
+      cents, "vec_id", "embedding")
+    // broadcast nested-loop replicate + partial-agg collapse: the plan
+    // must carry the broadcast, not a shuffled join of points×K rows
+    assert(out.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(100L -> 0L, 101L -> 1L, 102L -> 0L))
+  }
+
   test("null inputs, mismatched lengths, zero norms → NULL") {
     val df = Seq(
       (Some(Seq(1f, 2f)), None),
