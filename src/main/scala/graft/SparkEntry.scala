@@ -1010,6 +1010,13 @@ object SparkEntry {
       val emb = Tables.load(s, dir, "embeddings")
       Similarity.centroidAssign(emb, "vec_id", "embedding",
         emb.where(col("vec_id") < 8), "vec_id", "embedding") }),
+    // BM25 lexical relevance to a fixed 3-term query: tf/dl computed
+    // inside the row (no explode), one single-row global stats agg
+    // broadcasts back into the map-side scoring pass — the corpus never
+    // shuffles. Oracle recomputes the identical Okapi/Lucene formula.
+    "q85_bm25" -> ((s, dir) => { prep(s, dir)
+      TextStats.bm25(Tables.load(s, dir, "documents"), "doc_id", "text",
+        terms = Seq("spark", "merge", "vector")) }),
     // deterministic sequence packing (concat-then-chunk): hash buckets
     // pack independently (bucketChars=1 -> 16 buckets here so the small
     // corpus produces multi-row packs; the default 4096 is the cluster
@@ -1824,6 +1831,28 @@ object SparkEntry {
           |SELECT vec_id, cid AS cluster_id, dot_q FROM d
           |QUALIFY row_number() OVER (PARTITION BY vec_id
           |                           ORDER BY dot_q DESC, cid) = 1""".stripMargin,
+      // identical Okapi BM25 arithmetic, same operator associativity and
+      // double-typed constants (1.2 cast to DOUBLE — DuckDB decimal
+      // literals would otherwise compute in DECIMAL) so both engines run
+      // the same IEEE operations before the round(4)
+      "q85_bm25" ->
+        """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws FROM documents),
+          |t AS (SELECT doc_id, len(ws) AS dl,
+          |        len(list_filter(ws, x -> x = 'spark')) AS tf0,
+          |        len(list_filter(ws, x -> x = 'merge')) AS tf1,
+          |        len(list_filter(ws, x -> x = 'vector')) AS tf2
+          |      FROM w),
+          |g AS (SELECT count(*) AS n, avg(dl) AS avgdl,
+          |        sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+          |        sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+          |        sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+          |      FROM t)
+          |SELECT doc_id, round(
+          |    (CASE WHEN tf0 > 0 THEN ln(1.0 + (CAST(n AS DOUBLE) - df0 + 0.5)/CAST(df0 + 0.5 AS DOUBLE)) * tf0 * (CAST(1.2 AS DOUBLE) + 1.0) / (tf0 + CAST(1.2 AS DOUBLE) * (1.0 - 0.75 + 0.75 * dl / avgdl)) ELSE 0.0 END)
+          |  + (CASE WHEN tf1 > 0 THEN ln(1.0 + (CAST(n AS DOUBLE) - df1 + 0.5)/CAST(df1 + 0.5 AS DOUBLE)) * tf1 * (CAST(1.2 AS DOUBLE) + 1.0) / (tf1 + CAST(1.2 AS DOUBLE) * (1.0 - 0.75 + 0.75 * dl / avgdl)) ELSE 0.0 END)
+          |  + (CASE WHEN tf2 > 0 THEN ln(1.0 + (CAST(n AS DOUBLE) - df2 + 0.5)/CAST(df2 + 0.5 AS DOUBLE)) * tf2 * (CAST(1.2 AS DOUBLE) + 1.0) / (tf2 + CAST(1.2 AS DOUBLE) * (1.0 - 0.75 + 0.75 * dl / avgdl)) ELSE 0.0 END), 4) AS score
+          |FROM t, g
+          |WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0""".stripMargin,
       "q64_seq_packing" ->
         """SELECT doc_id, bucket,
           |  CAST(floor(cum_before / 4096.0) AS BIGINT) AS pack_id

@@ -123,6 +123,50 @@ object TextStats {
       .groupBy("term")
       .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
 
+  /**
+   * BM25 relevance of every document to a fixed term set — the lexical
+   * ranking primitive (quality-targeted subcorpus selection, seed-query
+   * mining, search-style retrieval over a training corpus). Okapi/Lucene
+   * form: `idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))`,
+   * `score = Σ_t idf·tf·(k1+1)/(tf + k1·(1 - b + b·dl/avgdl))`.
+   * Returns `(doc_id, score)` (round 4) for documents matching ≥ 1 term.
+   *
+   * Scale shape: per-term `tf` and `dl` are computed INSIDE the row
+   * (size/filter over the token array — no explode), so the corpus
+   * never shuffles; the only exchange is the single-row global
+   * aggregate (N, avgdl, per-term df — |terms|+2 numbers) that then
+   * broadcasts back into the map-side scoring pass. Compare: the naive
+   * explode→join-on-term plan shuffles every token occurrence.
+   */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val tfCol = (t: String) =>
+      size(filter(Dedup.words(col(textCol)), w => w === lit(t))).cast("long")
+    val perDoc = docs.select(
+      col(idCol).as("doc_id") +: size(Dedup.words(col(textCol))).cast("long").as("dl") +:
+        terms.zipWithIndex.map { case (t, i) => tfCol(t).as(s"tf_$i") }: _*)
+    val stats = perDoc.agg(count(lit(1)).as("n"),
+      avg(col("dl")).as("avgdl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i")): _*)
+    val scored = perDoc.crossJoin(broadcast(stats))
+    val termScore = (i: Int) => {
+      val tf = col(s"tf_$i").cast("double")
+      val idf = log(lit(1.0) +
+        (col("n").cast("double") - col(s"df_$i") + lit(0.5)) /
+          (col(s"df_$i") + lit(0.5)))
+      when(col(s"tf_$i") > 0,
+        idf * tf * lit(k1 + 1.0) /
+          (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+        .otherwise(lit(0.0))
+    }
+    scored
+      .where(terms.indices.map(i => col(s"tf_$i") > 0).reduce(_ || _))
+      .select(col("doc_id"),
+        round(terms.indices.map(termScore).reduce(_ + _), 4).as("score"))
+  }
+
   /** Training-data PII scrub: replace emails, dotted-quad IPs, and 8+
     * digit runs (account/card-shaped numbers) with typed placeholder
     * tokens, in that order — emails first so an address is consumed

@@ -237,6 +237,23 @@ class OperatorsSpec extends SparkTestBase {
     assert(hits == Map(201L -> 6L))
   }
 
+  test("bm25 matches a hand-computed Okapi score; non-matching docs drop") {
+    val corpus = Seq(
+      (1L, "spark spark joins data"),
+      (2L, "databases and storage"),
+      (3L, "spark streaming")
+    ).toDF("doc_id", "text")
+    val got = TextStats.bm25(corpus, "doc_id", "text", Seq("spark"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // N=3, df=2, avgdl=3.0; idf = ln(1 + 1.5/2.5)
+    val idf = math.log(1.0 + (3.0 - 2 + 0.5) / (2 + 0.5))
+    def s(tf: Double, dl: Double) =
+      BigDecimal(idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 3.0)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.keySet == Set(1L, 3L)) // doc 2 has no query term
+    assert(got(1L) == s(2.0, 4.0) && got(3L) == s(1.0, 2.0))
+  }
+
   test("bloom kernel: no false negatives, bounded false-positive rate") {
     import graft.functions.BloomKernel
     val rnd = new scala.util.Random(42)
