@@ -763,6 +763,22 @@ object SparkEntry {
           col("session_window.start").as("session_start"),
           col("session_window.end").as("session_end"),
           col("n_events"), round(col("sum_value"), 4).as("sum_value")) }),
+    // stream-STATIC enrichment under the batch oracle: each replayed
+    // event picks up its customer's nation via the broadcast dim join
+    // (map-side, stateless), then a complete-mode aggregation makes the
+    // bounded replay exactly the batch join+group regardless of trigger
+    // batching.
+    "q86_streaming_enrich" -> ((s, dir) => { prep(s, dir)
+      val stream = Tables.loadStream(s, dir, "events")
+      val dim = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val enriched = graft.streaming.StreamingOps.enrichStream(
+        stream, dim, "user_id", "c_custkey")
+      val agg = enriched.groupBy(col("c_nationkey"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      runStreamToTable(agg, "graft_q86_mem", "complete")
+        .select(col("c_nationkey"), col("event_type"), col("n_events"),
+          round(col("sum_value"), 4).as("sum_value")) }),
     // PII redaction (emails / dotted-quad IPs / 8+-digit runs → typed
     // placeholders) + per-kind hit counts. The synthetic corpus carries
     // no PII, so every third document gets a deterministic email+IP+card
@@ -1516,6 +1532,14 @@ object SparkEntry {
           |       CAST(count(*) AS BIGINT) AS n_events,
           |       round(sum(value), 4) AS sum_value
           |FROM s GROUP BY user_id, sid""".stripMargin,
+      // the bounded replay through the stream-static join + complete-mode
+      // agg equals the plain batch join+group
+      "q86_streaming_enrich" ->
+        """SELECT c.c_nationkey, e.event_type,
+          |       CAST(count(*) AS BIGINT) AS n_events,
+          |       round(sum(e.value), 4) AS sum_value
+          |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+          |GROUP BY c.c_nationkey, e.event_type""".stripMargin,
       // q81: same injection, same dialect-portable regexes (RE2 side)
       "q81_pii_redaction" ->
         """WITH t AS (

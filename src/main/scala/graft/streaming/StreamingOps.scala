@@ -48,6 +48,20 @@ object StreamingOps {
       .groupBy(session_window(col(tsCol), gap), col(userCol))
       .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
 
+  /** Stream-STATIC enrichment join — the standard ingest step that tags
+    * each live event with its dimension row (user → account, doc →
+    * source metadata). The static side is broadcast (re-resolved per
+    * microbatch, so a dim-table refresh is picked up without restarting
+    * the query); the stream side stays map-side — no shuffle, no state
+    * store, nothing to watermark. At 100 TB/day ingest this is the
+    * operator that must NOT shuffle the stream, and this shape never
+    * does; an oversized dimension belongs in a keyed state join
+    * ([[streamStreamRangeJoin]]) or a pre-bucketed static table
+    * instead of a broadcast. */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+      eventKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey))
+
   /** Watermarked stream-STREAM range join: pair rows of two live streams
     * with equal keys whose event times lie within ±`tolerance` — the
     * streaming analogue of the batch interval join (the reference is

@@ -49,6 +49,24 @@ class StreamingSpec extends SparkTestBase {
     assert(got == Set(("click", 2L, 3.0), ("click", 1L, 4.0), ("view", 1L, 8.0)))
   }
 
+  test("stream-static enrichment joins each event to its dim row, broadcast") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("user_id", "ts", "value")
+    input.addData((1L, ts(0), 1.0), (2L, ts(1), 2.0), (1L, ts(2), 3.0),
+      (9L, ts(3), 4.0)) // user 9 has no dim row → dropped (inner)
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("cust_id", "tier")
+    val q = StreamingOps.enrichStream(events, dim, "user_id", "cust_id")
+      .select("user_id", "tier", "value")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("enrich_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, "gold", 1.0), (2L, "basic", 2.0), (1L, "gold", 3.0)))
+  }
+
   test("stream-static interval join plans through IntervalJoinExec") {
     // beyond the (batch-only) reference: a micro-batch stream probed
     // against a static broadcast interval index
