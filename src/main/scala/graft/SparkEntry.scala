@@ -1033,6 +1033,24 @@ object SparkEntry {
     "q85_bm25" -> ((s, dir) => { prep(s, dir)
       TextStats.bm25(Tables.load(s, dir, "documents"), "doc_id", "text",
         terms = Seq("spark", "merge", "vector")) }),
+    // incremental ingest dedup: today's batch vs the persisted
+    // fingerprint store of every 3rd doc — bloom-missed docs
+    // short-circuit past any join, survivors probe the store with ONE
+    // map-side semi-join. Oracle: text NOT IN the seen set (fingerprint
+    // equality ≡ text equality, the q27-established posture).
+    "q87_incremental_dedup" -> ((s, dir) => { prep(s, dir)
+      val d = Tables.load(s, dir, "documents")
+      val seen = d.where(col("doc_id") % 3 === 0)
+        .select(TextStats.contentFingerprint(col("text")).as("fp"))
+      Dedup.dedupAgainstSeen(d.select(col("doc_id"), col("text")),
+        "doc_id", "text", seen, "fp").select("doc_id") }),
+    // per-source quality top-k (domain-quota curation): WindowGroupLimit
+    // keeps each map task's local top-k per source before the shuffle;
+    // quality is the round-6 ratio score both engines compute
+    // identically (q24), ties break on doc_id.
+    "q88_quality_topk" -> ((s, dir) => { prep(s, dir)
+      TextStats.topKByQuality(Tables.load(s, dir, "documents"),
+        "doc_id", "text", "source", k = 10) }),
     // deterministic sequence packing (concat-then-chunk): hash buckets
     // pack independently (bucketChars=1 -> 16 buckets here so the small
     // corpus produces multi-row packs; the default 4096 is the cluster
@@ -1877,6 +1895,38 @@ object SparkEntry {
           |  + (CASE WHEN tf2 > 0 THEN ln(1.0 + (CAST(n AS DOUBLE) - df2 + 0.5)/CAST(df2 + 0.5 AS DOUBLE)) * tf2 * (CAST(1.2 AS DOUBLE) + 1.0) / (tf2 + CAST(1.2 AS DOUBLE) * (1.0 - 0.75 + 0.75 * dl / avgdl)) ELSE 0.0 END), 4) AS score
           |FROM t, g
           |WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0""".stripMargin,
+      // fingerprint-absent ≡ text-absent under collision-free xxhash64
+      // (the q27 posture); corpus texts are non-null so NOT IN is safe
+      "q87_incremental_dedup" ->
+        """SELECT doc_id FROM documents
+          |WHERE text NOT IN (SELECT text FROM documents WHERE doc_id % 3 = 0)""".stripMargin,
+      // same quality formula as the q24 oracle, ranked per source
+      "q88_quality_topk" ->
+        s"""WITH base AS (
+          |  SELECT doc_id, source,
+          |    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS ws,
+          |    CASE WHEN length(trim(text)) = 0 THEN 0
+          |         ELSE len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) END AS n_tokens,
+          |    round(CASE WHEN length(text) = 0 THEN 0.0
+          |      ELSE (length(text) - length(regexp_replace(text, '[\\.,;:!\\?''"()\\[\\]{}-]', '', 'g'))) * 1.0 / length(text) END, 6) AS punct_ratio,
+          |    round(CASE WHEN length(text) = 0 THEN 0.0
+          |      ELSE (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / length(text) END, 6) AS digit_ratio
+          |  FROM documents
+          |), st AS (
+          |  SELECT *, round(CASE WHEN len(ws) = 0 THEN 0.0
+          |    ELSE len(list_filter(ws, x -> x IN ${sqlList(TextStats.enStopList)})) * 1.0 / len(ws) END, 6) AS stopword_ratio
+          |  FROM base
+          |), q AS (
+          |  SELECT doc_id, source,
+          |    round((least(n_tokens / 64.0, 1.0) + least(stopword_ratio * 4.0, 1.0)
+          |           + greatest(1.0 - (punct_ratio + digit_ratio) * 4.0, 0.0)) / 3.0, 6) AS quality
+          |  FROM st
+          |)
+          |SELECT doc_id, source, quality,
+          |       CAST(row_number() OVER (PARTITION BY source
+          |              ORDER BY quality DESC, doc_id) AS BIGINT) AS rk
+          |FROM q
+          |QUALIFY rk <= 10""".stripMargin,
       "q64_seq_packing" ->
         """SELECT doc_id, bucket,
           |  CAST(floor(cum_before / 4096.0) AS BIGINT) AS pack_id

@@ -367,6 +367,46 @@ object Dedup {
   }
 
   /**
+   * Incremental ingest dedup: keep only the documents of a NEW batch
+   * whose content fingerprint is absent from the persisted fingerprint
+   * store of everything already ingested — the production shape of
+   * "dedup today's crawl against the corpus" (the store is 8 bytes/doc;
+   * re-running whole-corpus dedup per batch re-shuffles 100 TB for a
+   * 0.1% delta).
+   *
+   * Scale shape, and why the store NEVER shuffles: the store's
+   * fingerprints build a compact Bloom filter ([[buildBloom]]); batch
+   * docs whose fingerprint misses the filter are definitively new (no
+   * false negatives) and short-circuit past any join. The survivors —
+   * true re-crawls plus the ~0.3% fpp trickle — are typically a sliver
+   * of the batch, so their DISTINCT fingerprints broadcast into ONE
+   * map-side semi-join scan of the store (a store bucketed/sorted by
+   * fingerprint prunes that scan further); the confirmed hits come back
+   * (≤ |probes| rows) and anti-join the survivors. Both broadcasts ride
+   * the [[TestBroadcastMaxBytesConf]] gate: a pathological batch (all
+   * duplicates) degrades to shuffled equi-joins on the 8-byte key
+   * rather than a driver OOM. NULL-text docs carry a NULL fingerprint
+   * and are kept (nothing to compare).
+   */
+  def dedupAgainstSeen(newDocs: DataFrame, idCol: String, textCol: String,
+      seen: DataFrame, seenFpCol: String,
+      bitsPerKey: Int = 12, numHashes: Int = 6): DataFrame = {
+    val fps = seen.select(col(seenFpCol).cast("long").as("graft_fp"))
+    val bits = buildBloom(fps, "graft_fp", bitsPerKey, numHashes)
+    val withFp = newDocs.withColumn("graft_fp",
+      TextStats.contentFingerprint(col(textCol)))
+    val mightBeSeen = bloomContains(col("graft_fp"), bits, numHashes)
+    val definitelyNew = withFp.where(col("graft_fp").isNull || !mightBeSeen)
+    val suspects = withFp.where(col("graft_fp").isNotNull && mightBeSeen)
+    val probes = suspects.select("graft_fp").distinct()
+    val gateSmall = smallEnoughToBroadcast(probes)
+    def bc(df: DataFrame): DataFrame = if (gateSmall) broadcast(df) else df
+    val hits = fps.join(bc(probes), Seq("graft_fp"), "leftsemi").distinct()
+    val stillNew = suspects.join(bc(hits), Seq("graft_fp"), "leftanti")
+    definitelyNew.unionByName(stillNew).drop("graft_fp")
+  }
+
+  /**
    * Cross-document repeated n-gram spans — exact substring dedup at
    * SPAN granularity: a position is "repeated" when its word n-gram
    * also occurs in another document, and consecutive repeated

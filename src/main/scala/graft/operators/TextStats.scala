@@ -124,6 +124,30 @@ object TextStats {
       .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
 
   /**
+   * Per-group quality top-k: keep each group's `k` highest
+   * [[qualityScore]] documents (source/domain-quota curation — "best k
+   * docs per domain"). Deterministic: quality is a round-6 ratio both
+   * engines compute identically, ties break on ascending id.
+   *
+   * Scale shape: `row_number <= k` over a window is the form Catalyst's
+   * WindowGroupLimit rewrite recognizes — each map task keeps only its
+   * local top-k per group BEFORE the shuffle, so the exchange carries
+   * ≤ k rows per (task, group), never the full group. A plain
+   * "sort-within-group then filter" would sort entire domains.
+   */
+  def topKByQuality(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive (got $k)")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("quality").desc, col(idCol))
+    docs.select(col(idCol), col(groupCol),
+        qualityScore(col(textCol)).as("quality"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+  }
+
+  /**
    * BM25 relevance of every document to a fixed term set — the lexical
    * ranking primitive (quality-targeted subcorpus selection, seed-query
    * mining, search-style retrieval over a training corpus). Okapi/Lucene

@@ -291,6 +291,42 @@ class OperatorsSpec extends SparkTestBase {
     assert(flagged.contains(3L) && flagged(3L) == 6L)
   }
 
+  test("dedupAgainstSeen keeps only fingerprint-absent docs; null text kept") {
+    val seenTexts = Seq("the quick brown fox", "old boilerplate page")
+    val seen = seenTexts.toDF("text")
+      .select(TextStats.contentFingerprint(col("text")).as("fp"))
+      // duplicate store rows must not duplicate output
+      .union(seenTexts.take(1).toDF("text")
+        .select(TextStats.contentFingerprint(col("text")).as("fp")))
+    val batch = Seq(
+      (1L, Some("the quick brown fox")),   // re-crawl → dropped
+      (2L, Some("a genuinely new doc")),   // new → kept
+      (3L, Some("old boilerplate page")),  // re-crawl → dropped
+      (4L, None)                           // null text → kept
+    ).toDF("doc_id", "text")
+    val kept = graft.operators.Dedup
+      .dedupAgainstSeen(batch, "doc_id", "text", seen, "fp")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L))
+  }
+
+  test("topKByQuality keeps k best per group and plans a WindowGroupLimit") {
+    val corpus = Seq(
+      (1L, "s0", "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "s0", "x"),
+      (3L, "s0", "a solid document with the usual words and a reasonable length here"),
+      (4L, "s1", "another ordinary document of plain words")
+    ).toDF("doc_id", "source", "text")
+    val out = TextStats.topKByQuality(corpus, "doc_id", "text", "source", k = 2)
+    // map-side per-group limiting must be in the plan — without it every
+    // domain sorts wholesale through the exchange
+    assert(out.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+    val got = out.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    assert(got.count(_._2 == "s0") == 2 && got.count(_._2 == "s1") == 1)
+    // doc 2 ("x") is the worst s0 doc and must be the one cut
+    assert(!got.exists(_._1 == 2L))
+  }
+
   test("decontaminate drops only contaminated test docs") {
     val test = Seq(
       (101L, "the quick brown fox jumps over the lazy dog near the river delta"),
