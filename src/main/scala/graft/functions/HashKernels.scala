@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
@@ -15,6 +15,11 @@ trait LongArrayKernel extends UnaryExpression {
   }
 }
 
+/** Static kernels — JVM-static entry points shared by the interpreted
+  * `nullSafeEval` path and the generated code (the expressions inline a
+  * single static call via `defineCodeGen`, keeping the enclosing
+  * whole-stage span; per-expression constants like salts/signs ride in
+  * as `addReferenceObj` references). */
 object HashKernels {
   /** splitmix64 finalizer — a strong, branchless 64-bit mixer (public
     * domain constant set; Steele et al., "Fast splittable pseudorandom
@@ -32,6 +37,81 @@ object HashKernels {
     val rnd = new java.util.SplittableRandom(0x67726166744c5348L) // "graftLSH"
     Array.fill(numHashes)(rnd.nextLong())
   }
+
+  /** MinHash signature body: `sig[i] = min over h of mix64(h + salt_i)`.
+    * NULL elements are skipped, not hashed-as-0: containsNull inputs
+    * (SQL-built arrays) would otherwise make unrelated documents share
+    * the mix64(salt) signature component. */
+  def minhashSignature(hs: ArrayData, salts: Array[Long]): GenericArrayData = {
+    val n = hs.numElements()
+    val out = Array.fill(salts.length)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      if (!hs.isNullAt(j)) {
+        val h = hs.getLong(j)
+        var i = 0
+        while (i < salts.length) {
+          val v = mix64(h + salts(i))
+          if (v < out(i)) out(i) = v
+          i += 1
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** SimHash body: 64-bit per-bit majority vote. NULL elements are
+    * skipped — an all-zero vote would otherwise make every NULL-bearing
+    * document drift toward simhash 0. */
+  def simhash64(hs: ArrayData): Long = {
+    val n = hs.numElements()
+    val votes = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      if (!hs.isNullAt(j)) {
+        val h = hs.getLong(j)
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) != 0L) votes(i) += 1 else votes(i) -= 1
+          i += 1
+        }
+      }
+      j += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) {
+      if (votes(i) > 0) out |= (1L << i)
+      i += 1
+    }
+    out
+  }
+
+  /** SRP bucket body: bit p = sign of the ±1-plane projection. NULL
+    * elements contribute 0 (skipped) instead of reading a garbage float
+    * from the null slot. */
+  def srpBucket(v: ArrayData, signs: Array[Boolean], planes: Int,
+      dim: Int): Long = {
+    val n = math.min(dim, v.numElements())
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      var s = 0.0
+      val off = p * dim
+      var d = 0
+      while (d < n) {
+        if (!v.isNullAt(d)) {
+          val x = v.getFloat(d).toDouble
+          if (signs(off + d)) s += x else s -= x
+        }
+        d += 1
+      }
+      if (s > 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
 }
 
 /**
@@ -41,7 +121,7 @@ object HashKernels {
  * aggregate/zip_with formulation allocates a 64-wide array per shingle).
  */
 case class MinHashSignature(child: Expression, numHashes: Int)
-  extends LongArrayKernel with CodegenFallback {
+  extends LongArrayKernel {
 
   require(numHashes >= 1)
 
@@ -50,27 +130,16 @@ case class MinHashSignature(child: Expression, numHashes: Int)
 
   @transient private lazy val salts = HashKernels.salts(numHashes)
 
-  override def nullSafeEval(input: Any): Any = {
-    val hs = input.asInstanceOf[ArrayData]
-    val n = hs.numElements()
-    val out = Array.fill(numHashes)(Long.MaxValue)
-    var j = 0
-    while (j < n) {
-      // NULL elements are skipped, not hashed-as-0: containsNull inputs
-      // (SQL-built arrays) would otherwise make unrelated documents
-      // share the mix64(salt) signature component
-      if (!hs.isNullAt(j)) {
-        val h = hs.getLong(j)
-        var i = 0
-        while (i < numHashes) {
-          val v = HashKernels.mix64(h + salts(i))
-          if (v < out(i)) out(i) = v
-          i += 1
-        }
-      }
-      j += 1
-    }
-    new GenericArrayData(out)
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.minhashSignature(input.asInstanceOf[ArrayData], salts)
+
+  /** Real codegen (CodegenFallback through round 11's start — boxed
+    * `eval` dispatch per row in the MinHash-LSH scans): one static
+    * invoke of the shared kernel, salts pinned as a reference object. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val saltsRef = ctx.addReferenceObj("minhashSalts", salts, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.minhashSignature($c, $saltsRef)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
@@ -85,7 +154,7 @@ case class MinHashSignature(child: Expression, numHashes: Int)
  * form interprets planes × dims element evaluations per row).
  */
 case class SrpBucket(child: Expression, planes: Int, dim: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   require(planes >= 1 && planes <= 63)
 
@@ -114,28 +183,13 @@ case class SrpBucket(child: Expression, planes: Int, dim: Int)
     arr
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
-    val n = math.min(dim, v.numElements())
-    var bucket = 0L
-    var p = 0
-    while (p < planes) {
-      var s = 0.0
-      val off = p * dim
-      var d = 0
-      while (d < n) {
-        // NULL elements contribute 0 (skipped) instead of reading a
-        // garbage float from the null slot
-        if (!v.isNullAt(d)) {
-          val x = v.getFloat(d).toDouble
-          if (signs(off + d)) s += x else s -= x
-        }
-        d += 1
-      }
-      if (s > 0) bucket |= (1L << p)
-      p += 1
-    }
-    bucket
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.srpBucket(input.asInstanceOf[ArrayData], signs, planes, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val signsRef = ctx.addReferenceObj("srpSigns", signs, "boolean[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.srpBucket($c, $signsRef, $planes, $dim)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): SrpBucket =
@@ -148,37 +202,16 @@ case class SrpBucket(child: Expression, planes: Int, dim: Int)
  * interprets 64 lambda evaluations per shingle).
  */
 case class SimHash64(child: Expression)
-  extends LongArrayKernel with CodegenFallback {
+  extends LongArrayKernel {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
-  override def nullSafeEval(input: Any): Any = {
-    val hs = input.asInstanceOf[ArrayData]
-    val n = hs.numElements()
-    val votes = new Array[Int](64)
-    var j = 0
-    while (j < n) {
-      // NULL elements are skipped — an all-zero vote would otherwise
-      // make every NULL-bearing document drift toward simhash 0
-      if (!hs.isNullAt(j)) {
-        val h = hs.getLong(j)
-        var i = 0
-        while (i < 64) {
-          if (((h >>> i) & 1L) != 0L) votes(i) += 1 else votes(i) -= 1
-          i += 1
-        }
-      }
-      j += 1
-    }
-    var out = 0L
-    var i = 0
-    while (i < 64) {
-      if (votes(i) > 0) out |= (1L << i)
-      i += 1
-    }
-    out
-  }
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.simhash64(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.simhash64($c)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
 
@@ -19,7 +19,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
  * common-subexpression elimination to recognize identical expressions.
  */
 case class IvfBucket(child: Expression, centroids: Seq[Seq[Float]])
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   require(centroids.nonEmpty)
   require(centroids.forall(_.length == centroids.head.length),
@@ -48,8 +48,25 @@ case class IvfBucket(child: Expression, centroids: Seq[Seq[Float]])
   override def dataType: DataType = IntegerType
   override def prettyName: String = "ivf_bucket"
 
-  override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    IvfBucket.assign(input.asInstanceOf[ArrayData], flat, k, dim)
+
+  /** Real codegen (CodegenFallback through round 11's start): one static
+    * invoke of the shared kernel, the flat centroid matrix pinned as a
+    * reference object. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("ivfCentroids", flat, "float[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.IvfBucket.assign($c, $flatRef, $k, $dim)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IvfBucket =
+    copy(child = newChild)
+}
+
+object IvfBucket {
+  /** Kernel body — JVM-static so generated code calls it directly. */
+  def assign(v: ArrayData, flat: Array[Float], k: Int, dim: Int): Int = {
     // a shorter vector would silently truncate the dot product, breaking
     // the max-dot = max-cosine invariant (centroids are unit-norm over
     // the FULL dim, their first-n sub-norms differ per centroid) — fail
@@ -58,7 +75,6 @@ case class IvfBucket(child: Expression, centroids: Seq[Seq[Float]])
       throw new IllegalArgumentException(
         s"ivf_bucket: vector dim ${v.numElements()} != centroid dim $dim")
     }
-    val n = dim
     var best = 0
     var bestDot = Double.NegativeInfinity
     var c = 0
@@ -66,7 +82,7 @@ case class IvfBucket(child: Expression, centroids: Seq[Seq[Float]])
       var s = 0.0
       val off = c * dim
       var d = 0
-      while (d < n) {
+      while (d < dim) {
         s += v.getFloat(d).toDouble * flat(off + d)
         d += 1
       }
@@ -75,7 +91,4 @@ case class IvfBucket(child: Expression, centroids: Seq[Seq[Float]])
     }
     best
   }
-
-  override protected def withNewChildInternal(newChild: Expression): IvfBucket =
-    copy(child = newChild)
 }

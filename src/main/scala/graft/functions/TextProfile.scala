@@ -5,7 +5,7 @@ import graft.operators.TextStats
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -21,7 +21,7 @@ import org.apache.spark.unsafe.types.UTF8String
  * ties-toward-later-language (fr > es > en > de) and `und` on zero hits.
  */
 case class TextProfile(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -33,8 +33,24 @@ case class TextProfile(child: Expression)
 
   override def prettyName: String = "text_profile"
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  override def nullSafeEval(input: Any): Any =
+    TextProfile.profile(input.asInstanceOf[UTF8String])
+
+  /** Real codegen (CodegenFallback through round 11's start — boxed
+    * `eval` dispatch per row on every text-stats/langid/curation scan):
+    * one static invoke of the shared kernel. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextProfile.profile($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TextProfile =
+    copy(child = newChild)
+}
+
+object TextProfile {
+
+  /** Kernel body — JVM-static so generated code calls it directly. */
+  def profile(input: UTF8String): InternalRow = {
+    val s = input.toString
     var punct = 0; var digit = 0; var upper = 0; var ws = 0
     var i = 0
     while (i < s.length) {
@@ -82,11 +98,6 @@ case class TextProfile(child: Expression)
       punct, digit, upper, ws, en, de, es, fr, UTF8String.fromString(lang))
   }
 
-  override protected def withNewChildInternal(newChild: Expression): TextProfile =
-    copy(child = newChild)
-}
-
-object TextProfile {
   val schema: StructType = StructType(Seq(
     StructField("n_chars", IntegerType, nullable = false),
     StructField("n_tokens", IntegerType, nullable = false),
