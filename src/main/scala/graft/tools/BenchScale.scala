@@ -18,7 +18,11 @@ import org.apache.spark.sql.functions._
 object BenchScale {
   private val ScaleQueries = Seq(
     "q21_dedup_minhash", "q56_dedup_groups", "q69_dedup_groups_large",
-    "q74_repeated_spans")
+    "q74_repeated_spans",
+    // round-11 additions over the documents table: bloom-gated
+    // decontamination (gram scan + bitset probe), shuffle-free BM25,
+    // and the WindowGroupLimit quality top-k
+    "q83_bloom_decontamination", "q85_bm25", "q88_quality_topk")
 
   def main(args: Array[String]): Unit = {
     val dirs = if (args.nonEmpty) args.toSeq
