@@ -1051,6 +1051,22 @@ object SparkEntry {
     "q88_quality_topk" -> ((s, dir) => { prep(s, dir)
       TextStats.topKByQuality(Tables.load(s, dir, "documents"),
         "doc_id", "text", "source", k = 10) }),
+    // token-budget-capped mixture sampling: each source keeps its
+    // md5-ordered prefix of docs whose cumulative chars fit 4000 —
+    // quotas as budgets, not counts. Same md5 determinism contract as
+    // q60/q61/q64; DuckDB recomputes the identical prefix.
+    "q89_budget_sample" -> ((s, dir) => { prep(s, dir)
+      Sampling.budgetSample(
+        Tables.load(s, dir, "documents")
+          .select("doc_id", "source", "n_chars"),
+        "source", "doc_id", "n_chars", budget = 4000L) }),
+    // exact per-source length percentiles off the count histogram —
+    // integer percentile-disc arithmetic end to end (no float), only
+    // the histogram rides the shuffle
+    "q90_length_percentiles" -> ((s, dir) => { prep(s, dir)
+      TextStats.lengthPercentiles(
+        Tables.load(s, dir, "documents").select("source", "n_chars"),
+        "source", "n_chars", percents = Seq(50, 95, 99)) }),
     // deterministic sequence packing (concat-then-chunk): hash buckets
     // pack independently (bucketChars=1 -> 16 buckets here so the small
     // corpus produces multi-row packs; the default 4096 is the cluster
@@ -1927,6 +1943,33 @@ object SparkEntry {
           |              ORDER BY quality DESC, doc_id) AS BIGINT) AS rk
           |FROM q
           |QUALIFY rk <= 10""".stripMargin,
+      // identical md5-ordered running sum; strict budget (first
+      // overshooting doc and everything after it in hash order cut)
+      "q89_budget_sample" ->
+        """SELECT doc_id, source, n_chars, cum_before FROM (
+          |  SELECT doc_id, source, n_chars,
+          |    CAST(COALESCE(SUM(n_chars) OVER (PARTITION BY source
+          |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS BIGINT) AS cum_before
+          |  FROM documents) t
+          |WHERE cum_before + n_chars <= 4000""".stripMargin,
+      // percentile-disc off the histogram: smallest len whose cumulative
+      // count reaches ceil(total*pct/100) — integer-exact on both engines
+      "q90_length_percentiles" ->
+        """WITH h AS (SELECT source, CAST(n_chars AS BIGINT) AS len,
+          |                  count(*) AS cnt
+          |           FROM documents GROUP BY 1, 2),
+          |c AS (SELECT source, len, cnt,
+          |        sum(cnt) OVER (PARTITION BY source ORDER BY len
+          |          ROWS UNBOUNDED PRECEDING) AS cum,
+          |        sum(cnt) OVER (PARTITION BY source) AS total
+          |      FROM h),
+          |e AS (SELECT c.*, t.pct FROM c, (VALUES (50), (95), (99)) t(pct)),
+          |r AS (SELECT *, CAST(floor((total * pct + 99) / 100.0) AS BIGINT) AS rnk
+          |      FROM e)
+          |SELECT source, CAST(pct AS BIGINT) AS pct, len AS value
+          |FROM r WHERE cum >= rnk AND cum - cnt < rnk""".stripMargin,
       "q64_seq_packing" ->
         """SELECT doc_id, bucket,
           |  CAST(floor(cum_before / 4096.0) AS BIGINT) AS pack_id

@@ -174,6 +174,35 @@ object Sampling {
   }
 
   /**
+   * Token-BUDGET-capped deterministic sampling per stratum — the
+   * mixture-building step when quotas are token budgets, not document
+   * counts ("200 B tokens of web, 50 B of code"): keep each stratum's
+   * md5-ordered prefix of documents whose cumulative weight stays within
+   * `budget` (strict — the first document that would overshoot is cut,
+   * and so is everything after it in hash order). The md5 key makes the
+   * SAME prefix come out on every run, cluster size, and engine.
+   *
+   * Scale shape: one running-sum window per stratum (same as
+   * [[packSequences]]); the shuffle carries (id, weight) only. Strata
+   * partition the corpus, so parallelism is per-stratum; a single
+   * giant stratum bounds the window at one task's sort — budget
+   * selection inside one stratum is inherently prefix-sequential, and
+   * the window's external sort spills rather than OOMs there.
+   * Output keeps `cum_before` (tokens consumed before each kept doc)
+   * as the audit column.
+   */
+  def budgetSample(df: DataFrame, strataCol: String, idCol: String,
+      weightCol: String, budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1 (got $budget)")
+    val key = hashKey(col(idCol))
+    val w = Window.partitionBy(col(strataCol)).orderBy(key, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("cum_before",
+        coalesce(sum(col(weightCol)).over(w), lit(0L)))
+      .where(col("cum_before") + col(weightCol) <= budget)
+  }
+
+  /**
    * Deterministic train/validation/test split: labels each row by which
    * hash range it falls in — `fractions` in order, remainder going to
    * the last label. Disjoint, exhaustive, reproducible, zero-shuffle

@@ -124,6 +124,42 @@ object TextStats {
       .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
 
   /**
+   * Exact per-group percentiles of an integer column — length-
+   * distribution profiling (outlier thresholds, tokenizer budget
+   * planning) WITHOUT sorting the corpus: aggregate to a per-(group,
+   * value) count histogram first, then walk the cumulative counts.
+   * `value_p` = the smallest value whose cumulative count reaches
+   * `ceil(total · p/100)` (percentile-disc semantics) — pure integer
+   * arithmetic end to end, so the result is hash-exact on any engine
+   * (interpolating percentiles are float-typed and engine-divergent).
+   *
+   * Scale shape: the corpus collapses map-side into ≤ |distinct values|
+   * rows per group (lengths have tiny domains compared to corpora — a
+   * 10^11-doc corpus has ~10^5 distinct lengths), and only the
+   * histogram rides the shuffle and the per-group windows. The naive
+   * `sort per group + pick ranks` shuffles and sorts every row.
+   * Returns one `(group, pct, value)` row per requested percentile.
+   */
+  def lengthPercentiles(docs: DataFrame, groupCol: String, lenCol: String,
+      percents: Seq[Int]): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      s"percents must be in [1, 100] (got $percents)")
+    import org.apache.spark.sql.expressions.Window
+    val byLen = Window.partitionBy(col(groupCol)).orderBy(col("len"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(col(groupCol))
+    docs.groupBy(col(groupCol), col(lenCol).cast("long").as("len"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(byLen))
+      .withColumn("total", sum("cnt").over(whole))
+      .withColumn("pct", explode(typedlit(percents.map(_.toLong))))
+      .withColumn("rnk",
+        floor((col("total") * col("pct") + 99) / 100.0).cast("long"))
+      .where(col("cum") >= col("rnk") && col("cum") - col("cnt") < col("rnk"))
+      .select(col(groupCol), col("pct"), col("len").as("value"))
+  }
+
+  /**
    * Per-group quality top-k: keep each group's `k` highest
    * [[qualityScore]] documents (source/domain-quota curation — "best k
    * docs per domain"). Deterministic: quality is a round-6 ratio both

@@ -327,6 +327,17 @@ class OperatorsSpec extends SparkTestBase {
     assert(!got.exists(_._1 == 2L))
   }
 
+  test("lengthPercentiles: percentile-disc off the histogram, integer-exact") {
+    val df = ((1L to 10L).map(v => ("a", v)) ++ Seq(("b", 2L), ("b", 2L),
+      ("b", 2L), ("b", 3L))).toDF("grp", "len")
+    val got = TextStats.lengthPercentiles(df, "grp", "len", Seq(50, 95, 99))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // a: 1..10 → p50 = ceil(5.0) = 5th = 5; p95 = ceil(9.5) = 10th = 10
+    // b: [2,2,2,3] → p50 = ceil(2.0) = 2nd = 2; p95 = ceil(3.8) = 4th = 3
+    assert(got == Map(("a", 50L) -> 5L, ("a", 95L) -> 10L, ("a", 99L) -> 10L,
+      ("b", 50L) -> 2L, ("b", 95L) -> 3L, ("b", 99L) -> 3L))
+  }
+
   test("decontaminate drops only contaminated test docs") {
     val test = Seq(
       (101L, "the quick brown fox jumps over the lazy dog near the river delta"),

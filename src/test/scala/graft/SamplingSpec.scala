@@ -129,6 +129,33 @@ class SamplingSpec extends SparkTestBase {
     assert(again == out.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
   }
 
+  test("budgetSample keeps the exact md5-ordered prefix within budget") {
+    val df = (1L to 60L).map(i => (i, s"g${i % 3}", 10L + i % 7))
+      .toDF("id", "grp", "w")
+    val kept = Sampling.budgetSample(df, "grp", "id", "w", budget = 60L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+    // reference: simulate the same md5-ordered prefix walk per group
+    val ordered = df.select(col("id"), col("grp"), col("w"),
+        Sampling.hashKey(col("id")).as("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val expect = ordered.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      // cum accumulates EVERY row's weight (the window sums all
+      // predecessors, kept or cut), so after the first overshoot no
+      // later row can pass — same cut-the-rest semantics as the operator
+      var cum = 0L
+      rows.sortBy(r => (r._4, r._1)).flatMap { case (id, g, w, _) =>
+        val row = if (cum + w <= 60L) Some((id, g, cum)) else None
+        cum += w
+        row
+      }
+    }.toSet
+    assert(kept == expect && kept.nonEmpty && kept.size < 60)
+    // deterministic under repartitioning
+    val again = Sampling.budgetSample(df.repartition(7), "grp", "id", "w", 60L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+    assert(again == kept)
+  }
+
   test("packSequences: chunk arithmetic, determinism, intra-bucket order") {
     val df = (1L to 400L).map(i => (i, 100L)).toDF("id", "w")
     val packed = Sampling.packSequences(df, "id", "w", capacity = 250L)
