@@ -386,6 +386,25 @@ object SparkEntry {
   private val ivfLayouts = new java.util.concurrent.ConcurrentHashMap[
     String, (String, Array[Array[Float]])]()
 
+  /** Write-once ORC copy of `documents` per (app, sfDir) — the ORC
+    * source/sink coverage twin of the parquet surface (Spark's ORC
+    * reader carries the same pushdown/pruning machinery; the q91 scan
+    * is asserted to read only the two projected columns). */
+  private val orcLayouts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def orcLayoutFor(s: SparkSession, dir: String): String =
+    orcLayouts.computeIfAbsent(s.sparkContext.applicationId + "|" + dir, _ => {
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_orc_${s.sparkContext.applicationId}_" +
+          Integer.toHexString(dir.hashCode)).getPath
+      Tables.load(s, dir, "documents")
+        .select("doc_id", "source", "n_chars")
+        .write.mode("overwrite").orc(path)
+      sys.addShutdownHook(deleteRecursively(new java.io.File(path)))
+      path
+    })
+
   private[graft] def ivfLayoutFor(s: SparkSession,
       dir: String): (String, Array[Array[Float]]) =
     ivfLayouts.computeIfAbsent(s.sparkContext.applicationId + "|" + dir, _ => {
@@ -1067,6 +1086,14 @@ object SparkEntry {
       TextStats.lengthPercentiles(
         Tables.load(s, dir, "documents").select("source", "n_chars"),
         "source", "n_chars", percents = Seq(50, 95, 99)) }),
+    // ORC source/sink round-trip: documents written once to an ORC
+    // layout (write-once read-many, like the IVF layout), scanned back
+    // through Spark's ORC reader (same pushdown/pruning machinery as
+    // parquet) and aggregated — oracle reads the original parquet.
+    "q91_orc_roundtrip" -> ((s, dir) => { prep(s, dir)
+      val path = orcLayoutFor(s, dir)
+      s.read.orc(path).groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars")) }),
     // deterministic sequence packing (concat-then-chunk): hash buckets
     // pack independently (bucketChars=1 -> 16 buckets here so the small
     // corpus produces multi-row packs; the default 4096 is the cluster
@@ -1970,6 +1997,12 @@ object SparkEntry {
           |      FROM e)
           |SELECT source, CAST(pct AS BIGINT) AS pct, len AS value
           |FROM r WHERE cum >= rnk AND cum - cnt < rnk""".stripMargin,
+      // the ORC copy carries the same rows, so the round-trip agg equals
+      // the parquet agg
+      "q91_orc_roundtrip" ->
+        """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          |FROM documents GROUP BY source""".stripMargin,
       "q64_seq_packing" ->
         """SELECT doc_id, bucket,
           |  CAST(floor(cum_before / 4096.0) AS BIGINT) AS pack_id

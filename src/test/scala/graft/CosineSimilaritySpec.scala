@@ -46,6 +46,42 @@ class CosineSimilaritySpec extends SparkTestBase {
     assert(nulls(0).isNullAt(0))
   }
 
+  test("quantizedDot matches a BigDecimal reference on random vectors") {
+    val rnd = new scala.util.Random(77)
+    val rows = Seq.fill(200)((Seq.fill(32)(rnd.nextFloat() * 2 - 1),
+      Seq.fill(32)(rnd.nextFloat() * 2 - 1)))
+    def qRef(x: Float): Long =
+      BigDecimal(x.toDouble * 10000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val expect = rows.map { case (a, b) =>
+      a.zip(b).map { case (x, y) => qRef(x) * qRef(y) }.sum
+    }
+    val got = rows.toDF("a", "b")
+      .select(Similarity.quantizedDot($"a", $"b")).collect().map(_.getLong(0))
+    assert(got.toSeq == expect)
+  }
+
+  test("centroidAssign agrees with a driver-side brute force on random data") {
+    val rnd = new scala.util.Random(99)
+    val pts = Seq.tabulate(300)(i => (i.toLong, Seq.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val cents = Seq.tabulate(7)(i => (i.toLong, Seq.fill(16)(rnd.nextFloat() * 2 - 1)))
+    def q(x: Float): Long = {
+      val v = x.toDouble * 10000
+      if (v >= 0) math.floor(v + 0.5).toLong else math.ceil(v - 0.5).toLong
+    }
+    val expect = pts.map { case (id, v) =>
+      val best = cents.map { case (cid, c) =>
+        (v.zip(c).map { case (x, y) => q(x) * q(y) }.sum, cid)
+      }.maxBy { case (dot, cid) => (dot, -cid) }
+      id -> (best._2, best._1)
+    }.toMap
+    val got = Similarity.centroidAssign(
+        pts.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        cents.toDF("vec_id", "embedding"), "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expect)
+  }
+
   test("centroidAssign routes to the max-dot centroid, lowest id on ties") {
     val pts = Seq(
       (100L, Seq(1f, 0f)), // → centroid 0

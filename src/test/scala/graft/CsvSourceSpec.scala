@@ -11,6 +11,21 @@ class CsvSourceSpec extends SparkTestBase {
 
   import spark.implicits._
 
+  test("ORC round-trip preserves rows; scan prunes columns and pushes filters") {
+    val dir = Files.createTempDirectory("graft_orc").toFile.getPath
+    val df = (1L to 100L).map(i => (i, s"s${i % 4}", 10L * i))
+      .toDF("id", "grp", "w")
+    df.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() == 100L)
+    val q = back.where($"w" > 500L).select("grp", "w")
+    val scan = q.queryExecution.executedPlan.toString
+    // column pruning: the ORC reader must not read `id`
+    assert(scan.contains("ReadSchema: struct<grp:string,w:bigint>"), scan)
+    assert(scan.contains("PushedFilters: [IsNotNull(w), GreaterThan(w,500)"), scan)
+    assert(q.count() == 50L)
+  }
+
   test("reads.csv × targets.csv through the interval join (16 rows)") {
     val dir = Files.createTempDirectory("graft_csv").toFile
     val readsCsv =
