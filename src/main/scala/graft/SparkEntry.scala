@@ -798,6 +798,15 @@ object SparkEntry {
       runStreamToTable(agg, "graft_q86_mem", "complete")
         .select(col("c_nationkey"), col("event_type"), col("n_events"),
           round(col("sum_value"), 4).as("sum_value")) }),
+    // CUSTOM keyed state (flatMapGroupsWithState) under the batch
+    // oracle: emit each user once when their lifetime event count first
+    // reaches 50. Counts are arrival-order-independent, so the bounded
+    // replay equals the batch HAVING regardless of trigger batching.
+    "q92_streaming_milestones" -> ((s, dir) => { prep(s, dir)
+      val stream = Tables.loadStream(s, dir, "events")
+      val hits = graft.streaming.StreamingOps.countMilestones(
+        stream, "user_id", milestone = 50L)
+      runStreamToTable(hits, "graft_q92_mem", "append") }),
     // PII redaction (emails / dotted-quad IPs / 8+-digit runs → typed
     // placeholders) + per-kind hit counts. The synthetic corpus carries
     // no PII, so every third document gets a deterministic email+IP+card
@@ -1601,6 +1610,10 @@ object SparkEntry {
           |       round(sum(e.value), 4) AS sum_value
           |FROM events e JOIN customer c ON e.user_id = c.c_custkey
           |GROUP BY c.c_nationkey, e.event_type""".stripMargin,
+      // one emission per user whose lifetime count reaches the milestone
+      "q92_streaming_milestones" ->
+        """SELECT user_id, CAST(50 AS BIGINT) AS milestone
+          |FROM events GROUP BY user_id HAVING count(*) >= 50""".stripMargin,
       // q81: same injection, same dialect-portable regexes (RE2 side)
       "q81_pii_redaction" ->
         """WITH t AS (

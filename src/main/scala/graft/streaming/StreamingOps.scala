@@ -48,6 +48,42 @@ object StreamingOps {
       .groupBy(session_window(col(tsCol), gap), col(userCol))
       .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
 
+  /** Custom keyed state via `flatMapGroupsWithState` — the escape hatch
+    * for stateful logic the built-in operators can't express. This one
+    * emits `(key, milestone)` exactly once, the moment a key's lifetime
+    * event count first reaches `milestone` (ingest-volume alerting,
+    * heavy-user detection). Counts are arrival-order-independent, so
+    * the bounded replay emits exactly the batch answer regardless of
+    * trigger batching — which is what puts a CUSTOM-state operator
+    * under the driver's batch oracle at all.
+    *
+    * State = one Long per key, sharded in the state store (the 100-TB
+    * posture: no driver accumulation, per-key state constant-size). A
+    * production deployment bounds state lifetime with a timeout; the
+    * default here is NoTimeout because the milestone contract is
+    * lifetime counts. The same code runs on a batch frame (each group
+    * arrives whole, state starts empty) — one definition, both modes. */
+  def countMilestones(events: DataFrame, keyCol: String,
+      milestone: Long): DataFrame = {
+    require(milestone >= 1, s"milestone must be >= 1 (got $milestone)")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.select(col(keyCol).cast("long")).as[Long]
+      .groupByKey(identity)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[Long], state: GroupState[Long]) =>
+          val before = state.getOption.getOrElse(0L)
+          val after = before + rows.size
+          state.update(after)
+          if (before < milestone && after >= milestone)
+            Iterator.single((key, milestone))
+          else Iterator.empty
+      }
+      .toDF(keyCol, "milestone")
+  }
+
   /** Stream-STATIC enrichment join — the standard ingest step that tags
     * each live event with its dimension row (user → account, doc →
     * source metadata). The static side is broadcast (re-resolved per

@@ -49,6 +49,30 @@ class StreamingSpec extends SparkTestBase {
     assert(got == Set(("click", 2L, 3.0), ("click", 1L, 4.0), ("view", 1L, 8.0)))
   }
 
+  test("countMilestones: custom state emits once, across micro-batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Long]
+    val events = input.toDF().toDF("user_id")
+    val q = StreamingOps.countMilestones(events, "user_id", milestone = 3L)
+      .writeStream.format("memory").queryName("milestone_out")
+      .outputMode("append").start()
+    // batch 1: user 1 at count 2 (below), user 2 at 3 (crosses)
+    input.addData(1L, 1L, 2L, 2L, 2L)
+    q.processAllAvailable()
+    // batch 2: user 1 crosses (state carried over); user 2 stays silent
+    input.addData(1L, 2L, 2L)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("milestone_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.sorted.toSeq == Seq((1L, 3L), (2L, 3L))) // exactly once each
+    // same definition runs on a batch frame
+    val batch = Seq(1L, 1L, 1L, 2L).toDF("user_id")
+    val b = StreamingOps.countMilestones(batch, "user_id", 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(b.toSeq == Seq((1L, 3L)))
+  }
+
   test("stream-static enrichment joins each event to its dim row, broadcast") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Double)]
