@@ -1103,6 +1103,20 @@ object SparkEntry {
       val path = orcLayoutFor(s, dir)
       s.read.orc(path).groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars")) }),
+    // custom Catalyst AGGREGATE (TypedImperativeAggregate): per-label
+    // quantized component sums — the mean-pool/centroid building block.
+    // Long sums are order-independent, so the result is hash-exact on
+    // any engine/partitioning; exploded to (label, dim) rows for the
+    // oracle compare.
+    "q93_vecsum_agg" -> ((s, dir) => { prep(s, dir)
+      Tables.load(s, dir, "embeddings")
+        .groupBy("label")
+        .agg(Similarity.quantizedVecSum(col("embedding")).as("sum_q_vec"),
+          count(lit(1)).as("n_vecs"))
+        .select(col("label"), col("n_vecs"),
+          posexplode(col("sum_q_vec")).as(Seq("dim", "sum_q")))
+        .select(col("label"), col("dim").cast("long").as("dim"),
+          col("sum_q"), col("n_vecs")) }),
     // deterministic sequence packing (concat-then-chunk): hash buckets
     // pack independently (bucketChars=1 -> 16 buckets here so the small
     // corpus produces multi-row packs; the default 4096 is the cluster
@@ -2016,6 +2030,19 @@ object SparkEntry {
         """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
           |FROM documents GROUP BY source""".stripMargin,
+      // identical quantization (double multiply, round half away from
+      // zero) then exact integer component sums; dim is 0-based like
+      // Spark's posexplode
+      "q93_vecsum_agg" ->
+        """WITH q AS (SELECT label, i,
+          |    CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT) AS qv
+          |  FROM embeddings, generate_series(1, 64) t(i)),
+          |s AS (SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+          |        CAST(SUM(qv) AS BIGINT) AS sum_q
+          |      FROM q GROUP BY 1, 2),
+          |n AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY 1)
+          |SELECT s.label, s.dim, s.sum_q, n.n_vecs
+          |FROM s JOIN n USING (label)""".stripMargin,
       "q64_seq_packing" ->
         """SELECT doc_id, bucket,
           |  CAST(floor(cum_before / 4096.0) AS BIGINT) AS pack_id

@@ -55,6 +55,15 @@ object Similarity {
         org.apache.spark.sql.GraftSqlShim.lazyExpression(a),
         org.apache.spark.sql.GraftSqlShim.lazyExpression(b), scale))
 
+  /** Element-wise quantized vector-sum AGGREGATE (mean-pool / centroid
+    * building block; see [[graft.functions.QuantizedVecSum]]) — exact
+    * Long component sums, order-independent, map-side partial-agg. */
+  def quantizedVecSum(vec: Column, scale: Int = 10000): Column =
+    org.apache.spark.sql.GraftSqlShim.column(
+      graft.functions.QuantizedVecSum(
+        org.apache.spark.sql.GraftSqlShim.lazyExpression(vec), scale)
+        .toAggregateExpression())
+
   /**
    * Nearest-centroid assignment — the routing step of embedding-space
    * clustering (corpus bucketing for mixture balancing, semantic dedup

@@ -82,6 +82,35 @@ class CosineSimilaritySpec extends SparkTestBase {
     assert(got == expect)
   }
 
+  test("quantizedVecSum: exact component sums, merge-correct, ragged fails") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.tabulate(500)(i => (i % 3, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+    def q(x: Float): Long = {
+      val v = x.toDouble * 10000
+      if (v >= 0) math.floor(v + 0.5).toLong else math.ceil(v - 0.5).toLong
+    }
+    val expect = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(_._2.map(q)).reduce((a, b) => a.zip(b).map(t => t._1 + t._2))
+    }
+    // repartition forces real partials + merges across 13 partitions
+    val out = rows.toDF("g", "v").repartition(13)
+      .groupBy("g").agg(Similarity.quantizedVecSum($"v").as("s"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(out == expect.map { case (k, v) => k -> v.toSeq })
+    // map-side partial aggregation must be in the plan (two agg levels)
+    val plan = rows.toDF("g", "v").groupBy("g")
+      .agg(Similarity.quantizedVecSum($"v"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"))
+    assert("partial_quantized_vec_sum".r.findFirstIn(plan).isDefined, plan)
+    // ragged dims in one group fail loud
+    val ragged = Seq((1, Seq(1f, 2f)), (1, Seq(1f, 2f, 3f))).toDF("g", "v")
+    val err = intercept[Exception] {
+      ragged.groupBy("g").agg(Similarity.quantizedVecSum($"v")).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("centroidAssign routes to the max-dot centroid, lowest id on ties") {
     val pts = Seq(
       (100L, Seq(1f, 0f)), // → centroid 0
