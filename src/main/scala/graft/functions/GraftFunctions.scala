@@ -49,5 +49,31 @@ object GraftFunctions {
     reg("text_profile", classOf[TextProfile]) { args =>
       require(args.length == 1, "text_profile(text) expects 1 argument")
       TextProfile(args.head)
+    },
+    reg("quantized_dot", classOf[QuantizedDot]) { args =>
+      require(args.length == 2 || args.length == 3,
+        "quantized_dot(a, b[, scale]) expects 2 or 3 arguments")
+      QuantizedDot(coerceFloatArray(args.head), coerceFloatArray(args(1)),
+        if (args.length == 3) intArg(args(2), "quantized_dot") else 10000)
+    },
+    // AggregateFunction builders are legal: the analyzer wraps the
+    // returned aggregate into an AggregateExpression on resolution
+    reg("quantized_vec_sum", classOf[QuantizedVecSum]) { args =>
+      require(args.length == 1 || args.length == 2,
+        "quantized_vec_sum(vec[, scale]) expects 1 or 2 arguments")
+      QuantizedVecSum(coerceFloatArray(args.head),
+        if (args.length == 2) intArg(args(1), "quantized_vec_sum") else 10000)
     })
+
+  /** SQL array literals are array<double>; cast numeric element types to
+    * array<float> (same builder-side coercion as cosine_similarity). */
+  private def coerceFloatArray(e: Expression): Expression = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType, NumericType}
+    e.dataType match {
+      case ArrayType(FloatType, _) => e
+      case ArrayType(_: NumericType, n) =>
+        org.apache.spark.sql.catalyst.expressions.Cast(e, ArrayType(FloatType, n))
+      case _ => e
+    }
+  }
 }

@@ -64,6 +64,18 @@ class SqlSurfaceSpec extends SparkTestBase {
       "SELECT cosine_similarity(array(1.0, 0.0), array(1.0, 0.0))")
       .head().getDouble(0)
     assert(math.abs(cos - 1.0) < 1e-9)
+    // quantized dot: exact integer, builder coerces double literals
+    val qd = spark.sql(
+      "SELECT quantized_dot(array(1.5, -2.5), array(1.0, 1.0))")
+      .head().getLong(0)
+    assert(qd == 15000L * 10000 + -25000L * 10000)
+    // the custom AGGREGATE resolves in SQL (analyzer wraps it)
+    val qs = spark.sql(
+      """SELECT quantized_vec_sum(v) FROM VALUES
+        |  (array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))),
+        |  (array(CAST(0.5 AS FLOAT), CAST(-1.0 AS FLOAT))) AS t(v)
+        |""".stripMargin).head().getSeq[Long](0)
+    assert(qs == Seq(15000L, 10000L))
   }
 
   test("heavy key skew: broadcast mode keeps probe parallelism") {
