@@ -24,23 +24,9 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        // FAIL LOUD, never silently shrink the surface (round 10: four
-        // queries threw at construction and simply vanished from the
-        // ledger, which then read as fully green). Overwrite the result
-        // with a one-row `graft_verify_error` frame: the oracle compare
-        // sees a schema + hash mismatch and the ledger shows an explicit
-        // red row instead of an absence. Also exit non-zero below.
-        val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
-        System.err.println(s"[verify] $name FAILED: $msg")
-        failed :+= (name -> msg)
-        import spark.implicits._
-        Seq(msg).toDF("graft_verify_error").coalesce(1)
-          .write.mode("overwrite").parquet(s"$outDir/$name")
+        dumpOne(spark, name, fn, sfDir, outDir)
+          .foreach(msg => failed :+= (name -> msg))
       }
-    }
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${Verify.q(k)}: ${Verify.q(v)}" }
@@ -57,6 +43,30 @@ object Verify {
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
+
+  /** Dump one query's result parquet; on ANY throw, FAIL LOUD instead of
+    * silently shrinking the surface (round 10: four queries threw at
+    * construction and simply vanished from the ledger, which then read
+    * as fully green). The failure writes a one-row `graft_verify_error`
+    * frame in the query's slot — the oracle compare sees a schema+hash
+    * mismatch and the ledger shows an explicit red row, never an
+    * absence — and the returned message drives main's non-zero exit.
+    * Returns None on success. */
+  private[graft] def dumpOne(spark: SparkSession, name: String,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+      sfDir: String, outDir: String): Option[String] =
+    try {
+      fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      None
+    } catch { case e: Throwable =>
+      val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
+      System.err.println(s"[verify] $name FAILED: $msg")
+      import spark.implicits._
+      Seq(msg).toDF("graft_verify_error").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/$name")
+      Some(msg)
+    }
 
   /** JSON string escape: backslash, quote, and ALL control chars (<0x20)
     * — a tab or CR in builder-authored SQL or an error message would

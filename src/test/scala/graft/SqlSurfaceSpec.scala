@@ -78,6 +78,29 @@ class SqlSurfaceSpec extends SparkTestBase {
     assert(qs == Seq(15000L, 10000L))
   }
 
+  test("Verify fails loud: a throwing query leaves an explicit error frame") {
+    val out = java.nio.file.Files.createTempDirectory("graft_verify_fl").toString
+    // construction-time throw (the round-10 silent-shrink shape)
+    val boom = Verify.dumpOne(spark, "q_boom",
+      (_, _) => throw new IllegalStateException("synthetic failure"), "", out)
+    assert(boom.exists(_.contains("synthetic failure")))
+    val frame = spark.read.parquet(s"$out/q_boom")
+    assert(frame.columns.toSeq == Seq("graft_verify_error"))
+    assert(frame.head().getString(0).contains("synthetic failure"))
+    // execution-time throw (bad plan) also lands in the slot
+    val exec = Verify.dumpOne(spark, "q_exec",
+      (s, _) => { import s.implicits._
+        Seq(1L).toDF("x").selectExpr("assert_true(x > 1)", "x") }, "", out)
+    assert(exec.isDefined)
+    assert(spark.read.parquet(s"$out/q_exec").columns.toSeq ==
+      Seq("graft_verify_error"))
+    // a healthy query returns None and writes its rows
+    val ok = Verify.dumpOne(spark, "q_ok",
+      (s, _) => { import s.implicits._; Seq((1L, "a")).toDF("id", "v") }, "", out)
+    assert(ok.isEmpty)
+    assert(spark.read.parquet(s"$out/q_ok").count() == 1L)
+  }
+
   test("heavy key skew: broadcast mode keeps probe parallelism") {
     // 90% of rows on one key — broadcast mode is the documented answer:
     // the index ships everywhere, the probe side stays embarrassingly
