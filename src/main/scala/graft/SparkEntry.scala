@@ -1103,6 +1103,25 @@ object SparkEntry {
       val path = orcLayoutFor(s, dir)
       s.read.orc(path).groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars")) }),
+    // edit-distance verify of candidate pairs: planted first-token
+    // mutations (doc_id+5M twins) must pass the threshold-bounded
+    // levenshtein; unrelated neighbor-id control pairs must be cut
+    // (threshold form early-exits at -1). Both engines compute the
+    // identical classic Levenshtein over the same constructed corpus.
+    "q94_edit_distance" -> ((s, dir) => { prep(s, dir)
+      val d = Tables.load(s, dir, "documents").select("doc_id", "text")
+      val mut = d.where(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 5000000).as("doc_id"),
+          regexp_replace(col("text"), "^(\\S+) ", "graftmut ").as("text"))
+      val corpus = d.unionByName(mut)
+      val pairs = d.where(col("doc_id") % 11 === 0)
+        .select(col("doc_id").as("left_id"),
+          (col("doc_id") + 5000000).as("right_id"))
+        .unionByName(d.where(col("doc_id") % 17 === 0)
+          .select(col("doc_id").as("left_id"),
+            (col("doc_id") + 1).as("right_id")))
+      Dedup.editDistancePairs(corpus, "doc_id", "text", pairs,
+        maxDist = 10) }),
     // custom Catalyst AGGREGATE (TypedImperativeAggregate): per-label
     // quantized component sums — the mean-pool/centroid building block.
     // Long sums are order-independent, so the result is hash-exact on
@@ -2030,6 +2049,25 @@ object SparkEntry {
         """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
           |FROM documents GROUP BY source""".stripMargin,
+      // unbounded levenshtein + filter ≡ the threshold form's survivors
+      "q94_edit_distance" ->
+        """WITH mut AS (SELECT doc_id + 5000000 AS doc_id,
+          |       regexp_replace(text, '^(\S+) ', 'graftmut ') AS text
+          |     FROM documents WHERE doc_id % 11 = 0),
+          |corpus AS (SELECT doc_id, text FROM documents
+          |           UNION ALL SELECT doc_id, text FROM mut),
+          |pairs AS (
+          |  SELECT doc_id AS left_id, doc_id + 5000000 AS right_id
+          |  FROM documents WHERE doc_id % 11 = 0
+          |  UNION ALL
+          |  SELECT doc_id AS left_id, doc_id + 1 AS right_id
+          |  FROM documents WHERE doc_id % 17 = 0)
+          |SELECT p.left_id, p.right_id,
+          |       CAST(levenshtein(l.text, r.text) AS BIGINT) AS dist
+          |FROM pairs p
+          |JOIN corpus l ON p.left_id = l.doc_id
+          |JOIN corpus r ON p.right_id = r.doc_id
+          |WHERE levenshtein(l.text, r.text) <= 10""".stripMargin,
       // identical quantization (double multiply, round half away from
       // zero) then exact integer component sums; dim is 0-based like
       // Spark's posexplode

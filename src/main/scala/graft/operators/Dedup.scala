@@ -367,6 +367,35 @@ object Dedup {
   }
 
   /**
+   * Edit-distance VERIFY of explicit candidate pairs — the fuzzy-dedup
+   * confirmation step after any candidate generator (LSH buckets, an
+   * id-arithmetic crawl heuristic, a fingerprint prefilter): join the
+   * texts back and keep pairs within `maxDist` Levenshtein edits.
+   *
+   * Scale notes: the distance uses Spark's THRESHOLD-bounded
+   * `levenshtein(l, r, k)` — O(k·min(len)) with early exit, not the
+   * O(len²) full matrix, which is the difference between feasible and
+   * not on kilobyte documents (the unbounded form walks ~10⁶ cells per
+   * pair). Candidates are joined to the corpus twice on the id — two
+   * hash joins that broadcast when the candidate set is small; text
+   * rides only to the surviving pair rows. Never call this on an
+   * all-pairs candidate frame — candidate generation is the LSH
+   * family's job ([[minhashDupPairs]]).
+   */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+      candidates: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0 (got $maxDist)")
+    val l = docs.select(col(idCol).as("left_id"), col(textCol).as("graft_lt"))
+    val r = docs.select(col(idCol).as("right_id"), col(textCol).as("graft_rt"))
+    candidates.join(l, "left_id").join(r, "right_id")
+      .select(col("left_id"), col("right_id"),
+        levenshtein(col("graft_lt"), col("graft_rt"), maxDist)
+          .cast("long").as("dist"))
+      // the threshold form returns -1 for "beyond maxDist"
+      .where(col("dist") >= 0 && col("dist") <= maxDist)
+  }
+
+  /**
    * Incremental ingest dedup: keep only the documents of a NEW batch
    * whose content fingerprint is absent from the persisted fingerprint
    * store of everything already ingested — the production shape of

@@ -291,6 +291,20 @@ class OperatorsSpec extends SparkTestBase {
     assert(flagged.contains(3L) && flagged(3L) == 6L)
   }
 
+  test("editDistancePairs keeps in-threshold pairs, exact distances") {
+    val corpus = Seq(
+      (1L, "kitten sat here"), (2L, "sitten sat here"), // dist 1
+      (3L, "a completely different sentence entirely"),
+      (4L, "kitten sat hereX")                          // dist 1 vs doc 1
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("left_id", "right_id")
+    val got = graft.operators.Dedup
+      .editDistancePairs(corpus, "doc_id", "text", pairs, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // (1,3) is far beyond 3 edits → cut by the threshold early-exit
+    assert(got == Map((1L, 2L) -> 1L, (1L, 4L) -> 1L))
+  }
+
   test("dedupAgainstSeen keeps only fingerprint-absent docs; null text kept") {
     val seenTexts = Seq("the quick brown fox", "old boilerplate page")
     val seen = seenTexts.toDF("text")
