@@ -405,6 +405,27 @@ object SparkEntry {
       path
     })
 
+  /** Write-once DAY-partitioned parquet layout of `events` per (app,
+    * sfDir) — the standard time-partitioned lake layout at ingest
+    * scale: `.partitionBy(day)` makes the day a directory key, so a
+    * day-bounded query prunes to that directory's files at PLANNING
+    * time (PartitionFilters, before any file is opened) instead of
+    * scanning the full history. */
+  private val dayLayouts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def dayLayoutFor(s: SparkSession, dir: String): String =
+    dayLayouts.computeIfAbsent(s.sparkContext.applicationId + "|" + dir, _ => {
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_day_${s.sparkContext.applicationId}_" +
+          Integer.toHexString(dir.hashCode)).getPath
+      Tables.load(s, dir, "events")
+        .withColumn("day", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("day").parquet(path)
+      sys.addShutdownHook(deleteRecursively(new java.io.File(path)))
+      path
+    })
+
   private[graft] def ivfLayoutFor(s: SparkSession,
       dir: String): (String, Array[Array[Float]]) =
     ivfLayouts.computeIfAbsent(s.sparkContext.applicationId + "|" + dir, _ => {
@@ -1103,6 +1124,23 @@ object SparkEntry {
       val path = orcLayoutFor(s, dir)
       s.read.orc(path).groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars")) }),
+    // day-partitioned parquet sink + partition-pruned scan: the query
+    // plans against ONE day directory (PartitionFilters prune at
+    // planning time — require()d on the scan's selected partitions),
+    // the 100-TB events-lake layout. Oracle filters the flat table.
+    "q95_partitioned_sink" -> ((s, dir) => { prep(s, dir)
+      val path = dayLayoutFor(s, dir)
+      val out = s.read.parquet(path)
+        .where(col("day") === lit(java.sql.Date.valueOf("2024-01-15")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 4).as("sum_value"))
+      // the pruning IS the point: a regression to a full-history scan
+      // would still return correct rows — fail instead
+      val scans = out.queryExecution.executedPlan.collectLeaves()
+      val pruned = scans.exists(_.toString.contains("PartitionFilters: [isnotnull(day"))
+      require(pruned, "day-partitioned scan lost its PartitionFilters")
+      out }),
     // edit-distance verify of candidate pairs: planted first-token
     // mutations (doc_id+5M twins) must pass the threshold-bounded
     // levenshtein; unrelated neighbor-id control pairs must be cut
@@ -2049,6 +2087,13 @@ object SparkEntry {
         """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
           |FROM documents GROUP BY source""".stripMargin,
+      // the day directory holds exactly the rows whose ts falls on that
+      // date (to_date under the pinned UTC session = DuckDB CAST AS DATE)
+      "q95_partitioned_sink" ->
+        """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+          |       round(sum(value), 4) AS sum_value
+          |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+          |GROUP BY event_type""".stripMargin,
       // unbounded levenshtein + filter ≡ the threshold form's survivors
       "q94_edit_distance" ->
         """WITH mut AS (SELECT doc_id + 5000000 AS doc_id,
