@@ -1197,7 +1197,50 @@ object SparkEntry {
             .as("text"))
       val corpus = d.select(col("doc_id"), col("text")).union(looped)
       corpus.select(col("doc_id"),
-        TextStats.repetitionRatio(col("text")).as("rep_ratio")) })
+        TextStats.repetitionRatio(col("text")).as("rep_ratio")) }),
+    // SemDeDup (cluster-sharded semantic near-dup pruning): corpus =
+    // embeddings + planted last-element-halved near copies (+2M, same
+    // bit-exact construction as q48); centroids = the first 8 vectors
+    // (q84's reference set). Survivors = points with no >=0.92-cosine
+    // lower-id cluster-mate; the oracle replays assignment (integer
+    // argmax) + within-cluster pairs + prune, so green proves BOTH the
+    // sharding and the prune decision end to end.
+    "q96_semantic_dedup" -> ((s, dir) => { prep(s, dir)
+      val emb = Tables.load(s, dir, "embeddings")
+        .select("vec_id", "embedding")
+      val nearCopies = emb.where(col("vec_id") % 4 === 0)
+        .select((col("vec_id") + 2000000).as("vec_id"),
+          concat(slice(col("embedding"), 1, 63),
+            array(element_at(col("embedding"), 64) * lit(0.5f)))
+            .as("embedding"))
+      Similarity.semanticDedup(emb.union(nearCopies), "vec_id",
+        "embedding", emb.where(col("vec_id") < 8), "vec_id", "embedding",
+        threshold = 0.92) }),
+    // corpus-unigram-LM doc scoring (CCNet-style cheap perplexity
+    // proxy): mean ln p(term) over each doc's token instances, the
+    // unigram table broadcast map-side — token instances never shuffle
+    "q97_unigram_logprob" -> ((s, dir) => { prep(s, dir)
+      TextStats.unigramLogProb(
+        Tables.load(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text") }),
+    // one BPE merge round's pair statistic: adjacent char-pair counts
+    // weighted by word frequency, top-20 — pairs explode from the
+    // VOCAB, not the corpus
+    "q98_bpe_pairs" -> ((s, dir) => { prep(s, dir)
+      TextStats.bpePairCounts(
+        Tables.load(s, dir, "documents").select("text"), "text", k = 20) }),
+    // sketch-based distinct counting under an accuracy gate: HLL++
+    // (the 100-TB cardinality path — no expand, constant memory) vs the
+    // exact count; the oracle pins exact counts AND within_5pct=TRUE,
+    // so a sketch drifting past 5% breaks the hash
+    "q99_approx_distinct" -> ((s, dir) => { prep(s, dir)
+      Tables.load(s, dir, "events")
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_cnt"),
+          approx_count_distinct(col("user_id"), 0.02).as("__approx"))
+        .select(col("event_type"), col("exact_cnt"),
+          (abs(col("__approx") - col("exact_cnt")) <=
+            col("exact_cnt") * lit(0.05)).as("within_5pct")) })
   )
 
   /** All-pairs word-trigram Jaccard over the near corpus, as CTEs ending
@@ -2164,6 +2207,75 @@ object SparkEntry {
           |         THEN len(list_distinct(list_transform(range(1, len(ws)),
           |                i -> ws[i] || ' ' || ws[i+1])))
           |         ELSE 1 END AS dist
-          |  FROM w) t""".stripMargin
+          |  FROM w) t""".stripMargin,
+      // SemDeDup replay: same corpus construction as the Spark side
+      // (near copies bit-exact via exponent decrement), assignment via
+      // the identical integer quantized-dot argmax as q84, prune via
+      // round-6 cosine against lower-id cluster-mates
+      "q96_semantic_dedup" ->
+        """WITH corpus AS (
+          |  SELECT vec_id, embedding FROM embeddings
+          |  UNION ALL
+          |  SELECT vec_id + 2000000 AS vec_id,
+          |         list_concat(embedding[1:63],
+          |                     [CAST(embedding[64] * 0.5 AS FLOAT)]) AS embedding
+          |  FROM embeddings WHERE vec_id % 4 = 0
+          |),
+          |c AS (SELECT vec_id AS cid, embedding AS cvec
+          |      FROM embeddings WHERE vec_id < 8),
+          |d AS (SELECT p.vec_id, c.cid,
+          |        CAST(list_sum(list_transform(generate_series(1, len(p.embedding)),
+          |          i -> CAST(round(CAST(p.embedding[i] AS DOUBLE) * 10000) AS BIGINT)
+          |             * CAST(round(CAST(c.cvec[i] AS DOUBLE) * 10000) AS BIGINT)))
+          |          AS BIGINT) AS dot_q
+          |      FROM corpus p, c),
+          |a AS (SELECT vec_id, cid AS cluster_id FROM d
+          |      QUALIFY row_number() OVER (PARTITION BY vec_id
+          |                                 ORDER BY dot_q DESC, cid) = 1),
+          |pruned AS (
+          |  SELECT DISTINCT y.vec_id
+          |  FROM a x JOIN a y ON x.cluster_id = y.cluster_id
+          |                   AND x.vec_id < y.vec_id
+          |  JOIN corpus cx ON cx.vec_id = x.vec_id
+          |  JOIN corpus cy ON cy.vec_id = y.vec_id
+          |  WHERE round(list_cosine_similarity(CAST(cx.embedding AS DOUBLE[]),
+          |              CAST(cy.embedding AS DOUBLE[])), 6) >= 0.92)
+          |SELECT vec_id, cluster_id FROM a
+          |WHERE vec_id NOT IN (SELECT vec_id FROM pruned)""".stripMargin,
+      "q97_unigram_logprob" ->
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+          |                x -> x <> '')) AS term
+          |  FROM documents),
+          |cnts AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+          |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM cnts)
+          |SELECT doc_id, round(avg(ln(CAST(cnt AS DOUBLE) / total)), 6) AS logprob
+          |FROM toks JOIN cnts USING (term), tot
+          |GROUP BY doc_id""".stripMargin,
+      "q98_bpe_pairs" ->
+        """WITH t AS (
+          |  SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+          |                x -> x <> '')) AS w
+          |  FROM documents),
+          |f AS (SELECT w, count(*) AS wc FROM t
+          |      WHERE regexp_matches(w, '^[a-z]+$') AND len(w) >= 2
+          |      GROUP BY w),
+          |p AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+          |               i -> substr(w, i, 2))) AS pair, wc
+          |      FROM f),
+          |cagg AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS cnt
+          |         FROM p GROUP BY pair)
+          |SELECT pair, cnt, rk FROM (
+          |  SELECT pair, cnt,
+          |         row_number() OVER (ORDER BY cnt DESC, pair) AS rk
+          |  FROM cagg) z
+          |WHERE rk <= 20""".stripMargin,
+      // the sketch gate: the oracle pins within_5pct literally TRUE, so
+      // an HLL++ estimate drifting past 5% of exact breaks the hash
+      "q99_approx_distinct" ->
+        """SELECT event_type, count(DISTINCT user_id) AS exact_cnt,
+          |       TRUE AS within_5pct
+          |FROM events GROUP BY event_type""".stripMargin
     )
 }

@@ -101,6 +101,62 @@ object Similarity {
         col("best.dot_q").as("dot_q"))
   }
 
+  /**
+   * Semantic deduplication (SemDeDup, Abbas et al. 2023,
+   * arXiv:2303.09540): route every point to its nearest centroid, then
+   * WITHIN each cluster prune any point whose cosine similarity to a
+   * lower-id cluster-mate reaches `threshold` — semantically-redundant
+   * near-copies collapse to one representative without any global
+   * pairwise pass. Assignment is the [[centroidAssign]] integer argmax
+   * (engine-exact); the prune decision compares `round(cos, 6)` so
+   * membership is identical across engines. Returns the survivors as
+   * `(id, cluster_id)`.
+   *
+   * Scale shape: the global near-dup problem is sharded by the
+   * clustering — the only pairwise work is per-cluster, and cluster
+   * sizes are controlled by K (the paper uses K ≈ N/10⁴ on LAION).
+   * Plan: one broadcast-NLJ + map-side argmax for assignment (the
+   * embedding column rides through the partial agg, no re-join), one
+   * cluster_id-keyed shuffle into the self-join, and the per-cluster
+   * pair expansion is |cluster|² — bounded by the K choice, never a
+   * corpus crossJoin. A pathologically-hot cluster is a K-tuning
+   * problem, same regime as a hot LSH bucket.
+   */
+  def semanticDedup(points: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centIdCol: String, centVecCol: String,
+      threshold: Double, scale: Int = 10000): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1] (got $threshold)")
+    val cents = broadcast(centroids
+      .select(col(centIdCol).cast("long").as("cluster_id"),
+        col(centVecCol).as("graft_cvec")))
+    // centroidAssign with the vector carried through the argmax: the
+    // within-cluster join needs it, and re-joining points by id would
+    // add an id-keyed shuffle of the whole embedding column
+    val assigned = points.select(col(idCol), col(vecCol))
+      .crossJoin(cents)
+      .select(col(idCol), col(vecCol), col("cluster_id"),
+        quantizedDot(col(vecCol), col("graft_cvec"), scale).as("dot_q"))
+      .where(col("dot_q").isNotNull)
+      .groupBy(idCol)
+      .agg(max_by(struct(col("cluster_id"), col("dot_q")),
+          struct(col("dot_q"), -col("cluster_id"))).as("best"),
+        first(col(vecCol)).as("__vec"))
+      .select(col(idCol), col("best.cluster_id").as("cluster_id"),
+        col("__vec"))
+    val a = assigned.select(col("cluster_id"), col(idCol).as("__id1"),
+      col("__vec").as("__v1"))
+    val b = assigned.select(col("cluster_id"), col(idCol).as("__id2"),
+      col("__vec").as("__v2"))
+    val pruned = a.join(b, Seq("cluster_id"))
+      .where(col("__id1") < col("__id2") &&
+        round(cosine(col("__v1"), col("__v2")), 6) >= threshold)
+      .select(col("__id2").as(idCol))
+      .distinct()
+    assigned.join(pruned, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cluster_id"))
+  }
+
   /** Exact batched k-NN JOIN: the top-`k` corpus rows by cosine for
     * EVERY query row at once (rows whose ids collide are excluded as
     * self-pairs), ranked deterministically (score DESC, id ASC).

@@ -296,6 +296,75 @@ object TextStats {
   private def size_(c: Column): Column =
     org.apache.spark.sql.functions.size(c)
 
+  /**
+   * Per-document mean unigram log-probability under the corpus's own
+   * unigram LM — the classic cheap perplexity proxy for quality
+   * filtering (CCNet-style: documents whose token distribution is far
+   * from the corpus score low; boilerplate and keyword-stuffed spam
+   * score anomalously high). `logprob = avg over token INSTANCES of
+   * ln(count(term) / total_tokens)`, round 6. Docs with no tokens
+   * produce no row.
+   *
+   * Scale shape: the unigram table is vocabulary-sized (Heaps' law —
+   * ~10^6-10^7 distinct terms even at corpus scales of 10^11 docs), so
+   * it broadcasts into a map-side hash join against the exploded token
+   * stream; token instances never ride a shuffle — the per-doc average
+   * partial-aggregates map-side and the exchange carries one partial
+   * row per (task, doc). Building the table itself is one
+   * vocabulary-keyed shuffle of map-side-combined partials (same shape
+   * as [[vocab]]).
+   */
+  def unigramLogProb(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"),
+        explode(Dedup.words(col(textCol))).as("term"))
+    val unigrams = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+    // total corpus tokens as a 1-row frame joined in with the unigram
+    // broadcast (a driver-side collect would serialize the job chain)
+    val total = unigrams.agg(sum("cnt").as("total"))
+    toks
+      .join(broadcast(unigrams), Seq("term"))
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(round(avg(log(col("cnt").cast("double") / col("total"))), 6)
+        .as("logprob"))
+  }
+
+  /**
+   * Adjacent-symbol pair frequencies — the inner statistic of one BPE
+   * merge round (tokenizer training prep): for every distinct word,
+   * count its adjacent character pairs weighted by the word's corpus
+   * frequency, and keep the top-`k` pairs (the would-be merges).
+   * Restricted to `[a-z]+` words of length ≥ 2 so "character" means
+   * the same thing in every engine's collation/unicode regime.
+   * Returns `(pair, cnt, rk)`, rk 1-based by (cnt DESC, pair ASC).
+   *
+   * Scale shape: the corpus collapses to |vocab| rows in the first
+   * map-side-combined aggregate, pairs explode from the VOCAB (not the
+   * corpus — a word repeated 10^9 times costs one row), and the final
+   * top-k window runs over ≤ 26² candidate pairs on a single task — a
+   * bounded domain, not a data-sized sort.
+   */
+  def bpePairCounts(docs: DataFrame, textCol: String,
+      k: Int = 20): DataFrame = {
+    require(k > 0, s"k must be positive (got $k)")
+    import org.apache.spark.sql.expressions.Window
+    val vocab = docs
+      .select(explode(Dedup.words(col(textCol))).as("w"))
+      .where(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    vocab
+      .select(col("wc"), explode(transform(
+          sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum("wc").as("cnt"))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("cnt").desc, col("pair")))
+          .cast("long"))
+      .where(col("rk") <= k)
+  }
+
   /** Convenience: append the full stats column set. */
   def withStats(docs: DataFrame, textCol: String): DataFrame =
     docs

@@ -324,4 +324,65 @@ class CosineSimilaritySpec extends SparkTestBase {
       assert(ex.getMessage.contains("broadcast"))
     } finally spark.conf.unset(conf)
   }
+
+  test("semanticDedup: chain prunes transitively-greedily, clusters shard") {
+    def at(deg: Double) = Seq(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    // cluster A around 0°: 10 survives; 11 (20° — cos 0.94 vs 10) pruned;
+    // 12 (40°) is NOT a dup of 10 (cos 0.77) but IS of 11 → pruned too
+    // (greedy lower-id prune, the SemDeDup semantics). cluster B around
+    // 180°: 20 survives, its 200° near-copy 21 pruned — and no cross-
+    // cluster pair is ever compared.
+    val pts = Seq(10L -> at(0), 11L -> at(20), 12L -> at(40),
+      20L -> at(180), 21L -> at(200)).toDF("vec_id", "embedding")
+    val cents = Seq(0L -> at(10), 1L -> at(190)).toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(pts, "vec_id", "embedding",
+        cents, "vec_id", "embedding", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((10L, 0L), (20L, 1L)))
+  }
+
+  test("semanticDedup agrees with a driver-side brute force on random data") {
+    val rnd = new scala.util.Random(7)
+    val base = Seq.tabulate(200)(i => (i.toLong, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+    // planted near-copies (last element damped) so the prune path is
+    // genuinely exercised: cos ≈ 0.97+, same cluster almost always
+    val near = base.take(50).map { case (id, v) =>
+      (id + 1000L, v.init :+ v.last * 0.9f)
+    }
+    val pts = base ++ near
+    val cents = Seq.tabulate(5)(i => (i.toLong, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+    def q(x: Float): Long = {
+      val v = x.toDouble * 10000
+      if (v >= 0) math.floor(v + 0.5).toLong else math.ceil(v - 0.5).toLong
+    }
+    // same operation order as the compiled kernel → identical doubles
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      a.indices.foreach { i =>
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; nx += x * x; ny += y * y
+      }
+      dot / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    def r6(d: Double): Double =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val thr = 0.8
+    val assign = pts.map { case (id, v) =>
+      id -> cents.map { case (cid, c) =>
+        (v.zip(c).map { case (x, y) => q(x) * q(y) }.sum, cid)
+      }.maxBy { case (dot, cid) => (dot, -cid) }._2
+    }.toMap
+    val byId = pts.toMap
+    val expect = pts.collect { case (id, _)
+      if !pts.exists { case (oid, ov) =>
+        oid < id && assign(oid) == assign(id) && r6(cos(ov, byId(id))) >= thr
+      } => (id, assign(id))
+    }.toSet
+    val got = Similarity.semanticDedup(pts.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", cents.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", threshold = thr)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect)
+  }
 }

@@ -691,4 +691,33 @@ class OperatorsSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((0L, 100L), (10L, 110L), (20L, 120L), (5L, 105L)))
   }
+
+  test("unigramLogProb matches a hand-computed corpus LM; empty docs drop") {
+    val corpus = Seq(
+      (1L, "a a b"),
+      (2L, "b c"),
+      (3L, "   "),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    // counts: a=2, b=2, c=1; total=5
+    def lp(cnt: Double) = math.log(cnt / 5.0)
+    def r6(d: Double) =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = TextStats.unigramLogProb(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == Set(1L, 2L)) // 3/4 tokenless → no row
+    assert(got(1L) == r6((lp(2) + lp(2) + lp(2)) / 3.0))
+    assert(got(2L) == r6((lp(2) + lp(1)) / 2.0))
+  }
+
+  test("bpePairCounts: vocab-weighted adjacent pairs, deterministic top-k") {
+    val corpus = Seq(
+      "abab abab cd", // "abab" ×2 in one doc
+      "abab x9 AB a" // lowercased first: "AB"→"ab" counts; "x9"/"a" filtered
+    ).toDF("text")
+    // vocab: abab ×3 → ab=6, ba=3; ab(word) ×1 → ab=7; cd ×1 ⇒ cd=1
+    val got = TextStats.bpePairCounts(corpus, "text", k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("ab", 7L, 1L), ("ba", 3L, 2L)))
+  }
 }
