@@ -1240,7 +1240,16 @@ object SparkEntry {
           approx_count_distinct(col("user_id"), 0.02).as("__approx"))
         .select(col("event_type"), col("exact_cnt"),
           (abs(col("__approx") - col("exact_cnt")) <=
-            col("exact_cnt") * lit(0.05)).as("within_5pct")) })
+            col("exact_cnt") * lit(0.05)).as("within_5pct")) }),
+    // one engine-exact Lloyd iteration: integer-argmax routing (q84's
+    // assignment), per-cluster exact quantized vector sums (q93's
+    // aggregate), mean_q = round(sum_q/n) — bit-identical updated
+    // centroids on any engine/partitioning. The oracle replays the
+    // whole step.
+    "q100_kmeans_iter" -> ((s, dir) => { prep(s, dir)
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.kmeansIterate(emb, "vec_id", "embedding",
+        emb.where(col("vec_id") < 8), "vec_id", "embedding") })
   )
 
   /** All-pairs word-trigram Jaccard over the near corpus, as CTEs ending
@@ -2276,6 +2285,32 @@ object SparkEntry {
       "q99_approx_distinct" ->
         """SELECT event_type, count(DISTINCT user_id) AS exact_cnt,
           |       TRUE AS within_5pct
-          |FROM events GROUP BY event_type""".stripMargin
+          |FROM events GROUP BY event_type""".stripMargin,
+      // Lloyd-step replay: q84's integer-argmax assignment feeding
+      // q93's exact quantized sums, mean_q = round(sum_q/n) — the same
+      // IEEE division + half-away round in both engines
+      "q100_kmeans_iter" ->
+        """WITH c AS (SELECT vec_id AS cid, embedding AS cvec
+          |           FROM embeddings WHERE vec_id < 8),
+          |d AS (SELECT e.vec_id, e.embedding, c.cid,
+          |        CAST(list_sum(list_transform(generate_series(1, len(e.embedding)),
+          |          i -> CAST(round(CAST(e.embedding[i] AS DOUBLE) * 10000) AS BIGINT)
+          |             * CAST(round(CAST(c.cvec[i] AS DOUBLE) * 10000) AS BIGINT)))
+          |          AS BIGINT) AS dot_q
+          |      FROM embeddings e, c),
+          |a AS (SELECT vec_id, embedding, cid AS cluster_id FROM d
+          |      QUALIFY row_number() OVER (PARTITION BY vec_id
+          |                                 ORDER BY dot_q DESC, cid) = 1),
+          |q AS (SELECT cluster_id, CAST(i - 1 AS BIGINT) AS dim,
+          |        CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT) AS qv
+          |      FROM a, generate_series(1, 64) t(i)),
+          |s AS (SELECT cluster_id, dim, CAST(SUM(qv) AS BIGINT) AS sum_q
+          |      FROM q GROUP BY 1, 2),
+          |n AS (SELECT cluster_id, count(*) AS n_points FROM a GROUP BY 1)
+          |SELECT s.cluster_id, s.dim,
+          |       CAST(round(CAST(s.sum_q AS DOUBLE) / n.n_points) AS BIGINT)
+          |         AS mean_q,
+          |       n.n_points
+          |FROM s JOIN n USING (cluster_id)""".stripMargin
     )
 }

@@ -122,18 +122,19 @@ object Similarity {
    * corpus crossJoin. A pathologically-hot cluster is a K-tuning
    * problem, same regime as a hot LSH bucket.
    */
-  def semanticDedup(points: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame, centIdCol: String, centVecCol: String,
-      threshold: Double, scale: Int = 10000): DataFrame = {
-    require(threshold > 0.0 && threshold <= 1.0,
-      s"threshold must be in (0, 1] (got $threshold)")
+  /** [[centroidAssign]] with the point's vector carried THROUGH the
+    * argmax partial aggregation (`first` over K replicas of the same
+    * value — deterministic): consumers that need the vector after
+    * routing ([[semanticDedup]], [[kmeansIterate]]) would otherwise pay
+    * an id-keyed shuffle of the whole embedding column to re-join it.
+    * Returns `(idCol, cluster_id, __vec)`. */
+  private def assignWithVec(points: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame, centIdCol: String,
+      centVecCol: String, scale: Int): DataFrame = {
     val cents = broadcast(centroids
       .select(col(centIdCol).cast("long").as("cluster_id"),
         col(centVecCol).as("graft_cvec")))
-    // centroidAssign with the vector carried through the argmax: the
-    // within-cluster join needs it, and re-joining points by id would
-    // add an id-keyed shuffle of the whole embedding column
-    val assigned = points.select(col(idCol), col(vecCol))
+    points.select(col(idCol), col(vecCol))
       .crossJoin(cents)
       .select(col(idCol), col(vecCol), col("cluster_id"),
         quantizedDot(col(vecCol), col("graft_cvec"), scale).as("dot_q"))
@@ -144,6 +145,15 @@ object Similarity {
         first(col(vecCol)).as("__vec"))
       .select(col(idCol), col("best.cluster_id").as("cluster_id"),
         col("__vec"))
+  }
+
+  def semanticDedup(points: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centIdCol: String, centVecCol: String,
+      threshold: Double, scale: Int = 10000): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1] (got $threshold)")
+    val assigned = assignWithVec(points, idCol, vecCol,
+      centroids, centIdCol, centVecCol, scale)
     val a = assigned.select(col("cluster_id"), col(idCol).as("__id1"),
       col("__vec").as("__v1"))
     val b = assigned.select(col("cluster_id"), col(idCol).as("__id2"),
@@ -156,6 +166,41 @@ object Similarity {
     assigned.join(pruned, Seq(idCol), "left_anti")
       .select(col(idCol), col("cluster_id"))
   }
+
+  /**
+   * One Lloyd (k-means) iteration over quantized embeddings — the
+   * corpus-clustering refinement step (topic bucketing, SemDeDup
+   * sharding, IVF retraining), engine-exact: route every point to its
+   * nearest centroid by the INTEGER quantized dot, then rebuild each
+   * centroid as the member mean in quantized space. `mean_q =
+   * round(sum_q / n)` where `sum_q` is the exact Long component sum
+   * ([[QuantizedVecSum]]) — the division result is the same IEEE double
+   * everywhere and round() is half-away-from-zero in both engines, so
+   * the updated centroids are bit-identical on any engine, partitioning
+   * or cluster size (a float mean drifts with summation order).
+   * Returns `(cluster_id, dim, mean_q, n_points)`; empty clusters
+   * produce no rows (standard Lloyd drop-or-reseed policy is the
+   * caller's choice).
+   *
+   * Scale shape: broadcast-NLJ assignment with the vector carried
+   * through the map-side argmax (no id-keyed re-join of the embedding
+   * column), then ONE cluster_id-keyed shuffle of map-side partial
+   * vector sums — K·dim longs per task, never the points. Driver holds
+   * nothing; iterate by feeding the output back as centroids.
+   */
+  def kmeansIterate(points: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centIdCol: String, centVecCol: String,
+      scale: Int = 10000): DataFrame =
+    assignWithVec(points, idCol, vecCol,
+        centroids, centIdCol, centVecCol, scale)
+      .groupBy("cluster_id")
+      .agg(quantizedVecSum(col("__vec"), scale).as("__sum_q_vec"),
+        count(lit(1)).as("n_points"))
+      .select(col("cluster_id"), col("n_points"),
+        posexplode(col("__sum_q_vec")).as(Seq("dim", "sum_q")))
+      .select(col("cluster_id"), col("dim").cast("long").as("dim"),
+        round(col("sum_q") / col("n_points"), 0).cast("long").as("mean_q"),
+        col("n_points"))
 
   /** Exact batched k-NN JOIN: the top-`k` corpus rows by cosine for
     * EVERY query row at once (rows whose ids collide are excluded as

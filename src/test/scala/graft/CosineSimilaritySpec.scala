@@ -385,4 +385,36 @@ class CosineSimilaritySpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == expect)
   }
+
+  test("kmeansIterate agrees with a driver-side exact Lloyd step") {
+    val rnd = new scala.util.Random(13)
+    val pts = Seq.tabulate(300)(i => (i.toLong, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val cents = pts.take(4)
+    def q(x: Float): Long = {
+      val v = x.toDouble * 10000
+      if (v >= 0) math.floor(v + 0.5).toLong else math.ceil(v - 0.5).toLong
+    }
+    val assign = pts.map { case (id, v) =>
+      id -> cents.map { case (cid, c) =>
+        (v.zip(c).map { case (x, y) => q(x) * q(y) }.sum, cid)
+      }.maxBy { case (dot, cid) => (dot, -cid) }._2
+    }.toMap
+    val expect = pts.groupBy { case (id, _) => assign(id) }
+      .flatMap { case (cid, members) =>
+        val n = members.size.toLong
+        (0 until 8).map { d =>
+          val sum = members.map { case (_, v) => q(v(d)) }.sum
+          val mean = BigDecimal(sum.toDouble / n)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+          (cid, d.toLong) -> ((mean, n))
+        }
+      }
+    val got = Similarity.kmeansIterate(pts.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", cents.toDF("vec_id", "embedding"),
+        "vec_id", "embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == expect)
+  }
 }

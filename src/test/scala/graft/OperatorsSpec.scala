@@ -710,6 +710,15 @@ class OperatorsSpec extends SparkTestBase {
     assert(got(2L) == r6((lp(2) + lp(1)) / 2.0))
   }
 
+  test("unigramLogProb joins the vocab broadcast — token rows never sort-merge") {
+    val plan = TextStats.unigramLogProb(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("SortMergeJoin"),
+      "the token stream must never shuffle on the term key")
+  }
+
   test("bpePairCounts: vocab-weighted adjacent pairs, deterministic top-k") {
     val corpus = Seq(
       "abab abab cd", // "abab" ×2 in one doc
