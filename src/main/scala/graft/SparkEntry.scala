@@ -405,6 +405,27 @@ object SparkEntry {
       path
     })
 
+  /** Write-once JSONL (newline-delimited JSON text) layout of
+    * `documents` per (app, sfDir) — the interchange format LLM corpora
+    * actually ship in (one JSON object per line). Spark's json source
+    * reads it splittable-parallel; the q101 scan passes an EXPLICIT
+    * schema so the read is single-pass (schema inference would scan
+    * the data twice at 100 TB). */
+  private val jsonlLayouts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def jsonlLayoutFor(s: SparkSession, dir: String): String =
+    jsonlLayouts.computeIfAbsent(s.sparkContext.applicationId + "|" + dir, _ => {
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_jsonl_${s.sparkContext.applicationId}_" +
+          Integer.toHexString(dir.hashCode)).getPath
+      Tables.load(s, dir, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").json(path)
+      sys.addShutdownHook(deleteRecursively(new java.io.File(path)))
+      path
+    })
+
   /** Write-once DAY-partitioned parquet layout of `events` per (app,
     * sfDir) — the standard time-partitioned lake layout at ingest
     * scale: `.partitionBy(day)` makes the day a directory key, so a
@@ -1249,7 +1270,25 @@ object SparkEntry {
     "q100_kmeans_iter" -> ((s, dir) => { prep(s, dir)
       val emb = Tables.load(s, dir, "embeddings")
       Similarity.kmeansIterate(emb, "vec_id", "embedding",
-        emb.where(col("vec_id") < 8), "vec_id", "embedding") })
+        emb.where(col("vec_id") < 8), "vec_id", "embedding") }),
+    // JSONL source/sink round-trip: documents written once as
+    // newline-delimited JSON (the de-facto LLM corpus interchange
+    // format), read back with an EXPLICIT schema (one pass — inference
+    // would double-scan at 100 TB) and aggregated with a quality
+    // filter, proving text survives the JSON string escaping round
+    // trip byte-exactly. Oracle reads the original parquet.
+    "q101_jsonl_roundtrip" -> ((s, dir) => { prep(s, dir)
+      val path = jsonlLayoutFor(s, dir)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      val orig = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text").as("orig_text"))
+      s.read.schema(schema).json(path)
+        .join(orig, "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          sum(when(col("text") === col("orig_text"), 0L).otherwise(1L))
+            .as("n_mismatch")) })
   )
 
   /** All-pairs word-trigram Jaccard over the near corpus, as CTEs ending
@@ -2311,6 +2350,13 @@ object SparkEntry {
           |       CAST(round(CAST(s.sum_q AS DOUBLE) / n.n_points) AS BIGINT)
           |         AS mean_q,
           |       n.n_points
-          |FROM s JOIN n USING (cluster_id)""".stripMargin
+          |FROM s JOIN n USING (cluster_id)""".stripMargin,
+      // oracle pins n_mismatch = 0: a lossy JSON string round trip
+      // (escaping, unicode, truncation) breaks the hash
+      "q101_jsonl_roundtrip" ->
+        """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+          |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |       CAST(0 AS BIGINT) AS n_mismatch
+          |FROM documents GROUP BY lang""".stripMargin
     )
 }
