@@ -22,7 +22,11 @@ object BenchScale {
     // round-11 additions over the documents table: bloom-gated
     // decontamination (gram scan + bitset probe), shuffle-free BM25,
     // and the WindowGroupLimit quality top-k
-    "q83_bloom_decontamination", "q85_bm25", "q88_quality_topk")
+    "q83_bloom_decontamination", "q85_bm25", "q88_quality_topk",
+    // round-11 continuation: corpus-LM scoring (vocab broadcast, token
+    // instances never shuffle) and the vocab-exploded BPE pair stats —
+    // both should scale with the token volume, no quadratic term
+    "q97_unigram_logprob", "q98_bpe_pairs")
 
   def main(args: Array[String]): Unit = {
     val dirs = if (args.nonEmpty) args.toSeq
