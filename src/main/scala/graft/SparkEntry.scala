@@ -447,6 +447,43 @@ object SparkEntry {
       path
     })
 
+  /** Write-once BUCKETED orders/customer tables per (app, sfDir) — the
+    * co-located-join layout: both sides hash-bucketed (and sorted) on
+    * the join key at WRITE time, so every later equi-join on that key
+    * reads matching buckets pairwise with ZERO exchange on either side.
+    * At 100 TB this converts the recurring cost of the pipeline's most
+    * repeated join from a full two-sided shuffle into a local merge —
+    * the write-once analogue of what `repartition` buys a single query.
+    * External tables (explicit `path` under tmp) so the in-memory
+    * catalog holds only metadata; names are sfDir-suffixed so two
+    * scale factors in one session cannot collide. */
+  private val bucketLayouts =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private[graft] def bucketedTablesFor(s: SparkSession,
+      dir: String): (String, String) =
+    bucketLayouts.computeIfAbsent(s.sparkContext.applicationId + "|" + dir, _ => {
+      val suffix = Integer.toHexString(dir.hashCode)
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_bucket_${s.sparkContext.applicationId}_$suffix").getPath
+      val tOrders = s"graft_bkt_orders_$suffix"
+      val tCust = s"graft_bkt_customer_$suffix"
+      Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite")
+        .option("path", s"$base/orders")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable(tOrders)
+      Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .write.mode("overwrite")
+        .option("path", s"$base/customer")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable(tCust)
+      sys.addShutdownHook(deleteRecursively(new java.io.File(base)))
+      (tOrders, tCust)
+    })
+
   private[graft] def ivfLayoutFor(s: SparkSession,
       dir: String): (String, Array[Array[Float]]) =
     ivfLayouts.computeIfAbsent(s.sparkContext.applicationId + "|" + dir, _ => {
@@ -1288,7 +1325,49 @@ object SparkEntry {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
           sum(when(col("text") === col("orig_text"), 0L).otherwise(1L))
-            .as("n_mismatch")) })
+            .as("n_mismatch")) }),
+    // co-located bucketed join: both sides were hash-bucketed on the
+    // join key at write time (bucketedTablesFor), so the sort-merge
+    // join consumes the bucket layout directly — the plan assert
+    // requires ZERO Exchange anywhere under the join. The `merge` hint
+    // pins SMJ (a broadcast plan would also be shuffle-free here but
+    // wouldn't exercise the bucketed path that matters when BOTH sides
+    // are 100-TB-large). Oracle joins the flat parquet tables.
+    "q102_bucketed_join" -> ((s, dir) => { prep(s, dir)
+      val (tOrders, tCust) = bucketedTablesFor(s, dir)
+      val joined = s.table(tOrders).hint("merge")
+        .join(s.table(tCust), col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      require(plan.contains("SortMergeJoin"),
+        s"q102 expects the hinted sort-merge join; got:\n$plan")
+      // the layout IS the point: a regression that re-shuffles either
+      // bucketed side would still produce correct rows — fail instead
+      require(!plan.contains("Exchange"),
+        s"bucketed join must read co-located buckets shuffle-free; got:\n$plan")
+      joined.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("sum_price")) }),
+    // dynamic partition pruning over the day-partitioned lake: the
+    // filter lives on the DIM side (days falling on the 15th), so
+    // static pruning sees nothing — the fact scan is pruned at RUNTIME
+    // from the broadcast dim's key set (the plan assert requires the
+    // DynamicPruningExpression in the scan's partition filters). The
+    // 100-TB shape: "scan only the days the dimension selects" without
+    // hand-propagating the date predicate to the fact table.
+    "q103_dpp" -> ((s, dir) => { prep(s, dir)
+      val path = dayLayoutFor(s, dir)
+      val fact = s.read.parquet(path)
+      val dim = Tables.load(s, dir, "events")
+        .select(to_date(col("ts")).as("day")).distinct()
+        .where(dayofmonth(col("day")) === 15)
+      val out = fact.join(dim, "day")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 4).as("sum_value"))
+      val plan = out.queryExecution.executedPlan.toString.toLowerCase
+      require(plan.contains("dynamicpruning"),
+        s"q103 expects a runtime-pruned fact scan; got:\n$plan")
+      out })
   )
 
   /** All-pairs word-trigram Jaccard over the near corpus, as CTEs ending
@@ -2357,6 +2436,20 @@ object SparkEntry {
         """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
           |       CAST(0 AS BIGINT) AS n_mismatch
-          |FROM documents GROUP BY lang""".stripMargin
+          |FROM documents GROUP BY lang""".stripMargin,
+      // the bucketed layout must be a pure physical re-layout: the
+      // oracle joins the flat tables
+      "q102_bucketed_join" ->
+        """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+          |       round(sum(o_totalprice), 2) AS sum_price
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |GROUP BY c_mktsegment""".stripMargin,
+      // join-to-distinct-days ≡ day-of-month filter (the dim days are
+      // drawn from the same events), under the pinned UTC session
+      "q103_dpp" ->
+        """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+          |       round(sum(value), 4) AS sum_value
+          |FROM events WHERE extract(day FROM CAST(ts AS DATE)) = 15
+          |GROUP BY event_type""".stripMargin
     )
 }
