@@ -201,16 +201,36 @@ object TextStats {
   def bm25(docs: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
-    val tfCol = (t: String) =>
-      size(filter(Dedup.words(col(textCol)), w => w === lit(t))).cast("long")
-    val perDoc = docs.select(
-      col(idCol).as("doc_id") +: size(Dedup.words(col(textCol))).cast("long").as("dl") +:
-        terms.zipWithIndex.map { case (t, i) => tfCol(t).as(s"tf_$i") }: _*)
+    // Tokenize ONCE per row, then derive dl + every per-term tf from the
+    // materialized array: the intermediate projection is a boundary
+    // CollapseProject won't cross (the alias is non-cheap and referenced
+    // |terms|+1 times), so the regex split runs once instead of once per
+    // term — and the generated projection code stays |terms|× smaller
+    // (the per-term duplicated tokenizer chain is what ballooned the
+    // first-touch JIT cost observed in round 11's BenchScale session).
+    val toks = docs.select(col(idCol).as("doc_id"),
+      Dedup.words(col(textCol)).as("toks"))
+    def perDocTfs(t: DataFrame): DataFrame = t.select(
+      col("doc_id") +: size(col("toks")).cast("long").as("dl") +:
+        terms.zipWithIndex.map { case (term, i) =>
+          size(filter(col("toks"), w => w === lit(term))).cast("long")
+            .as(s"tf_$i")
+        }: _*)
+    val perDoc = perDocTfs(toks)
     val stats = perDoc.agg(count(lit(1)).as("n"),
       avg(col("dl")).as("avgdl") +:
         terms.indices.map(i =>
           sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i")): _*)
-    val scored = perDoc.crossJoin(broadcast(stats))
+    // The match filter runs BEFORE the tf projection as one
+    // `arrays_overlap` over the token array — written per-term
+    // (`tf_0 > 0 OR ...`) it pushes below the projection as |terms|
+    // full re-tokenizations of every scanned row (each substituted
+    // predicate inlines its own split chain); this form pushes as ONE.
+    // It must sit on the probe side only: `stats` (N, avgdl, df) is
+    // defined over the WHOLE corpus, matching or not.
+    val probe = perDocTfs(toks.where(arrays_overlap(col("toks"),
+      typedLit(terms))))
+    val scored = probe.crossJoin(broadcast(stats))
     val termScore = (i: Int) => {
       val tf = col(s"tf_$i").cast("double")
       val idf = log(lit(1.0) +
@@ -221,10 +241,8 @@ object TextStats {
           (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
         .otherwise(lit(0.0))
     }
-    scored
-      .where(terms.indices.map(i => col(s"tf_$i") > 0).reduce(_ || _))
-      .select(col("doc_id"),
-        round(terms.indices.map(termScore).reduce(_ + _), 4).as("score"))
+    scored.select(col("doc_id"),
+      round(terms.indices.map(termScore).reduce(_ + _), 4).as("score"))
   }
 
   /** Training-data PII scrub: replace emails, dotted-quad IPs, and 8+
