@@ -1367,7 +1367,23 @@ object SparkEntry {
       val plan = out.queryExecution.executedPlan.toString.toLowerCase
       require(plan.contains("dynamicpruning"),
         s"q103 expects a runtime-pruned fact scan; got:\n$plan")
-      out })
+      out }),
+    // product quantization end to end — codebook (subvectors of the
+    // first 16 vectors, the q84-style fixed reference set) → encode
+    // (every vector to 8 small codes; shuffles carry only narrow code
+    // rows, never a float vector) → ADC top-10 against vec 0's lookup
+    // table. All quantized-integer arithmetic, so the oracle replays
+    // codes AND distances exactly — a hash-green proves the whole
+    // compression + ranking path, not just row counts.
+    "q104_pq_adc" -> ((s, dir) => { prep(s, dir)
+      val emb = Tables.load(s, dir, "embeddings")
+        .select("vec_id", "embedding")
+      val cb = Similarity.pqCodebook(emb.where(col("vec_id") < 16),
+        "vec_id", "embedding", m = 8)
+      val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cb, m = 8)
+      val lut = Similarity.pqLut(emb.where(col("vec_id") === 0),
+        "vec_id", "embedding", cb, m = 8)
+      Similarity.pqAdcTopK(codes, "vec_id", "codes", lut, k = 10) })
   )
 
   /** All-pairs word-trigram Jaccard over the near corpus, as CTEs ending
@@ -2450,6 +2466,37 @@ object SparkEntry {
         """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
           |       round(sum(value), 4) AS sum_value
           |FROM events WHERE extract(day FROM CAST(ts AS DATE)) = 15
-          |GROUP BY event_type""".stripMargin
+          |GROUP BY event_type""".stripMargin,
+      // full PQ replay in SQL: quantize (round(x·1e4) as BIGINT, the
+      // q84 rule), codebook = subvectors of vec_id < 16, encode by
+      // per-(vec, subspace) argmin of exact integer squared L2 (ties →
+      // lowest cid), ADC = sum of vec 0's lookup-table entries at the
+      // assigned codes — identical integers to the Spark side
+      "q104_pq_adc" ->
+        """WITH js AS (SELECT unnest(generate_series(0, 7)) AS j),
+          |sv AS (
+          |  SELECT e.vec_id, js.j,
+          |         list_transform(generate_series(1, 8),
+          |           i -> CAST(round(CAST(e.embedding[js.j * 8 + i] AS DOUBLE)
+          |                           * 10000) AS BIGINT)) AS qs
+          |  FROM embeddings e, js),
+          |cb AS (SELECT j, vec_id AS cid, qs AS qc FROM sv WHERE vec_id < 16),
+          |dist AS (
+          |  SELECT sv.vec_id, sv.j, cb.cid,
+          |         CAST(list_sum(list_transform(generate_series(1, 8),
+          |           i -> (sv.qs[i] - cb.qc[i]) * (sv.qs[i] - cb.qc[i])))
+          |           AS BIGINT) AS qd
+          |  FROM sv JOIN cb ON sv.j = cb.j),
+          |codes AS (
+          |  SELECT vec_id, j, cid AS code FROM dist
+          |  QUALIFY row_number() OVER (PARTITION BY vec_id, j
+          |                             ORDER BY qd, cid) = 1),
+          |lut AS (SELECT j, cid, qd FROM dist WHERE vec_id = 0),
+          |adc AS (
+          |  SELECT c.vec_id, CAST(sum(l.qd) AS BIGINT) AS dist_q
+          |  FROM codes c JOIN lut l ON c.j = l.j AND c.code = l.cid
+          |  GROUP BY c.vec_id)
+          |SELECT vec_id, dist_q FROM adc
+          |ORDER BY dist_q, vec_id LIMIT 10""".stripMargin
     )
 }

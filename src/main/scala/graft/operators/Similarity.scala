@@ -566,4 +566,109 @@ object Similarity {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
+
+  // --------------------------------------------------------------------
+  // Product quantization (PQ) — the 100-TB ANN MEMORY path: a d-dim
+  // float vector (d·4 bytes) compresses to m small codes (m bytes at
+  // k ≤ 256), so a corpus whose raw embeddings are 25 TB scans as
+  // ~0.8 TB of codes; distances are then looked up per subspace from a
+  // precomputed table (ADC — asymmetric distance computation) instead
+  // of touching any float vector. All arithmetic is QUANTIZED-integer
+  // (round(x·scale) as Long, the [[quantizedDot]] rule), so encoding,
+  // the distance table, and the final ranking are exact integers —
+  // reproducible on any engine and directly replayable by the SQL
+  // oracle. Squared L2 in quantized space comes from the polarization
+  // identity q(a,b) = q(a,a) + q(b,b) − 2·a·b, which is EXACT in
+  // integer arithmetic — three fused-codegen [[quantizedDot]] calls,
+  // no new kernel.
+  // --------------------------------------------------------------------
+
+  /** `(__id, j, sv)`: each point split into its `m` contiguous
+    * subvectors (j = 0..m−1). Pure map-side: the explode multiplies row
+    * COUNT by m but total vector bytes are unchanged. */
+  private def subvectors(points: DataFrame, idCol: String, vecCol: String,
+      m: Int): DataFrame =
+    points.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .select(col("__id"), explode(sequence(lit(0), lit(m - 1))).as("j"),
+        col("__v"))
+      .select(col("__id"), col("j"),
+        slice(col("__v"), col("j") * (size(col("__v")) / m) + 1,
+          size(col("__v")) / m).as("sv"))
+
+  /** Exact quantized squared-L2 distance Σ (q(aᵢ) − q(bᵢ))² via the
+    * integer polarization identity. */
+  private def qdist(a: Column, b: Column): Column =
+    quantizedDot(a, a) + quantizedDot(b, b) - lit(2L) * quantizedDot(a, b)
+
+  /** PQ codebook from a reference point set: centroid `cid` of subspace
+    * `j` is reference point cid's j-th subvector — the fixed-reference
+    * construction the oracle can replay (swap in per-subspace k-means
+    * ([[kmeansIterate]] over [[subvectors]]) for trained codebooks; the
+    * encode/ADC machinery is codebook-agnostic). Returns `(j, cid,
+    * cvec)` — m·k rows, broadcast-sized by construction. */
+  def pqCodebook(refs: DataFrame, idCol: String, vecCol: String,
+      m: Int): DataFrame =
+    subvectors(refs, idCol, vecCol, m)
+      .select(col("j"), col("__id").cast("long").as("cid"),
+        col("sv").as("cvec"))
+
+  /**
+   * PQ-encode a corpus: every point becomes `(id, codes)` where
+   * `codes[j]` is the nearest codebook centroid of subspace `j` by
+   * quantized L2 (ties → lowest cid). This is the compression pass a
+   * 100-TB pipeline runs ONCE at ingest; everything downstream ranks
+   * against the codes.
+   *
+   * Scale shape: the codebook broadcasts (m·k rows); each point's m
+   * subvectors meet all k centroids MAP-SIDE through the broadcast
+   * join, and the per-(point, subspace) argmin collapses in the partial
+   * aggregation — both shuffles carry m NARROW rows per point (id, j,
+   * code), never a float vector: the embedding column itself stays
+   * where it was read.
+   */
+  def pqEncode(points: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame, m: Int): DataFrame =
+    subvectors(points, idCol, vecCol, m)
+      .join(broadcast(codebook), "j")
+      .select(col("__id"), col("j"), col("cid"),
+        qdist(col("sv"), col("cvec")).as("qd"))
+      .where(col("qd").isNotNull)
+      .groupBy("__id", "j")
+      .agg(min_by(col("cid"), struct(col("qd"), col("cid"))).as("code"))
+      .groupBy("__id")
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("code")))),
+        s => s("code")).as("codes"))
+      .select(col("__id").as(idCol), col("codes"))
+
+  /** The ADC lookup table for one query: `(j, cid, qd)` = quantized L2
+    * between the query's subvector j and codebook centroid (j, cid).
+    * m·k rows — broadcast-sized however large the corpus is. */
+  def pqLut(query: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame, m: Int): DataFrame =
+    subvectors(query, idCol, vecCol, m)
+      .join(broadcast(codebook), "j")
+      .select(col("j"), col("cid"), qdist(col("sv"), col("cvec")).as("qd"))
+
+  /**
+   * ADC top-k: rank the ENCODED corpus against a query using only the
+   * lookup table — `dist_q(point) = Σ_j lut[j][codes[j]]`, no float
+   * vector touched. Returns the k nearest `(id, dist_q)` (ascending
+   * distance, ties → lowest id) as exact integers.
+   *
+   * Scale shape: codes explode to m narrow rows per point, meet the
+   * broadcast LUT map-side, and re-collapse through the partial-agg
+   * sum — one shuffle of single narrow rows per point, then
+   * TakeOrdered's per-partition top-k (no global sort).
+   */
+  def pqAdcTopK(encoded: DataFrame, idCol: String, codesCol: String,
+      lut: DataFrame, k: Int): DataFrame =
+    encoded.select(col(idCol).as("__id"),
+        posexplode(col(codesCol)).as(Seq("__j", "__code")))
+      .join(broadcast(lut),
+        col("__j") === col("j") && col("__code") === col("cid"))
+      .groupBy("__id")
+      .agg(sum(col("qd")).as("dist_q"))
+      .orderBy(col("dist_q"), col("__id"))
+      .limit(k)
+      .select(col("__id").as(idCol), col("dist_q"))
 }
