@@ -364,6 +364,14 @@ object SparkEntry {
     spark.conf.unset(GraftSession.BinSize)
     spark.conf.unset(GraftSession.CoordWidth)
     spark.conf.unset(GraftSession.MaxBuildBytes)
+    // the SPARK confs query entries are allowed to pin (q105 lowers
+    // both to demonstrate runtime bloom-filter injection at test-data
+    // scale) — reset to their defaults so a pin cannot leak into
+    // whichever entry an unordered iteration runs next
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "10GB")
   }
 
   /** The q57/q68 12-node path graph: consecutive documents chained
@@ -1383,7 +1391,30 @@ object SparkEntry {
       val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cb, m = 8)
       val lut = Similarity.pqLut(emb.where(col("vec_id") === 0),
         "vec_id", "embedding", cb, m = 8)
-      Similarity.pqAdcTopK(codes, "vec_id", "codes", lut, k = 10) })
+      Similarity.pqAdcTopK(codes, "vec_id", "codes", lut, k = 10) }),
+    // runtime bloom-filter join pruning: the dim-side filter is bloomed
+    // across to the FACT side before its shuffle, so rows that cannot
+    // join are dropped at the scan instead of riding the exchange — the
+    // non-partition-column sibling of q103's DPP, and the shuffle-volume
+    // lever at 100 TB (most lineitems die before the wire). Both
+    // thresholds are pinned down only because test data is small: at
+    // real scale the 10 GB application-side default is what makes the
+    // rule fire exactly when the shuffle is worth saving. prep() resets
+    // both pins, so the demonstration cannot leak into other entries.
+    "q105_runtime_filter" -> ((s, dir) => { prep(s, dir)
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter." +
+        "applicationSideScanSizeThreshold", "1KB")
+      val li = Tables.load(s, dir, "lineitem")
+      val ord = Tables.load(s, dir, "orders")
+        .where(col("o_totalprice") > 450000.0)
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString.toLowerCase
+      require(plan.contains("might_contain"),
+        s"q105 expects a runtime bloom filter on the fact side; got:\n$plan")
+      joined.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum("l_extendedprice"), 2).as("sum_price")) })
   )
 
   /** All-pairs word-trigram Jaccard over the near corpus, as CTEs ending
@@ -2497,6 +2528,14 @@ object SparkEntry {
           |  FROM codes c JOIN lut l ON c.j = l.j AND c.code = l.cid
           |  GROUP BY c.vec_id)
           |SELECT vec_id, dist_q FROM adc
-          |ORDER BY dist_q, vec_id LIMIT 10""".stripMargin
+          |ORDER BY dist_q, vec_id LIMIT 10""".stripMargin,
+      // the bloom filter is sound (never drops a joinable row), so the
+      // pruned join must equal the plain join
+      "q105_runtime_filter" ->
+        """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+          |       round(sum(l_extendedprice), 2) AS sum_price
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |WHERE o_totalprice > 450000.0
+          |GROUP BY o_orderpriority""".stripMargin
     )
 }
