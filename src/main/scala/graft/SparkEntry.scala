@@ -492,6 +492,37 @@ object SparkEntry {
       (tOrders, tCust)
     })
 
+  /** Write-once SORTED parquet layout of `documents` (globally ordered
+    * by `n_chars`, small row groups): the data-clustering layout that
+    * makes parquet's row-group min/max statistics selective — a range
+    * predicate on the sort key decodes only the row groups whose
+    * [min,max] overlap it. This is the single-dimension form of
+    * Z-order/clustered writes: at 100 TB the win is that a sorted
+    * column's row-group stats are disjoint instead of all spanning the
+    * full domain (every group then matches every filter). The 64 KiB
+    * block size only exists to give the small test file multiple row
+    * groups; at scale the default 128 MiB blocks give the same effect.
+    * `repartitionByRange(1, ...)` globally orders the single test file;
+    * at scale use N range partitions — ordering stays global across
+    * files and file-level stats prune whole files the same way. */
+  private val sortedLayouts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def sortedLayoutFor(s: SparkSession, dir: String): String =
+    sortedLayouts.computeIfAbsent(s.sparkContext.applicationId + "|" + dir, _ => {
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_sorted_${s.sparkContext.applicationId}_" +
+          Integer.toHexString(dir.hashCode)).getPath
+      Tables.load(s, dir, "documents")
+        .repartitionByRange(1, col("n_chars"))
+        .sortWithinPartitions("n_chars")
+        .write.mode("overwrite")
+        .option("parquet.block.size", (64 * 1024).toString)
+        .parquet(path)
+      sys.addShutdownHook(deleteRecursively(new java.io.File(path)))
+      path
+    })
+
   private[graft] def ivfLayoutFor(s: SparkSession,
       dir: String): (String, Array[Array[Float]]) =
     ivfLayouts.computeIfAbsent(s.sparkContext.applicationId + "|" + dir, _ => {
@@ -1414,7 +1445,28 @@ object SparkEntry {
         s"q105 expects a runtime bloom filter on the fact side; got:\n$plan")
       joined.groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_lines"),
-          round(sum("l_extendedprice"), 2).as("sum_price")) })
+          round(sum("l_extendedprice"), 2).as("sum_price")) }),
+    // sorted-write data clustering + row-group skipping: documents were
+    // written ONCE globally ordered by n_chars, so the range predicate
+    // decodes only the row groups whose min/max stats overlap it — the
+    // require() measures the scan's actual numOutputRows against the
+    // table size and fails if the layout stopped skipping (an unsorted
+    // write passes every row through the same query). Oracle filters
+    // the flat table.
+    "q106_sorted_layout" -> ((s, dir) => { prep(s, dir)
+      val path = sortedLayoutFor(s, dir)
+      val probe = s.read.parquet(path)
+        .where(col("n_chars").between(100, 160))
+      val qe = probe.queryExecution
+      qe.executedPlan.executeCollect()
+      val scanRows = qe.executedPlan.collectLeaves()
+        .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
+      val total = s.read.parquet(path).count()
+      require(scanRows < total,
+        s"sorted layout must skip row groups; scan read $scanRows of $total")
+      s.read.parquet(path).where(col("n_chars").between(100, 160))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars")) })
   )
 
   /** All-pairs word-trigram Jaccard over the near corpus, as CTEs ending
@@ -2536,6 +2588,12 @@ object SparkEntry {
           |       round(sum(l_extendedprice), 2) AS sum_price
           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           |WHERE o_totalprice > 450000.0
-          |GROUP BY o_orderpriority""".stripMargin
+          |GROUP BY o_orderpriority""".stripMargin,
+      // the sorted layout is a pure physical re-layout of documents
+      "q106_sorted_layout" ->
+        """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+          |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          |FROM documents WHERE n_chars BETWEEN 100 AND 160
+          |GROUP BY lang""".stripMargin
     )
 }
