@@ -925,6 +925,16 @@ object SparkEntry {
       val hits = graft.streaming.StreamingOps.countMilestones(
         stream, "user_id", milestone = 50L)
       runStreamToTable(hits, "graft_q92_mem", "append") }),
+    // EVENT-TIME TIMEOUT state (the state-EVICTION half of the custom
+    // keyed-state API): a user whose last event precedes the final
+    // watermark by the 60-minute gap is emitted once and their state
+    // removed. Oracle: the equivalent batch HAVING over the bounded
+    // replay (final watermark = global max ts − 30 min).
+    "q107_streaming_inactive" -> ((s, dir) => { prep(s, dir)
+      val stream = Tables.loadStream(s, dir, "events")
+      val quiet = graft.streaming.StreamingOps.inactiveUsers(
+        stream, "ts", "user_id", gapMinutes = 60, watermark = "30 minutes")
+      runStreamToTable(quiet, "graft_q107_mem", "append") }),
     // PII redaction (emails / dotted-quad IPs / 8+-digit runs → typed
     // placeholders) + per-kind hit counts. The synthetic corpus carries
     // no PII, so every third document gets a deterministic email+IP+card
@@ -1954,6 +1964,15 @@ object SparkEntry {
       "q92_streaming_milestones" ->
         """SELECT user_id, CAST(50 AS BIGINT) AS milestone
           |FROM events GROUP BY user_id HAVING count(*) >= 50""".stripMargin,
+      // timeout fires when the final watermark (global max ts − 30 min)
+      // passes last_seen (ms-floored) + 60 min — the strict < below
+      "q107_streaming_inactive" ->
+        """WITH g AS (SELECT max(ts) AS gmax FROM events)
+          |SELECT user_id, max(ts) AS last_seen,
+          |       CAST(count(*) AS BIGINT) AS n_events
+          |FROM events GROUP BY user_id
+          |HAVING date_trunc('millisecond', max(ts)) + INTERVAL 60 MINUTE
+          |     < (SELECT gmax FROM g) - INTERVAL 30 MINUTE""".stripMargin,
       // q81: same injection, same dialect-portable regexes (RE2 side)
       "q81_pii_redaction" ->
         """WITH t AS (

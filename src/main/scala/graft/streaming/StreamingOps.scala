@@ -84,6 +84,59 @@ object StreamingOps {
       .toDF(keyCol, "milestone")
   }
 
+  /** Inactivity detection via EVENT-TIME TIMEOUT state — the API that
+    * BOUNDS custom keyed state: each user's state (last-seen timestamp +
+    * lifetime count) arms a timeout at `last_seen + gapMinutes`; when
+    * the watermark passes it, the operator emits one
+    * `(user_id, last_seen, n_events)` record and REMOVES the state
+    * (churn alerting / session-abandon detection, and the reason a
+    * 100-TB-ingest state store doesn't grow monotonically: keys that go
+    * quiet are evicted, not retained forever — the piece
+    * [[countMilestones]]' NoTimeout deliberately leaves out).
+    *
+    * Aggregates are max/count (arrival-order-independent), so the
+    * bounded replay is deterministic: a user is emitted iff their
+    * timeout precedes the final watermark (global max event time minus
+    * `watermark`), which is exactly the batch HAVING the oracle runs.
+    * Timeout timestamps are millisecond-floored (the watermark's own
+    * granularity); `last_seen` itself keeps full microsecond precision.
+    */
+  def inactiveUsers(events: DataFrame, tsCol: String, userCol: String,
+      gapMinutes: Int = 60, watermark: String = "30 minutes"): DataFrame = {
+    require(gapMinutes >= 1, s"gapMinutes must be >= 1 (got $gapMinutes)")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapMs = gapMinutes * 60000L
+    // the watermarked event-time COLUMN must survive into the stateful
+    // operator's input (projecting it away severs the watermark link
+    // EventTimeTimeout requires), so ts rides along unused
+    val keyed = events.withWatermark(tsCol, watermark)
+      .select(col(userCol).cast("long").as("u"),
+        unix_micros(col(tsCol)).as("t_us"), col(tsCol).as("ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+            state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (last, n) = state.get
+            state.remove()
+            Iterator.single((key, last, n))
+          } else {
+            var (last, n) = state.getOption.getOrElse((Long.MinValue, 0L))
+            rows.foreach { case (_, t, _) => if (t > last) last = t; n += 1 }
+            state.update((last, n))
+            state.setTimeoutTimestamp(Math.floorDiv(last, 1000L) + gapMs)
+            Iterator.empty
+          }
+      }
+      .toDF(userCol, "last_us", "n_events")
+      .select(col(userCol), timestamp_micros(col("last_us")).as("last_seen"),
+        col("n_events"))
+  }
+
   /** Stream-STATIC enrichment join — the standard ingest step that tags
     * each live event with its dimension row (user → account, doc →
     * source metadata). The static side is broadcast (re-resolved per

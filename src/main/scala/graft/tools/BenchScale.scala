@@ -26,7 +26,10 @@ object BenchScale {
     // round-11 continuation: corpus-LM scoring (vocab broadcast, token
     // instances never shuffle) and the vocab-exploded BPE pair stats —
     // both should scale with the token volume, no quadratic term
-    "q97_unigram_logprob", "q98_bpe_pairs")
+    "q97_unigram_logprob", "q98_bpe_pairs",
+    // PQ encode+ADC: narrow code rows through both shuffles — should
+    // scale with the vector count, never with vector bytes
+    "q104_pq_adc")
 
   def main(args: Array[String]): Unit = {
     val dirs = if (args.nonEmpty) args.toSeq

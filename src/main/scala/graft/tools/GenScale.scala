@@ -67,10 +67,28 @@ object GenScale {
       .repartition(8)
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")
 
+    // embeddings: per-copy vec_id stride (like documents); the vector
+    // content is copied unchanged — PQ/ANN scale entries measure how
+    // cost grows with the VECTOR COUNT, and identical copies keep every
+    // quantized result per id bit-equal to the source's. Copy ids stay
+    // below q48/q96's +2M near-copy injection range (same fail-loud
+    // posture as the doc stride).
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val embStride = emb.agg(max("vec_id")).head().getLong(0) + 1L
+    require(embStride * copies <= 2000000L,
+      s"vec_id range would reach ${embStride * copies}, colliding with " +
+        "the +2M near-copy injection range; use fewer copies")
+    emb.select(col("*"),
+        explode(sequence(lit(0L), lit(copies - 1L))).as("k"))
+      .select((col("vec_id") + col("k") * embStride).as("vec_id") +:
+        emb.columns.filterNot(_ == "vec_id").map(col): _*)
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+
     // passthrough tables: byte-copy (each is a single parquet file)
     import java.nio.file.{Files, Paths, StandardCopyOption}
     graft.Tables.names
-      .filterNot(n => n == "events" || n == "documents")
+      .filterNot(n => n == "events" || n == "documents" || n == "embeddings")
       .foreach { n =>
         Files.copy(Paths.get(s"$src/$n.parquet"),
           Paths.get(s"$dst/$n.parquet"),

@@ -73,6 +73,31 @@ class StreamingSpec extends SparkTestBase {
     assert(b.toSeq == Seq((1L, 3L)))
   }
 
+  test("inactiveUsers: event-time timeout emits once and evicts state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val events = input.toDF().toDF("user_id", "ts")
+    val q = StreamingOps.inactiveUsers(events, "ts", "user_id",
+        gapMinutes = 10, watermark = "5 minutes")
+      .writeStream.format("memory").queryName("inactive_out")
+      .outputMode("append").start()
+    // batch 1: user 1 twice, user 2 once; nothing can time out yet
+    input.addData((1L, ts(0)), (1L, ts(5)), (2L, ts(6)))
+    q.processAllAvailable()
+    // batch 2 advances the watermark to 10:55 (11:00 − 5 min), past
+    // user 1's 10:15 timeout; batch 3's processing then fires it.
+    // Users 2 and 3 stay unemitted: their timeouts trail the final
+    // watermark by construction (last event + gap > max − watermark).
+    input.addData((2L, Timestamp.valueOf("2026-01-01 11:00:00")))
+    q.processAllAvailable()
+    input.addData((3L, Timestamp.valueOf("2026-01-01 11:01:00")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("inactive_out").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, ts(5), 2L)))
+  }
+
   test("stream-static enrichment joins each event to its dim row, broadcast") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Double)]
