@@ -1476,7 +1476,38 @@ object SparkEntry {
         s"sorted layout must skip row groups; scan read $scanRows of $total")
       s.read.parquet(path).where(col("n_chars").between(100, 160))
         .groupBy("lang")
-        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars")) })
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars")) }),
+    // IVF-PQ: cell-routed product quantization — the production ANN
+    // shape (coarse quantizer routes, fine codes rank). Every vector
+    // gets a cell (integer-argmax over the 8 reference centroids) and
+    // 8 PQ codes; the query probes its 2 nearest cells and ADC-ranks
+    // only their members. At 100 TB the cell is a partition key (the
+    // q31 IVF layout) so the probe READS ~nprobe/K of the codes; here
+    // the cell filter is the in-memory form of that prune. Exact
+    // integer arithmetic end to end — the oracle replays routing,
+    // codes, probe choice, and ranking.
+    "q108_ivfpq" -> ((s, dir) => { prep(s, dir)
+      val emb = Tables.load(s, dir, "embeddings")
+        .select("vec_id", "embedding")
+      val cents = emb.where(col("vec_id") < 8)
+      val cells = Similarity.centroidAssign(emb, "vec_id", "embedding",
+        cents, "vec_id", "embedding")
+      val cb = Similarity.pqCodebook(emb.where(col("vec_id") < 16),
+        "vec_id", "embedding", m = 8)
+      val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cb, m = 8)
+      val probes = emb.where(col("vec_id") === 0)
+        .crossJoin(broadcast(cents.select(col("vec_id").as("cid"),
+          col("embedding").as("cvec"))))
+        .select(col("cid"),
+          Similarity.quantizedDot(col("embedding"), col("cvec")).as("dq"))
+        .orderBy(col("dq").desc, col("cid")).limit(2)
+      val candidates = codes
+        .join(cells.select(col("vec_id"), col("cluster_id")), "vec_id")
+        .join(broadcast(probes.select(col("cid").as("cluster_id"))),
+          "cluster_id")
+      val lut = Similarity.pqLut(emb.where(col("vec_id") === 0),
+        "vec_id", "embedding", cb, m = 8)
+      Similarity.pqAdcTopK(candidates, "vec_id", "codes", lut, k = 10) })
   )
 
   /** All-pairs word-trigram Jaccard over the near corpus, as CTEs ending
@@ -2613,6 +2644,51 @@ object SparkEntry {
         """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
           |FROM documents WHERE n_chars BETWEEN 100 AND 160
-          |GROUP BY lang""".stripMargin
+          |GROUP BY lang""".stripMargin,
+      // IVF-PQ replay: q84's cell routing + q104's codes/LUT, the
+      // query's 2 nearest cells by the same integer metric, ADC over
+      // cell members only — identical integers to the Spark side
+      "q108_ivfpq" ->
+        """WITH cc AS (SELECT vec_id AS ccid, embedding AS ccvec
+          |            FROM embeddings WHERE vec_id < 8),
+          |cd AS (SELECT e.vec_id, cc.ccid,
+          |        CAST(list_sum(list_transform(generate_series(1, len(e.embedding)),
+          |          i -> CAST(round(CAST(e.embedding[i] AS DOUBLE) * 10000) AS BIGINT)
+          |             * CAST(round(CAST(cc.ccvec[i] AS DOUBLE) * 10000) AS BIGINT)))
+          |          AS BIGINT) AS dot_q
+          |       FROM embeddings e, cc),
+          |cells AS (SELECT vec_id, ccid AS cell FROM cd
+          |          QUALIFY row_number() OVER (PARTITION BY vec_id
+          |                                     ORDER BY dot_q DESC, ccid) = 1),
+          |probes AS (SELECT ccid AS cell FROM cd WHERE vec_id = 0
+          |           ORDER BY dot_q DESC, ccid LIMIT 2),
+          |js AS (SELECT unnest(generate_series(0, 7)) AS j),
+          |sv AS (
+          |  SELECT e.vec_id, js.j,
+          |         list_transform(generate_series(1, 8),
+          |           i -> CAST(round(CAST(e.embedding[js.j * 8 + i] AS DOUBLE)
+          |                           * 10000) AS BIGINT)) AS qs
+          |  FROM embeddings e, js),
+          |cb AS (SELECT j, vec_id AS cid, qs AS qc FROM sv WHERE vec_id < 16),
+          |dist AS (
+          |  SELECT sv.vec_id, sv.j, cb.cid,
+          |         CAST(list_sum(list_transform(generate_series(1, 8),
+          |           i -> (sv.qs[i] - cb.qc[i]) * (sv.qs[i] - cb.qc[i])))
+          |           AS BIGINT) AS qd
+          |  FROM sv JOIN cb ON sv.j = cb.j),
+          |codes AS (
+          |  SELECT vec_id, j, cid AS code FROM dist
+          |  QUALIFY row_number() OVER (PARTITION BY vec_id, j
+          |                             ORDER BY qd, cid) = 1),
+          |lut AS (SELECT j, cid, qd FROM dist WHERE vec_id = 0),
+          |adc AS (
+          |  SELECT c.vec_id, CAST(sum(l.qd) AS BIGINT) AS dist_q
+          |  FROM codes c
+          |  JOIN cells ON c.vec_id = cells.vec_id
+          |  JOIN probes ON cells.cell = probes.cell
+          |  JOIN lut l ON c.j = l.j AND c.code = l.cid
+          |  GROUP BY c.vec_id)
+          |SELECT vec_id, dist_q FROM adc
+          |ORDER BY dist_q, vec_id LIMIT 10""".stripMargin
     )
 }
