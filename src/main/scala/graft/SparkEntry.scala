@@ -935,6 +935,23 @@ object SparkEntry {
       val quiet = graft.streaming.StreamingOps.inactiveUsers(
         stream, "ts", "user_id", gapMinutes = 60, watermark = "30 minutes")
       runStreamToTable(quiet, "graft_q107_mem", "append") }),
+    // foreachBatch UPSERT sink: per-user aggregates merged into a
+    // persisted keyed store with an atomic directory swap and a
+    // batchId idempotence stamp (a replayed batch is skipped, never
+    // double-merged) — the production merge pattern for sinks without
+    // native streaming support. Aggregates are associative, so the
+    // final store equals the batch aggregation however the trigger
+    // batched the files. round() at READ time (the store keeps exact
+    // doubles; rounding is presentation).
+    "q109_streaming_upsert" -> ((s, dir) => { prep(s, dir)
+      val stream = Tables.loadStream(s, dir, "events")
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft_q109_store").toString
+      sys.addShutdownHook(deleteRecursively(new java.io.File(storeDir)))
+      graft.streaming.StreamingOps.upsertAggStore(
+          stream, "user_id", "ts", "value", storeDir)
+        .select(col("user_id"), col("n_events"), col("last_ts"),
+          round(col("sum_value"), 4).as("sum_value")) }),
     // PII redaction (emails / dotted-quad IPs / 8+-digit runs → typed
     // placeholders) + per-kind hit counts. The synthetic corpus carries
     // no PII, so every third document gets a deterministic email+IP+card
@@ -2004,6 +2021,12 @@ object SparkEntry {
           |FROM events GROUP BY user_id
           |HAVING date_trunc('millisecond', max(ts)) + INTERVAL 60 MINUTE
           |     < (SELECT gmax FROM g) - INTERVAL 30 MINUTE""".stripMargin,
+      // the upsert store's associative merges must land on the plain
+      // batch aggregation, however the trigger batched the files
+      "q109_streaming_upsert" ->
+        """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+          |       max(ts) AS last_ts, round(sum(value), 4) AS sum_value
+          |FROM events GROUP BY user_id""".stripMargin,
       // q81: same injection, same dialect-portable regexes (RE2 side)
       "q81_pii_redaction" ->
         """WITH t AS (

