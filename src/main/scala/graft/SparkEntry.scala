@@ -1365,6 +1365,22 @@ object SparkEntry {
         .select(col("event_type"), col("exact_cnt"),
           (abs(col("__approx") - col("exact_cnt")) <=
             col("exact_cnt") * lit(0.05)).as("within_5pct")) }),
+    // sketch percentiles under an accuracy gate: percentile_approx
+    // (GK summaries — mergeable, constant memory, single pass: the
+    // 100-TB quantile path; an exact percentile needs the full value
+    // set per group) vs the exact interpolated percentile. Like q99,
+    // only the EXACT value and the gate boolean are output — the
+    // sketch's merge order varies with shuffle arrival, so its raw
+    // value is not hash-stable, but the 2% gate is.
+    "q110_approx_percentile" -> ((s, dir) => { prep(s, dir)
+      Tables.load(s, dir, "events")
+        .groupBy("event_type")
+        .agg(expr("percentile(value, 0.5D)").as("__exact"),
+          expr("percentile_approx(value, 0.5D, 10000)").as("__apx"))
+        .select(col("event_type"), round(col("__exact"), 6).as("exact_p50"),
+          (abs(col("__apx") - col("__exact")) <=
+            greatest(abs(col("__exact")) * lit(0.02), lit(0.02)))
+            .as("within_2pct")) }),
     // one engine-exact Lloyd iteration: integer-argmax routing (q84's
     // assignment), per-cluster exact quantized vector sums (q93's
     // aggregate), mean_q = round(sum_q/n) — bit-identical updated
@@ -2575,6 +2591,12 @@ object SparkEntry {
       "q99_approx_distinct" ->
         """SELECT event_type, count(DISTINCT user_id) AS exact_cnt,
           |       TRUE AS within_5pct
+          |FROM events GROUP BY event_type""".stripMargin,
+      // quantile_cont = Spark's interpolated `percentile` (both R-7);
+      // a sketch median drifting past the 2% gate breaks the hash
+      "q110_approx_percentile" ->
+        """SELECT event_type, round(quantile_cont(value, 0.5), 6) AS exact_p50,
+          |       TRUE AS within_2pct
           |FROM events GROUP BY event_type""".stripMargin,
       // Lloyd-step replay: q84's integer-argmax assignment feeding
       // q93's exact quantized sums, mean_q = round(sum_q/n) — the same
