@@ -1381,6 +1381,19 @@ object SparkEntry {
           (abs(col("__apx") - col("__exact")) <=
             greatest(abs(col("__exact")) * lit(0.02), lit(0.02)))
             .as("within_2pct")) }),
+    // relational PIVOT: day-of-week event counts rotated into columns
+    // with an EXPLICIT value list (Seq(0..6)) — the implicit form runs
+    // a distinct-scan first to discover values, a full extra pass at
+    // 100 TB. Absent combinations coalesce to 0 (pivot yields null).
+    // dow normalized to DuckDB's 0=Sunday convention.
+    "q111_pivot" -> ((s, dir) => { prep(s, dir)
+      val p = Tables.load(s, dir, "events")
+        .withColumn("dow", dayofweek(col("ts")) - 1)
+        .groupBy("event_type")
+        .pivot("dow", Seq(0, 1, 2, 3, 4, 5, 6))
+        .agg(count(lit(1)))
+      p.select(col("event_type") +:
+        (0 to 6).map(d => coalesce(col(s"$d"), lit(0L)).as(s"d$d")): _*) }),
     // one engine-exact Lloyd iteration: integer-argmax routing (q84's
     // assignment), per-cluster exact quantized vector sums (q93's
     // aggregate), mean_q = round(sum_q/n) — bit-identical updated
@@ -2597,6 +2610,18 @@ object SparkEntry {
       "q110_approx_percentile" ->
         """SELECT event_type, round(quantile_cont(value, 0.5), 6) AS exact_p50,
           |       TRUE AS within_2pct
+          |FROM events GROUP BY event_type""".stripMargin,
+      // conditional aggregation ≡ the explicit-value pivot; DuckDB dow
+      // is 0=Sunday, matching the Spark side's dayofweek(ts) − 1
+      "q111_pivot" ->
+        """SELECT event_type,
+          |  CAST(count(*) FILTER (WHERE extract(dow FROM ts) = 0) AS BIGINT) AS d0,
+          |  CAST(count(*) FILTER (WHERE extract(dow FROM ts) = 1) AS BIGINT) AS d1,
+          |  CAST(count(*) FILTER (WHERE extract(dow FROM ts) = 2) AS BIGINT) AS d2,
+          |  CAST(count(*) FILTER (WHERE extract(dow FROM ts) = 3) AS BIGINT) AS d3,
+          |  CAST(count(*) FILTER (WHERE extract(dow FROM ts) = 4) AS BIGINT) AS d4,
+          |  CAST(count(*) FILTER (WHERE extract(dow FROM ts) = 5) AS BIGINT) AS d5,
+          |  CAST(count(*) FILTER (WHERE extract(dow FROM ts) = 6) AS BIGINT) AS d6
           |FROM events GROUP BY event_type""".stripMargin,
       // Lloyd-step replay: q84's integer-argmax assignment feeding
       // q93's exact quantized sums, mean_q = round(sum_q/n) — the same
