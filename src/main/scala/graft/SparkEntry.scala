@@ -1394,6 +1394,17 @@ object SparkEntry {
         .agg(count(lit(1)))
       p.select(col("event_type") +:
         (0 to 6).map(d => coalesce(col(s"$d"), lit(0L)).as(s"d$d")): _*) }),
+    // BPE tokenizer APPLICATION (q98 trains pair stats; this applies a
+    // trained merge table): per-doc token counts under the real ranked
+    // greedy merge loop. The entry's merge pairs are letter-disjoint,
+    // which makes the oracle EXACT by pure counting (merges can never
+    // interact or overlap, so tokens = chars − Σ pair occurrences);
+    // the spec exercises the multi-level ranked path the oracle can't
+    // express. Pure map-side — the 100-TB token-budget pass.
+    "q112_bpe_tokens" -> ((s, dir) => { prep(s, dir)
+      Tables.load(s, dir, "documents").select(col("doc_id"),
+        TextStats.bpeTokenCount(col("text"),
+          Seq("t" -> "h", "e" -> "r", "i" -> "n")).as("n_tokens")) }),
     // one engine-exact Lloyd iteration: integer-argmax routing (q84's
     // assignment), per-cluster exact quantized vector sums (q93's
     // aggregate), mean_q = round(sum_q/n) — bit-identical updated
@@ -1518,7 +1529,10 @@ object SparkEntry {
       val scanRows = qe.executedPlan.collectLeaves()
         .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
       val total = s.read.parquet(path).count()
-      require(scanRows < total,
+      // under ~200 rows the file is one row group and nothing CAN skip
+      // (sf0.001-sized inputs) — only flag regressions where skipping
+      // was physically possible
+      require(scanRows < total || total < 200,
         s"sorted layout must skip row groups; scan read $scanRows of $total")
       s.read.parquet(path).where(col("n_chars").between(100, 160))
         .groupBy("lang")
@@ -2623,6 +2637,20 @@ object SparkEntry {
           |  CAST(count(*) FILTER (WHERE extract(dow FROM ts) = 5) AS BIGINT) AS d5,
           |  CAST(count(*) FILTER (WHERE extract(dow FROM ts) = 6) AS BIGINT) AS d6
           |FROM events GROUP BY event_type""".stripMargin,
+      // letter-disjoint merges never interact/overlap, so the greedy
+      // BPE loop's token count = chars − Σ non-overlapping pair
+      // occurrences; '|' seals word seams (whitespace is in no pair)
+      "q112_bpe_tokens" ->
+        """WITH w AS (SELECT doc_id,
+          |  regexp_replace(lower(text), '\s+', '|', 'g') AS t
+          |  FROM documents)
+          |SELECT doc_id, CAST(
+          |  length(replace(t, '|', ''))
+          |  - (length(t) - length(replace(t, 'th', ''))) / 2
+          |  - (length(t) - length(replace(t, 'er', ''))) / 2
+          |  - (length(t) - length(replace(t, 'in', ''))) / 2
+          |  AS BIGINT) AS n_tokens
+          |FROM w""".stripMargin,
       // Lloyd-step replay: q84's integer-argmax assignment feeding
       // q93's exact quantized sums, mean_q = round(sum_q/n) — the same
       // IEEE division + half-away round in both engines

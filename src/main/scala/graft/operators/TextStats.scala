@@ -245,6 +245,17 @@ object TextStats {
       round(terms.indices.map(termScore).reduce(_ + _), 4).as("score"))
   }
 
+  /** Token count under a trained BPE merge list — the real ranked
+    * greedy merge loop per whitespace word (see
+    * [[graft.functions.BpeTokenCount]]); pure map-side, merge table
+    * shipped once per task. The corpus-budgeting primitive: "how many
+    * tokens is this corpus under MY tokenizer", not a whitespace
+    * proxy. */
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
+    org.apache.spark.sql.GraftSqlShim.column(
+      graft.functions.BpeTokenCount(
+        org.apache.spark.sql.GraftSqlShim.lazyExpression(text), merges))
+
   /** Training-data PII scrub: replace emails, dotted-quad IPs, and 8+
     * digit runs (account/card-shaped numbers) with typed placeholder
     * tokens, in that order — emails first so an address is consumed
