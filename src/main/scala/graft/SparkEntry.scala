@@ -1405,6 +1405,32 @@ object SparkEntry {
       Tables.load(s, dir, "documents").select(col("doc_id"),
         TextStats.bpeTokenCount(col("text"),
           Seq("t" -> "h", "e" -> "r", "i" -> "n")).as("n_tokens")) }),
+    // data-quality gates (the ingest validation pass): ALL row-level
+    // checks (null / range) computed in ONE aggregation over ONE scan
+    // — per-check scans would multiply the 100-TB read — plus one
+    // anti-join for referential integrity, unpivoted to a per-check
+    // report. A violated gate flips `pass` and breaks the hash.
+    "q113_quality_gates" -> ((s, dir) => { prep(s, dir)
+      val li = Tables.load(s, dir, "lineitem")
+      val ord = Tables.load(s, dir, "orders")
+      val rowChecks = li.agg(
+        sum(when(col("l_orderkey").isNull, 1L).otherwise(0L))
+          .as("null_orderkey"),
+        sum(when(col("l_quantity") < 0 || col("l_quantity") > 60, 1L)
+          .otherwise(0L)).as("qty_out_of_range"),
+        sum(when(col("l_discount") < 0 || col("l_discount") > 0.11, 1L)
+          .otherwise(0L)).as("disc_out_of_range"))
+      val orphans = li.join(ord,
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("orphan_lineitems"))
+      rowChecks.crossJoin(orphans)
+        .select(expr("stack(4, " +
+          "'null_orderkey', null_orderkey, " +
+          "'qty_out_of_range', qty_out_of_range, " +
+          "'disc_out_of_range', disc_out_of_range, " +
+          "'orphan_lineitems', orphan_lineitems) AS (check_name, violations)"))
+        .select(col("check_name"), col("violations"),
+          (col("violations") === 0L).as("pass")) }),
     // one engine-exact Lloyd iteration: integer-argmax routing (q84's
     // assignment), per-cluster exact quantized vector sums (q93's
     // aggregate), mean_q = round(sum_q/n) — bit-identical updated
@@ -2651,6 +2677,25 @@ object SparkEntry {
           |  - (length(t) - length(replace(t, 'in', ''))) / 2
           |  AS BIGINT) AS n_tokens
           |FROM w""".stripMargin,
+      // NOT EXISTS mirrors the anti-join's null-key semantics
+      "q113_quality_gates" ->
+        """WITH a AS (SELECT
+          |    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_orderkey,
+          |    CAST(sum(CASE WHEN l_quantity < 0 OR l_quantity > 60 THEN 1 ELSE 0 END) AS BIGINT) AS qty_out_of_range,
+          |    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.11 THEN 1 ELSE 0 END) AS BIGINT) AS disc_out_of_range
+          |  FROM lineitem),
+          |o AS (SELECT CAST(count(*) AS BIGINT) AS orphan_lineitems
+          |      FROM lineitem l
+          |      WHERE NOT EXISTS (SELECT 1 FROM orders
+          |                        WHERE o_orderkey = l.l_orderkey))
+          |SELECT 'null_orderkey' AS check_name, null_orderkey AS violations,
+          |       null_orderkey = 0 AS pass FROM a
+          |UNION ALL SELECT 'qty_out_of_range', qty_out_of_range,
+          |       qty_out_of_range = 0 FROM a
+          |UNION ALL SELECT 'disc_out_of_range', disc_out_of_range,
+          |       disc_out_of_range = 0 FROM a
+          |UNION ALL SELECT 'orphan_lineitems', orphan_lineitems,
+          |       orphan_lineitems = 0 FROM o""".stripMargin,
       // Lloyd-step replay: q84's integer-argmax assignment feeding
       // q93's exact quantized sums, mean_q = round(sum_q/n) — the same
       // IEEE division + half-away round in both engines
