@@ -1431,6 +1431,23 @@ object SparkEntry {
           "'orphan_lineitems', orphan_lineitems) AS (check_name, violations)"))
         .select(col("check_name"), col("violations"),
           (col("violations") === 0L).as("pass")) }),
+    // event-time RANGE-frame window: each event's trailing-hour
+    // per-user activity (count + value sum) — the sliding feature-
+    // engineering pass. RANGE frames bound by a time interval (not row
+    // counts) need only the user's partition sorted once; state is the
+    // frame, not the history. Micros arithmetic keeps the frame
+    // boundary exact and engine-portable.
+    "q115_rolling_window" -> ((s, dir) => { prep(s, dir)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t_us"))
+        .rangeBetween(-3600000000L, 0L)
+      Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("t_us"), col("value"))
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_trailing_hour"),
+          round(sum(col("value")).over(w), 4).as("sum_trailing_hour")) }),
     // one engine-exact Lloyd iteration: integer-argmax routing (q84's
     // assignment), per-cluster exact quantized vector sums (q93's
     // aggregate), mean_q = round(sum_q/n) — bit-identical updated
@@ -2696,6 +2713,15 @@ object SparkEntry {
           |       disc_out_of_range = 0 FROM a
           |UNION ALL SELECT 'orphan_lineitems', orphan_lineitems,
           |       orphan_lineitems = 0 FROM o""".stripMargin,
+      // identical micros-epoch RANGE frame in DuckDB
+      "q115_rolling_window" ->
+        """SELECT event_id, user_id,
+          |  CAST(count(*) OVER w AS BIGINT) AS n_trailing_hour,
+          |  round(sum(value) OVER w, 4) AS sum_trailing_hour
+          |FROM (SELECT event_id, user_id, epoch_us(ts) AS t_us, value
+          |      FROM events)
+          |WINDOW w AS (PARTITION BY user_id ORDER BY t_us
+          |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
       // Lloyd-step replay: q84's integer-argmax assignment feeding
       // q93's exact quantized sums, mean_q = round(sum_q/n) — the same
       // IEEE division + half-away round in both engines
