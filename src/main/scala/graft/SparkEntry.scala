@@ -591,6 +591,20 @@ object SparkEntry {
         .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
         .groupBy((col("k") % 10).as("k_mod"))
         .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k")) }),
+    // MAP-typed columns end to end: props parsed straight to
+    // map<string,bigint> (from_json with a MAP schema — no struct
+    // detour), map_concat with a computed entry, and the map-explode
+    // generator back to rows. Covers the type surface q46's scalar
+    // json-path extraction doesn't.
+    "q116_map_explode" -> ((s, dir) => { prep(s, dir)
+      Tables.load(s, dir, "events")
+        .select(col("event_type"),
+          map_concat(from_json(col("props"),
+              org.apache.spark.sql.types.DataType.fromDDL("MAP<STRING, BIGINT>")),
+            map(lit("u_mod"), col("user_id") % 7)).as("m"))
+        .select(col("event_type"), explode(col("m")).as(Seq("key", "val")))
+        .groupBy("event_type", "key")
+        .agg(count(lit(1)).as("n"), sum("val").as("sum_val")) }),
     "q42_interval_skew" -> run(sharedSql("q42_interval_skew"),
       GraftSession.IntervalJoinForceMode -> "partitioned",
       GraftSession.AutoBin -> "force",
@@ -2713,6 +2727,17 @@ object SparkEntry {
           |       disc_out_of_range = 0 FROM a
           |UNION ALL SELECT 'orphan_lineitems', orphan_lineitems,
           |       orphan_lineitems = 0 FROM o""".stripMargin,
+      // map entries ≡ the union of the json key and the computed key
+      "q116_map_explode" ->
+        """WITH kv AS (
+          |  SELECT event_type, 'k' AS key,
+          |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS val
+          |  FROM events
+          |  UNION ALL
+          |  SELECT event_type, 'u_mod', user_id % 7 FROM events)
+          |SELECT event_type, key, CAST(count(*) AS BIGINT) AS n,
+          |       CAST(sum(val) AS BIGINT) AS sum_val
+          |FROM kv GROUP BY event_type, key""".stripMargin,
       // identical micros-epoch RANGE frame in DuckDB
       "q115_rolling_window" ->
         """SELECT event_id, user_id,
