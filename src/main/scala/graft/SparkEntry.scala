@@ -372,6 +372,8 @@ object SparkEntry {
     spark.conf.set(
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
       "10GB")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
   }
 
   /** The q57/q68 12-node path graph: consecutive documents chained
@@ -1560,6 +1562,12 @@ object SparkEntry {
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
       s.conf.set("spark.sql.optimizer.runtime.bloomFilter." +
         "applicationSideScanSizeThreshold", "1KB")
+      // creation-side cap raised in step with the fake-small broadcast
+      // threshold: without column stats the filtered dim's size
+      // estimate is its scan size, which crosses the 10 MB default on
+      // the 10x scale slice and would silently drop the filter there
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter." +
+        "creationSideThreshold", "512MB")
       val li = Tables.load(s, dir, "lineitem")
       val ord = Tables.load(s, dir, "orders")
         .where(col("o_totalprice") > 450000.0)

@@ -29,7 +29,11 @@ object BenchScale {
     "q97_unigram_logprob", "q98_bpe_pairs",
     // PQ encode+ADC: narrow code rows through both shuffles — should
     // scale with the vector count, never with vector bytes
-    "q104_pq_adc")
+    "q104_pq_adc",
+    // layout family: bucketed co-located join, runtime-pruned
+    // partitioned scan, bloom-pruned shuffle join — first invocation
+    // pays the write-once layout build, second is the recurring probe
+    "q102_bucketed_join", "q103_dpp", "q105_runtime_filter")
 
   def main(args: Array[String]): Unit = {
     val dirs = if (args.nonEmpty) args.toSeq

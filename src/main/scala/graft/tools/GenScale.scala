@@ -85,10 +85,33 @@ object GenScale {
       .repartition(8)
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
 
+    // orders + lineitem: per-copy ORDERKEY stride on both tables, so
+    // every copy keeps referential integrity (each copied lineitem
+    // points at its copied order) and o_custkey stays within the
+    // passthrough customer table — the layout-family scale entries
+    // (bucketed join, runtime filter) then see genuinely 10x fact
+    // sides against a fixed dimension, the real warehouse shape.
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    val ordStride = ord.agg(max("o_orderkey")).head().getLong(0) + 1L
+    ord.select(col("*"),
+        explode(sequence(lit(0L), lit(copies - 1L))).as("k"))
+      .select((col("o_orderkey") + col("k") * ordStride).as("o_orderkey") +:
+        ord.columns.filterNot(_ == "o_orderkey").map(col): _*)
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$dst/orders.parquet")
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    li.select(col("*"),
+        explode(sequence(lit(0L), lit(copies - 1L))).as("k"))
+      .select((col("l_orderkey") + col("k") * ordStride).as("l_orderkey") +:
+        li.columns.filterNot(_ == "l_orderkey").map(col): _*)
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+
     // passthrough tables: byte-copy (each is a single parquet file)
     import java.nio.file.{Files, Paths, StandardCopyOption}
     graft.Tables.names
-      .filterNot(n => n == "events" || n == "documents" || n == "embeddings")
+      .filterNot(n => n == "events" || n == "documents" ||
+        n == "embeddings" || n == "orders" || n == "lineitem")
       .foreach { n =>
         Files.copy(Paths.get(s"$src/$n.parquet"),
           Paths.get(s"$dst/$n.parquet"),
