@@ -494,6 +494,58 @@ object SparkEntry {
       (tOrders, tCust)
     })
 
+  /** Write-once FRAGMENTED day-partitioned layout of `events` — the
+    * post-ingest shape q117's compaction repairs: 8 small files per
+    * day directory (a streaming sink writes one file per
+    * trigger × partition; the fragmentation is the realistic input,
+    * not an artifact). */
+  private val fragmentedLayouts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def fragmentedLayoutFor(s: SparkSession, dir: String): String =
+    fragmentedLayouts.computeIfAbsent(s.sparkContext.applicationId + "|" + dir, _ => {
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_frag_${s.sparkContext.applicationId}_" +
+          Integer.toHexString(dir.hashCode)).getPath
+      Tables.load(s, dir, "events")
+        .withColumn("day", to_date(col("ts")))
+        .repartition(8)
+        .write.mode("overwrite").partitionBy("day").parquet(path)
+      sys.addShutdownHook(deleteRecursively(new java.io.File(path)))
+      sys.addShutdownHook(
+        deleteRecursively(new java.io.File(s"$path.compacted")))
+      path
+    })
+
+  /** Write-once Z-ORDERED layout of `events`: rows clustered by the
+    * bit-interleave of (user_id % 1024, day-of-month), so row-group
+    * min/max stats are tight on BOTH columns and a 2-D range predicate
+    * prunes groups — what the q106 1-D sort cannot give a second
+    * dimension. The clustering key is write-time only; the stored
+    * columns the query filters are the raw `ux`/`dom`. */
+  private val zLayouts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def zLayoutFor(s: SparkSession, dir: String): String =
+    zLayouts.computeIfAbsent(s.sparkContext.applicationId + "|" + dir, _ => {
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_z_${s.sparkContext.applicationId}_" +
+          Integer.toHexString(dir.hashCode)).getPath
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("ux", (col("user_id") % 1024).cast("int"))
+        .withColumn("dom", dayofmonth(col("ts")))
+      val z = graft.operators.Layout.zorder2(col("ux"), col("dom"))
+      ev.withColumn("z", z)
+        .repartitionByRange(1, col("z"))
+        .sortWithinPartitions("z")
+        .drop("z")
+        .write.mode("overwrite")
+        .option("parquet.block.size", (64 * 1024).toString)
+        .parquet(path)
+      sys.addShutdownHook(deleteRecursively(new java.io.File(path)))
+      path
+    })
+
   /** Write-once SORTED parquet layout of `documents` (globally ordered
     * by `n_chars`, small row groups): the data-clustering layout that
     * makes parquet's row-group min/max statistics selective — a range
@@ -1602,6 +1654,62 @@ object SparkEntry {
       s.read.parquet(path).where(col("n_chars").between(100, 160))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars")) }),
+    // small-file COMPACTION — the lake-maintenance op: streaming
+    // ingest leaves hundreds of tiny files per partition (every one a
+    // task + an open/close + a footer at read time; at 100 TB the
+    // file COUNT, not the bytes, kills scan planning). The entry
+    // builds a deliberately fragmented day layout, compacts it to one
+    // file per day with a partition-key repartition (shuffle moves
+    // each row once, writes land pre-grouped), require()s the file
+    // count actually collapsed, and aggregates the compacted lake —
+    // proving compaction moved, not dropped, rows. Oracle aggregates
+    // the flat table.
+    "q117_compaction" -> ((s, dir) => { prep(s, dir)
+      val base = fragmentedLayoutFor(s, dir)
+      val compacted = s"$base.compacted"
+      if (!new java.io.File(compacted).exists()) {
+        s.read.parquet(base)
+          .repartition(col("day"))
+          .write.mode("overwrite").partitionBy("day").parquet(compacted)
+      }
+      def parquetFiles(p: String): Int = {
+        def walk(f: java.io.File): Int = {
+          val cs = f.listFiles()
+          if (cs == null) 0
+          else cs.map(c => if (c.isDirectory) walk(c)
+            else if (c.getName.endsWith(".parquet")) 1 else 0).sum
+        }
+        walk(new java.io.File(p))
+      }
+      val (before, after) = (parquetFiles(base), parquetFiles(compacted))
+      require(after * 4 <= before,
+        s"compaction must collapse the file count ($before -> $after)")
+      s.read.parquet(compacted)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 4).as("sum_value")) }),
+    // Z-ORDER clustering (2-D data skipping): the layout interleaves
+    // the bits of (user % 1024, day-of-month) at write time, so the
+    // 2-D range predicate below prunes row groups on BOTH dimensions
+    // — the require() measures the scan's numOutputRows as in q106.
+    // A 1-D sort gives this for one key only; at 100 TB this is the
+    // difference between reading a stripe and reading everything when
+    // queries filter two dims.
+    "q118_zorder" -> ((s, dir) => { prep(s, dir)
+      val path = zLayoutFor(s, dir)
+      val pred = col("ux").between(100, 160) && col("dom").between(5, 9)
+      val probe = s.read.parquet(path).where(pred)
+      val qe = probe.queryExecution
+      qe.executedPlan.executeCollect()
+      val scanRows = qe.executedPlan.collectLeaves()
+        .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
+      val total = s.read.parquet(path).count()
+      require(scanRows * 2 < total || total < 2000,
+        s"z-order layout must skip row groups; scan read $scanRows of $total")
+      s.read.parquet(path).where(pred)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 4).as("sum_value")) }),
     // IVF-PQ: cell-routed product quantization — the production ANN
     // shape (coarse quantizer routes, fine codes rank). Every vector
     // gets a cell (integer-argmax over the 8 reference centroids) and
@@ -2735,6 +2843,20 @@ object SparkEntry {
           |       disc_out_of_range = 0 FROM a
           |UNION ALL SELECT 'orphan_lineitems', orphan_lineitems,
           |       orphan_lineitems = 0 FROM o""".stripMargin,
+      // the z layout is a pure physical re-layout; ux/dom are derived
+      // columns the oracle recomputes from the flat table
+      "q118_zorder" ->
+        """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+          |       round(sum(value), 4) AS sum_value
+          |FROM events
+          |WHERE (user_id % 1024) BETWEEN 100 AND 160
+          |  AND extract(day FROM ts) BETWEEN 5 AND 9
+          |GROUP BY event_type""".stripMargin,
+      // compaction is a pure physical re-layout of the events lake
+      "q117_compaction" ->
+        """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+          |       round(sum(value), 4) AS sum_value
+          |FROM events GROUP BY event_type""".stripMargin,
       // map entries ≡ the union of the json key and the computed key
       "q116_map_explode" ->
         """WITH kv AS (
