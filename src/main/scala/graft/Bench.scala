@@ -40,6 +40,8 @@ object Bench {
     SparkEntry.jsonlLayoutFor(spark, sfDir)
     SparkEntry.bucketedTablesFor(spark, sfDir)
     SparkEntry.sortedLayoutFor(spark, sfDir)
+    SparkEntry.fragmentedLayoutFor(spark, sfDir)
+    SparkEntry.zLayoutFor(spark, sfDir)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val gcSec = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     // (name, (median, min, max)) triples contributed by non-queries-map

@@ -53,6 +53,28 @@ class LayoutSpec extends SparkTestBase {
     }
   }
 
+  test("zorder2 matches a reference bit interleave on random pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def ref(a: Long, b: Long, bits: Int): Long = {
+      var z = 0L
+      for (i <- 0 until bits) {
+        z |= ((a >> i) & 1L) << (2 * i)
+        z |= ((b >> i) & 1L) << (2 * i + 1)
+      }
+      z
+    }
+    val pairs = Seq.fill(200)((rnd.nextInt(1024).toLong,
+      rnd.nextInt(1024).toLong)) :+ ((0L, 0L)) :+ ((1023L, 1023L))
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"),
+        graft.operators.Layout.zorder2(col("a"), col("b")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (a, b, z) =>
+      assert(z == ref(a, b, 10), s"zorder2($a, $b)")
+    }
+  }
+
   test("dim-side filter dynamically prunes fact partitions") {
     import spark.implicits._
     val factPath = tmpDir("graft_dpp_fact")
