@@ -125,6 +125,28 @@ class StreamingSpec extends SparkTestBase {
       .toLong >= 1L)
   }
 
+  test("upsertAggStore replay is idempotent: restamped batches are skipped") {
+    val watch = java.nio.file.Files.createTempDirectory("graft_upsert_in2")
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft_upsert_store2").toString
+    val a = Seq((1L, ts(0), 2.0), (2L, ts(1), 3.0))
+      .toDF("user_id", "ts", "value")
+    a.coalesce(1).write.mode("append").parquet(watch.toString)
+    def run(): Array[(Long, Long, Double)] = {
+      val sdf = spark.readStream.schema(a.schema).parquet(watch.toString)
+      StreamingOps.upsertAggStore(sdf, "user_id", "ts", "value", storeDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+        .sortBy(_._1)
+    }
+    val first = run()
+    // a fresh checkpoint restarts batch ids at 0 — the failure-replay
+    // shape. The marker stamp must skip them, leaving the store
+    // EXACTLY as after the first run, not doubled.
+    val replay = run()
+    assert(first.toSeq == Seq((1L, 1L, 2.0), (2L, 1L, 3.0)))
+    assert(replay.toSeq == first.toSeq)
+  }
+
   test("stream-static enrichment joins each event to its dim row, broadcast") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Double)]
