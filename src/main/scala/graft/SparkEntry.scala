@@ -1693,6 +1693,35 @@ object SparkEntry {
     // 2-D range predicate below prunes row groups on BOTH dimensions
     // — the require() measures the scan's numOutputRows as in q106.
     // A 1-D sort gives this for one key only; at 100 TB this is the
+    // DSIR-style importance resampling for target-domain selection:
+    // unigram log-likelihood-ratio of a target LM (docs from three
+    // sources) over the background LM, add-one smoothed over the shared
+    // vocabulary; top-50 by (importance DESC, doc_id) via
+    // TakeOrderedAndProject, ranked after the cut.
+    "q119_importance" -> ((s, dir) => { prep(s, dir)
+      TextStats.importanceTopK(
+        Tables.load(s, dir, "documents")
+          .select("doc_id", "text", "source"),
+        "doc_id", "text",
+        col("source").isin("src1", "src2", "src3"), k = 50) }),
+    // CCNet-style interpolated-bigram LM score (perplexity filter):
+    // lambda*p(w_i|w_{i-1}) + (1-lambda)*p(w_i), both MLE from the
+    // corpus itself, mean-log per document
+    "q120_bigram_logprob" -> ((s, dir) => { prep(s, dir)
+      TextStats.bigramLogProb(
+        Tables.load(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", lambda = 0.5) }),
+    // quality-ranked canonical selection: resolve near-dup pairs into
+    // groups, keep each group's HIGHEST-quality member (q58 keeps the
+    // lowest id) — ties broken by doc_id; the recursive-CTE closure +
+    // per-group argmax oracle replays the same choice
+    "q121_dedup_best" -> ((s, dir) => { prep(s, dir)
+      val c = dupCorpus(s, dir, near = true)
+      val pairs = Dedup.minhashDupPairs(c, "doc_id", "text", threshold = 0.8)
+        .select(col("id1"), col("id2"))
+      Dedup.keepBest(c, "doc_id", pairs,
+          Seq(TextStats.qualityScore(col("text")).desc))
+        .select(col("doc_id")) }),
     // difference between reading a stripe and reading everything when
     // queries filter two dims.
     "q118_zorder" -> ((s, dir) => { prep(s, dir)
@@ -1798,6 +1827,45 @@ object SparkEntry {
       |g AS (SELECT id, MIN(lbl) AS group_id FROM reach GROUP BY id)
       |SELECT c.doc_id FROM corpus c
       |WHERE c.doc_id NOT IN (SELECT id FROM g WHERE id <> group_id)""".stripMargin
+
+  /** q121 oracle: the q58 closure groups, but each group keeps its
+    * argmax member by (quality DESC, doc_id) — quality is the exact q24
+    * formula (rounded ratios, then the rounded composite) over the
+    * near-dup corpus. Non-members pass through. */
+  private val dupBestOracle: String =
+    "WITH RECURSIVE " + corpusNearBody + jaccardPairsCtes +
+    """,
+      |pp AS (SELECT id1, id2 FROM jp WHERE jaccard >= 0.8)""".stripMargin +
+    closureCtes +
+    s""",
+       |g AS (SELECT id, MIN(lbl) AS group_id FROM reach GROUP BY id),
+       |qbase AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) END AS n_tok,
+       |    round(CASE WHEN length(text) = 0 THEN 0.0
+       |      ELSE (length(text) - length(regexp_replace(text, '[\\.,;:!\\?''"()\\[\\]{}-]', '', 'g'))) * 1.0 / length(text) END, 6) AS pr,
+       |    round(CASE WHEN length(text) = 0 THEN 0.0
+       |      ELSE (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / length(text) END, 6) AS dr,
+       |    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS ws
+       |  FROM corpus),
+       |q AS (
+       |  SELECT doc_id,
+       |    round((least(n_tok / 64.0, 1.0)
+       |           + least(round(CASE WHEN len(ws) = 0 THEN 0.0
+       |               ELSE len(list_filter(ws, x -> x IN ${sqlList(TextStats.enStopList)})) * 1.0 / len(ws) END, 6) * 4.0, 1.0)
+       |           + greatest(1.0 - (pr + dr) * 4.0, 0.0)) / 3.0, 6) AS quality
+       |  FROM qbase),
+       |winners AS (
+       |  SELECT doc_id FROM (
+       |    SELECT c.doc_id,
+       |           row_number() OVER (PARTITION BY g.group_id
+       |                              ORDER BY q.quality DESC, c.doc_id) AS rn
+       |    FROM corpus c JOIN g ON g.id = c.doc_id JOIN q ON q.doc_id = c.doc_id)
+       |  WHERE rn = 1)
+       |SELECT doc_id FROM corpus WHERE doc_id NOT IN (SELECT id FROM g)
+       |UNION ALL
+       |SELECT doc_id FROM winners""".stripMargin
 
   /** q57 oracle: transitive closure of the SAME 12-node document path
     * graph the Spark side chains, again as a DuckDB recursive CTE. All
@@ -2843,6 +2911,49 @@ object SparkEntry {
           |       disc_out_of_range = 0 FROM a
           |UNION ALL SELECT 'orphan_lineitems', orphan_lineitems,
           |       orphan_lineitems = 0 FROM o""".stripMargin,
+      // DSIR replay: identical add-one-smoothed log-ratio arithmetic,
+      // rank on the ROUNDED score in both engines
+      "q119_importance" ->
+        """WITH toks AS (
+          |  SELECT doc_id, source IN ('src1', 'src2', 'src3') AS is_t,
+          |         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS term
+          |  FROM documents),
+          |cnts AS (SELECT term, count(*) AS c_all,
+          |                sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS c_t
+          |         FROM toks GROUP BY term),
+          |tot AS (SELECT CAST(sum(c_all) AS DOUBLE) AS t_all,
+          |               CAST(sum(c_t) AS DOUBLE) AS t_t,
+          |               CAST(count(*) AS DOUBLE) AS v FROM cnts),
+          |sc AS (SELECT doc_id,
+          |         round(avg(ln(CAST(c_t + 1 AS DOUBLE) / (t_t + v))
+          |                 - ln(CAST(c_all + 1 AS DOUBLE) / (t_all + v))), 6) AS importance
+          |       FROM toks JOIN cnts USING (term), tot GROUP BY doc_id)
+          |SELECT doc_id, importance,
+          |       CAST(row_number() OVER (ORDER BY importance DESC, doc_id) AS BIGINT) AS rk
+          |FROM sc
+          |QUALIFY rk <= 50""".stripMargin,
+      // interpolated-bigram LM replay: zipped unnest + ordinality gives
+      // the same (w1, w2) positions; identical 0.5/0.5 mix and mean-log
+      "q120_bigram_logprob" ->
+        """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws FROM documents),
+          |toks AS (SELECT doc_id, unnest(ws) AS term FROM w),
+          |uni AS (SELECT term, count(*) AS uc FROM toks GROUP BY term),
+          |tot AS (SELECT CAST(sum(uc) AS DOUBLE) AS t FROM uni),
+          |bi0 AS (SELECT doc_id, ws, unnest(ws) AS w2, generate_subscripts(ws, 1) AS i FROM w),
+          |bi AS (SELECT doc_id, ws[i - 1] AS w1, w2 FROM bi0 WHERE i >= 2),
+          |bc AS (SELECT w1, w2, count(*) AS bc FROM bi GROUP BY w1, w2)
+          |SELECT bi.doc_id,
+          |       round(avg(ln(0.5 * (CAST(bc.bc AS DOUBLE) / u1.uc)
+          |                  + 0.5 * (CAST(u2.uc AS DOUBLE) / t))), 6) AS logprob
+          |FROM bi
+          |JOIN bc ON bc.w1 = bi.w1 AND bc.w2 = bi.w2
+          |JOIN uni u1 ON u1.term = bi.w1
+          |JOIN uni u2 ON u2.term = bi.w2, tot
+          |GROUP BY bi.doc_id""".stripMargin,
+      // q121: the same recursive-CTE closure as q58, but each group's
+      // survivor is the argmax by (quality DESC, doc_id) — quality being
+      // the exact q24 formula over the near-dup corpus
+      "q121_dedup_best" -> dupBestOracle,
       // the z layout is a pure physical re-layout; ux/dom are derived
       // columns the oracle recomputes from the flat table
       "q118_zorder" ->

@@ -1356,6 +1356,36 @@ object Dedup {
     docs.join(losers, docs(idCol) === losers("id"), "left_anti")
   }
 
+  /** Keep the BEST document per duplicate group instead of the lowest
+    * id: rank each group's members by the caller's `better` ordering
+    * (e.g. quality DESC) with the id as the deterministic final
+    * tie-break, keep rank 1, and pass documents in no pair through
+    * untouched. The realistic end of a near-dup pipeline — when two
+    * documents say the same thing, a curator keeps the cleaner one,
+    * not the one that happened to be crawled first.
+    *
+    * Scale shape: only group MEMBERS (ids that appear in a pair — a
+    * small fraction of any real corpus) flow through the rank window,
+    * keyed on the group id; everything else is one anti-join. Neither
+    * path shuffles on text.
+    */
+  def keepBest(docs: DataFrame, idCol: String, pairs: DataFrame,
+      better: Seq[Column]): DataFrame = {
+    require(better.nonEmpty, "keepBest needs at least one ordering column")
+    import org.apache.spark.sql.expressions.Window
+    val cc = connectedComponents(pairs)
+    val members = docs
+      .join(cc, docs(idCol) === cc("id"))
+      .withColumn("graft_rn", row_number().over(Window
+        .partitionBy(col("group_id"))
+        .orderBy(better :+ docs(idCol).asc: _*)))
+    val winners = members.where(col("graft_rn") === 1)
+      .drop("id", "group_id", "graft_rn")
+    val untouched = docs
+      .join(cc.select(col("id")), docs(idCol) === cc("id"), "left_anti")
+    untouched.unionByName(winners)
+  }
+
   /** SimHash near-duplicate candidate pairs: pigeonhole the 64-bit hash
     * into 4 × 16-bit chunks — any pair within Hamming distance 3 shares
     * at least one chunk — then verify `bit_count(xor) <= maxHamming`. */

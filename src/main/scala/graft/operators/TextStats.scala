@@ -394,6 +394,118 @@ object TextStats {
       .where(col("rk") <= k)
   }
 
+  /**
+   * DSIR-style importance weights for target-domain data selection
+   * (Xie et al. 2023, "Data Selection for Language Models via Importance
+   * Resampling"): score every document by the mean per-token
+   * log-likelihood ratio of a target-domain unigram LM over the
+   * full-corpus background LM, both add-one smoothed over the shared
+   * corpus vocabulary. Documents whose vocabulary looks like the target
+   * slice score high; generic/dissimilar documents score negative.
+   * `isTarget` is any boolean Column over `docs`' columns marking the
+   * target slice (e.g. `col("source") === "wiki"`).
+   *
+   * Returns `(doc_id, importance)` with importance rounded to 6 places.
+   *
+   * Scale shape: the corpus collapses to |vocab| rows in one
+   * map-side-combined aggregate; the score join is term-keyed (toks ⋈
+   * cnts on `term` — AQE broadcasts the vocab side when it is small,
+   * plain shuffle-hash otherwise); the 1-row totals frame is broadcast.
+   * No driver collect, no crossJoin beyond the 1-row totals.
+   */
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"), isTarget.cast("boolean").as("is_t"),
+        explode(Dedup.words(col(textCol))).as("term"))
+    val cnts = toks.groupBy("term").agg(
+      count(lit(1)).as("c_all"),
+      sum(when(col("is_t"), lit(1L)).otherwise(lit(0L))).as("c_t"))
+    val tot = cnts.agg(
+      sum("c_all").cast("double").as("t_all"),
+      sum("c_t").cast("double").as("t_t"),
+      count(lit(1)).cast("double").as("v"))
+    toks
+      .join(cnts, Seq("term"))
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(round(avg(
+        log((col("c_t") + 1).cast("double") / (col("t_t") + col("v"))) -
+          log((col("c_all") + 1).cast("double") / (col("t_all") + col("v")))), 6)
+        .as("importance"))
+  }
+
+  /** Top-`k` documents by [[importanceWeights]] (importance DESC, then
+    * doc_id for a total order), with a 1-based `rk` rank column. The
+    * global top-k runs as sort + `limit` (Spark plans
+    * `TakeOrderedAndProject`: per-partition heaps, k rows to the
+    * driver-side merge — never a single-task full sort), and the rank
+    * window then runs over only the k survivors. */
+  def importanceTopK(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive (got $k)")
+    import org.apache.spark.sql.expressions.Window
+    importanceWeights(docs, idCol, textCol, isTarget)
+      .orderBy(col("importance").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rk", row_number()
+        .over(Window.orderBy(col("importance").desc, col("doc_id")))
+        .cast("long"))
+  }
+
+  /**
+   * Interpolated-bigram language-model score — the CCNet-style
+   * perplexity filter: for every document with >= 2 tokens, the mean
+   * over token positions i >= 2 of
+   * `ln(lambda * p(w_i | w_{i-1}) + (1 - lambda) * p(w_i))`, with both
+   * models estimated from the corpus itself (MLE — the interpolation
+   * with the always-nonzero unigram term keeps the log finite for any
+   * bigram that occurs at least once, which every scored bigram does,
+   * being its own evidence). Degenerate/boilerplate text (high-frequency
+   * bigrams) scores high; incoherent token soup scores low — threshold
+   * both tails.
+   *
+   * Returns `(doc_id, logprob)` rounded to 6 places; documents with
+   * fewer than 2 tokens have no bigram positions and are absent.
+   *
+   * Scale shape: bigram pairs are built map-side from the words array
+   * (no self-join, no window); unigram and bigram count tables are
+   * vocabulary-bounded, produced by map-side-combined aggregates; the
+   * three score joins are all term-keyed shuffles (AQE broadcasts small
+   * count tables); the totals frame is 1 row, broadcast.
+   */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.5): DataFrame = {
+    require(lambda >= 0 && lambda <= 1, s"lambda must be in [0,1] (got $lambda)")
+    val ws = Dedup.words(col(textCol))
+    val toks = docs
+      .select(col(idCol).as("doc_id"), explode(ws).as("term"))
+    val bi = docs
+      .select(col(idCol).as("doc_id"),
+        explode(when(size(ws) >= 2,
+          transform(sequence(lit(1), size(ws) - 1),
+            i => struct(element_at(ws, i).as("w1"),
+              element_at(ws, i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+          .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val uni = toks.groupBy("term").agg(count(lit(1)).as("uc"))
+    val tot = uni.agg(sum("uc").cast("double").as("t"))
+    val bc = bi.groupBy("w1", "w2").agg(count(lit(1)).as("bc"))
+    val u1 = uni.select(col("term").as("w1"), col("uc").as("u1c"))
+    val u2 = uni.select(col("term").as("w2"), col("uc").as("u2c"))
+    bi
+      .join(bc, Seq("w1", "w2"))
+      .join(u1, Seq("w1"))
+      .join(u2, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(round(avg(log(
+        lit(lambda) * (col("bc").cast("double") / col("u1c")) +
+          lit(1.0 - lambda) * (col("u2c").cast("double") / col("t")))), 6)
+        .as("logprob"))
+  }
+
   /** Convenience: append the full stats column set. */
   def withStats(docs: DataFrame, textCol: String): DataFrame =
     docs

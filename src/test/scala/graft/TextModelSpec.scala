@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextStats}
+
+/** Corpus-LM scoring operators (DSIR importance, interpolated-bigram
+  * perplexity filter) and quality-ranked canonical dedup. */
+class TextModelSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("importanceWeights: target-vocab docs score higher, values exact") {
+    // target slice (src t) speaks "alpha beta"; background adds "gamma"
+    val docs = Seq(
+      (1L, "alpha beta", "t"),
+      (2L, "alpha beta", "t"),
+      (3L, "gamma gamma", "b"),
+      (4L, "alpha gamma", "b")
+    ).toDF("doc_id", "text", "source")
+    val got = TextStats
+      .importanceWeights(docs, "doc_id", "text", col("source") === "t")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // corpus: alpha c_all=3 c_t=2, beta c_all=2 c_t=2, gamma c_all=3 c_t=0
+    // T_all=8, T_t=4, V=3
+    def r(cT: Long, cAll: Long): Double =
+      math.log((cT + 1).toDouble / (4 + 3)) - math.log((cAll + 1).toDouble / (8 + 3))
+    def round6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == round6((r(2, 3) + r(2, 2)) / 2))
+    assert(got(3L) == round6(r(0, 3)))
+    assert(got(4L) == round6((r(2, 3) + r(0, 3)) / 2))
+    // target-looking docs above background-looking ones
+    assert(got(1L) > got(4L) && got(4L) > got(3L))
+  }
+
+  test("importanceTopK: cut on rounded score, rank 1..k, doc_id tie-break") {
+    val docs = Seq(
+      (10L, "alpha beta", "t"), (2L, "alpha beta", "t"),
+      (3L, "gamma gamma", "b"), (4L, "alpha gamma", "b")
+    ).toDF("doc_id", "text", "source")
+    val rows = TextStats
+      .importanceTopK(docs, "doc_id", "text", col("source") === "t", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(rows.length == 3)
+    // docs 2 and 10 tie exactly (identical text) — lower id ranks first
+    assert(rows.toSeq == Seq((2L, 1L), (10L, 2L), (4L, 3L)))
+    intercept[IllegalArgumentException] {
+      TextStats.importanceTopK(docs, "doc_id", "text", lit(true), k = 0)
+    }
+  }
+
+  test("bigramLogProb: exact interpolated value; short docs absent") {
+    val docs = Seq(
+      (1L, "a b a b"),
+      (2L, "a b"),
+      (3L, "c"), // single token: no bigram positions -> absent
+      (4L, "")   // no tokens -> absent
+    ).toDF("doc_id", "text")
+    val got = TextStats.bigramLogProb(docs, "doc_id", "text", lambda = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!got.contains(3L) && !got.contains(4L))
+    // unigrams: a=3, b=3, c=1, T=7; bigrams: (a,b)=3, (b,a)=1
+    val pAB = 0.5 * (3.0 / 3.0) + 0.5 * (3.0 / 7.0) // p(b|a), p(b)
+    val pBA = 0.5 * (1.0 / 3.0) + 0.5 * (3.0 / 7.0) // p(a|b), p(a)
+    def round6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) ==
+      round6((math.log(pAB) + math.log(pBA) + math.log(pAB)) / 3))
+    assert(got(2L) == round6(math.log(pAB)))
+    // repetitive doc 1 scores higher (more-probable bigrams on average)
+    // than ... both docs share the mix here; check boundary validation
+    intercept[IllegalArgumentException] {
+      TextStats.bigramLogProb(docs, "doc_id", "text", lambda = 1.5)
+    }
+  }
+
+  test("keepBest: per-group argmax by ranking, id tie-break, passthrough") {
+    val docs = Seq(
+      (1L, "x", 0.2), (2L, "x", 0.9), (3L, "x", 0.9), // group {1,2,3}
+      (4L, "y", 0.5),                                 // untouched
+      (5L, "z", 0.1), (6L, "z", 0.1)                  // group {5,6}
+    ).toDF("doc_id", "text", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id1", "id2")
+    val kept = Dedup.keepBest(docs, "doc_id", pairs, Seq(col("quality").desc))
+      .select("doc_id").as[Long].collect().toSet
+    // group 1: quality 0.9 tie between 2 and 3 -> lower id 2
+    // group 2: tie between 5 and 6 -> 5; doc 4 passes through
+    assert(kept == Set(2L, 4L, 5L))
+    // schema preserved (all original columns, no helper columns)
+    val cols = Dedup.keepBest(docs, "doc_id", pairs, Seq(col("quality").desc))
+      .columns.toSeq
+    assert(cols == Seq("doc_id", "text", "quality"))
+    intercept[IllegalArgumentException] {
+      Dedup.keepBest(docs, "doc_id", pairs, Seq.empty)
+    }
+  }
+
+  test("keepBest quality ordering can beat the min-id canonical choice") {
+    val docs = Seq(
+      (1L, "low quality fragment"),
+      (2L, "low quality fragment plus richer longer cleaner content here")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id1", "id2")
+    val kept = Dedup.keepBest(docs, "doc_id", pairs,
+        Seq(TextStats.qualityScore(col("text")).desc))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(2L)) // longer doc wins on the length signal
+    // while keepCanonical would keep doc 1
+    val canon = Dedup.keepCanonical(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(canon == Seq(1L))
+  }
+}
