@@ -1722,6 +1722,12 @@ object SparkEntry {
       Dedup.keepBest(c, "doc_id", pairs,
           Seq(TextStats.qualityScore(col("text")).desc))
         .select(col("doc_id")) }),
+    // asymmetric containment dedup: shingle-subset pairs (the quote-
+    // inside-a-page duplicate class Jaccard misses) — bottom-k sketch
+    // probes vs the linear inverted index, exact verify at >= 0.9
+    "q122_containment" -> ((s, dir) => { prep(s, dir)
+      val c = dupCorpus(s, dir, near = true)
+      Dedup.containmentDupPairs(c, "doc_id", "text", threshold = 0.9) }),
     // difference between reading a stripe and reading everything when
     // queries filter two dims.
     "q118_zorder" -> ((s, dir) => { prep(s, dir)
@@ -1775,7 +1781,9 @@ object SparkEntry {
   /** All-pairs word-trigram Jaccard over the near corpus, as CTEs ending
     * in `jp(id1, id2, jaccard)` — shared by the q23 pair oracle and the
     * q56 group oracle. */
-  private val jaccardPairsCtes: String =
+  /** Word + distinct-3-gram-shingle CTEs over a `corpus(doc_id, text)`
+    * CTE — shared by the Jaccard and containment oracles. */
+  private val shingleCtes: String =
     """,
       |w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws FROM corpus),
       |s AS (SELECT doc_id,
@@ -1783,7 +1791,10 @@ object SparkEntry {
       |             THEN list_distinct(list_transform(range(1, len(ws) - 1),
       |                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
       |             ELSE [array_to_string(ws, ' ')] END AS sh
-      |      FROM w),
+      |      FROM w)""".stripMargin
+
+  private val jaccardPairsCtes: String = shingleCtes +
+    """,
       |jp AS (
       |  SELECT a.doc_id AS id1, b.doc_id AS id2,
       |         round(len(list_intersect(a.sh, b.sh)) * 1.0 /
@@ -1827,6 +1838,17 @@ object SparkEntry {
       |g AS (SELECT id, MIN(lbl) AS group_id FROM reach GROUP BY id)
       |SELECT c.doc_id FROM corpus c
       |WHERE c.doc_id NOT IN (SELECT id FROM g WHERE id <> group_id)""".stripMargin
+
+  /** q122 oracle: exact all-pairs containment over the near-dup corpus
+    * — `|sh(A) ∩ sh(B)| / |sh(A)|` on the same distinct-shingle sets as
+    * the Jaccard oracles, both directions (a <> b, not a < b). */
+  private val containmentOracle: String = corpusNearCte + shingleCtes +
+    """
+      |SELECT * FROM (
+      |  SELECT a.doc_id AS id_contained, b.doc_id AS id_container,
+      |         round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh), 6) AS containment
+      |  FROM s a JOIN s b ON a.doc_id <> b.doc_id)
+      |WHERE containment >= 0.9""".stripMargin
 
   /** q121 oracle: the q58 closure groups, but each group keeps its
     * argmax member by (quality DESC, doc_id) — quality is the exact q24
@@ -2954,6 +2976,7 @@ object SparkEntry {
       // survivor is the argmax by (quality DESC, doc_id) — quality being
       // the exact q24 formula over the near-dup corpus
       "q121_dedup_best" -> dupBestOracle,
+      "q122_containment" -> containmentOracle,
       // the z layout is a pure physical re-layout; ux/dom are derived
       // columns the oracle recomputes from the flat table
       "q118_zorder" ->

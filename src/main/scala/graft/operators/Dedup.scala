@@ -1356,6 +1356,64 @@ object Dedup {
     docs.join(losers, docs(idCol) === losers("id"), "left_anti")
   }
 
+  /**
+   * Asymmetric containment pairs `(id_contained, id_container,
+   * containment)`: documents whose shingle set is (nearly) a SUBSET of
+   * another document's — `|sh(A) ∩ sh(B)| / |sh(A)| >= threshold`. The
+   * duplicate class Jaccard misses by construction: a paragraph quoted
+   * inside a much larger page has tiny Jaccard but containment ~1, and
+   * near-dup pipelines that stop at Jaccard keep both copies.
+   *
+   * Candidates come from a bottom-`probeK` sketch against a full
+   * inverted index: each document probes with its `probeK` SMALLEST
+   * shingle hashes ([[shingleHashes]] returns sorted distinct hashes,
+   * so the sketch is a `slice`); the index side explodes every
+   * document's shingles, keyed by the 8-byte hash. Recall is EXACT
+   * whenever the contained side differs by fewer than `probeK`
+   * shingles (in particular for full containment: every probe hash is
+   * in the container), and deterministic always — the hashes are
+   * seeded, so a pair found once is found every run. Pairs are then
+   * verified with the exact containment fraction (rounded to 6dp
+   * before the threshold, the cross-engine determinism rule of
+   * [[minhashDupPairs]]).
+   *
+   * Scale shape: the inverted index is corpus-LINEAR (one row per
+   * document-shingle, 16 bytes of key+id — never text) and the probe
+   * side is `probeK` rows per document; the candidate join is keyed on
+   * the hash, and per-key fan-out is bounded by `maxShingleDf` — keys
+   * hotter than that (boilerplate shingles shared by everything;
+   * uninformative for containment) are dropped from the INDEX side
+   * only, with the documented recall caveat that a probe whose entire
+   * sketch is boilerplate finds nothing. Verification re-joins shingle
+   * arrays by id, the [[minhashDupPairs]] pattern.
+   */
+  def containmentDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleSize: Int = 3, probeK: Int = 8,
+      maxShingleDf: Long = 1L << 20): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0,1] (got $threshold)")
+    require(probeK > 0, s"probeK must be positive (got $probeK)")
+    val sh = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        shingleHashes(col(textCol), shingleSize).as("sh"))
+    val inv = sh.select(col("id").as("id_b"), explode(col("sh")).as("h"))
+    val hot = inv.groupBy("h").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxShingleDf).select("h")
+    val invKept = inv.join(hot, Seq("h"), "left_anti")
+    val probes = sh.select(col("id").as("id_a"),
+      explode(slice(col("sh"), 1, probeK)).as("h"))
+    val cands = probes.join(invKept, Seq("h"))
+      .where(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a").as("id_contained"), col("id_b").as("id_container"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(col("sh_a")).cast("double"), 6).as("containment"))
+      .where(col("containment") >= threshold)
+  }
+
   /** Keep the BEST document per duplicate group instead of the lowest
     * id: rank each group's members by the caller's `better` ordering
     * (e.g. quality DESC) with the id as the deterministic final

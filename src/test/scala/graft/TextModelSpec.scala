@@ -95,6 +95,54 @@ class TextModelSpec extends SparkTestBase {
     }
   }
 
+  test("containmentDupPairs: subset docs found, direction correct") {
+    val big = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val docs = Seq(
+      (1L, "charlie delta echo foxtrot golf"), // contiguous run of big
+      (2L, big),
+      (3L, big), // exact copy: contained both ways
+      (4L, "zulu yankee xray whiskey victor uniform tango sierra")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentDupPairs(docs, "doc_id", "text", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pairs = got.map(t => (t._1, t._2)).toSet
+    // doc 1's shingles are a strict subset of 2 and 3 (containment 1.0,
+    // one direction only); 2 and 3 contain each other; 4 is untouched
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L), (3L, 2L)))
+    assert(got.forall(_._3 == 1.0))
+    // the reverse (big contained in fragment) must NOT appear
+    assert(!pairs.contains((2L, 1L)))
+  }
+
+  test("containmentDupPairs: partial containment thresholded exactly") {
+    // 10-word doc: 8 shingles; fragment shares a 7-word run = 5 shingles
+    // of its own 5 -> fragment->big containment 1.0; big->fragment 5/8
+    val docs = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "a b c d e f g h i j")
+    ).toDF("doc_id", "text")
+    val at06 = Dedup.containmentDupPairs(docs, "doc_id", "text", 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(at06 == Set((1L, 2L, 1.0), (2L, 1L, 0.625)))
+    val at07 = Dedup.containmentDupPairs(docs, "doc_id", "text", 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(at07 == Set((1L, 2L)))
+    intercept[IllegalArgumentException] {
+      Dedup.containmentDupPairs(docs, "doc_id", "text", 0.0)
+    }
+  }
+
+  test("containmentDupPairs: maxShingleDf drops boilerplate index keys") {
+    val docs = Seq(
+      (1L, "one two three four five"),
+      (2L, "one two three four five six seven")
+    ).toDF("doc_id", "text")
+    // cutoff 0 empties the index entirely -> no candidates, no pairs
+    val none = Dedup.containmentDupPairs(docs, "doc_id", "text", 0.9,
+      maxShingleDf = 0L)
+    assert(none.count() == 0)
+  }
+
   test("keepBest quality ordering can beat the min-id canonical choice") {
     val docs = Seq(
       (1L, "low quality fragment"),
