@@ -477,11 +477,18 @@ object TextStats {
   def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
       lambda: Double = 0.5): DataFrame = {
     require(lambda >= 0 && lambda <= 1, s"lambda must be in [0,1] (got $lambda)")
-    val ws = Dedup.words(col(textCol))
-    val toks = docs
-      .select(col(idCol).as("doc_id"), explode(ws).as("term"))
-    val bi = docs
-      .select(col(idCol).as("doc_id"),
+    // Tokenize ONCE per row behind a projection boundary (the bm25
+    // rule): `ws` is referenced 4× in the bigram projection, so inlined
+    // it would re-run the regex split at every element_at of every
+    // position — O(positions) tokenizations per document (measured
+    // ~5× the query's whole runtime at sf0.1).
+    val w = docs.select(col(idCol).as("doc_id"),
+      Dedup.words(col(textCol)).as("ws"))
+    val ws = col("ws")
+    val toks = w
+      .select(col("doc_id"), explode(ws).as("term"))
+    val bi = w
+      .select(col("doc_id"),
         explode(when(size(ws) >= 2,
           transform(sequence(lit(1), size(ws) - 1),
             i => struct(element_at(ws, i).as("w1"),
