@@ -33,7 +33,13 @@ object BenchScale {
     // layout family: bucketed co-located join, runtime-pruned
     // partitioned scan, bloom-pruned shuffle join — first invocation
     // pays the write-once layout build, second is the recurring probe
-    "q102_bucketed_join", "q103_dpp", "q105_runtime_filter")
+    "q102_bucketed_join", "q103_dpp", "q105_runtime_filter",
+    // round-11 fourth session: DSIR log-ratio scoring and the
+    // interpolated-bigram LM (both vocab-bounded count tables +
+    // term-keyed joins, should scale with token volume) and the
+    // bottom-k-sketch containment join (corpus-linear inverted index;
+    // candidate volume is the quadratic-risk term to watch)
+    "q119_importance", "q120_bigram_logprob", "q122_containment")
 
   def main(args: Array[String]): Unit = {
     val dirs = if (args.nonEmpty) args.toSeq

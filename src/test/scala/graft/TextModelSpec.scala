@@ -143,6 +143,50 @@ class TextModelSpec extends SparkTestBase {
     assert(none.count() == 0)
   }
 
+  test("containmentDupPairs: randomized ≡ brute force (seeded)") {
+    // corpus where every qualifying pair sits inside the recall
+    // guarantee: contained docs are contiguous slices (diff = 0);
+    // distractors are random word soup (qualifying cross-pairs are
+    // astronomically unlikely at tau = 0.9, and the fixed seed makes
+    // the test deterministic forever either way)
+    val rnd = new scala.util.Random(4242)
+    val vocab = (0 until 30).map(i => s"w$i")
+    def soup(n: Int): String =
+      Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val bases = (0 until 30).map(i => (i.toLong, soup(20 + rnd.nextInt(20))))
+    val slices = (0 until 15).map { i =>
+      val (bid, btxt) = bases(rnd.nextInt(bases.size))
+      val ws = btxt.split(" ")
+      val start = rnd.nextInt(ws.length / 2)
+      val len = 5 + rnd.nextInt(ws.length - start - 5)
+      (1000L + i, ws.slice(start, start + len).mkString(" "))
+    }
+    val all = bases ++ slices
+    val docs = all.toDF("doc_id", "text")
+    def shingles(t: String): Set[String] = {
+      val ws = t.split("\\s+").filter(_.nonEmpty).map(_.toLowerCase)
+      if (ws.length >= 3) ws.sliding(3).map(_.mkString(" ")).toSet
+      else Set(ws.mkString(" "))
+    }
+    val brute = (for {
+      (ia, ta) <- all; (ib, tb) <- all if ia != ib
+      sa = shingles(ta); sb = shingles(tb)
+      c = sa.intersect(sb).size.toDouble / sa.size
+      cr = BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if cr >= 0.9
+    } yield (ia, ib, cr)).toSet
+    // guarantee precondition: every qualifying pair differs by < probeK
+    assert(brute.forall { case (ia, ib, _) =>
+      val sa = shingles(all.find(_._1 == ia).get._2)
+      val sb = shingles(all.find(_._1 == ib).get._2)
+      (sa -- sb).size < 8
+    })
+    val got = Dedup.containmentDupPairs(docs, "doc_id", "text", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == brute, s"got ${got.size} pairs, brute ${brute.size}")
+    assert(brute.nonEmpty) // the fixture actually exercises the path
+  }
+
   test("keepBest quality ordering can beat the min-id canonical choice") {
     val docs = Seq(
       (1L, "low quality fragment"),
