@@ -1728,6 +1728,13 @@ object SparkEntry {
     "q122_containment" -> ((s, dir) => { prep(s, dir)
       val c = dupCorpus(s, dir, near = true)
       Dedup.containmentDupPairs(c, "doc_id", "text", threshold = 0.9) }),
+    // the consuming end: drop contained docs (mutual classes keep the
+    // lowest id) — q122's pairs resolved to the surviving corpus
+    "q123_containment_dedup" -> ((s, dir) => { prep(s, dir)
+      val c = dupCorpus(s, dir, near = true)
+      val pairs = Dedup.containmentDupPairs(c, "doc_id", "text",
+        threshold = 0.9)
+      Dedup.removeContained(c, "doc_id", pairs).select(col("doc_id")) }),
     // difference between reading a stripe and reading everything when
     // queries filter two dims.
     "q118_zorder" -> ((s, dir) => { prep(s, dir)
@@ -1849,6 +1856,26 @@ object SparkEntry {
       |         round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh), 6) AS containment
       |  FROM s a JOIN s b ON a.doc_id <> b.doc_id)
       |WHERE containment >= 0.9""".stripMargin
+
+  /** q123 oracle: q122's containment pairs resolved with the
+    * removeContained rule — a contained doc is a loser unless the
+    * reverse pair exists and it has the lower id. */
+  private val containmentDedupOracle: String = corpusNearCte + shingleCtes +
+    """,
+      |cp AS (
+      |  SELECT * FROM (
+      |    SELECT a.doc_id AS id_contained, b.doc_id AS id_container,
+      |           round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh), 6) AS containment
+      |    FROM s a JOIN s b ON a.doc_id <> b.doc_id)
+      |  WHERE containment >= 0.9),
+      |losers AS (
+      |  SELECT DISTINCT p.id_contained AS loser
+      |  FROM cp p LEFT JOIN cp r
+      |    ON r.id_contained = p.id_container
+      |   AND r.id_container = p.id_contained
+      |  WHERE r.id_contained IS NULL OR p.id_contained > p.id_container)
+      |SELECT doc_id FROM corpus
+      |WHERE doc_id NOT IN (SELECT loser FROM losers)""".stripMargin
 
   /** q121 oracle: the q58 closure groups, but each group keeps its
     * argmax member by (quality DESC, doc_id) — quality is the exact q24
@@ -2977,6 +3004,7 @@ object SparkEntry {
       // the exact q24 formula over the near-dup corpus
       "q121_dedup_best" -> dupBestOracle,
       "q122_containment" -> containmentOracle,
+      "q123_containment_dedup" -> containmentDedupOracle,
       // the z layout is a pure physical re-layout; ux/dom are derived
       // columns the oracle recomputes from the flat table
       "q118_zorder" ->

@@ -1414,6 +1414,38 @@ object Dedup {
       .where(col("containment") >= threshold)
   }
 
+  /**
+   * Drop every document that is (nearly) contained in another — the
+   * consuming end of [[containmentDupPairs]]. A contained doc loses to
+   * its container; MUTUALLY contained docs (exact copies at the shingle
+   * level, where both directions pass the threshold) keep the LOWER id,
+   * so an exact-duplicate class always keeps exactly one member.
+   * One-directional chains (A in B in C) drop the non-maximal members
+   * and keep the maximal ones; every dropped doc had >= threshold of
+   * its shingles present in some other INPUT doc (for strict subsets
+   * that doc survives; under threshold < 1 a chain's guarantee is
+   * transitive-approximate, the standard curation trade).
+   *
+   * One projection over the pair list + one anti-join — the pair list
+   * (not the corpus) carries the quadratic-in-dup-factor term, and it
+   * only shuffles 16-byte id pairs.
+   */
+  def removeContained(docs: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val rev = pairs.select(col("id_contained").as("r_container"),
+      col("id_container").as("r_contained"))
+    // a (contained, container) row eliminates `contained` unless the
+    // reverse row exists and `contained` has the lower id
+    val losers = pairs
+      .join(rev, col("id_contained") === col("r_contained") &&
+        col("id_container") === col("r_container"), "left")
+      .where(col("r_contained").isNull ||
+        col("id_contained") > col("id_container"))
+      .select(col("id_contained").as("loser"))
+      .distinct()
+    docs.join(losers, docs(idCol) === col("loser"), "left_anti")
+  }
+
   /** Keep the BEST document per duplicate group instead of the lowest
     * id: rank each group's members by the caller's `better` ordering
     * (e.g. quality DESC) with the id as the deterministic final

@@ -187,6 +187,36 @@ class TextModelSpec extends SparkTestBase {
     assert(brute.nonEmpty) // the fixture actually exercises the path
   }
 
+  test("removeContained: strict losers drop, mutual classes keep low id") {
+    val big = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val docs = Seq(
+      (1L, "charlie delta echo foxtrot golf"), // strictly inside 2/3
+      (2L, big),
+      (3L, big), // mutual with 2 -> 2 survives
+      (4L, "zulu yankee xray whiskey victor uniform tango sierra")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.containmentDupPairs(docs, "doc_id", "text", 0.9)
+    val kept = Dedup.removeContained(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L))
+  }
+
+  test("removeContained: one-directional chain keeps the maximal doc") {
+    val docs = Seq(
+      (1L, "c d e f g"),
+      (2L, "b c d e f g h"),
+      (3L, "a b c d e f g h i j")
+    ).toDF("doc_id", "text")
+    // full-containment chain 1 < 2 < 3, one direction only
+    val pairs = Dedup.containmentDupPairs(docs, "doc_id", "text", 0.99)
+    val dirs = pairs.select("id_contained", "id_container")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dirs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    val kept = Dedup.removeContained(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L))
+  }
+
   test("keepBest quality ordering can beat the min-id canonical choice") {
     val docs = Seq(
       (1L, "low quality fragment"),
