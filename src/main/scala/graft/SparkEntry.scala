@@ -1728,6 +1728,17 @@ object SparkEntry {
     "q122_containment" -> ((s, dir) => { prep(s, dir)
       val c = dupCorpus(s, dir, near = true)
       Dedup.containmentDupPairs(c, "doc_id", "text", threshold = 0.9) }),
+    // incremental NEAR-dedup: the batch screened against a seen store
+    // by exact n-gram Jaccard (LSH candidates, seen side never
+    // shuffles) — q87's near-dup sibling; seen = every 3rd doc,
+    // slightly edited, so the drop decision is genuinely fuzzy
+    "q124_near_dedup_seen" -> ((s, dir) => { prep(s, dir)
+      val d = Tables.load(s, dir, "documents").select("doc_id", "text")
+      val seen = d.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("sid"),
+          concat(col("text"), lit(" graft dup marker")).as("stext"))
+      Dedup.nearDedupAgainstSeen(d, "doc_id", "text", seen, "sid", "stext",
+        threshold = 0.8).select("doc_id") }),
     // the consuming end: drop contained docs (mutual classes keep the
     // lowest id) — q122's pairs resolved to the surviving corpus
     "q123_containment_dedup" -> ((s, dir) => { prep(s, dir)
@@ -3005,6 +3016,31 @@ object SparkEntry {
       "q121_dedup_best" -> dupBestOracle,
       "q122_containment" -> containmentOracle,
       "q123_containment_dedup" -> containmentDedupOracle,
+      // exact cross-corpus Jaccard screen replayed all-pairs
+      "q124_near_dedup_seen" ->
+        """WITH newd AS (SELECT doc_id, text FROM documents),
+          |seen AS (SELECT doc_id AS sid, text || ' graft dup marker' AS text
+          |         FROM documents WHERE doc_id % 3 = 0),
+          |wn AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws FROM newd),
+          |sn AS (SELECT doc_id,
+          |         CASE WHEN len(ws) >= 3
+          |              THEN list_distinct(list_transform(range(1, len(ws) - 1),
+          |                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+          |              ELSE [array_to_string(ws, ' ')] END AS sh
+          |       FROM wn),
+          |wse AS (SELECT sid, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws FROM seen),
+          |sse AS (SELECT sid,
+          |          CASE WHEN len(ws) >= 3
+          |               THEN list_distinct(list_transform(range(1, len(ws) - 1),
+          |                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+          |               ELSE [array_to_string(ws, ' ')] END AS sh
+          |        FROM wse),
+          |hits AS (SELECT DISTINCT n.doc_id
+          |         FROM sn n JOIN sse s
+          |           ON round(len(list_intersect(n.sh, s.sh)) * 1.0 /
+          |                    len(list_distinct(list_concat(n.sh, s.sh))), 6) >= 0.8)
+          |SELECT doc_id FROM newd
+          |WHERE doc_id NOT IN (SELECT doc_id FROM hits)""".stripMargin,
       // the z layout is a pure physical re-layout; ux/dom are derived
       // columns the oracle recomputes from the flat table
       "q118_zorder" ->

@@ -436,6 +436,39 @@ object Dedup {
   }
 
   /**
+   * Incremental NEAR-dedup: drop new documents whose exact n-gram
+   * Jaccard against ANY already-ingested document reaches `threshold`
+   * — the near-dup sibling of [[dedupAgainstSeen]] (which only catches
+   * byte-identical content). The ingest-loop shape of a growing
+   * training corpus: each batch is screened against the accumulated
+   * store before being appended to it.
+   *
+   * Built on [[crossCorpusDupPairs]] with the batch as the TRAIN side
+   * and the seen corpus as the TEST side? No — the reverse: at 100 TB
+   * the SEEN corpus is the huge side, so it takes the train role
+   * (banded map-side, never shuffled when the batch broadcasts) and
+   * the new BATCH takes the size-gated broadcast test role. The hit
+   * ids then anti-join back against the batch. Within-batch
+   * duplicates are NOT dropped here (they have no seen partner yet) —
+   * run [[minhashDupPairs]]+[[keepCanonical]] on the batch first, the
+   * composition q26-style pipelines already exercise.
+   */
+  def nearDedupAgainstSeen(newDocs: DataFrame, idCol: String,
+      textCol: String, seen: DataFrame, seenIdCol: String,
+      seenTextCol: String, threshold: Double, shingleSize: Int = 3,
+      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val seenNorm = seen.select(col(seenIdCol).as(idCol),
+      col(seenTextCol).as(textCol))
+    val hits = crossCorpusDupPairs(
+      train = seenNorm,
+      test = newDocs.select(col(idCol), col(textCol)),
+      idCol = idCol, textCol = textCol, threshold = threshold,
+      shingleSize = shingleSize, numHashes = numHashes, bands = bands)
+      .select(col("test_id").as("graft_dup_id")).distinct()
+    newDocs.join(hits, newDocs(idCol) === col("graft_dup_id"), "left_anti")
+  }
+
+  /**
    * Cross-document repeated n-gram spans — exact substring dedup at
    * SPAN granularity: a position is "repeated" when its word n-gram
    * also occurs in another document, and consecutive repeated

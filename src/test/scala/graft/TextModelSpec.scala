@@ -217,6 +217,26 @@ class TextModelSpec extends SparkTestBase {
     assert(kept == Set(3L))
   }
 
+  test("nearDedupAgainstSeen: fuzzy screen vs the store, batch-local dups kept") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val seen = Seq((100L, base)).toDF("sid", "stext")
+    val batch = Seq(
+      (1L, base),                                  // exact vs seen -> drop
+      (2L, base + " extra trailing words"),        // near vs seen -> drop at 0.7
+      (3L, "completely unrelated content about spark catalyst planning"),
+      (4L, "completely unrelated content about spark catalyst planning")
+    ).toDF("doc_id", "text") // 3/4 duplicate EACH OTHER but no seen doc
+    val kept = Dedup.nearDedupAgainstSeen(batch, "doc_id", "text",
+        seen, "sid", "stext", threshold = 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L))
+    // a stricter threshold keeps the near-but-not-exact doc
+    val strict = Dedup.nearDedupAgainstSeen(batch, "doc_id", "text",
+        seen, "sid", "stext", threshold = 0.99)
+      .select("doc_id").as[Long].collect().toSet
+    assert(strict == Set(2L, 3L, 4L))
+  }
+
   test("keepBest quality ordering can beat the min-id canonical choice") {
     val docs = Seq(
       (1L, "low quality fragment"),
