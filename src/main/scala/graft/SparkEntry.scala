@@ -102,6 +102,29 @@ object SparkEntry {
         |FROM a JOIN b ON a.contig = b.contig
         | AND a.pos_start <= b.pos_end AND a.pos_end >= b.pos_start
         |GROUP BY a.contig""".stripMargin),
+    // 3-way chained interval join — BOTH hops must plan onto the
+    // indexed operator (the entry require()s two IntervalJoin nodes):
+    // planner composability, not just a single-join special case. The
+    // event_id < 2000 slice keeps the materialized pair fan-out
+    // bounded (the chain probes a's PAIR ROWS against c — COUNT
+    // pushdown can't collapse the inner hop).
+    "q125_interval_chain" -> (cteAB +
+      """, c AS (
+        |  SELECT event_id AS c_id,
+        |         CAST(user_id % 20 AS INT) AS contig,
+        |         CAST((event_id * 71) % 100000 AS INT) AS pos_start,
+        |         CAST((event_id * 71) % 100000 + event_id % 500 AS INT) AS pos_end
+        |  FROM events WHERE event_id < 2000
+        |)
+        |SELECT a.contig AS contig, COUNT(*) AS cnt
+        |FROM (SELECT * FROM a WHERE a_id < 2000) a
+        |JOIN (SELECT * FROM b WHERE b_id < 2000) b
+        |  ON a.contig = b.contig
+        | AND a.pos_start <= b.pos_end AND a.pos_end >= b.pos_start
+        |JOIN c
+        |  ON b.contig = c.contig
+        | AND b.pos_start <= c.pos_end AND b.pos_end >= c.pos_start
+        |GROUP BY a.contig""".stripMargin),
     "q11_interval_strict" -> (cteAB +
       """
         |SELECT a.contig AS contig, COUNT(*) AS cnt
@@ -634,6 +657,15 @@ object SparkEntry {
       GraftSession.IntervalJoinAlgorithm -> "lapper"),
     "q43_interval_tree" -> run(sharedSql("q15_interval_ailist"),
       GraftSession.IntervalJoinAlgorithm -> "intervaltree"),
+    // chained (3-way) interval join: BOTH hops must claim the indexed
+    // operator — composability of the strategy, not a one-join rewrite
+    "q125_interval_chain" -> ((s, dir) => { prep(s, dir)
+      val df = s.sql(sharedSql("q125_interval_chain"))
+      val plan = df.queryExecution.executedPlan.toString
+      val hops = "IntervalJoin".r.findAllIn(plan).size
+      require(hops >= 2,
+        s"q125 expects both chain hops on IntervalJoin, found $hops")
+      df }),
     "q18_interval_outer" -> run(sharedSql("q18_interval_outer")),
     "q19_interval_semi_anti" -> run(sharedSql("q19_interval_semi_anti")),
     "q44_interval_full" -> run(sharedSql("q44_interval_full")),
