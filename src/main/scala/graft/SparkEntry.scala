@@ -1016,6 +1016,33 @@ object SparkEntry {
       runStreamToTable(agg, "graft_q86_mem", "complete")
         .select(col("c_nationkey"), col("event_type"), col("n_events"),
           round(col("sum_value"), 4).as("sum_value")) }),
+    // the indexed INTERVAL join inside a streaming micro-batch:
+    // stream-static inner join is stateless, so the AvailableNow replay
+    // equals the q10-shaped batch oracle; StreamingSpec asserts the
+    // micro-batch plan actually carries IntervalJoin (the strategy
+    // claims joins in IncrementalExecution exactly as in batch)
+    "q126_streaming_interval" -> ((s, dir) => { prep(s, dir)
+      val stream = Tables.loadStream(s, dir, "events")
+        .where(col("event_id") < 2000)
+        .select(col("event_id").as("a_id"),
+          (col("user_id") % 20).cast("int").as("contig"),
+          ((col("event_id") * 37) % 100000).cast("int").as("pos_start"),
+          (((col("event_id") * 37) % 100000) + col("event_id") % 1000)
+            .cast("int").as("pos_end"))
+      val dim = Tables.load(s, dir, "events")
+        .where(col("event_id") < 2000)
+        .select(col("event_id").as("b_id"),
+          (col("user_id") % 20).cast("int").as("b_contig"),
+          ((col("event_id") * 53) % 100000).cast("int").as("b_start"),
+          (((col("event_id") * 53) % 100000) + col("event_id") % 700)
+            .cast("int").as("b_end"))
+      val joined = stream.join(dim,
+        col("contig") === col("b_contig") &&
+          col("pos_start") <= col("b_end") &&
+          col("pos_end") >= col("b_start"))
+      val agg = joined.groupBy("contig").agg(count(lit(1)).as("cnt"))
+      runStreamToTable(agg, "graft_q126_mem", "complete")
+        .select(col("contig"), col("cnt")) }),
     // CUSTOM keyed state (flatMapGroupsWithState) under the batch
     // oracle: emit each user once when their lifetime event count first
     // reaches 50. Counts are arrival-order-independent, so the bounded
@@ -3049,6 +3076,15 @@ object SparkEntry {
       "q122_containment" -> containmentOracle,
       "q123_containment_dedup" -> containmentDedupOracle,
       // exact cross-corpus Jaccard screen replayed all-pairs
+      // the q10 shape restricted to the streamed slice
+      "q126_streaming_interval" -> (cteAB +
+        """
+          |SELECT a.contig AS contig, COUNT(*) AS cnt
+          |FROM (SELECT * FROM a WHERE a_id < 2000) a
+          |JOIN (SELECT * FROM b WHERE b_id < 2000) b
+          |  ON a.contig = b.contig
+          | AND a.pos_start <= b.pos_end AND a.pos_end >= b.pos_start
+          |GROUP BY a.contig""".stripMargin),
       "q124_near_dedup_seen" ->
         """WITH newd AS (SELECT doc_id, text FROM documents),
           |seen AS (SELECT doc_id AS sid, text || ' graft dup marker' AS text
