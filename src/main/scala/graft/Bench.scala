@@ -8,6 +8,16 @@ import org.apache.spark.sql.SparkSession
   * first-touch parquet footer reads / JIT warmup. */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // machine-load stamp, captured at ENTRY: the stamp exists to expose
+    // EXTERNAL contamination (background load inflating wall times, as
+    // in BENCH_r06). Captured after the warmup — its previous home — it
+    // mostly re-measured the warmup's own 32-thread burst, which grew
+    // with every layout added and read as false contamination.
+    def loadavg: String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split("\\s+").take(3).mkString(",")
+      catch { case _: Exception => "" }
+    val loadStart = loadavg
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -53,14 +63,6 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
     }
-    // machine-load stamps: a contaminated run (background load inflating
-    // wall times, as in BENCH_r06) is self-identifying from loadavg_start
-    // alone instead of costing a verdict cycle to diagnose
-    def loadavg: String =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
-        .split("\\s+").take(3).mkString(",")
-      catch { case _: Exception => "" }
-    val loadStart = loadavg
     def timed(name: String)(body: => Unit): (String, Double) = {
       val gc0 = gcMillis
       val t0 = System.nanoTime()

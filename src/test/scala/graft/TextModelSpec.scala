@@ -237,6 +237,20 @@ class TextModelSpec extends SparkTestBase {
     assert(strict == Set(2L, 3L, 4L))
   }
 
+  test("NULL text: LM scorers drop the doc, containment ignores it") {
+    val docs = Seq((1L, "a b c d e", "t"), (2L, null, "t"),
+      (3L, "a b c d e", "b")).toDF("doc_id", "text", "source")
+    val imp = TextStats.importanceWeights(docs, "doc_id", "text",
+      col("source") === "t").select("doc_id").as[Long].collect().toSet
+    assert(imp == Set(1L, 3L)) // NULL text has no tokens -> absent
+    val lm = TextStats.bigramLogProb(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(lm == Set(1L, 3L))
+    val pairs = Dedup.containmentDupPairs(docs, "doc_id", "text", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 3L), (3L, 1L))) // NULL doc in no pair
+  }
+
   test("keepBest quality ordering can beat the min-id canonical choice") {
     val docs = Seq(
       (1L, "low quality fragment"),
