@@ -237,6 +237,67 @@ class TextModelSpec extends SparkTestBase {
     assert(strict == Set(2L, 3L, 4L))
   }
 
+  test("importanceWeights: randomized ≡ brute force (seeded)") {
+    val rnd = new scala.util.Random(9182)
+    val vocab = (0 until 25).map(i => s"t$i")
+    val all = (0 until 60).map { i =>
+      val n = 5 + rnd.nextInt(30)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "),
+        if (rnd.nextBoolean()) "t" else "b")
+    }
+    val docs = all.toDF("doc_id", "text", "source")
+    val got = TextStats
+      .importanceWeights(docs, "doc_id", "text", col("source") === "t")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // brute force with the same add-one smoothing
+    val toks = all.flatMap { case (id, t, s) =>
+      t.split(" ").map(w => (id, w, s == "t")) }
+    val cAll = toks.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val cT = toks.filter(_._3).groupBy(_._2).view.mapValues(_.size.toLong)
+      .toMap.withDefaultValue(0L)
+    val (tAll, tT, v) =
+      (toks.size.toDouble, toks.count(_._3).toDouble, cAll.size.toDouble)
+    def round6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val brute = toks.groupBy(_._1).map { case (id, ts) =>
+      id -> round6(ts.map { case (_, w, _) =>
+        math.log((cT(w) + 1) / (tT + v)) - math.log((cAll(w) + 1) / (tAll + v))
+      }.sum / ts.size)
+    }
+    assert(got.keySet == brute.keySet)
+    // avg-of-logs summation order differs; agree to within 1 ulp of 6dp
+    assert(got.forall { case (id, s) => (s - brute(id)).abs <= 1e-6 })
+  }
+
+  test("bigramLogProb: randomized ≡ brute force (seeded)") {
+    val rnd = new scala.util.Random(5151)
+    val vocab = (0 until 12).map(i => s"w$i")
+    val all = (0 until 50).map { i =>
+      val n = 2 + rnd.nextInt(25)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val docs = all.toDF("doc_id", "text")
+    val got = TextStats.bigramLogProb(docs, "doc_id", "text", lambda = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val toks = all.flatMap(_._2.split(" "))
+    val uc = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val t = toks.size.toDouble
+    val bis = all.flatMap { case (_, txt) =>
+      val ws = txt.split(" "); ws.zip(ws.tail) }
+    val bc = bis.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def round6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val brute = all.flatMap { case (id, txt) =>
+      val ws = txt.split(" ")
+      val ps = ws.zip(ws.tail).map { case (w1, w2) =>
+        math.log(0.5 * (bc((w1, w2)).toDouble / uc(w1)) +
+          0.5 * (uc(w2).toDouble / t)) }
+      if (ps.isEmpty) None else Some(id -> round6(ps.sum / ps.size))
+    }.toMap
+    assert(got.keySet == brute.keySet)
+    assert(got.forall { case (id, s) => (s - brute(id)).abs <= 1e-6 })
+  }
+
   test("NULL text: LM scorers drop the doc, containment ignores it") {
     val docs = Seq((1L, "a b c d e", "t"), (2L, null, "t"),
       (3L, "a b c d e", "b")).toDF("doc_id", "text", "source")
