@@ -1798,6 +1798,16 @@ object SparkEntry {
           concat(col("text"), lit(" graft dup marker")).as("stext"))
       Dedup.nearDedupAgainstSeen(d, "doc_id", "text", seen, "sid", "stext",
         threshold = 0.8).select("doc_id") }),
+    // the composed pipeline with an AUDIT TRAIL: every doc gets keep +
+    // the first stage that dropped it (lang -> quality -> near_dup ->
+    // contained). nearThreshold 0.95 deliberately lets ~0.94-Jaccard
+    // near copies through to the containment stage, so all four
+    // reasons fire on this corpus.
+    "q127_curation_report" -> ((s, dir) => { prep(s, dir)
+      val c = dupCorpus(s, dir, near = true)
+      graft.operators.Curation.curationReport(c, "doc_id", "text",
+        langs = Seq("en"), minQuality = 0.55,
+        nearThreshold = 0.95, containThreshold = 0.9) }),
     // the consuming end: drop contained docs (mutual classes keep the
     // lowest id) — q122's pairs resolved to the surviving corpus
     "q123_containment_dedup" -> ((s, dir) => { prep(s, dir)
@@ -1858,17 +1868,20 @@ object SparkEntry {
   /** All-pairs word-trigram Jaccard over the near corpus, as CTEs ending
     * in `jp(id1, id2, jaccard)` — shared by the q23 pair oracle and the
     * q56 group oracle. */
-  /** Word + distinct-3-gram-shingle CTEs over a `corpus(doc_id, text)`
-    * CTE — shared by the Jaccard and containment oracles. */
-  private val shingleCtes: String =
-    """,
-      |w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws FROM corpus),
-      |s AS (SELECT doc_id,
-      |        CASE WHEN len(ws) >= 3
-      |             THEN list_distinct(list_transform(range(1, len(ws) - 1),
-      |                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
-      |             ELSE [array_to_string(ws, ' ')] END AS sh
-      |      FROM w)""".stripMargin
+  /** Word + distinct-3-gram-shingle CTEs over any `(doc_id, text)`
+    * source — shared by the Jaccard, containment and curation oracles
+    * (CTE names parameterized so one oracle can shingle two sets). */
+  private def shingleCtesOver(src: String, w: String, s: String): String =
+    s""",
+       |$w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS ws FROM $src),
+       |$s AS (SELECT doc_id,
+       |        CASE WHEN len(ws) >= 3
+       |             THEN list_distinct(list_transform(range(1, len(ws) - 1),
+       |                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+       |             ELSE [array_to_string(ws, ' ')] END AS sh
+       |      FROM $w)""".stripMargin
+
+  private val shingleCtes: String = shingleCtesOver("corpus", "w", "s")
 
   private val jaccardPairsCtes: String = shingleCtes +
     """,
@@ -1951,13 +1964,11 @@ object SparkEntry {
     * argmax member by (quality DESC, doc_id) — quality is the exact q24
     * formula (rounded ratios, then the rounded composite) over the
     * near-dup corpus. Non-members pass through. */
-  private val dupBestOracle: String =
-    "WITH RECURSIVE " + corpusNearBody + jaccardPairsCtes +
-    """,
-      |pp AS (SELECT id1, id2 FROM jp WHERE jaccard >= 0.8)""".stripMargin +
-    closureCtes +
+  /** The q24 quality formula as `q(doc_id, quality)` CTEs over any
+    * `(doc_id, text)` source (rounded ratios first, then the rounded
+    * composite — the exact Spark operation order). */
+  private def qualityCteOver(src: String): String =
     s""",
-       |g AS (SELECT id, MIN(lbl) AS group_id FROM reach GROUP BY id),
        |qbase AS (
        |  SELECT doc_id,
        |    CASE WHEN length(trim(text)) = 0 THEN 0
@@ -1967,14 +1978,42 @@ object SparkEntry {
        |    round(CASE WHEN length(text) = 0 THEN 0.0
        |      ELSE (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / length(text) END, 6) AS dr,
        |    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS ws
-       |  FROM corpus),
+       |  FROM $src),
        |q AS (
        |  SELECT doc_id,
        |    round((least(n_tok / 64.0, 1.0)
        |           + least(round(CASE WHEN len(ws) = 0 THEN 0.0
        |               ELSE len(list_filter(ws, x -> x IN ${sqlList(TextStats.enStopList)})) * 1.0 / len(ws) END, 6) * 4.0, 1.0)
        |           + greatest(1.0 - (pr + dr) * 4.0, 0.0)) / 3.0, 6) AS quality
-       |  FROM qbase),
+       |  FROM qbase)""".stripMargin
+
+  /** The q25 stopword-profile language-ID as `l(doc_id, lang_pred)`
+    * CTEs over any `(doc_id, text)` source (same argmax tie order). */
+  private def langCteOver(src: String): String =
+    s""",
+       |lw AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS ws FROM $src),
+       |lh AS (SELECT doc_id,
+       |  len(list_filter(ws, x -> x IN ${sqlList(TextStats.deStopList)})) AS de,
+       |  len(list_filter(ws, x -> x IN ${sqlList(TextStats.enStopList)})) AS en,
+       |  len(list_filter(ws, x -> x IN ${sqlList(TextStats.esStopList)})) AS es,
+       |  len(list_filter(ws, x -> x IN ${sqlList(TextStats.frStopList)})) AS fr
+       |  FROM lw),
+       |l AS (SELECT doc_id, CASE
+       |  WHEN greatest(de, en, es, fr) <= 0 THEN 'und'
+       |  WHEN fr >= de AND fr >= en AND fr >= es THEN 'fr'
+       |  WHEN es >= de AND es >= en THEN 'es'
+       |  WHEN en >= de THEN 'en'
+       |  ELSE 'de' END AS lang_pred FROM lh)""".stripMargin
+
+  private val dupBestOracle: String =
+    "WITH RECURSIVE " + corpusNearBody + jaccardPairsCtes +
+    """,
+      |pp AS (SELECT id1, id2 FROM jp WHERE jaccard >= 0.8)""".stripMargin +
+    closureCtes +
+    """,
+      |g AS (SELECT id, MIN(lbl) AS group_id FROM reach GROUP BY id)""".stripMargin +
+    qualityCteOver("corpus") +
+    s""",
        |winners AS (
        |  SELECT doc_id FROM (
        |    SELECT c.doc_id,
@@ -1985,6 +2024,57 @@ object SparkEntry {
        |SELECT doc_id FROM corpus WHERE doc_id NOT IN (SELECT id FROM g)
        |UNION ALL
        |SELECT doc_id FROM winners""".stripMargin
+
+  /** q127 oracle: the full curation-report replay — lang + quality
+    * gates, >= 0.95 Jaccard closure among gate survivors (near_dup =
+    * non-minimum member), containment >= 0.9 among the remaining
+    * survivors (removeContained rule), first-failing-stage reason,
+    * keep = no reason. */
+  private val curationReportOracle: String =
+    "WITH RECURSIVE " + corpusNearBody +
+    langCteOver("corpus") +
+    qualityCteOver("corpus") +
+    """,
+      |gated AS (SELECT c.doc_id, c.text FROM corpus c
+      |          JOIN l ON l.doc_id = c.doc_id
+      |          JOIN q ON q.doc_id = c.doc_id
+      |          WHERE l.lang_pred IN ('en') AND q.quality >= 0.55)""".stripMargin +
+    shingleCtesOver("gated", "gw", "gs") +
+    """,
+      |jp AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+      |         round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+      |               len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+      |       FROM gs a JOIN gs b ON a.doc_id < b.doc_id),
+      |pp AS (SELECT id1, id2 FROM jp WHERE jaccard >= 0.95)""".stripMargin +
+    closureCtes +
+    """,
+      |nl AS (SELECT id FROM (SELECT id, MIN(lbl) AS group_id
+      |                       FROM reach GROUP BY id)
+      |       WHERE id <> group_id),
+      |surv AS (SELECT doc_id FROM gated
+      |         WHERE doc_id NOT IN (SELECT id FROM nl)),
+      |cp AS (SELECT * FROM (
+      |    SELECT a.doc_id AS id_contained, b.doc_id AS id_container,
+      |           round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh), 6) AS containment
+      |    FROM gs a JOIN gs b ON a.doc_id <> b.doc_id
+      |    WHERE a.doc_id IN (SELECT doc_id FROM surv)
+      |      AND b.doc_id IN (SELECT doc_id FROM surv))
+      |  WHERE containment >= 0.9),
+      |cl AS (SELECT DISTINCT p.id_contained AS loser
+      |       FROM cp p LEFT JOIN cp r
+      |         ON r.id_contained = p.id_container
+      |        AND r.id_container = p.id_contained
+      |       WHERE r.id_contained IS NULL OR p.id_contained > p.id_container)
+      |SELECT doc_id, reason, reason IS NULL AS keep FROM (
+      |  SELECT c.doc_id,
+      |    CASE WHEN l.lang_pred NOT IN ('en') THEN 'lang'
+      |         WHEN q.quality < 0.55 THEN 'quality'
+      |         WHEN c.doc_id IN (SELECT id FROM nl) THEN 'near_dup'
+      |         WHEN c.doc_id IN (SELECT loser FROM cl) THEN 'contained'
+      |    END AS reason
+      |  FROM corpus c
+      |  JOIN l ON l.doc_id = c.doc_id
+      |  JOIN q ON q.doc_id = c.doc_id)""".stripMargin
 
   /** q57 oracle: transitive closure of the SAME 12-node document path
     * graph the Spark side chains, again as a DuckDB recursive CTE. All
@@ -3075,6 +3165,7 @@ object SparkEntry {
       "q121_dedup_best" -> dupBestOracle,
       "q122_containment" -> containmentOracle,
       "q123_containment_dedup" -> containmentDedupOracle,
+      "q127_curation_report" -> curationReportOracle,
       // exact cross-corpus Jaccard screen replayed all-pairs
       // the q10 shape restricted to the streamed slice
       "q126_streaming_interval" -> (cteAB +

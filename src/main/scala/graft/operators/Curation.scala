@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * End-to-end curation with an AUDIT TRAIL — the composed pipeline a
+ * training-data curator actually runs, as ONE call that reports, for
+ * every input document, whether it survives and (if not) the FIRST
+ * stage that dropped it. The report form matters operationally: at
+ * 100 TB you tune thresholds from the per-stage drop counts, and an
+ * auditable reason per document is what makes a curation run
+ * reviewable (and reproducible) instead of a black-box filter.
+ *
+ * Stage order (first failing stage wins, pinned — the DuckDB oracle
+ * replays the same precedence):
+ *
+ *   1. `lang`      — language-ID not in the allow list
+ *   2. `quality`   — composite quality score below `minQuality`
+ *   3. `near_dup`  — non-canonical member of a >= `nearThreshold`
+ *                    Jaccard duplicate group (lowest id survives),
+ *                    groups computed among stage-1/2 survivors only
+ *   4. `contained` — shingle-subset of another stage-3 survivor
+ *                    ([[Dedup.removeContained]] rule: mutual classes
+ *                    keep the lower id)
+ *
+ * Scale shape: each stage reuses the already-proven operator (compiled
+ * text kernels map-side; LSH-bucketed near-dup; bottom-k-sketch
+ * containment); the dedup stages run on the gate SURVIVORS only, so
+ * low-quality bulk never reaches a shuffle; the report join brings
+ * back only 9-to-17-byte loser rows.
+ */
+object Curation {
+
+  def curationReport(docs: DataFrame, idCol: String, textCol: String,
+      langs: Seq[String] = Seq("en"), minQuality: Double = 0.5,
+      nearThreshold: Double = 0.8,
+      containThreshold: Double = 0.9): DataFrame = {
+    require(langs.nonEmpty, "curationReport needs a language allow-list")
+    val base = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .withColumn("lang_ok",
+        TextStats.langId(col("text")).isin(langs: _*))
+      .withColumn("quality_ok",
+        TextStats.qualityScore(col("text")) >= minQuality)
+    val gated = base.where(col("lang_ok") && col("quality_ok"))
+      .select("doc_id", "text")
+    val nearPairs = Dedup
+      .minhashDupPairs(gated, "doc_id", "text", nearThreshold)
+      .select(col("id1"), col("id2"))
+    val nearLosers = Dedup.connectedComponents(nearPairs)
+      .where(col("id") =!= col("group_id"))
+      .select(col("id").as("doc_id"), lit(true).as("near_loser"))
+    val survivors = gated
+      .join(nearLosers.select("doc_id"), Seq("doc_id"), "left_anti")
+    val contPairs = Dedup.containmentDupPairs(survivors, "doc_id", "text",
+      containThreshold)
+    val contLosers = Dedup.containmentLosers(contPairs)
+      .select(col("loser").as("doc_id"), lit(true).as("cont_loser"))
+    base
+      .join(nearLosers, Seq("doc_id"), "left")
+      .join(contLosers, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(!col("lang_ok"), "lang")
+          .when(!col("quality_ok"), "quality")
+          .when(col("near_loser"), "near_dup")
+          .when(col("cont_loser"), "contained")
+          .as("reason"))
+      .withColumn("keep", col("reason").isNull)
+  }
+
+  /** The curated corpus: [[curationReport]]'s keepers joined back to
+    * the input rows (all original columns). */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+      langs: Seq[String] = Seq("en"), minQuality: Double = 0.5,
+      nearThreshold: Double = 0.8,
+      containThreshold: Double = 0.9): DataFrame = {
+    val keepers = curationReport(docs, idCol, textCol, langs, minQuality,
+      nearThreshold, containThreshold)
+      .where(col("keep")).select(col("doc_id").as("graft_keep_id"))
+    docs.join(keepers, docs(idCol) === col("graft_keep_id"), "left_semi")
+  }
+}

@@ -1465,18 +1465,25 @@ object Dedup {
    */
   def removeContained(docs: DataFrame, idCol: String,
       pairs: DataFrame): DataFrame = {
+    val losers = containmentLosers(pairs)
+    docs.join(losers, docs(idCol) === col("loser"), "left_anti")
+  }
+
+  /** The [[removeContained]] elimination rule as a one-column `loser`
+    * frame: a (contained, container) row eliminates `contained` unless
+    * the reverse row exists and `contained` has the lower id. Shared
+    * with [[Curation.curationReport]], which needs the loser SET (to
+    * tag reasons), not the filtered corpus. */
+  private[operators] def containmentLosers(pairs: DataFrame): DataFrame = {
     val rev = pairs.select(col("id_contained").as("r_container"),
       col("id_container").as("r_contained"))
-    // a (contained, container) row eliminates `contained` unless the
-    // reverse row exists and `contained` has the lower id
-    val losers = pairs
+    pairs
       .join(rev, col("id_contained") === col("r_contained") &&
         col("id_container") === col("r_container"), "left")
       .where(col("r_contained").isNull ||
         col("id_contained") > col("id_container"))
       .select(col("id_contained").as("loser"))
       .distinct()
-    docs.join(losers, docs(idCol) === col("loser"), "left_anti")
   }
 
   /** Keep the BEST document per duplicate group instead of the lowest

@@ -312,6 +312,40 @@ class TextModelSpec extends SparkTestBase {
     assert(pairs == Set((1L, 3L), (3L, 1L))) // NULL doc in no pair
   }
 
+  test("curationReport: first-failing-stage reasons, stage scoping") {
+    import graft.operators.Curation
+    val prose = "the quick brown fox jumps over the lazy dog and it " +
+      "was seen by the river bank at dawn with a friend of the miller"
+    val docs = Seq(
+      (1L, prose),                       // keeper
+      (2L, prose),                       // exact dup of 1 -> near_dup
+      (3L, "der hund und die katze sind nicht mit der maus im haus " +
+        "und das ist ein gutes zeichen fuer die stadt"), // -> lang (de)
+      (4L, "zzz qqq xxx www"),           // no stopwords -> lang 'und'
+      (5L, prose + " extra trailing marker tokens"), // jaccard < .95 vs 1
+                                         // -> survives near, contained
+      (6L, prose)                        // another exact dup -> near_dup
+    ).toDF("doc_id", "text")
+    val rep = Curation.curationReport(docs, "doc_id", "text",
+        langs = Seq("en"), minQuality = 0.2,
+        nearThreshold = 0.95, containThreshold = 0.9)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) "KEEP" else r.getString(1))).toMap
+    assert(rep(2L) == "near_dup" && rep(6L) == "near_dup")
+    assert(rep(3L) == "lang" && rep(4L) == "lang")
+    // doc 1 is STRICTLY contained in doc 5 (all of prose's shingles
+    // appear in the extended doc, not vice versa) — the containment
+    // stage keeps the superset: the doc with MORE content survives
+    assert(rep(1L) == "contained")
+    assert(rep(5L) == "KEEP")
+    // curate() returns exactly the keepers with original columns
+    val kept = Curation.curate(docs, "doc_id", "text",
+        langs = Seq("en"), minQuality = 0.2,
+        nearThreshold = 0.95, containThreshold = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(5L))
+  }
+
   test("keepBest quality ordering can beat the min-id canonical choice") {
     val docs = Seq(
       (1L, "low quality fragment"),
