@@ -102,7 +102,9 @@ object Bench {
     // stays for driver continuity; gate claims should cite the median.
     val gateQueries = Seq("q31_ann_ivf", "q48_dedup_embedding",
       "q56_dedup_groups", "q57_dedup_chain", "q58_dedup_canonical",
-      "q59_contamination")
+      "q59_contamination",
+      // round-11 fourth-session additions under the same watch
+      "q119_importance", "q120_bigram_logprob", "q122_containment")
     val medians = gateQueries.flatMap { name =>
       val first = results.collectFirst { case (`name`, v) if v >= 0 => v }
       first.map { v0 =>
