@@ -23,6 +23,12 @@ import org.apache.spark.sql.functions._
  *   4. `contained` — shingle-subset of another stage-3 survivor
  *                    ([[Dedup.removeContained]] rule: mutual classes
  *                    keep the lower id)
+ *   5. `contaminated` — (only when an eval corpus is supplied) >=
+ *                    `decontaminationThreshold` Jaccard against ANY
+ *                    eval document ([[Dedup.crossCorpusDupPairs]],
+ *                    eval side broadcast size-gated) — checked LAST so
+ *                    a doc dropped for pipeline-internal reasons never
+ *                    masks as an eval hit
  *
  * Scale shape: each stage reuses the already-proven operator (compiled
  * text kernels map-side; LSH-bucketed near-dup; bottom-k-sketch
@@ -35,7 +41,10 @@ object Curation {
   def curationReport(docs: DataFrame, idCol: String, textCol: String,
       langs: Seq[String] = Seq("en"), minQuality: Double = 0.5,
       nearThreshold: Double = 0.8,
-      containThreshold: Double = 0.9): DataFrame = {
+      containThreshold: Double = 0.9,
+      evalDocs: Option[DataFrame] = None,
+      evalIdCol: String = "doc_id", evalTextCol: String = "text",
+      decontaminationThreshold: Double = 0.8): DataFrame = {
     require(langs.nonEmpty, "curationReport needs a language allow-list")
     val base = docs
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))
@@ -57,14 +66,34 @@ object Curation {
       containThreshold)
     val contLosers = Dedup.containmentLosers(contPairs)
       .select(col("loser").as("doc_id"), lit(true).as("cont_loser"))
-    base
+    // decontamination runs over the stage-4 survivors (train side —
+    // never shuffled; the eval side broadcasts, size-gated)
+    val contamLosers = evalDocs match {
+      case None => None
+      case Some(ev) =>
+        val s4 = survivors
+          .join(contLosers.select("doc_id"), Seq("doc_id"), "left_anti")
+        Some(Dedup.crossCorpusDupPairs(
+            s4, ev.select(col(evalIdCol).as("doc_id"),
+              col(evalTextCol).as("text")),
+            "doc_id", "text", decontaminationThreshold)
+          .select(col("train_id").as("doc_id")).distinct()
+          .withColumn("contam_loser", lit(true)))
+    }
+    val withLosers = base
       .join(nearLosers, Seq("doc_id"), "left")
       .join(contLosers, Seq("doc_id"), "left")
+    val full = contamLosers match {
+      case None => withLosers.withColumn("contam_loser", lit(false))
+      case Some(cl) => withLosers.join(cl, Seq("doc_id"), "left")
+    }
+    full
       .select(col("doc_id"),
         when(!col("lang_ok"), "lang")
           .when(!col("quality_ok"), "quality")
           .when(col("near_loser"), "near_dup")
           .when(col("cont_loser"), "contained")
+          .when(col("contam_loser"), "contaminated")
           .as("reason"))
       .withColumn("keep", col("reason").isNull)
   }
@@ -74,9 +103,13 @@ object Curation {
   def curate(docs: DataFrame, idCol: String, textCol: String,
       langs: Seq[String] = Seq("en"), minQuality: Double = 0.5,
       nearThreshold: Double = 0.8,
-      containThreshold: Double = 0.9): DataFrame = {
+      containThreshold: Double = 0.9,
+      evalDocs: Option[DataFrame] = None,
+      evalIdCol: String = "doc_id", evalTextCol: String = "text",
+      decontaminationThreshold: Double = 0.8): DataFrame = {
     val keepers = curationReport(docs, idCol, textCol, langs, minQuality,
-      nearThreshold, containThreshold)
+      nearThreshold, containThreshold, evalDocs, evalIdCol, evalTextCol,
+      decontaminationThreshold)
       .where(col("keep")).select(col("doc_id").as("graft_keep_id"))
     docs.join(keepers, docs(idCol) === col("graft_keep_id"), "left_semi")
   }

@@ -39,7 +39,9 @@ object BenchScale {
     // term-keyed joins, should scale with token volume) and the
     // bottom-k-sketch containment join (corpus-linear inverted index;
     // candidate volume is the quadratic-risk term to watch)
-    "q119_importance", "q120_bigram_logprob", "q122_containment")
+    "q119_importance", "q120_bigram_logprob", "q122_containment",
+    // the composed audit-trail pipeline end to end
+    "q127_curation_report")
 
   def main(args: Array[String]): Unit = {
     val dirs = if (args.nonEmpty) args.toSeq

@@ -346,6 +346,38 @@ class TextModelSpec extends SparkTestBase {
     assert(kept == Set(5L))
   }
 
+  test("curationReport: eval-set stage tags contaminated LAST") {
+    import graft.operators.Curation
+    val prose = "the quick brown fox jumps over the lazy dog and it " +
+      "was seen by the river bank at dawn with a friend of the miller"
+    val other = "a completely different story about the spark planner " +
+      "and the catalyst optimizer that is of interest to the engine"
+    val docs = Seq(
+      (1L, prose), (2L, prose), // 2 = near_dup of 1
+      (3L, other)               // survives internal stages
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((900L, other + " v2")).toDF("eval_id", "eval_text")
+    val rep = Curation.curationReport(docs, "doc_id", "text",
+        langs = Seq("en"), minQuality = 0.2,
+        nearThreshold = 0.9, containThreshold = 0.99,
+        evalDocs = Some(eval_), evalIdCol = "eval_id",
+        evalTextCol = "eval_text", decontaminationThreshold = 0.8)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) "KEEP" else r.getString(1))).toMap
+    assert(rep(1L) == "KEEP")
+    // 2 matches the eval doc too (same prose family? no — 2 is prose);
+    // 2 is dropped as near_dup BEFORE decontamination is consulted
+    assert(rep(2L) == "near_dup")
+    assert(rep(3L) == "contaminated")
+    // without the eval set, doc 3 keeps
+    val rep2 = Curation.curationReport(docs, "doc_id", "text",
+        langs = Seq("en"), minQuality = 0.2,
+        nearThreshold = 0.9, containThreshold = 0.99)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) "KEEP" else r.getString(1))).toMap
+    assert(rep2(3L) == "KEEP")
+  }
+
   test("keepBest quality ordering can beat the min-id canonical choice") {
     val docs = Seq(
       (1L, "low quality fragment"),
