@@ -1798,6 +1798,16 @@ object SparkEntry {
           concat(col("text"), lit(" graft dup marker")).as("stext"))
       Dedup.nearDedupAgainstSeen(d, "doc_id", "text", seen, "sid", "stext",
         threshold = 0.8).select("doc_id") }),
+    // corpus drift monitor: PSI between the even-id snapshot and the
+    // odd-id snapshot with drift-injected texts (appended tokens shift
+    // bucket mass) — per-bucket add-one-smoothed PSI terms
+    "q128_term_drift" -> ((s, dir) => { prep(s, dir)
+      val d = Tables.load(s, dir, "documents").select("doc_id", "text")
+      val a = d.where(col("doc_id") % 2 === 0).select("text")
+      val b = d.where(col("doc_id") % 2 === 1)
+        .select(concat(col("text"), lit(" zdrift zmarker ztokens"))
+          .as("text"))
+      TextStats.termDriftPsi(a, b, "text", buckets = 32) }),
     // the composed pipeline with an AUDIT TRAIL: every doc gets keep +
     // the first stage that dropped it (lang -> quality -> near_dup ->
     // contained). nearThreshold 0.95 deliberately lets ~0.94-Jaccard
@@ -3166,6 +3176,27 @@ object SparkEntry {
       "q122_containment" -> containmentOracle,
       "q123_containment_dedup" -> containmentDedupOracle,
       "q127_curation_report" -> curationReportOracle,
+      // identical portable bucket function + smoothing + IEEE order
+      "q128_term_drift" ->
+        """WITH ta AS (
+          |  SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS term
+          |  FROM documents WHERE doc_id % 2 = 0),
+          |tb AS (
+          |  SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text || ' zdrift zmarker ztokens')), '\s+'), x -> x <> '')) AS term
+          |  FROM documents WHERE doc_id % 2 = 1),
+          |ba AS (SELECT (ascii(substring(term, 1, 1)) * 31 + length(term)) % 32 AS bucket,
+          |              count(*) AS n_a FROM ta GROUP BY 1),
+          |bb AS (SELECT (ascii(substring(term, 1, 1)) * 31 + length(term)) % 32 AS bucket,
+          |              count(*) AS n_b FROM tb GROUP BY 1),
+          |j AS (SELECT COALESCE(ba.bucket, bb.bucket) AS bucket,
+          |             COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+          |      FROM ba FULL OUTER JOIN bb ON ba.bucket = bb.bucket),
+          |tot AS (SELECT CAST(sum(n_a) AS DOUBLE) AS t_a,
+          |               CAST(sum(n_b) AS DOUBLE) AS t_b FROM j)
+          |SELECT bucket, n_a, n_b,
+          |       round((CAST(n_a + 1 AS DOUBLE) / (t_a + 32) - CAST(n_b + 1 AS DOUBLE) / (t_b + 32))
+          |             * ln((CAST(n_a + 1 AS DOUBLE) / (t_a + 32)) / (CAST(n_b + 1 AS DOUBLE) / (t_b + 32))), 6) AS psi
+          |FROM j, tot""".stripMargin,
       // exact cross-corpus Jaccard screen replayed all-pairs
       // the q10 shape restricted to the streamed slice
       "q126_streaming_interval" -> (cteAB +

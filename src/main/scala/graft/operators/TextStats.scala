@@ -513,6 +513,46 @@ object TextStats {
         .as("logprob"))
   }
 
+  /**
+   * Corpus drift monitor: Population Stability Index between two
+   * corpus snapshots over hashed term buckets — the recurring-crawl
+   * regression check (did this month's ingest shift the token
+   * distribution?). Each side's tokens land in `buckets` cells via a
+   * PORTABLE bucket function (`(ascii(first_char) * 31 + length) %
+   * buckets` — deliberately expressible in any SQL engine, so an
+   * external checker can replay cell assignment exactly; a private
+   * 64-bit hash here would make the report unverifiable outside the
+   * JVM). Returns one row per bucket with both counts and the
+   * add-one-smoothed PSI term `(p_a - p_b) * ln(p_a / p_b)`; sum the
+   * column for the headline PSI (>= 0, 0 iff identical distributions;
+   * the industry rule of thumb flags > 0.25).
+   *
+   * Scale shape: two map-side-combined aggregates collapse each corpus
+   * to <= `buckets` rows before a tiny full-outer join; totals ride a
+   * 1-row broadcast. Token instances never shuffle.
+   */
+  def termDriftPsi(a: DataFrame, b: DataFrame, textCol: String,
+      buckets: Int = 32): DataFrame = {
+    require(buckets > 0, s"buckets must be positive (got $buckets)")
+    def bucketed(df: DataFrame, n: String): DataFrame =
+      df.select(explode(Dedup.words(col(textCol))).as("term"))
+        .select(((ascii(substring(col("term"), 1, 1)) * 31 +
+          length(col("term"))) % buckets).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as(n))
+    val joined = bucketed(a, "n_a")
+      .join(bucketed(b, "n_b"), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val tot = joined.agg(sum("n_a").cast("double").as("t_a"),
+      sum("n_b").cast("double").as("t_b"))
+    val pa = (col("n_a") + 1).cast("double") / (col("t_a") + buckets)
+    val pb = (col("n_b") + 1).cast("double") / (col("t_b") + buckets)
+    joined.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_a"), col("n_b"),
+        round((pa - pb) * log(pa / pb), 6).as("psi"))
+  }
+
   /** Convenience: append the full stats column set. */
   def withStats(docs: DataFrame, textCol: String): DataFrame =
     docs

@@ -378,6 +378,22 @@ class TextModelSpec extends SparkTestBase {
     assert(rep2(3L) == "KEEP")
   }
 
+  test("termDriftPsi: zero for identical corpora, positive under drift") {
+    val docs = Seq((1L, "alpha beta gamma delta"),
+      (2L, "epsilon zeta eta theta")).toDF("doc_id", "text")
+    val same = TextStats.termDriftPsi(docs, docs, "text", buckets = 8)
+      .collect()
+    assert(same.forall(_.getDouble(3) == 0.0)) // identical -> psi 0
+    val shifted = Seq((1L, "alpha beta gamma delta"),
+      (2L, "omega omega omega omega omega omega")).toDF("doc_id", "text")
+    val drift = TextStats.termDriftPsi(docs, shifted, "text", buckets = 8)
+      .collect().map(_.getDouble(3)).sum
+    assert(drift > 0.1, s"expected clear drift, got $drift")
+    intercept[IllegalArgumentException] {
+      TextStats.termDriftPsi(docs, docs, "text", buckets = 0)
+    }
+  }
+
   test("keepBest quality ordering can beat the min-id canonical choice") {
     val docs = Seq(
       (1L, "low quality fragment"),
