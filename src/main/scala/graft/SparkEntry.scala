@@ -1798,6 +1798,17 @@ object SparkEntry {
           concat(col("text"), lit(" graft dup marker")).as("stext"))
       Dedup.nearDedupAgainstSeen(d, "doc_id", "text", seen, "sid", "stext",
         threshold = 0.8).select("doc_id") }),
+    // numeric-score drift: quality-distribution PSI between the even
+    // snapshot and the odd snapshot with injected punct/digit damage
+    // (lowers the quality score) — 10 fixed bins on [0,1)
+    "q129_quality_drift" -> ((s, dir) => { prep(s, dir)
+      val d = Tables.load(s, dir, "documents").select("doc_id", "text")
+      val a = d.where(col("doc_id") % 2 === 0)
+        .select(TextStats.qualityScore(col("text")).as("quality"))
+      val b = d.where(col("doc_id") % 2 === 1)
+        .select(TextStats.qualityScore(
+          concat(col("text"), lit(" !!!! ???? 1234567890"))).as("quality"))
+      TextStats.scoreDriftPsi(a, b, "quality", bins = 10) }),
     // corpus drift monitor: PSI between the even-id snapshot and the
     // odd-id snapshot with drift-injected texts (appended tokens shift
     // bucket mass) — per-bucket add-one-smoothed PSI terms
@@ -1977,9 +1988,10 @@ object SparkEntry {
   /** The q24 quality formula as `q(doc_id, quality)` CTEs over any
     * `(doc_id, text)` source (rounded ratios first, then the rounded
     * composite — the exact Spark operation order). */
-  private def qualityCteOver(src: String): String =
+  private def qualityCteOver(src: String, qbase: String = "qbase",
+      q: String = "q"): String =
     s""",
-       |qbase AS (
+       |$qbase AS (
        |  SELECT doc_id,
        |    CASE WHEN length(trim(text)) = 0 THEN 0
        |         ELSE len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) END AS n_tok,
@@ -1989,13 +2001,13 @@ object SparkEntry {
        |      ELSE (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / length(text) END, 6) AS dr,
        |    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS ws
        |  FROM $src),
-       |q AS (
+       |$q AS (
        |  SELECT doc_id,
        |    round((least(n_tok / 64.0, 1.0)
        |           + least(round(CASE WHEN len(ws) = 0 THEN 0.0
        |               ELSE len(list_filter(ws, x -> x IN ${sqlList(TextStats.enStopList)})) * 1.0 / len(ws) END, 6) * 4.0, 1.0)
        |           + greatest(1.0 - (pr + dr) * 4.0, 0.0)) / 3.0, 6) AS quality
-       |  FROM qbase)""".stripMargin
+       |  FROM $qbase)""".stripMargin
 
   /** The q25 stopword-profile language-ID as `l(doc_id, lang_pred)`
     * CTEs over any `(doc_id, text)` source (same argmax tie order). */
@@ -3176,6 +3188,29 @@ object SparkEntry {
       "q122_containment" -> containmentOracle,
       "q123_containment_dedup" -> containmentDedupOracle,
       "q127_curation_report" -> curationReportOracle,
+      // the q24 quality formula over both snapshots, then the same
+      // fixed-bin + smoothing arithmetic as q128
+      "q129_quality_drift" -> ("WITH x AS (SELECT 1)" +
+        qualityCteOver(
+          "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0)",
+          "qbase_a", "q_a") +
+        qualityCteOver(
+          "(SELECT doc_id, text || ' !!!! ???? 1234567890' AS text FROM documents WHERE doc_id % 2 = 1)",
+          "qbase_b", "q_b") +
+        """,
+          |ba AS (SELECT CAST(least(greatest(floor((quality - 0.0) / 0.1), 0.0), 9.0) AS BIGINT) AS bucket,
+          |              count(*) AS n_a FROM q_a GROUP BY 1),
+          |bb AS (SELECT CAST(least(greatest(floor((quality - 0.0) / 0.1), 0.0), 9.0) AS BIGINT) AS bucket,
+          |              count(*) AS n_b FROM q_b GROUP BY 1),
+          |j AS (SELECT COALESCE(ba.bucket, bb.bucket) AS bucket,
+          |             COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+          |      FROM ba FULL OUTER JOIN bb ON ba.bucket = bb.bucket),
+          |tot AS (SELECT CAST(sum(n_a) AS DOUBLE) AS t_a,
+          |               CAST(sum(n_b) AS DOUBLE) AS t_b FROM j)
+          |SELECT bucket, n_a, n_b,
+          |       round((CAST(n_a + 1 AS DOUBLE) / (t_a + 10) - CAST(n_b + 1 AS DOUBLE) / (t_b + 10))
+          |             * ln((CAST(n_a + 1 AS DOUBLE) / (t_a + 10)) / (CAST(n_b + 1 AS DOUBLE) / (t_b + 10))), 6) AS psi
+          |FROM j, tot""".stripMargin),
       // identical portable bucket function + smoothing + IEEE order
       "q128_term_drift" ->
         """WITH ta AS (

@@ -539,15 +539,43 @@ object TextStats {
         .select(((ascii(substring(col("term"), 1, 1)) * 31 +
           length(col("term"))) % buckets).as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as(n))
-    val joined = bucketed(a, "n_a")
-      .join(bucketed(b, "n_b"), Seq("bucket"), "full_outer")
+    psiFromCounts(bucketed(a, "n_a"), bucketed(b, "n_b"), buckets)
+  }
+
+  /**
+   * Numeric-score drift: PSI between two snapshots of any bounded
+   * score column (quality, importance, logprob) over `bins`
+   * fixed-width bins on `[lo, hi)` (values outside clamp to the edge
+   * bins) — the quality-distribution regression check between crawls.
+   * Same smoothing/report shape as [[termDriftPsi]]; same two
+   * map-side-combined aggregates + tiny join scale shape.
+   */
+  def scoreDriftPsi(a: DataFrame, b: DataFrame, scoreCol: String,
+      bins: Int = 10, lo: Double = 0.0, hi: Double = 1.0): DataFrame = {
+    require(bins > 0, s"bins must be positive (got $bins)")
+    require(hi > lo, s"need hi > lo (got [$lo, $hi))")
+    val width = (hi - lo) / bins
+    def bucketed(df: DataFrame, n: String): DataFrame =
+      df.where(col(scoreCol).isNotNull)
+        .select(least(greatest(floor((col(scoreCol) - lo) / width),
+          lit(0.0)), lit((bins - 1).toDouble)).cast("long").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as(n))
+    psiFromCounts(bucketed(a, "n_a"), bucketed(b, "n_b"), bins)
+  }
+
+  /** Shared PSI tail: full-outer the two (bucket, count) frames,
+    * add-one smooth over the `domain`-cell space, emit per-bucket
+    * `(p_a - p_b) * ln(p_a / p_b)` rounded to 6. */
+  private def psiFromCounts(ca: DataFrame, cb: DataFrame,
+      domain: Int): DataFrame = {
+    val joined = ca.join(cb, Seq("bucket"), "full_outer")
       .select(col("bucket"),
         coalesce(col("n_a"), lit(0L)).as("n_a"),
         coalesce(col("n_b"), lit(0L)).as("n_b"))
     val tot = joined.agg(sum("n_a").cast("double").as("t_a"),
       sum("n_b").cast("double").as("t_b"))
-    val pa = (col("n_a") + 1).cast("double") / (col("t_a") + buckets)
-    val pb = (col("n_b") + 1).cast("double") / (col("t_b") + buckets)
+    val pa = (col("n_a") + 1).cast("double") / (col("t_a") + domain)
+    val pb = (col("n_b") + 1).cast("double") / (col("t_b") + domain)
     joined.crossJoin(broadcast(tot))
       .select(col("bucket"), col("n_a"), col("n_b"),
         round((pa - pb) * log(pa / pb), 6).as("psi"))

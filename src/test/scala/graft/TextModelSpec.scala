@@ -394,6 +394,25 @@ class TextModelSpec extends SparkTestBase {
     }
   }
 
+  test("scoreDriftPsi: fixed bins clamp edges, drift detected") {
+    val a = Seq(0.1, 0.2, 0.3, 0.4, 0.5).toDF("score")
+    val same = TextStats.scoreDriftPsi(a, a, "score", bins = 5)
+      .collect()
+    assert(same.forall(_.getDouble(3) == 0.0))
+    // out-of-range values clamp to the edge bins instead of vanishing
+    val edges = Seq(-5.0, 5.0).toDF("score")
+    val bins = TextStats.scoreDriftPsi(edges, edges, "score", bins = 5)
+      .collect().map(_.getLong(0)).sorted
+    assert(bins.toSeq == Seq(0L, 4L))
+    val shifted = Seq(0.9, 0.92, 0.94, 0.96, 0.98).toDF("score")
+    val drift = TextStats.scoreDriftPsi(a, shifted, "score", bins = 5)
+      .collect().map(_.getDouble(3)).sum
+    assert(drift > 0.5, s"expected strong drift, got $drift")
+    intercept[IllegalArgumentException] {
+      TextStats.scoreDriftPsi(a, a, "score", bins = 5, lo = 1.0, hi = 0.0)
+    }
+  }
+
   test("keepBest quality ordering can beat the min-id canonical choice") {
     val docs = Seq(
       (1L, "low quality fragment"),
