@@ -1798,6 +1798,20 @@ object SparkEntry {
           concat(col("text"), lit(" graft dup marker")).as("stext"))
       Dedup.nearDedupAgainstSeen(d, "doc_id", "text", seen, "sid", "stext",
         threshold = 0.8).select("doc_id") }),
+    // diversity-aware selection: k high-scoring vectors spread across
+    // the centroid cells (every cell yields its best before any cell
+    // yields its second) — score = quantized self-dot (vector energy),
+    // so the oracle replays routing, scoring and pick order exactly
+    "q130_diverse_topk" -> ((s, dir) => { prep(s, dir)
+      val emb = Tables.load(s, dir, "embeddings")
+        .select("vec_id", "embedding")
+      val cents = emb.where(col("vec_id") < 8)
+      val scores = emb.select(col("vec_id"),
+        graft.operators.Similarity.quantizedDot(
+          col("embedding"), col("embedding")).as("energy_q"))
+      graft.operators.Similarity.diverseTopK(emb, "vec_id", "embedding",
+        cents, "vec_id", "embedding",
+        scores, "vec_id", "energy_q", k = 24) }),
     // numeric-score drift: quality-distribution PSI between the even
     // snapshot and the odd snapshot with injected punct/digit damage
     // (lowers the quality score) — 10 fixed bins on [0,1)
@@ -3188,6 +3202,34 @@ object SparkEntry {
       "q122_containment" -> containmentOracle,
       "q123_containment_dedup" -> containmentDedupOracle,
       "q127_curation_report" -> curationReportOracle,
+      // q84's integer-argmax routing + quantized self-dot scoring +
+      // the same (rank, cluster) pick order
+      "q130_diverse_topk" ->
+        """WITH c AS (SELECT vec_id AS cid, embedding AS cvec
+          |           FROM embeddings WHERE vec_id < 8),
+          |d AS (SELECT e.vec_id, c.cid,
+          |        CAST(list_sum(list_transform(generate_series(1, len(e.embedding)),
+          |          i -> CAST(round(CAST(e.embedding[i] AS DOUBLE) * 10000) AS BIGINT)
+          |             * CAST(round(CAST(c.cvec[i] AS DOUBLE) * 10000) AS BIGINT)))
+          |          AS BIGINT) AS dot_q
+          |      FROM embeddings e, c),
+          |a AS (SELECT vec_id, cid AS cluster_id FROM d
+          |      QUALIFY row_number() OVER (PARTITION BY vec_id
+          |                                 ORDER BY dot_q DESC, cid) = 1),
+          |sc AS (SELECT vec_id,
+          |         CAST(list_sum(list_transform(generate_series(1, len(embedding)),
+          |           i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)
+          |              * CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)))
+          |           AS BIGINT) AS score
+          |       FROM embeddings),
+          |r AS (SELECT a.vec_id, a.cluster_id, sc.score,
+          |        row_number() OVER (PARTITION BY a.cluster_id
+          |                           ORDER BY sc.score DESC, a.vec_id) AS rk
+          |      FROM a JOIN sc ON sc.vec_id = a.vec_id)
+          |SELECT vec_id, cluster_id, score,
+          |       CAST(row_number() OVER (ORDER BY rk, cluster_id) AS BIGINT) AS pick_order
+          |FROM r
+          |QUALIFY pick_order <= 24""".stripMargin,
       // the q24 quality formula over both snapshots, then the same
       // fixed-bin + smoothing arithmetic as q128
       "q129_quality_drift" -> ("WITH x AS (SELECT 1)" +

@@ -660,6 +660,50 @@ object Similarity {
    * sum — one shuffle of single narrow rows per point, then
    * TakeOrdered's per-partition top-k (no global sort).
    */
+  /**
+   * Diversity-aware top-k selection — pick `k` high-scoring examples
+   * that COVER the embedding space instead of crowding its densest
+   * region (the fine-tuning-set selection problem; greedy MMR is the
+   * classic serial answer, this is its distributed shard-and-rank
+   * form): route every point to its nearest centroid (the exact
+   * integer-argmax of [[centroidAssign]]), rank within each cluster by
+   * (score DESC, id), and pick in (rank, cluster_id) order — every
+   * cluster yields its best member before ANY cluster yields its
+   * second, so the picked set is spread across all k' <= k occupied
+   * cells by construction.
+   *
+   * Returns `(id, cluster_id, score, pick_order)`, pick_order 1..k.
+   *
+   * Scale shape: assignment is a broadcast crossJoin against the small
+   * centroid set with a map-side-combined argmax; the in-cluster rank
+   * window partitions by cluster (bounded partitions); the global
+   * (rank, cluster) cut is sort+limit (`TakeOrderedAndProject` — k
+   * rows to the driver-side merge, never a single-task full sort);
+   * the final pick_order window runs over k rows.
+   */
+  def diverseTopK(points: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centIdCol: String, centVecCol: String,
+      scores: DataFrame, scoreIdCol: String, scoreCol: String,
+      k: Int, scale: Int = 10000): DataFrame = {
+    require(k > 0, s"k must be positive (got $k)")
+    import org.apache.spark.sql.expressions.Window
+    val assigned = centroidAssign(points, idCol, vecCol,
+      centroids, centIdCol, centVecCol, scale)
+      .select(col(idCol), col("cluster_id"))
+    val scored = assigned.join(
+      scores.select(col(scoreIdCol).as(idCol), col(scoreCol).as("score")),
+      Seq(idCol))
+    val inCluster = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("score").desc, col(idCol))
+    scored
+      .withColumn("rk", row_number().over(inCluster))
+      .orderBy(col("rk"), col("cluster_id"))
+      .limit(k)
+      .withColumn("pick_order", row_number()
+        .over(Window.orderBy(col("rk"), col("cluster_id"))).cast("long"))
+      .drop("rk")
+  }
+
   def pqAdcTopK(encoded: DataFrame, idCol: String, codesCol: String,
       lut: DataFrame, k: Int): DataFrame =
     encoded.select(col(idCol).as("__id"),

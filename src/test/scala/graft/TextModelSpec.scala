@@ -413,6 +413,38 @@ class TextModelSpec extends SparkTestBase {
     }
   }
 
+  test("diverseTopK: round-robin across cells, best-first inside each") {
+    import graft.operators.Similarity
+    // 2 orthogonal centroids; 3 points near each with distinct scores
+    val cents = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f))
+    ).toDF("cid", "cvec")
+    val pts = Seq(
+      (10L, Array(0.9f, 0.1f)), (11L, Array(0.8f, 0.2f)),
+      (12L, Array(0.7f, 0.3f)),
+      (20L, Array(0.1f, 0.9f)), (21L, Array(0.2f, 0.8f)),
+      (22L, Array(0.3f, 0.7f))
+    ).toDF("id", "vec")
+    val scores = Seq((10L, 5L), (11L, 9L), (12L, 1L),
+      (20L, 4L), (21L, 2L), (22L, 8L)).toDF("sid", "s")
+    val got = Similarity.diverseTopK(pts, "id", "vec",
+        cents, "cid", "cvec", scores, "sid", "s", k = 4)
+      .orderBy("pick_order")
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    // picks 1-2: each cluster's best (11 from cell 0, 22 from cell 1);
+    // picks 3-4: each cluster's second (10, then 20)
+    assert(got.toSeq == Seq((11L, 1L), (22L, 2L), (10L, 3L), (20L, 4L)))
+    // k = cluster count -> one pick per cluster, never two from one
+    val spread = Similarity.diverseTopK(pts, "id", "vec",
+        cents, "cid", "cvec", scores, "sid", "s", k = 2)
+      .select("cluster_id").as[Long].collect().toSeq
+    assert(spread.sorted == Seq(0L, 1L))
+    intercept[IllegalArgumentException] {
+      Similarity.diverseTopK(pts, "id", "vec", cents, "cid", "cvec",
+        scores, "sid", "s", k = 0)
+    }
+  }
+
   test("keepBest quality ordering can beat the min-id canonical choice") {
     val docs = Seq(
       (1L, "low quality fragment"),
