@@ -1798,6 +1798,14 @@ object SparkEntry {
           concat(col("text"), lit(" graft dup marker")).as("stext"))
       Dedup.nearDedupAgainstSeen(d, "doc_id", "text", seen, "sid", "stext",
         threshold = 0.8).select("doc_id") }),
+    // temperature-flattened mixture (mT5/UniMax): p_g ∝ n_g^0.5 at
+    // half the corpus budget — head sources flatten toward the tail;
+    // quantized integer weights keep the rates bit-replayable
+    "q131_temperature_mixture" -> ((s, dir) => { prep(s, dir)
+      Sampling.temperatureMixture(
+        Tables.load(s, dir, "documents").select("doc_id", "source"),
+        "source", "doc_id", tau = 0.5, targetFraction = 0.5)
+        .select("doc_id", "source") }),
     // diversity-aware selection: k high-scoring vectors spread across
     // the centroid cells (every cell yields its best before any cell
     // yields its second) — score = quantized self-dot (vector energy),
@@ -3202,6 +3210,22 @@ object SparkEntry {
       "q122_containment" -> containmentOracle,
       "q123_containment_dedup" -> containmentDedupOracle,
       "q127_curation_report" -> curationReportOracle,
+      // quantized integer weights -> exact order-independent sums;
+      // rate arithmetic pinned left-to-right; hex-prefix md5 draw
+      "q131_temperature_mixture" ->
+        """WITH cnt AS (
+          |  SELECT source, count(*) AS n,
+          |         CAST(round(pow(CAST(count(*) AS DOUBLE), 0.5) * 1000000.0) AS BIGINT) AS q
+          |  FROM documents GROUP BY source),
+          |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nt,
+          |               CAST(sum(q) AS DOUBLE) AS qt FROM cnt),
+          |r AS (SELECT source,
+          |        least(1.0, 0.5 * nt * CAST(q AS DOUBLE) / qt / CAST(n AS DOUBLE)) AS rate
+          |      FROM cnt, tot)
+          |SELECT d.doc_id, d.source
+          |FROM documents d JOIN r USING (source)
+          |WHERE CAST('0x' || substring(md5(d.source || ':' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+          |      < CAST(floor(rate * 4294967296.0) AS BIGINT)""".stripMargin,
       // q84's integer-argmax routing + quantized self-dot scoring +
       // the same (rank, cluster) pick order
       "q130_diverse_topk" ->

@@ -143,6 +143,55 @@ object Sampling {
   }
 
   /**
+   * Temperature-flattened mixture sampling (the mT5/UniMax
+   * multilingual rule): sampling mass p_g ∝ n_g^tau, so tau = 1
+   * preserves natural proportions and tau → 0 approaches uniform
+   * across groups — the standard fix for head languages/sources
+   * drowning the tail. Keeps each group-g row with probability
+   * `r_g = min(1, targetFraction · N · p_g / n_g)`, decided by the
+   * same deterministic per-row md5 draw as [[mixtureSample]] (the
+   * comparison is numeric here — the threshold is a computed COLUMN,
+   * not a literal).
+   *
+   * Exactness across engines: group weights are QUANTIZED —
+   * `w_g = round(n_g^tau · 10^6)` as integers — so the normalizing
+   * sum is an exact integer (order-independent; a raw double sum
+   * would vary with partition order), and every downstream value is
+   * derived from integers by pinned left-to-right IEEE arithmetic an
+   * external SQL checker can replay bit-for-bit. (`tau = 0.5` is
+   * additionally pow-exact everywhere: IEEE sqrt.)
+   *
+   * Scale shape: one map-side-combined count per group, a 1-row
+   * totals broadcast, a broadcast rates join, then a pure map-side
+   * hash filter — zero data shuffles.
+   */
+  def temperatureMixture(df: DataFrame, strataCol: String, idCol: String,
+      tau: Double, targetFraction: Double): DataFrame = {
+    require(tau >= 0 && tau <= 1, s"tau must be in [0,1] (got $tau)")
+    require(targetFraction > 0 && targetFraction <= 1,
+      s"targetFraction must be in (0,1] (got $targetFraction)")
+    val counts = df.groupBy(strataCol).agg(count(lit(1)).as("__n"))
+      .withColumn("__q",
+        round(pow(col("__n").cast("double"), tau) * 1000000.0, 0)
+          .cast("long"))
+    val tot = counts.agg(sum("__n").cast("double").as("__nt"),
+      sum("__q").cast("double").as("__qt"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .select(col(strataCol),
+        least(lit(1.0),
+          lit(targetFraction) * col("__nt") * col("__q").cast("double") /
+            col("__qt") / col("__n").cast("double")).as("__rate"))
+    val key = conv(substring(md5(
+      concat(coalesce(col(strataCol).cast("string"), lit("\u0000")),
+        lit(":"),
+        coalesce(col(idCol).cast("string"), lit("\u0000")))
+        .cast("binary")), 1, 8), 16, 10).cast("long")
+    df.join(broadcast(rates), Seq(strataCol))
+      .where(key < floor(col("__rate") * 4294967296.0).cast("long"))
+      .drop("__rate")
+  }
+
+  /**
    * Deterministic sequence packing (concat-then-chunk, the GPT-style
    * pretraining layout): rows are bucketed by a hash prefix for
    * parallelism, deterministically ordered within each bucket by

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, TextStats}
+import graft.operators.{Dedup, Sampling, TextStats}
 
 /** Corpus-LM scoring operators (DSIR importance, interpolated-bigram
   * perplexity filter) and quality-ranked canonical dedup. */
@@ -442,6 +442,37 @@ class TextModelSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Similarity.diverseTopK(pts, "id", "vec", cents, "cid", "cvec",
         scores, "sid", "s", k = 0)
+    }
+  }
+
+  test("temperatureMixture: tau flattens head/tail, deterministic") {
+    val docs = (0 until 900).map(i => (i.toLong, "head")) ++
+      (900 until 1000).map(i => (i.toLong, "tail")) // 9:1 imbalance
+    val df = docs.toDF("doc_id", "source")
+    def kept(tau: Double): Map[String, Long] =
+      Sampling.temperatureMixture(df, "source", "doc_id", tau,
+          targetFraction = 0.5)
+        .groupBy("source").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // tau = 1: natural proportions — each group keeps ~50%
+    val t1 = kept(1.0)
+    assert(math.abs(t1("head") - 450) < 60 && math.abs(t1("tail") - 50) < 25)
+    // tau = 0: equal mass per group — tail keeps (capped) everything,
+    // head keeps ~ the same absolute COUNT as tail's full size
+    val t0 = kept(0.0)
+    assert(t0("tail") == 100L) // rate capped at 1.0
+    assert(t0("head") < 280L)  // flattened well below its natural 450
+    // deterministic: identical selection on a rerun
+    val a = Sampling.temperatureMixture(df, "source", "doc_id", 0.5, 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val b = Sampling.temperatureMixture(df, "source", "doc_id", 0.5, 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b && a.nonEmpty)
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMixture(df, "source", "doc_id", 1.5, 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMixture(df, "source", "doc_id", 0.5, 0.0)
     }
   }
 
