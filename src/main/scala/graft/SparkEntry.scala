@@ -1798,6 +1798,22 @@ object SparkEntry {
           concat(col("text"), lit(" graft dup marker")).as("stext"))
       Dedup.nearDedupAgainstSeen(d, "doc_id", "text", seen, "sid", "stext",
         threshold = 0.8).select("doc_id") }),
+    // STREAMING drift monitor: a live stream's event-type distribution
+    // (complete-mode counts, bounded replay) against a static
+    // reference through the same PSI tail as q128/q129 — the stream
+    // deliberately loses its 'view' events, so that bucket's PSI term
+    // spikes exactly as a production skew would
+    "q132_streaming_drift" -> ((s, dir) => { prep(s, dir)
+      val ref = Tables.load(s, dir, "events")
+        .where(col("event_id") % 2 === 0)
+        .groupBy(col("event_type").as("bucket"))
+        .agg(count(lit(1)).as("n_a"))
+      val live = Tables.loadStream(s, dir, "events")
+        .where(col("event_id") % 2 === 1 && col("event_type") =!= "view")
+        .groupBy(col("event_type").as("bucket"))
+        .agg(count(lit(1)).as("n_b"))
+      val liveCounts = runStreamToTable(live, "graft_q132_mem", "complete")
+      TextStats.psiReport(ref, liveCounts, domain = 8) }),
     // temperature-flattened mixture (mT5/UniMax): p_g ∝ n_g^0.5 at
     // half the corpus budget — head sources flatten toward the tail;
     // quantized integer weights keep the rates bit-replayable
@@ -3210,6 +3226,24 @@ object SparkEntry {
       "q122_containment" -> containmentOracle,
       "q123_containment_dedup" -> containmentDedupOracle,
       "q127_curation_report" -> curationReportOracle,
+      // the bounded complete-mode replay equals the batch counts, so
+      // the PSI replay is pure SQL (same smoothing/order as q128)
+      "q132_streaming_drift" ->
+        """WITH a AS (SELECT event_type AS bucket, count(*) AS n_a
+          |           FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+          |b AS (SELECT event_type AS bucket, count(*) AS n_b
+          |      FROM events
+          |      WHERE event_id % 2 = 1 AND event_type <> 'view'
+          |      GROUP BY 1),
+          |j AS (SELECT COALESCE(a.bucket, b.bucket) AS bucket,
+          |             COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+          |      FROM a FULL OUTER JOIN b ON a.bucket = b.bucket),
+          |tot AS (SELECT CAST(sum(n_a) AS DOUBLE) AS t_a,
+          |               CAST(sum(n_b) AS DOUBLE) AS t_b FROM j)
+          |SELECT bucket, n_a, n_b,
+          |       round((CAST(n_a + 1 AS DOUBLE) / (t_a + 8) - CAST(n_b + 1 AS DOUBLE) / (t_b + 8))
+          |             * ln((CAST(n_a + 1 AS DOUBLE) / (t_a + 8)) / (CAST(n_b + 1 AS DOUBLE) / (t_b + 8))), 6) AS psi
+          |FROM j, tot""".stripMargin,
       // quantized integer weights -> exact order-independent sums;
       // rate arithmetic pinned left-to-right; hex-prefix md5 draw
       "q131_temperature_mixture" ->

@@ -563,9 +563,18 @@ object TextStats {
     psiFromCounts(bucketed(a, "n_a"), bucketed(b, "n_b"), bins)
   }
 
-  /** Shared PSI tail: full-outer the two (bucket, count) frames,
-    * add-one smooth over the `domain`-cell space, emit per-bucket
+  /** Shared PSI tail, public for pre-bucketed inputs (e.g. a LIVE
+    * stream's complete-mode counts vs a static reference — the
+    * streaming drift monitor of q132): full-outer the two
+    * `(bucket, n_a)` / `(bucket, n_b)` frames, add-one smooth over the
+    * `domain`-cell space, emit per-bucket
     * `(p_a - p_b) * ln(p_a / p_b)` rounded to 6. */
+  def psiReport(ca: DataFrame, cb: DataFrame,
+      domain: Int): DataFrame = {
+    require(domain > 0, s"domain must be positive (got $domain)")
+    psiFromCounts(ca, cb, domain)
+  }
+
   private def psiFromCounts(ca: DataFrame, cb: DataFrame,
       domain: Int): DataFrame = {
     val joined = ca.join(cb, Seq("bucket"), "full_outer")

@@ -476,6 +476,19 @@ class TextModelSpec extends SparkTestBase {
     }
   }
 
+  test("psiReport: pre-bucketed counts, missing buckets smoothed") {
+    val a = Seq(("x", 50L), ("y", 50L)).toDF("bucket", "n_a")
+    val b = Seq(("x", 100L)).toDF("bucket", "n_b") // y vanished
+    val got = TextStats.psiReport(a, b, domain = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(got.keySet == Set("x", "y"))
+    assert(got("y") > 0.5) // the vanished bucket dominates the drift
+    assert(got.values.forall(v => !v.isNaN && !v.isInfinite)) // smoothing
+    intercept[IllegalArgumentException] {
+      TextStats.psiReport(a, b, domain = 0)
+    }
+  }
+
   test("keepBest quality ordering can beat the min-id canonical choice") {
     val docs = Seq(
       (1L, "low quality fragment"),
