@@ -140,54 +140,107 @@ object StreamingOps {
   /** Streaming UPSERT sink via `foreachBatch` — the production merge
     * pattern for sinks without native streaming support: each
     * microbatch's per-key aggregates are combined into a persisted
-    * keyed store (read store → union → re-aggregate → atomic swap).
-    * The aggregates (count / max / sum) are associative and
-    * commutative, so the final store equals the batch aggregation of
-    * the whole stream regardless of trigger batching.
+    * keyed store. The store is HASH-BUCKETED (`bucket=<b>/` subdirs,
+    * b = pmod(xxhash64(key), numBuckets)): a microbatch reads, merges
+    * and atomically swaps ONLY the buckets its keys hash into, so the
+    * per-batch merge cost is O(|batch keys| + |touched buckets|), not
+    * O(|store|) — at 100-TB ingest with ~10⁹ store keys a full-store
+    * rewrite per trigger is the scale-killer this layout removes
+    * (production sizing: numBuckets ≈ store size / target-file-size,
+    * e.g. 1024+; each rename is then one bounded bucket, never the
+    * whole store — the cheapest shape an object store's non-atomic
+    * rename can be given). The aggregates (count / max / sum) are
+    * associative and commutative, so the final store equals the batch
+    * aggregation of the whole stream regardless of trigger batching.
     *
     * Exactly-once under retries: a microbatch can be REPLAYED after a
-    * failure mid-write, so the store directory is swapped atomically
-    * (write to `.tmp`, rename) and the applied batchId is stamped in a
-    * marker file first read on every call — a replayed batch whose id
-    * is already stamped is skipped, never double-merged. That
-    * stamp-and-skip is the idempotence contract every production
-    * foreachBatch sink needs and most examples omit.
+    * failure mid-write, so idempotence is stamped at BOTH grains. A
+    * global `last_batch` marker fast-skips fully-applied batches; and
+    * because bucket swaps within one batch are not mutually atomic,
+    * each bucket directory carries its own `_graft_batch` stamp
+    * (underscore-prefixed → invisible to Spark's file listing) written
+    * into the tmp dir BEFORE the swap, so the stamp travels atomically
+    * WITH the data: a batch replayed after crashing mid-way re-merges
+    * only the buckets it had not yet swapped, never double-merging one
+    * it had. The two-rename swap (cur → `.old`, tmp → cur) is healed
+    * on entry: an orphaned `.old` whose bucket is missing is restored,
+    * a leftover one whose bucket exists is dropped.
     *
     * Scale shape: the store carries one NARROW row per key (the 100-TB
-    * ingest aggregate, not the events); each merge shuffles only
-    * |keys| + |batch keys| rows. Runs the bounded stream to completion
-    * (AvailableNow) and returns the final store. */
+    * ingest aggregate, not the events); each merge shuffles only the
+    * batch's per-key rows plus the touched buckets' rows. The
+    * touched-bucket list is a bounded ≤ numBuckets-element collect.
+    * Runs the bounded stream to completion (AvailableNow) and returns
+    * the final store. `checkpointDir` persists the source offsets so a
+    * later call resumes AFTER previously-processed input (pass the
+    * same dir to re-run against a grown source); default is a fresh
+    * temp checkpoint per call (replay-from-zero, stamp-skipped). */
   def upsertAggStore(events: DataFrame, userCol: String, tsCol: String,
-      valCol: String, storeDir: String): DataFrame = {
+      valCol: String, storeDir: String, numBuckets: Int = 8,
+      checkpointDir: String = null): DataFrame = {
     val spark = events.sparkSession
     val store = new java.io.File(storeDir, "store")
     val marker = new java.io.File(storeDir, "last_batch")
+    def rm(f: java.io.File): Unit = {
+      val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete()
+    }
+    def stampOf(dir: java.io.File): Long = {
+      val f = new java.io.File(dir, "_graft_batch")
+      if (f.exists())
+        new String(java.nio.file.Files.readAllBytes(f.toPath)).toLong
+      else -1L
+    }
     def aggOf(df: DataFrame): DataFrame =
       df.groupBy(col(userCol))
         .agg(count(lit(1)).as("n_events"), max(col(tsCol)).as("last_ts"),
           sum(col(valCol)).as("sum_value"))
-    val ck = java.nio.file.Files
-      .createTempDirectory("graft_upsert_ck").toString
+    val reAgg = Seq(sum("n_events").as("n_events"),
+      max("last_ts").as("last_ts"), sum("sum_value").as("sum_value"))
+    val ck = if (checkpointDir != null) checkpointDir
+      else java.nio.file.Files.createTempDirectory("graft_upsert_ck").toString
     val q = events.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // heal a crash between the two swap renames: `.old-<b>` holds
+        // the pre-swap bucket; restore it if the bucket is missing.
+        val olds = store.listFiles(
+          (_: java.io.File, n: String) => n.startsWith(".old-"))
+        if (olds != null) olds.foreach { o =>
+          val cur = new java.io.File(store, "bucket=" +
+            o.getName.stripPrefix(".old-"))
+          if (!cur.exists()) require(o.renameTo(cur), s"heal failed: $o")
+          else rm(o)
+        }
         val applied = if (marker.exists())
           new String(java.nio.file.Files.readAllBytes(marker.toPath)).toLong
         else -1L
         if (batchId > applied) {
-          val b = aggOf(batch)
-          val merged = if (store.exists())
-            spark.read.parquet(store.getPath).unionByName(b)
-              .groupBy(col(userCol))
-              .agg(sum("n_events").as("n_events"), max("last_ts").as("last_ts"),
-                sum("sum_value").as("sum_value"))
-          else b
-          val tmp = new java.io.File(storeDir, s"store.tmp-$batchId")
-          merged.write.mode("overwrite").parquet(tmp.getPath)
-          def rm(f: java.io.File): Unit = {
-            val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete()
+          val bAgg = aggOf(batch).withColumn("graft_bucket",
+            pmod(xxhash64(col(userCol)), lit(numBuckets)).cast("int"))
+            .persist()
+          val touched = bAgg.select("graft_bucket").distinct()
+            .collect().map(_.getInt(0)).sorted // bounded: ≤ numBuckets
+          touched.foreach { b =>
+            val cur = new java.io.File(store, s"bucket=$b")
+            if (batchId > stampOf(cur)) { // partial-replay skip per bucket
+              val rows = bAgg.filter(col("graft_bucket") === b)
+                .drop("graft_bucket")
+              val merged = if (cur.exists())
+                spark.read.parquet(cur.getPath).unionByName(rows)
+                  .groupBy(col(userCol)).agg(reAgg.head, reAgg.tail: _*)
+              else rows
+              val tmp = new java.io.File(store, s".tmp-$b-$batchId")
+              merged.write.mode("overwrite").parquet(tmp.getPath)
+              java.nio.file.Files.write( // stamp rides the swap
+                new java.io.File(tmp, "_graft_batch").toPath,
+                batchId.toString.getBytes("UTF-8"))
+              val old = new java.io.File(store, s".old-$b")
+              if (cur.exists())
+                require(cur.renameTo(old), s"swap-out failed: $cur")
+              require(tmp.renameTo(cur), s"swap-in failed: $tmp")
+              rm(old)
+            }
           }
-          if (store.exists()) rm(store)
-          require(tmp.renameTo(store), s"atomic store swap failed: $tmp")
+          bAgg.unpersist()
           java.nio.file.Files.write(marker.toPath,
             batchId.toString.getBytes("UTF-8"))
         }
@@ -197,13 +250,10 @@ object StreamingOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     try q.awaitTermination()
-    finally {
-      def rm(f: java.io.File): Unit = {
-        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete()
-      }
-      rm(new java.io.File(ck))
-    }
-    spark.read.parquet(store.getPath)
+    finally if (checkpointDir == null) rm(new java.io.File(ck))
+    // hive-style bucket=<b> dirs surface as a partition column — an
+    // internal layout detail, dropped from the returned frame.
+    spark.read.parquet(store.getPath).drop("bucket")
   }
 
   /** Stream-STATIC enrichment join — the standard ingest step that tags

@@ -125,6 +125,49 @@ class StreamingSpec extends SparkTestBase {
       .toLong >= 1L)
   }
 
+  test("upsertAggStore leaves untouched buckets byte-identical across a batch") {
+    // two users hashed to DIFFERENT buckets by the store's own function
+    val ub = spark.range(1, 64)
+      .select(col("id"), pmod(xxhash64(col("id")), lit(8)).cast("int").as("b"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val (x, bx) = ub.head
+    val (y, by) = ub.find(_._2 != bx).get
+    val watch = java.nio.file.Files.createTempDirectory("graft_upsert_in3")
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft_upsert_store3").toString
+    val ck = java.nio.file.Files
+      .createTempDirectory("graft_upsert_ck3").toString
+    def run(): Array[(Long, Long, Double)] = {
+      val sdf = spark.readStream
+        .schema(Seq((1L, ts(0), 1.0)).toDF("user_id", "ts", "value").schema)
+        .parquet(watch.toString)
+      StreamingOps.upsertAggStore(sdf, "user_id", "ts", "value", storeDir,
+          numBuckets = 8, checkpointDir = ck)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+        .sortBy(_._1)
+    }
+    Seq((x, ts(0), 2.0)).toDF("user_id", "ts", "value")
+      .coalesce(1).write.mode("append").parquet(watch.toString)
+    run()
+    val bxDir = new java.io.File(storeDir, s"store/bucket=$bx")
+    def snap(d: java.io.File): Map[String, Seq[Byte]] =
+      d.listFiles.filter(_.isFile).map(f =>
+        f.getName -> java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+    val before = snap(bxDir)
+    // second run resumes from the shared checkpoint: only the new file
+    // is processed (batch 1), whose key touches ONLY bucket `by`.
+    Seq((y, ts(5), 3.0)).toDF("user_id", "ts", "value")
+      .coalesce(1).write.mode("append").parquet(watch.toString)
+    val got = run()
+    assert(snap(bxDir) == before, "untouched bucket was rewritten")
+    val stamp = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(storeDir, s"store/bucket=$by/_graft_batch").toPath))
+    assert(stamp.toLong == 1L) // y's bucket written by batch 1, x's by 0
+    assert(before("_graft_batch") == "0".getBytes("UTF-8").toSeq)
+    assert(got.toSeq.sortBy(_._1) ==
+      Seq((x, 1L, 2.0), (y, 1L, 3.0)).sortBy(_._1))
+  }
+
   test("upsertAggStore replay is idempotent: restamped batches are skipped") {
     val watch = java.nio.file.Files.createTempDirectory("graft_upsert_in2")
     val storeDir = java.nio.file.Files
