@@ -1426,9 +1426,20 @@ object Dedup {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0,1] (got $threshold)")
     require(probeK > 0, s"probeK must be positive (got $probeK)")
+    // Materialization rule (the bm25/bigramLogProb re-tokenization trap,
+    // commit 6ec36cd): `sh` feeds FOUR subtrees (inverted index, probes,
+    // both verify sides) and each would re-run the shingle kernel over
+    // the full corpus. Eager localCheckpoint computes it once and serves
+    // the blocks to all four; the blocks are ContextCleaner-freed when
+    // the result frame is GC'd (a CacheManager persist would leak until
+    // an explicit unpersist the lazy result cannot schedule). Cluster
+    // caveat: localCheckpoint truncates lineage, so an executor loss
+    // fails the job instead of recomputing — at 100-TB scale prefer a
+    // reliable checkpoint dir or persist-with-lineage per job policy.
     val sh = docs.where(col(textCol).isNotNull)
       .select(col(idCol).as("id"),
         shingleHashes(col(textCol), shingleSize).as("sh"))
+      .localCheckpoint()
     val inv = sh.select(col("id").as("id_b"), explode(col("sh")).as("h"))
     val hot = inv.groupBy("h").agg(count(lit(1)).as("df"))
       .where(col("df") > maxShingleDf).select("h")
