@@ -1206,9 +1206,15 @@ object Dedup {
     nodes.count()
     // canonical orientation (hi > lo): each undirected edge once;
     // self-loops drop out (their nodes live on in `nodes`)
-    var c = shim.lazyCheckpointNoStats(
+    // canonical orientation rides the edges checkpoint's hash(src)
+    // layout: filter/project are alias-aware partition-preserving, so
+    // hash(src)=hash(hi) already satisfies the dedup's (hi, lo)
+    // clustering — the canonicalization adds ZERO exchanges and the
+    // captured layout feeds round 1's exchange-free min-aggregate.
+    var c = shim.lazyCheckpointAssumeHashPartitioned(
       edges.where(col("src") > col("dst"))
-        .select(col("src").as("hi"), col("dst").as("lo")).distinct())
+        .select(col("src").as("hi"), col("dst").as("lo"))
+        .dropDuplicates("hi", "lo"), "hi")
     var it = 0
     var converged = false
     var roundStats = Vector.empty[(Long, Double)]
@@ -1217,22 +1223,48 @@ object Dedup {
       // large-star without symmetrizing: m(u) = min(Γ(u) ∪ {u}) can only
       // be u or a SMALLER neighbor, and the canonical rows already group
       // u's smaller neighbors under hi = u — so the closed-neighborhood
-      // min is one groupBy over |c| rows (not 2|c| symmetric rows), and
-      // the emit "link every larger neighbor v of u to m(u)" is a left
-      // join of the edge rows (hi = v, lo = u) against it, coalescing to
-      // u itself for nodes with no smaller neighbor. One output row per
-      // input row — no distinct needed at this stage.
+      // min is one groupBy over |c| rows (not 2|c| symmetric rows). The
+      // checkpoint carries hashpartitioning(hi), so this agg runs
+      // EXCHANGE-FREE; the emit "link every larger neighbor v of u to
+      // m(u)" is a left join of the edge rows (hi = v, lo = u) against
+      // it, coalescing to u itself for nodes with no smaller neighbor.
+      // One output row per input row — no distinct needed at this stage.
       val mn = c.groupBy("hi").agg(min("lo").as("m"))
         .select(col("hi").as("u"), col("m"))
-      val large = c.join(mn, c("lo") === mn("u"), "left")
+      // shuffle-hash hint: the build side is one (node, min) row per
+      // keyed node — per-partition maps stay small — and skipping the
+      // sort-merge sorts saves two per-round sorts of the edge list
+      val large = c.join(mn.hint("shuffle_hash"),
+          c("lo") === mn("u"), "left")
         .select(c("hi"), coalesce(mn("m"), c("lo")).as("lo")) // hi > lo >= m
-      val mn2 = large.groupBy("hi").agg(min("lo").as("m2"))
-      val next = shim.lazyCheckpointNoStats(
-        large.join(mn2, "hi")
-          .where(col("lo") =!= col("m2"))
-          .select(col("lo").as("hi"), col("m2").as("lo")) // lo > m2 (lo != m2, m2 = min)
-          .union(mn2.select(col("hi"), col("m2").as("lo"))) // hi > m2
-          .distinct())
+      // small-star as ONE window over `large`. The previous join shape
+      // referenced `large` from THREE subtrees (the m2 aggregate, the
+      // join's left input and the union's second branch), and a DataFrame
+      // DAG re-EVALUATES a shared subtree per reference — each round ran
+      // the large-star SortMergeJoin three times (the r11 profile showed
+      // ~3× the expected CPU per round). The window consumes it once:
+      // within a group hi = u of (distinct) rows lo_i, m2 = min(lo_i);
+      // the unique row with lo = m2 emits the center link (u, m2) — the
+      // old union branch — and every other row emits (lo_i, m2). Skew
+      // note: a hub's group sorts on one task (WindowExec spills via
+      // ExternalAppendOnlyUnsafeRowArray), the same hot-key locality the
+      // old SMJ probe side had. The emit is followed by an EXPLICIT
+      // repartition(n, hi): hash(hi) satisfies the dropDuplicates
+      // clustering requirement on (hi, lo), so the dedup aggregate adds
+      // no exchange of its own, and the checkpoint RECORDS that layout
+      // (assume-variant: the explicit-N repartition guarantees it) for
+      // the stats job and the next round's min-aggregate.
+      val next = shim.lazyCheckpointAssumeHashPartitioned(
+        large
+          .withColumn("m2", min("lo").over(
+            org.apache.spark.sql.expressions.Window.partitionBy("hi")))
+          .select(when(col("lo") === col("m2"), col("hi"))
+            .otherwise(col("lo")).as("hi"), // lo > m2 / hi > m2
+            col("m2").as("lo"))
+          .repartition(
+            c.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+            col("hi"))
+          .dropDuplicates("hi", "lo"), "hi")
       // first job of the round: materializes the checkpoint and computes
       // the multi-parent violation count plus the round's edge count in
       // one agg pass (the edge count is the shrink signal the r10 verdict

@@ -63,6 +63,51 @@ object GraftSqlShim {
       catalyst.plans.physical.HashPartitioning(Seq(attr), n))(spark)), count)
   }
 
+  /** Lazy variant of [[checkpointHashPartitioned]]: the result plan
+    * carries `hashpartitioning(key, n)` but the blocks materialize at
+    * the caller's FIRST job instead of an eager count — for iterative
+    * loops whose next job reads the checkpoint immediately anyway (an
+    * eager count there is a whole extra pass over the blocks). Same
+    * explicit-N repartition, so AQE cannot coalesce the layout out from
+    * under the recorded partitioning. Stats are truncated exactly like
+    * [[lazyCheckpointNoStats]] (see that scaladoc for why). */
+  def lazyCheckpointHashPartitioned(df: Dataset[_], key: String): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[CSparkSession]
+    val n = spark.sessionState.conf.numShufflePartitions
+    val qe = df.repartition(n, df(key)).queryExecution
+    val output = qe.analyzed.output
+    val resolver = spark.sessionState.conf.resolver
+    val attr = output.find(a => resolver(a.name, key)).getOrElse(throw
+      new IllegalArgumentException(s"no column named $key in ${output.mkString(",")}"))
+    val rdd = qe.toRdd.map(_.copy()).localCheckpoint()
+    ofRows(spark, execution.LogicalRDD(output, rdd,
+      catalyst.plans.physical.HashPartitioning(Seq(attr), n))(spark))
+  }
+
+  /** Lazy checkpoint that RECORDS `hashpartitioning(key, n)` without
+    * adding a repartition of its own. CALLER CONTRACT: the plan's
+    * physical output layout must already be exactly that — an explicit
+    * `repartition(n, key)` (AQE never coalesces user-specified-N
+    * exchanges) optionally followed by partition-preserving operators
+    * (filter/project/aggregate), with `n` = the session's shuffle
+    * partitions. Recording a layout the rows don't have silently
+    * mis-joins downstream, which is why this stays an internal bridge
+    * for loops that already pay a keyed exchange and must not pay a
+    * second one just to capture it. */
+  def lazyCheckpointAssumeHashPartitioned(df: Dataset[_],
+      key: String): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[CSparkSession]
+    val n = spark.sessionState.conf.numShufflePartitions
+    val qe = df.queryExecution
+    val output = qe.analyzed.output
+    val resolver = spark.sessionState.conf.resolver
+    val attr = output.find(a => resolver(a.name, key)).getOrElse(throw
+      new IllegalArgumentException(s"no column named $key in ${output.mkString(",")}"))
+    val rdd = qe.toRdd.map(_.copy()).localCheckpoint()
+    ofRows(spark, execution.LogicalRDD(output, rdd,
+      catalyst.plans.physical.HashPartitioning(Seq(attr), n))(spark))
+  }
+
   /** Lazy `localCheckpoint` that TRUNCATES plan statistics: the result
     * is a bare [[execution.LogicalRDD]] with no `originStats`, unlike
     * `Dataset.localCheckpoint(eager = false)` which eagerly captures the
