@@ -352,6 +352,20 @@ object SparkEntry {
     val spark = df.sparkSession
     val ck = java.nio.file.Files
       .createTempDirectory(s"graft_stream_ck_$name").toString
+    // State-partition sizing: a stateful micro-batch pays a fixed
+    // load/commit cost PER state-store instance (a stream-stream join
+    // keeps four per partition), and the bounded replays here carry
+    // only ~10⁴–10⁵ state rows — at the session's 32 shuffle
+    // partitions the per-instance overhead dominates the batch (q79
+    // profile: 2.8 s addBatch on a ZERO-row finalization batch). Pin 8
+    // partitions for the replay; Spark records the value in the
+    // checkpoint metadata at query start and re-applies it per batch,
+    // so the value is pinned for the query's whole life. The conf is
+    // restored only after awaitTermination (batch 0's capture happens
+    // asynchronously after start(), so an earlier restore would race).
+    // A production deployment sizes this to state volume / throughput.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode)
       .option("checkpointLocation", ck)
@@ -359,6 +373,7 @@ object SparkEntry {
       .start()
     try q.awaitTermination()
     finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       // the checkpoint only matters while the (run-to-completion)
       // query lives; repeated bench/verify invocations would otherwise
       // leak state-store files per run

@@ -219,7 +219,12 @@ object StreamingOps {
             .persist()
           val touched = bAgg.select("graft_bucket").distinct()
             .collect().map(_.getInt(0)).sorted // bounded: ≤ numBuckets
-          touched.foreach { b =>
+          // bucket merges are independent (disjoint key sets, disjoint
+          // directories) — run them as concurrent Spark jobs so the
+          // per-job fixed cost doesn't serialize across buckets
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          val merges = touched.toSeq.map { b => Future {
             val cur = new java.io.File(store, s"bucket=$b")
             if (batchId > stampOf(cur)) { // partial-replay skip per bucket
               val rows = bAgg.filter(col("graft_bucket") === b)
@@ -239,7 +244,9 @@ object StreamingOps {
               require(tmp.renameTo(cur), s"swap-in failed: $tmp")
               rm(old)
             }
-          }
+          } }
+          merges.foreach(
+            Await.result(_, scala.concurrent.duration.Duration.Inf))
           bAgg.unpersist()
           java.nio.file.Files.write(marker.toPath,
             batchId.toString.getBytes("UTF-8"))
