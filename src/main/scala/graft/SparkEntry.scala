@@ -2005,7 +2005,17 @@ object SparkEntry {
 
   /** q122 oracle: exact all-pairs containment over the near-dup corpus
     * — `|sh(A) ∩ sh(B)| / |sh(A)|` on the same distinct-shingle sets as
-    * the Jaccard oracles, both directions (a <> b, not a < b). */
+    * the Jaccard oracles, both directions (a <> b, not a < b).
+    *
+    * DATA PRECONDITION (also asserted by the randomized containment
+    * spec): the Spark side's candidate sketch is bottom-`probeK`
+    * (k = 8), so its recall is exact only while every >= 0.9-containment
+    * pair in the fixture differs by fewer than 8 shingles OR shares a
+    * bottom-8 sketch hash that survives the `maxShingleDf` hot-key cut.
+    * The generated near-dup corpus satisfies this by construction; if a
+    * future fixture regen introduces a wide-gap near-containment pair,
+    * a q122/q123/q127 hash miss means the FIXTURE left the operator's
+    * documented recall envelope, not that the operator broke. */
   private val containmentOracle: String = corpusNearCte + shingleCtes +
     """
       |SELECT * FROM (

@@ -1546,16 +1546,21 @@ object Dedup {
       better: Seq[Column]): DataFrame = {
     require(better.nonEmpty, "keepBest needs at least one ordering column")
     import org.apache.spark.sql.expressions.Window
+    // prefixed helper names: drop-by-name removes EVERY matching column,
+    // so joining the cc frame's (id, group_id) directly would eat a
+    // caller column of the same name (and break the unionByName below)
     val cc = connectedComponents(pairs)
+      .select(col("id").as("graft_cc_id"), col("group_id").as("graft_cc_group"))
     val members = docs
-      .join(cc, docs(idCol) === cc("id"))
+      .join(cc, docs(idCol) === cc("graft_cc_id"))
       .withColumn("graft_rn", row_number().over(Window
-        .partitionBy(col("group_id"))
+        .partitionBy(col("graft_cc_group"))
         .orderBy(better :+ docs(idCol).asc: _*)))
     val winners = members.where(col("graft_rn") === 1)
-      .drop("id", "group_id", "graft_rn")
+      .drop("graft_cc_id", "graft_cc_group", "graft_rn")
     val untouched = docs
-      .join(cc.select(col("id")), docs(idCol) === cc("id"), "left_anti")
+      .join(cc.select(col("graft_cc_id")),
+        docs(idCol) === cc("graft_cc_id"), "left_anti")
     untouched.unionByName(winners)
   }
 

@@ -186,9 +186,15 @@ object Sampling {
         lit(":"),
         coalesce(col(idCol).cast("string"), lit("\u0000")))
         .cast("binary")), 1, 8), 16, 10).cast("long")
-    df.join(broadcast(rates), Seq(strataCol))
+    // null-safe join: groupBy above already gives NULL strata their own
+    // group, and the md5 draw coalesces NULL before hashing — a plain
+    // equi-join would then silently drop those rows at the last step.
+    // <=> keeps NULL as a first-class stratum end to end.
+    val rated = broadcast(
+      rates.withColumnRenamed(strataCol, "__graft_strata"))
+    df.join(rated, col(strataCol) <=> col("__graft_strata"))
       .where(key < floor(col("__rate") * 4294967296.0).cast("long"))
-      .drop("__rate")
+      .drop("__rate", "__graft_strata")
   }
 
   /**

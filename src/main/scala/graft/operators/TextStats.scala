@@ -458,10 +458,15 @@ object TextStats {
    * perplexity filter: for every document with >= 2 tokens, the mean
    * over token positions i >= 2 of
    * `ln(lambda * p(w_i | w_{i-1}) + (1 - lambda) * p(w_i))`, with both
-   * models estimated from the corpus itself (MLE — the interpolation
-   * with the always-nonzero unigram term keeps the log finite for any
-   * bigram that occurs at least once, which every scored bigram does,
-   * being its own evidence). Degenerate/boilerplate text (high-frequency
+   * models estimated from the corpus itself. The conditional term
+   * divides the bigram count by w1's CORPUS-WIDE unigram count — which
+   * includes document-final occurrences of w1 that start no bigram — so
+   * p(.|w1) is an MLE approximation that sums to slightly under 1
+   * rather than the exact conditional MLE; internally consistent, and
+   * the interpolation with the always-nonzero unigram term keeps the
+   * log finite for any bigram that occurs at least once, which every
+   * scored bigram does, being its own evidence.
+   * Degenerate/boilerplate text (high-frequency
    * bigrams) scores high; incoherent token soup scores low — threshold
    * both tails.
    *

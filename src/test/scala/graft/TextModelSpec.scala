@@ -95,6 +95,35 @@ class TextModelSpec extends SparkTestBase {
     }
   }
 
+  test("keepBest survives caller columns named id / group_id") {
+    // drop-by-name removes every match: before the graft_cc_ prefixes,
+    // a corpus carrying its own 'id' or 'group_id' lost that column
+    val docs = Seq(
+      (1L, 10L, "g_a", 0.2), (2L, 20L, "g_b", 0.9),
+      (3L, 30L, "g_c", 0.5)
+    ).toDF("doc_id", "id", "group_id", "quality")
+    val pairs = Seq((1L, 2L)).toDF("id1", "id2")
+    val kept = Dedup.keepBest(docs, "doc_id", pairs, Seq(col("quality").desc))
+    assert(kept.columns.toSeq == Seq("doc_id", "id", "group_id", "quality"))
+    val rows = kept.orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.toSeq == Seq((2L, 20L, "g_b"), (3L, 30L, "g_c")))
+  }
+
+  test("temperatureMixture keeps NULL strata as their own group") {
+    val docs = (0 until 200).map(i => (i.toLong, "head")) ++
+      (200 until 300).map(i => (i.toLong, null: String))
+    val df = docs.toDF("doc_id", "source")
+    // tau = 0: equal mass per group — the NULL stratum must survive the
+    // rates join (null-safe <=>), not vanish at the last step
+    val kept = Sampling.temperatureMixture(df, "source", "doc_id",
+        tau = 0.0, targetFraction = 0.9)
+      .groupBy("source").count()
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(kept.contains(None), "NULL stratum dropped by the rates join")
+    assert(kept(None) > 0L)
+  }
+
   test("containmentDupPairs: subset docs found, direction correct") {
     val big = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
     val docs = Seq(
