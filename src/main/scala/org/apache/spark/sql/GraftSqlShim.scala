@@ -140,6 +140,11 @@ object GraftSqlShim {
       catalyst.types.DataTypeUtils.toAttributes(schema), rdd)(cs))
   }
 
+  /** `Dataset.showString` (private[sql]) — the REPL's table renderer:
+    * same formatting as `df.show(n)`, returned as a String. */
+  def showString(df: Dataset[_], numRows: Int, truncate: Int): String =
+    df.asInstanceOf[CDataset[_]].showString(numRows, truncate)
+
   /** Spark's interpreted ordering over INTERNAL values of `dt` (e.g.
     * `UTF8String` for strings) — matches SQL `min`/`ORDER BY` semantics
     * exactly, unlike java natural ordering on external values. */
