@@ -82,7 +82,7 @@ object Bench {
       // the flagship SETUP (cache materialization) runs outside timed();
       // a failure there must not discard the ~50 per-query timings
       // already gathered — record it and still emit the JSON line
-      try flagship(spark, sfDir, timed)
+      try flagship(spark, sfDir, timed, ccMedians)
       catch { case t: Throwable =>
         errors("flagship_setup") =
           Option(t.getMessage).getOrElse(t.getClass.getName).take(200)
@@ -105,7 +105,16 @@ object Bench {
       "q59_contamination",
       // round-11 fourth-session additions under the same watch
       "q119_importance", "q120_bigram_logprob", "q122_containment")
-    val medians = gateQueries.flatMap { name =>
+    // r11 verdict hygiene item: EVERY ledger entry over 2 s in the
+    // single-shot pass also gets 3-sample medians, so the artifact
+    // itself separates first-invocation cost from steady state for the
+    // expensive tail (q77/q79/q123-class entries), not just the watched
+    // gates. Flagship + cc_star medians come from their own rep loops.
+    val dynamicReps = results.collect {
+      case (name, v) if v > 2.0 && SparkEntry.queries.contains(name) &&
+        !gateQueries.contains(name) => name
+    }
+    val medians = (gateQueries ++ dynamicReps).flatMap { name =>
       val first = results.collectFirst { case (`name`, v) if v >= 0 => v }
       first.map { v0 =>
         def rep(): Double = {
@@ -161,8 +170,29 @@ object Bench {
     * pushdown path and the pair-materializing codegen join. Tables are
     * cached + counted first so the numbers measure the join, not the scan. */
   private def flagship(spark: SparkSession, sfDir: String,
-      timed: String => (=> Unit) => (String, Double)): Seq[(String, Double)] = {
+      timed: String => (=> Unit) => (String, Double),
+      medianSink: scala.collection.mutable.ArrayBuffer[(String, (Double, Double, Double))])
+      : Seq[(String, Double)] = {
     import org.apache.spark.sql.functions._
+    // 3-sample medians for the flagship entries too (r11 verdict item
+    // #8: the baseline ratio each verdict cites should be a median, not
+    // a single draw). First sample goes through timed() and joins the
+    // results/total as before; two raw reps feed queries_median.
+    def rep3(name: String)(body: => Unit): (String, Double) = {
+      val first = timed(name)(body)
+      if (first._2 >= 0) {
+        def rep(): Double = {
+          val t0 = System.nanoTime(); body
+          (System.nanoTime() - t0) / 1e9
+        }
+        val samples = try Seq(first._2, rep(), rep()) catch {
+          case scala.util.control.NonFatal(_) => Seq(first._2)
+        }
+        val s = samples.sorted
+        medianSink += (name -> (s(s.size / 2), s.head, s.last))
+      }
+      first
+    }
     val ev = Tables.load(spark, sfDir, "events").select("event_id", "user_id")
     def tbl(mult: Int, width: Int) = ev.select(
       (col("user_id") % 20).cast("int").as("contig"),
@@ -194,16 +224,16 @@ object Bench {
       def lapperCount(): (String, Double) = {
         val alg = graft.GraftSession.IntervalJoinAlgorithm
         spark.conf.set(alg, "lapper")
-        try timed("flagship_80m_count_lapper")(a.join(b, cond).count())
+        try rep3("flagship_80m_count_lapper")(a.join(b, cond).count())
         finally spark.conf.unset(alg)
       }
       Seq(
-        timed("flagship_80m_count")(a.join(b, cond).count()),
-        timed("flagship_80m_join_sum")(
+        rep3("flagship_80m_count")(a.join(b, cond).count()),
+        rep3("flagship_80m_join_sum")(
           a.join(b, cond).agg(sum(b("pos_start"))).head()),
         lapperCount(),
-        timed("flagship_80m_count_i64")(aw.join(bw, condW).count()),
-        timed("flagship_80m_join_sum_i64")(
+        rep3("flagship_80m_count_i64")(aw.join(bw, condW).count()),
+        rep3("flagship_80m_join_sum_i64")(
           aw.join(bw, condW).agg(sum(bw("pos_start"))).head())) ++
         skewFlagship(spark, sfDir, timed)
     } finally { a.unpersist(); b.unpersist(); aw.unpersist(); bw.unpersist() }
