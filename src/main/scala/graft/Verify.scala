@@ -11,12 +11,18 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val base = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // SPARK_GRAFT_CODEGEN_ONLY=1: run the whole surface with codegen
+    // fallback DISABLED — any expression/operator that silently fell
+    // back to interpreted mode fails loudly instead. The per-round
+    // recorded sweep (CODEGEN_SWEEP_r*.json) runs Verify this way.
+    val spark = (if (sys.env.get("SPARK_GRAFT_CODEGEN_ONLY").contains("1"))
+        base.config("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      else base).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.install(spark)
     new java.io.File(outDir).mkdirs()
