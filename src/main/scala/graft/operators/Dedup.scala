@@ -1116,7 +1116,7 @@ object Dedup {
         "rounds on the original edges")
       lastForestEdges = -1L
       lastEngine = "star"
-      return starLoop(edges, maxIterations)
+      return starLoop(edges, edgeCount, maxIterations)
     }
     // local-contraction pre-pass: solve each range partition with a
     // single union-find pass and keep only the spanning forest. On the
@@ -1138,7 +1138,7 @@ object Dedup {
         "running alternating star rounds on the original edges")
       org.apache.spark.sql.GraftSqlShim.unpersistCheckpoint(forest)
       lastEngine = "star"
-      return starLoop(edges, maxIterations)
+      return starLoop(edges, edgeCount, maxIterations)
     }
     org.apache.spark.sql.GraftSqlShim.unpersistCheckpoint(edges)
     if (forestCount <= microGraphMaxEdges * PostContractionMicroFactor) {
@@ -1194,7 +1194,7 @@ object Dedup {
     * the loop outright. Ids of any orderable type work; comparisons and
     * `min` are Spark SQL semantics (strings collate like SQL `min`).
     * Unpersists `edges` when done. */
-  private[graft] def starLoop(edges: DataFrame,
+  private[graft] def starLoop(edges: DataFrame, edgeCount: Long,
       maxIterations: Int): DataFrame = {
     val shim = org.apache.spark.sql.GraftSqlShim
     // node inventory for the final labeling: every node of the symmetric
@@ -1211,10 +1211,25 @@ object Dedup {
     // hash(src)=hash(hi) already satisfies the dedup's (hi, lo)
     // clustering — the canonicalization adds ZERO exchanges and the
     // captured layout feeds round 1's exchange-free min-aggregate.
+    val confParts =
+      edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     var c = shim.lazyCheckpointAssumeHashPartitioned(
       edges.where(col("src") > col("dst"))
         .select(col("src").as("hi"), col("dst").as("lo"))
-        .dropDuplicates("hi", "lo"), "hi")
+        .dropDuplicates("hi", "lo"), "hi", confParts)
+    // round partition count sized to the edge volume: an explicit-N
+    // repartition is exempt from AQE coalescing (that is what lets the
+    // checkpoint RECORD its layout), so a small graph must not be
+    // spread over the full session width — 6 rounds x several stages of
+    // 32 near-empty tasks is pure scheduler overhead (the q70 63 k-edge
+    // entry ran ~1.7x slower that way). ~100 k canonical rows per
+    // partition, capped at the session conf for big graphs.
+    val nStar = math.max(1, math.min(confParts,
+      (edgeCount / 200000L).toInt + 1))
+    // node count is bounded by the symmetric edge count; ~300 k nodes
+    // of (id, min) rows is the ~10 MB broadcast-threshold ballpark
+    val maybeHinted: DataFrame => DataFrame =
+      if (edgeCount >= 600000L) _.hint("shuffle_hash") else identity
     var it = 0
     var converged = false
     var roundStats = Vector.empty[(Long, Double)]
@@ -1231,11 +1246,15 @@ object Dedup {
       // One output row per input row — no distinct needed at this stage.
       val mn = c.groupBy("hi").agg(min("lo").as("m"))
         .select(col("hi").as("u"), col("m"))
-      // shuffle-hash hint: the build side is one (node, min) row per
-      // keyed node — per-partition maps stay small — and skipping the
-      // sort-merge sorts saves two per-round sorts of the edge list
-      val large = c.join(mn.hint("shuffle_hash"),
-          c("lo") === mn("u"), "left")
+      // shuffle-hash hint on LARGE graphs only: the build side is one
+      // (node, min) row per keyed node — per-partition maps stay small
+      // — and skipping the sort-merge sorts saves two per-round sorts
+      // of the edge list. On small graphs the hint would BLOCK AQE's
+      // broadcast conversion (mn under the broadcast threshold makes
+      // the join exchange-free on the probe side), so it only applies
+      // once mn is plausibly past broadcast size (~10 MB of narrow
+      // rows). maybeHinted is set once outside the loop.
+      val large = c.join(maybeHinted(mn), c("lo") === mn("u"), "left")
         .select(c("hi"), coalesce(mn("m"), c("lo")).as("lo")) // hi > lo >= m
       // small-star as ONE window over `large`. The previous join shape
       // referenced `large` from THREE subtrees (the m2 aggregate, the
@@ -1261,10 +1280,8 @@ object Dedup {
           .select(when(col("lo") === col("m2"), col("hi"))
             .otherwise(col("lo")).as("hi"), // lo > m2 / hi > m2
             col("m2").as("lo"))
-          .repartition(
-            c.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
-            col("hi"))
-          .dropDuplicates("hi", "lo"), "hi")
+          .repartition(nStar, col("hi"))
+          .dropDuplicates("hi", "lo"), "hi", nStar)
       // first job of the round: materializes the checkpoint and computes
       // the multi-parent violation count plus the round's edge count in
       // one agg pass (the edge count is the shrink signal the r10 verdict

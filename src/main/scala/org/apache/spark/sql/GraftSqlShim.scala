@@ -89,15 +89,14 @@ object GraftSqlShim {
     * physical output layout must already be exactly that — an explicit
     * `repartition(n, key)` (AQE never coalesces user-specified-N
     * exchanges) optionally followed by partition-preserving operators
-    * (filter/project/aggregate), with `n` = the session's shuffle
-    * partitions. Recording a layout the rows don't have silently
+    * (filter/project/aggregate), with `n` = that repartition's count.
+    * Recording a layout the rows don't have silently
     * mis-joins downstream, which is why this stays an internal bridge
     * for loops that already pay a keyed exchange and must not pay a
     * second one just to capture it. */
   def lazyCheckpointAssumeHashPartitioned(df: Dataset[_],
-      key: String): DataFrame = {
+      key: String, n: Int): DataFrame = {
     val spark = df.sparkSession.asInstanceOf[CSparkSession]
-    val n = spark.sessionState.conf.numShufflePartitions
     val qe = df.queryExecution
     val output = qe.analyzed.output
     val resolver = spark.sessionState.conf.resolver
