@@ -1535,9 +1535,16 @@ object Dedup {
     * with [[Curation.curationReport]], which needs the loser SET (to
     * tag reasons), not the filtered corpus. */
   private[operators] def containmentLosers(pairs: DataFrame): DataFrame = {
-    val rev = pairs.select(col("id_contained").as("r_container"),
+    // materialization rule again, one level up: callers hand us the
+    // WHOLE containment pipeline lazily, and `pairs` is referenced
+    // twice below (forward + reversed) — without a checkpoint the
+    // pipeline re-runs per reference (q123 ran ~1.5× q122's cost for
+    // what is one projection + one join over a tiny id-pair list).
+    // The pair list is small; the subtree behind it is not.
+    val p = pairs.localCheckpoint()
+    val rev = p.select(col("id_contained").as("r_container"),
       col("id_container").as("r_contained"))
-    pairs
+    p
       .join(rev, col("id_contained") === col("r_contained") &&
         col("id_container") === col("r_container"), "left")
       .where(col("r_contained").isNull ||
