@@ -46,12 +46,22 @@ object Curation {
       evalIdCol: String = "doc_id", evalTextCol: String = "text",
       decontaminationThreshold: Double = 0.8): DataFrame = {
     require(langs.nonEmpty, "curationReport needs a language allow-list")
+    // materialization rule (same as the containment shingle frame):
+    // `base` feeds the near-dup pipeline, the containment pipeline and
+    // the final report join — three subtree references, each of which
+    // would re-run the langId/quality kernels over the full corpus.
+    // One eager localCheckpoint computes them once; blocks are
+    // ContextCleaner-freed when the report is GC'd. (At extreme scale
+    // a deployment may prefer recomputing two zero-shuffle map kernels
+    // over storing corpus-sized blocks — that trade is a policy knob,
+    // not a correctness one.)
     val base = docs
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .withColumn("lang_ok",
         TextStats.langId(col("text")).isin(langs: _*))
       .withColumn("quality_ok",
         TextStats.qualityScore(col("text")) >= minQuality)
+      .localCheckpoint()
     val gated = base.where(col("lang_ok") && col("quality_ok"))
       .select("doc_id", "text")
     val nearPairs = Dedup
