@@ -1817,6 +1817,40 @@ object SparkEntry {
     // (complete-mode counts, bounded replay) against a static
     // reference through the same PSI tail as q128/q129 — the stream
     // deliberately loses its 'view' events, so that bucket's PSI term
+    // per-doc shingle novelty: fraction of a doc's distinct 3-gram
+    // shingles with corpus df = 1 (singleton ownership via min(doc_id)
+    // — no join back to the exploded rows); the diversity-weighting
+    // signal, inverse of the dup family
+    "q133_shingle_novelty" -> ((s, dir) => { prep(s, dir)
+      TextStats.shingleNovelty(
+        Tables.load(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text") }),
+    // cross-source duplicate leakage matrix over the near-dup corpus
+    // with synthetic mirror/scrape sources: near-dup pairs (>= 0.8
+    // Jaccard, same LSH recall precondition the q21/q23 oracles pin)
+    // joined back to each side's source, counted per unordered source
+    // pair — the mixture-design evidence a curator reads before
+    // weighting sources
+    "q134_source_leakage" -> ((s, dir) => { prep(s, dir)
+      val docs = Tables.load(s, dir, "documents")
+        .select("doc_id", "text", "source")
+      val mirror = docs.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"),
+          lit("mirror").as("source"))
+      val scrape = docs.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(col("text"), lit(" graft dup marker")).as("text"),
+          lit("scrape").as("source"))
+      Dedup.sourceLeakage(docs.union(mirror).union(scrape),
+        "doc_id", "text", "source", threshold = 0.8) }),
+    // vocabulary coverage curve: smallest frequency-ranked vocab head
+    // reaching 50/90/95/99% of corpus token mass — exact integer
+    // cumsum over the vocab-bounded ranking window
+    "q135_vocab_coverage" -> ((s, dir) => { prep(s, dir)
+      TextStats.vocabCoverage(
+        Tables.load(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text")
+        .orderBy("threshold") }),
     // spikes exactly as a production skew would
     "q132_streaming_drift" -> ((s, dir) => { prep(s, dir)
       val ref = Tables.load(s, dir, "events")
@@ -3251,6 +3285,66 @@ object SparkEntry {
       "q122_containment" -> containmentOracle,
       "q123_containment_dedup" -> containmentDedupOracle,
       "q127_curation_report" -> curationReportOracle,
+      // q133: singleton-shingle ownership replayed on shingle STRINGS
+      // (the Spark side counts distinct 64-bit shingle hashes — equal
+      // modulo negligible collisions, the q22/q23 equivalence rule)
+      "q133_shingle_novelty" ->
+        ("WITH corpus AS (SELECT doc_id, text FROM documents)" +
+          shingleCtes +
+          """,
+            |ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
+            |d AS (SELECT g, count(*) AS df, min(doc_id) AS only_doc
+            |      FROM ex GROUP BY g),
+            |u AS (SELECT only_doc AS doc_id, count(*) AS n_unique
+            |      FROM d WHERE df = 1 GROUP BY only_doc)
+            |SELECT s.doc_id,
+            |       round(COALESCE(u.n_unique, 0) * 1.0 / len(s.sh), 6) AS novelty
+            |FROM s LEFT JOIN u USING (doc_id)""".stripMargin),
+      // q134: exact all-pairs >= 0.8 Jaccard over the sourced corpus
+      // (mirror = byte-identical fifth docs, scrape = suffixed seventh
+      // docs), sides resolved to sources, unordered pair counts. Same
+      // LSH-recall data precondition as the q21/q23/q56 oracles.
+      "q134_source_leakage" ->
+        ("""WITH corpus AS (
+           |  SELECT doc_id, text, source FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 1000000 AS doc_id, text, 'mirror' AS source
+           |  FROM documents WHERE doc_id % 5 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 2000000 AS doc_id,
+           |         text || ' graft dup marker' AS text, 'scrape' AS source
+           |  FROM documents WHERE doc_id % 7 = 0
+           |)""".stripMargin + jaccardPairsCtes +
+          """,
+            |pp AS (SELECT id1, id2 FROM jp WHERE jaccard >= 0.8)
+            |SELECT least(ca.source, cb.source) AS source_a,
+            |       greatest(ca.source, cb.source) AS source_b,
+            |       count(*) AS n_pairs
+            |FROM pp
+            |JOIN corpus ca ON ca.doc_id = pp.id1
+            |JOIN corpus cb ON cb.doc_id = pp.id2
+            |GROUP BY 1, 2""".stripMargin),
+      // q135: exact integer cumsum over the frequency-ranked vocab
+      // (ties by term — a total order, so RANGE = ROWS framing)
+      "q135_vocab_coverage" ->
+        """WITH w AS (
+          |  SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+          |                     x -> x <> '') AS ws
+          |  FROM documents),
+          |tok AS (SELECT unnest(ws) AS term FROM w),
+          |c AS (SELECT term, count(*) AS tf FROM tok GROUP BY term),
+          |r AS (SELECT term, tf,
+          |             CAST(row_number() OVER (ORDER BY tf DESC, term) AS BIGINT) AS rk,
+          |             sum(tf) OVER (ORDER BY tf DESC, term
+          |                           ROWS UNBOUNDED PRECEDING) AS cum
+          |      FROM c),
+          |tot AS (SELECT sum(tf) AS total FROM c),
+          |th AS (SELECT CAST(unnest([0.5, 0.9, 0.95, 0.99]) AS DOUBLE) AS threshold)
+          |SELECT th.threshold, min(r.rk) AS vocab_size
+          |FROM r, tot, th
+          |WHERE r.cum >= tot.total * th.threshold
+          |GROUP BY th.threshold
+          |ORDER BY th.threshold""".stripMargin,
       // the bounded complete-mode replay equals the batch counts, so
       // the PSI replay is pure SQL (same smoothing/order as q128)
       "q132_streaming_drift" ->

@@ -1588,6 +1588,38 @@ object Dedup {
     untouched.unionByName(winners)
   }
 
+  /**
+   * Cross-source duplicate LEAKAGE matrix — mixture-design evidence:
+   * for every unordered source pair (A, B), the number of
+   * >= `threshold`-Jaccard near-duplicate pairs joining a document of
+   * source A to one of source B. The number a curator reads before
+   * setting mixture weights: a mirror site that is 90% another source's
+   * content should not count as independent data, and within-source
+   * counts (A = B) measure each source's internal redundancy.
+   *
+   * Scale shape: rides [[minhashDupPairs]] unchanged (banded LSH — no
+   * all-pairs term); source labels join back by id (narrow id→source
+   * rows, text never shuffles) and the matrix aggregate is at most
+   * |sources|² rows with map-side partials.
+   */
+  def sourceLeakage(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, threshold: Double, shingleSize: Int = 3,
+      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val pairs = minhashDupPairs(docs, idCol, textCol, threshold,
+      shingleSize, numHashes, bands).select("id1", "id2")
+    val src = docs.select(col(idCol).as("graft_sl_id"),
+      col(sourceCol).as("graft_sl_src"))
+    pairs
+      .join(src.select(col("graft_sl_id").as("id1"),
+        col("graft_sl_src").as("graft_src1")), "id1")
+      .join(src.select(col("graft_sl_id").as("id2"),
+        col("graft_sl_src").as("graft_src2")), "id2")
+      .select(least(col("graft_src1"), col("graft_src2")).as("source_a"),
+        greatest(col("graft_src1"), col("graft_src2")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** SimHash near-duplicate candidate pairs: pigeonhole the 64-bit hash
     * into 4 × 16-bit chunks — any pair within Hamming distance 3 shares
     * at least one chunk — then verify `bit_count(xor) <= maxHamming`. */

@@ -595,6 +595,80 @@ object TextStats {
         round((pa - pb) * log(pa / pb), 6).as("psi"))
   }
 
+  /**
+   * Per-document shingle NOVELTY — the data-mixture diversity signal:
+   * the fraction of a document's distinct `shingleSize`-gram shingles
+   * that appear in NO other document (corpus document frequency 1).
+   * Boilerplate-heavy pages score near 0, genuinely novel content near
+   * 1 — the upweighting knob for diversity-aware sampling, and the
+   * inverse signal of the duplication family.
+   *
+   * Scale shape: one compiled shingle pass (checkpointed — the frame
+   * feeds the df aggregate AND the per-doc sizes, the materialization
+   * rule of the containment path), then 16-byte (hash, doc) rows
+   * through a term-keyed aggregate. A shingle with df = 1 belongs to
+   * exactly ONE document, so `min(doc_id)` per singleton hash IS its
+   * owner — the per-doc unique counts come from a second aggregate on
+   * that, with no join back to the exploded rows. Text never shuffles.
+   */
+  def shingleNovelty(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3): DataFrame = {
+    val sh = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        Dedup.shingleHashes(col(textCol), shingleSize).as("sh"))
+      .localCheckpoint()
+    val singletons = sh
+      .select(col("doc_id"), explode(col("sh")).as("h"))
+      .groupBy("h")
+      .agg(count(lit(1)).as("df"), min("doc_id").as("only_doc"))
+      .where(col("df") === 1)
+      .groupBy(col("only_doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_unique"))
+    sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
+      .join(singletons, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(coalesce(col("n_unique"), lit(0L)).cast("double") /
+          col("n_sh").cast("double"), 6).as("novelty"))
+  }
+
+  /**
+   * Vocabulary coverage curve — tokenizer budget planning: for each
+   * requested coverage threshold, the smallest head-of-vocabulary size
+   * (terms ranked by corpus frequency, ties broken by term) whose
+   * cumulative token mass reaches that fraction of all tokens. The
+   * "how big must my vocab be for 95% coverage" number, computed
+   * exactly.
+   *
+   * Scale shape: the corpus collapses to the VOCABULARY (map-side
+   * partial aggregation before the one term-keyed shuffle) before any
+   * expensive step; the ranking window then runs over vocab-bounded
+   * rows (the single-partition global sort is over ~10⁵–10⁷ terms at
+   * ANY corpus size — a deliberate, documented bound, like the exact
+   * percentile walk). Thresholds explode per vocab row (|thresholds| ×
+   * vocab, still vocab-bounded); the total rides the same rows.
+   */
+  def vocabCoverage(docs: DataFrame, idCol: String, textCol: String,
+      thresholds: Seq[Double] = Seq(0.5, 0.9, 0.95, 0.99)): DataFrame = {
+    require(thresholds.nonEmpty, "vocabCoverage needs thresholds")
+    require(thresholds.forall(t => t > 0 && t <= 1),
+      s"thresholds must be in (0,1] (got $thresholds)")
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(explode(Dedup.words(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("tf"))
+    val w = Window.orderBy(col("tf").desc, col("term").asc)
+    val ranked = counts
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("cum", sum("tf").over(w))
+    val total = counts.agg(sum("tf").as("total"))
+    ranked.crossJoin(broadcast(total))
+      .select(col("rk"), col("cum"), col("total"),
+        explode(array(thresholds.map(lit): _*)).as("threshold"))
+      .where(col("cum") >= col("total") * col("threshold"))
+      .groupBy("threshold")
+      .agg(min("rk").as("vocab_size"))
+  }
+
   /** Convenience: append the full stats column set. */
   def withStats(docs: DataFrame, textCol: String): DataFrame =
     docs

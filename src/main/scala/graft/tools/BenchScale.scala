@@ -83,6 +83,12 @@ object BenchScale {
       entries += s""""flagship_pairs":$pairs"""
       println(s"SCALE $dir flagship pairs=$pairs " +
         fSecs.map(fmt).mkString(" "))
+      val (ccEdges, ccRounds, ccSecs) = ccStarScale(spark, dir)
+      entries += s""""cc_star_scale":[${ccSecs.map(fmt).mkString(",")}]"""
+      entries += s""""cc_star_scale_edges":$ccEdges"""
+      entries += s""""cc_star_scale_rounds":$ccRounds"""
+      println(s"SCALE $dir cc_star edges=$ccEdges rounds=$ccRounds " +
+        ccSecs.map(fmt).mkString(" "))
       s"""{"dir":"$dir",${entries.mkString(",")}}"""
     }
     val line = s"""{"metric":"scale_curve","points":[${points.mkString(",")}],"loadavg_start":"$loadStart","loadavg_end":"$loadavg","cpus":"$cpus"}"""
@@ -92,6 +98,39 @@ object BenchScale {
     java.nio.file.Files.write(out,
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
+  }
+
+  /** Alternating-star CC over scrambled chains derived from ALL events
+    * (the q77/cc_star shape, but with the edge count riding the data
+    * dir: 3 pairs per event, xxhash64-scrambled ids so the stall guard
+    * routes to the star engine). The curve to read: EDGES grow ~10x,
+    * ROUNDS stay flat (O(log diameter), diameter fixed at 4), wall
+    * grows ~linearly — a superlinear wall here means a round stopped
+    * being one bounded pass over the edge list. */
+  private def ccStarScale(spark: SparkSession,
+      dir: String): (Long, Int, Seq[Double]) = {
+    val J = 4
+    val pairs = graft.Tables.load(spark, dir, "events")
+      .select(col("event_id").cast("long").as("e"))
+      .select(col("e"), explode(sequence(lit(1), lit(J - 1))).as("j"))
+      .select(xxhash64(col("e") * J + col("j") - 1).as("id1"),
+        xxhash64(col("e") * J + col("j")).as("id2"))
+    var rounds = 0
+    var nodes = 0L
+    val secs = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      // low micro gate: BOTH curve points must run the distributed star
+      // engine (at sf0.1 the default 1 M gate would solve this graph on
+      // the single-task micro path and the curve would compare engines,
+      // not scales)
+      nodes = graft.operators.Dedup
+        .connectedComponents(pairs, maxIterations = 30,
+          microGraphMaxEdges = 1000L).count()
+      rounds = graft.operators.Dedup.lastIterations
+      (System.nanoTime() - t0) / 1e9
+    }
+    // symmetric edge count = 2 * pairs = 2 * 3/4 * nodes
+    (nodes / 2 * 3, rounds, secs)
   }
 
   /** The Bench flagship keyed-overlap count with the coordinate modulus

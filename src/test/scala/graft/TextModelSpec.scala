@@ -124,6 +124,46 @@ class TextModelSpec extends SparkTestBase {
     assert(kept(None) > 0L)
   }
 
+  test("shingleNovelty: singleton-shingle fraction per doc") {
+    val docs = Seq(
+      (1L, "a b c d"),   // shingles {a b c, b c d}; "a b c" shared with 2
+      (2L, "a b c x"),   // shingles {a b c, b c x}
+      (3L, "q r s t u")  // all singletons
+    ).toDF("doc_id", "text")
+    val got = TextStats.shingleNovelty(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 0.5, 2L -> 0.5, 3L -> 1.0))
+    // short doc: a single whole-text shingle, unique -> 1.0
+    val short = Seq((1L, "xy zz"), (2L, "other words")).toDF("doc_id", "text")
+    val g2 = TextStats.shingleNovelty(short, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(g2 == Map(1L -> 1.0, 2L -> 1.0))
+  }
+
+  test("sourceLeakage: unordered source-pair duplicate counts") {
+    val docs = Seq(
+      (1L, "alpha bravo charlie delta", "web"),
+      (2L, "alpha bravo charlie delta", "mirror"), // dup across sources
+      (3L, "alpha bravo charlie delta", "web"),    // dup within web
+      (4L, "totally different words here", "books")
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.sourceLeakage(docs, "doc_id", "text", "source",
+        threshold = 0.9)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // pairs: (1,2) web-mirror, (1,3) web-web, (2,3) mirror-web
+    assert(got == Map(("mirror", "web") -> 2L, ("web", "web") -> 1L))
+  }
+
+  test("vocabCoverage: smallest head reaching each token-mass fraction") {
+    // a x5, b x3, c x2 -> total 10
+    val docs = Seq((1L, "a a a b b c"), (2L, "a a b c")).toDF("doc_id", "text")
+    val got = TextStats.vocabCoverage(docs, "doc_id", "text",
+        thresholds = Seq(0.5, 0.8, 0.9, 1.0))
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(got == Map(0.5 -> 1L, 0.8 -> 2L, 0.9 -> 3L, 1.0 -> 3L))
+  }
+
   test("containmentDupPairs: subset docs found, direction correct") {
     val big = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
     val docs = Seq(
