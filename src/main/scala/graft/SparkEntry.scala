@@ -1817,6 +1817,16 @@ object SparkEntry {
     // (complete-mode counts, bounded replay) against a static
     // reference through the same PSI tail as q128/q129 — the stream
     // deliberately loses its 'view' events, so that bucket's PSI term
+    // split-leakage audit — composition, not a new operator: the
+    // deterministic hash split (q62) assigned over the near-dup corpus,
+    // then the leakage matrix (q134) on the split label. The number an
+    // eval designer must check: near-dup pairs crossing train/test are
+    // soft contamination a doc-level split cannot see.
+    "q136_split_leakage" -> ((s, dir) => { prep(s, dir)
+      val c = Sampling.hashSplit(dupCorpus(s, dir, near = true),
+        "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      Dedup.sourceLeakage(c, "doc_id", "text", "split",
+        threshold = 0.8) }),
     // per-doc shingle novelty: fraction of a doc's distinct 3-gram
     // shingles with corpus df = 1 (singleton ownership via min(doc_id)
     // — no join back to the exploded rows); the diversity-weighting
@@ -3285,6 +3295,26 @@ object SparkEntry {
       "q122_containment" -> containmentOracle,
       "q123_containment_dedup" -> containmentDedupOracle,
       "q127_curation_report" -> curationReportOracle,
+      // q136: q62's split CASE over the near corpus + q134's unordered
+      // pair counts on the split label — same LSH recall precondition
+      "q136_split_leakage" ->
+        (corpusNearCte + jaccardPairsCtes +
+          """,
+            |sp AS (SELECT doc_id,
+            |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccd'
+            |         THEN 'train'
+            |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
+            |         THEN 'val'
+            |       ELSE 'test' END AS split
+            |  FROM corpus),
+            |pp AS (SELECT id1, id2 FROM jp WHERE jaccard >= 0.8)
+            |SELECT least(sa.split, sb.split) AS source_a,
+            |       greatest(sa.split, sb.split) AS source_b,
+            |       count(*) AS n_pairs
+            |FROM pp
+            |JOIN sp sa ON sa.doc_id = pp.id1
+            |JOIN sp sb ON sb.doc_id = pp.id2
+            |GROUP BY 1, 2""".stripMargin),
       // q133: singleton-shingle ownership replayed on shingle STRINGS
       // (the Spark side counts distinct 64-bit shingle hashes — equal
       // modulo negligible collisions, the q22/q23 equivalence rule)
