@@ -168,6 +168,42 @@ class StreamingSpec extends SparkTestBase {
       Seq((x, 1L, 2.0), (y, 1L, 3.0)).sortBy(_._1))
   }
 
+  test("upsertAggStore heals a crash between the two swap renames") {
+    // simulate dying after `cur -> .old-<b>` but before `tmp -> cur`:
+    // the bucket dir is missing and its pre-swap content sits in
+    // .old-<b>. The next call must restore it BEFORE merging, or the
+    // bucket's history would silently vanish.
+    val watch = java.nio.file.Files.createTempDirectory("graft_upsert_in4")
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft_upsert_store4").toString
+    val ck = java.nio.file.Files
+      .createTempDirectory("graft_upsert_ck4").toString
+    def run(): Map[Long, (Long, Double)] = {
+      val sdf = spark.readStream
+        .schema(Seq((1L, ts(0), 1.0)).toDF("user_id", "ts", "value").schema)
+        .parquet(watch.toString)
+      StreamingOps.upsertAggStore(sdf, "user_id", "ts", "value", storeDir,
+          numBuckets = 8, checkpointDir = ck)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3)))
+        .toMap
+    }
+    Seq((7L, ts(0), 2.0)).toDF("user_id", "ts", "value")
+      .coalesce(1).write.mode("append").parquet(watch.toString)
+    run()
+    val store = new java.io.File(storeDir, "store")
+    val bucket = store.listFiles.filter(_.getName.startsWith("bucket=")).head
+    val b = bucket.getName.stripPrefix("bucket=")
+    // crash simulation: swap-out happened, swap-in did not
+    require(bucket.renameTo(new java.io.File(store, s".old-$b")))
+    Seq((7L, ts(5), 3.0)).toDF("user_id", "ts", "value")
+      .coalesce(1).write.mode("append").parquet(watch.toString)
+    val got = run() // batch 1: must heal, then merge
+    assert(got == Map(7L -> (2L, 5.0)),
+      s"pre-crash history lost or double-merged: $got")
+    assert(!store.listFiles.exists(_.getName.startsWith(".old-")),
+      "healed .old dir not cleaned up")
+  }
+
   test("upsertAggStore replay is idempotent: restamped batches are skipped") {
     val watch = java.nio.file.Files.createTempDirectory("graft_upsert_in2")
     val storeDir = java.nio.file.Files
