@@ -14,6 +14,13 @@ class ConfLeakSpec extends SparkTestBase {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("streaming replay's shuffle-partition pin does not leak") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    SparkEntry.queries("q71_streaming_window")(spark, dir).count()
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before,
+      "runStreamToTable left its 8-partition replay pin in the session")
+  }
+
   test("q105's threshold pins do not leak into the next entry") {
     SparkEntry.queries("q105_runtime_filter")(spark, dir).count()
     val after = SparkEntry.queries("q3_join_agg")(spark, dir)
