@@ -130,9 +130,13 @@ object Dedup {
     val cands = lshCandidatePairs(docs, idCol, textCol, shingleSize,
       numHashes, bands)
     // Jaccard over shingle-hash sets == Jaccard over shingle-string sets
-    // (64-bit hashing is injective modulo negligible collisions)
+    // (64-bit hashing is injective modulo negligible collisions).
+    // Materialization rule: the verify joins reference this frame for
+    // BOTH pair sides — without the checkpoint the shingle kernel runs
+    // over the full corpus twice here (on top of the LSH pass's own).
     val sh = docs.select(col(idCol).as("id"),
       shingleHashes(col(textCol), shingleSize).as("sh"))
+      .localCheckpoint()
     cands
       .join(sh.withColumnRenamed("id", "id1").withColumnRenamed("sh", "sh1"), "id1")
       .join(sh.withColumnRenamed("id", "id2").withColumnRenamed("sh", "sh2"), "id2")
