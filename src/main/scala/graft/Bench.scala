@@ -235,7 +235,7 @@ object Bench {
         rep3("flagship_80m_count_i64")(aw.join(bw, condW).count()),
         rep3("flagship_80m_join_sum_i64")(
           aw.join(bw, condW).agg(sum(bw("pos_start"))).head())) ++
-        skewFlagship(spark, sfDir, timed)
+        skewFlagship(spark, sfDir, timed, medianSink)
     } finally { a.unpersist(); b.unpersist(); aw.unpersist(); bw.unpersist() }
   }
 
@@ -247,8 +247,27 @@ object Bench {
     * (~1.8×) is capped by fixed costs (explode/shuffle/build of a
     * byte-light input); the max-task ratio is the number that scales. */
   private def skewFlagship(spark: SparkSession, sfDir: String,
-      timed: String => (=> Unit) => (String, Double)): Seq[(String, Double)] = {
+      timed: String => (=> Unit) => (String, Double),
+      medianSink: scala.collection.mutable.ArrayBuffer[(String, (Double, Double, Double))])
+      : Seq[(String, Double)] = {
     import org.apache.spark.sql.functions._
+    // same 3-sample median shape as the flagship entries: these are the
+    // last >2 s entries the artifact reported as single draws
+    def rep3(name: String)(body: => Unit): (String, Double) = {
+      val first = timed(name)(body)
+      if (first._2 >= 0) {
+        def rep(): Double = {
+          val t0 = System.nanoTime(); body
+          (System.nanoTime() - t0) / 1e9
+        }
+        val samples = try Seq(first._2, rep(), rep()) catch {
+          case scala.util.control.NonFatal(_) => Seq(first._2)
+        }
+        val s = samples.sorted
+        medianSink += (name -> (s(s.size / 2), s.head, s.last))
+      }
+      first
+    }
     val ev = Tables.load(spark, sfDir, "events").select("event_id")
     // ~360 M pairs on the one hot key: big enough that a single task's
     // serialized probe dominates wall time, the regime binning exists for
@@ -276,10 +295,10 @@ object Bench {
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     try {
       spark.conf.set(ab, "off")
-      val unbinned = timed("flagship_skew_unbinned")(joined)
+      val unbinned = rep3("flagship_skew_unbinned")(joined)
       spark.conf.set(ab, "force")
       spark.conf.set(bs, "40000")
-      val binned = timed("flagship_skew_binned")(joined)
+      val binned = rep3("flagship_skew_binned")(joined)
       Seq(unbinned, binned)
     } finally {
       spark.conf.set(fm, ""); spark.conf.set(ab, "auto")

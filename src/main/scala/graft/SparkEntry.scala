@@ -1078,13 +1078,14 @@ object SparkEntry {
         stream, "ts", "user_id", gapMinutes = 60, watermark = "30 minutes")
       runStreamToTable(quiet, "graft_q107_mem", "append") }),
     // foreachBatch UPSERT sink: per-user aggregates merged into a
-    // persisted keyed store with an atomic directory swap and a
-    // batchId idempotence stamp (a replayed batch is skipped, never
-    // double-merged) — the production merge pattern for sinks without
-    // native streaming support. Aggregates are associative, so the
-    // final store equals the batch aggregation however the trigger
-    // batched the files. round() at READ time (the store keeps exact
-    // doubles; rounding is presentation).
+    // persisted hash-bucketed store committed via per-bucket MANIFEST
+    // POINTERS over immutable data dirs, with batchId idempotence
+    // stamps at both grains (a replayed batch — or bucket — is
+    // skipped, never double-merged) — the production merge pattern for
+    // sinks without native streaming support. Aggregates are
+    // associative, so the final store equals the batch aggregation
+    // however the trigger batched the files. round() at READ time (the
+    // store keeps exact doubles; rounding is presentation).
     "q109_streaming_upsert" -> ((s, dir) => { prep(s, dir)
       val stream = Tables.loadStream(s, dir, "events")
       val storeDir = java.nio.file.Files

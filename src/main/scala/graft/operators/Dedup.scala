@@ -1237,6 +1237,11 @@ object Dedup {
     var it = 0
     var converged = false
     var roundStats = Vector.empty[(Long, Double)]
+    // carried (hi, min(lo), deg) aggregate: the convergence-stats job of
+    // round k computes EXACTLY round k+1's closed-neighborhood min, so
+    // it is checkpointed (node-sized rows) and reused instead of paying
+    // a fresh groupBy pass over the edge list every round
+    var prevP: DataFrame = null
     while (!converged && it < maxIterations) {
       val roundT0 = System.nanoTime()
       // large-star without symmetrizing: m(u) = min(Γ(u) ∪ {u}) can only
@@ -1244,11 +1249,14 @@ object Dedup {
       // u's smaller neighbors under hi = u — so the closed-neighborhood
       // min is one groupBy over |c| rows (not 2|c| symmetric rows). The
       // checkpoint carries hashpartitioning(hi), so this agg runs
-      // EXCHANGE-FREE; the emit "link every larger neighbor v of u to
+      // EXCHANGE-FREE — and from round 2 on, not even that: the previous
+      // round's stats aggregate IS this min, served from its checkpoint.
+      // The emit "link every larger neighbor v of u to
       // m(u)" is a left join of the edge rows (hi = v, lo = u) against
       // it, coalescing to u itself for nodes with no smaller neighbor.
       // One output row per input row — no distinct needed at this stage.
-      val mn = c.groupBy("hi").agg(min("lo").as("m"))
+      val mn = (if (prevP != null) prevP.select(col("hi"), col("p").as("m"))
+        else c.groupBy("hi").agg(min("lo").as("m")))
         .select(col("hi").as("u"), col("m"))
       // shuffle-hash hint on LARGE graphs only: the build side is one
       // (node, min) row per keyed node — per-partition maps stay small
@@ -1286,12 +1294,13 @@ object Dedup {
             col("m2").as("lo"))
           .repartition(nStar, col("hi"))
           .dropDuplicates("hi", "lo"), "hi", nStar)
-      // first job of the round: materializes the checkpoint and computes
-      // the multi-parent violation count plus the round's edge count in
-      // one agg pass (the edge count is the shrink signal the r10 verdict
-      // asked to see per round)
-      val p = next.groupBy("hi")
-        .agg(min("lo").as("p"), count(lit(1)).as("deg"))
+      // first job of the round: materializes the edge checkpoint AND the
+      // p-aggregate checkpoint (reused as next round's min — see prevP),
+      // and computes the multi-parent violation count plus the round's
+      // edge count in one agg pass (the edge count is the shrink signal
+      // the r10 verdict asked to see per round)
+      val p = shim.lazyCheckpointNoStats(next.groupBy("hi")
+        .agg(min("lo").as("p"), count(lit(1)).as("deg")))
       val stats = p.agg(
         sum(when(col("deg") > 1, 1L).otherwise(0L)).as("multi"),
         sum("deg").as("edges")).head()
@@ -1305,6 +1314,8 @@ object Dedup {
           .join(next.select(col("hi").as("v")), "v", "left_semi")
           .count() == 0L
       shim.unpersistCheckpoint(c)
+      if (prevP != null) shim.unpersistCheckpoint(prevP)
+      prevP = p
       c = next
       it += 1
       val wallSec = (System.nanoTime() - roundT0) / 1e9
@@ -1314,6 +1325,7 @@ object Dedup {
     }
     lastStarRounds = roundStats
     shim.unpersistCheckpoint(edges)
+    if (prevP != null) shim.unpersistCheckpoint(prevP)
     lastIterations = it
     if (!converged) {
       shim.unpersistCheckpoint(c)
@@ -1470,9 +1482,24 @@ object Dedup {
    * hotter than that (boilerplate shingles shared by everything;
    * uninformative for containment) are dropped from the INDEX side
    * only, with the documented recall caveat that a probe whose entire
-   * sketch is boilerplate finds nothing. Verification re-joins shingle
-   * arrays by id, the [[minhashDupPairs]] pattern.
-   */
+   * sketch is boilerplate finds nothing.
+   *
+   * Verification is CANDIDATE-STREAM-linear, not candidate-DISTINCT
+   * shaped: the raw probe-join rows flow straight into the verify
+   * filter — both shingle arrays attached by doc-keyed lookup and the
+   * exact intersection size computed with a compiled two-pointer merge
+   * over the sorted arrays ([[graft.functions.SortedIntersectCount]];
+   * zero allocation per pair) — and only the threshold SURVIVORS are
+   * deduplicated. At high duplication factor the candidate stream is
+   * the dominant term (boilerplate-heavy corpora reach ~1000 candidates
+   * per document), and a `distinct` BEFORE the verify is a
+   * candidate-count-sized aggregation, while the survivor dedup is
+   * output-sized. When the per-doc array frame is small enough (gated
+   * by the measured checkpoint size, [[ContainmentBroadcastMaxBytes]])
+   * the lookups are BROADCAST hash joins, so candidates never shuffle
+   * at all; above the gate, candidates dedup first and the arrays
+   * attach through shuffle joins — the duplicate-shipping trade
+   * inverts once arrays ride an exchange. */
   def containmentDupPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleSize: Int = 3, probeK: Int = 8,
       maxShingleDf: Long = 1L << 20): DataFrame = {
@@ -1480,15 +1507,10 @@ object Dedup {
       s"threshold must be in (0,1] (got $threshold)")
     require(probeK > 0, s"probeK must be positive (got $probeK)")
     // Materialization rule (the bm25/bigramLogProb re-tokenization trap,
-    // commit 6ec36cd): `sh` feeds FOUR subtrees (inverted index, probes,
-    // both verify sides) and each would re-run the shingle kernel over
-    // the full corpus. Eager localCheckpoint computes it once and serves
-    // the blocks to all four; the blocks are ContextCleaner-freed when
-    // the result frame is GC'd (a CacheManager persist would leak until
-    // an explicit unpersist the lazy result cannot schedule). Cluster
-    // caveat: localCheckpoint truncates lineage, so an executor loss
-    // fails the job instead of recomputing — at 100-TB scale prefer a
-    // reliable checkpoint dir or persist-with-lineage per job policy.
+    // commit 6ec36cd): `sh` feeds four subtrees (inverted index, probes,
+    // both verify lookups) and each would re-run the shingle kernel over
+    // the full corpus. Eager localCheckpoint computes it once; the
+    // checkpointed rows are (id, sorted-hash-array) — never text.
     val sh = docs.where(col(textCol).isNotNull)
       .select(col(idCol).as("id"),
         shingleHashes(col(textCol), shingleSize).as("sh"))
@@ -1497,19 +1519,53 @@ object Dedup {
     val hot = inv.groupBy("h").agg(count(lit(1)).as("df"))
       .where(col("df") > maxShingleDf).select("h")
     val invKept = inv.join(hot, Seq("h"), "left_anti")
+    // shingleHashes returns SORTED distinct hashes: slice(1, k) IS the
+    // bottom-k probe sketch
     val probes = sh.select(col("id").as("id_a"),
       explode(slice(col("sh"), 1, probeK)).as("h"))
     val cands = probes.join(invKept, Seq("h"))
       .where(col("id_a") =!= col("id_b"))
-      .select("id_a", "id_b").distinct()
-    cands
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .select(col("id_a").as("id_contained"), col("id_b").as("id_container"),
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(col("sh_a")).cast("double"), 6).as("containment"))
-      .where(col("containment") >= threshold)
+      .select("id_a", "id_b")
+    // broadcast gate off the checkpoint's exact sizes (one tiny job):
+    // the array frame costs ~8 B/shingle + ~24 B/doc
+    val stats = sh.agg(count(lit(1)), sum(size(col("sh")))).head()
+    val estBytes = stats.getLong(0) * 24L +
+      (if (stats.isNullAt(1)) 0L else stats.getLong(1)) * 8L
+    val shA = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val shB = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    def verified(pairs: DataFrame, bcast: Boolean): DataFrame = {
+      val a = if (bcast) broadcast(shA) else shA
+      val b = if (bcast) broadcast(shB) else shB
+      pairs.join(a, "id_a").join(b, "id_b")
+        .select(col("id_a").as("id_contained"),
+          col("id_b").as("id_container"),
+          round(sortedIntersectCount(col("sh_a"), col("sh_b")).cast("double") /
+            size(col("sh_a")).cast("double"), 6).as("containment"))
+        .where(col("containment") >= threshold)
+    }
+    if (estBytes <= ContainmentBroadcastMaxBytes)
+      // candidates stream map-side through two broadcast lookups and
+      // the compiled merge; only the survivors are deduplicated
+      verified(cands, bcast = true).distinct()
+    else
+      // arrays ride exchanges here, so duplicates dedup BEFORE the join
+      verified(cands.distinct(), bcast = false)
   }
+
+  /** Broadcast gate for [[containmentDupPairs]]'s verify lookups: the
+    * per-doc shingle-array frame is broadcast while its measured size
+    * stays under this (the hashed relation is ~2-3× the raw bytes, so
+    * 256 MB keeps the build comfortably inside executor memory).
+    * Above it, the verify falls back to shuffle joins. */
+  val ContainmentBroadcastMaxBytes: Long = 256L << 20
+
+  /** Compiled two-pointer intersection size over sorted long arrays
+    * (see [[graft.functions.SortedIntersectCount]]). */
+  private def sortedIntersectCount(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSqlShim.column(
+      graft.functions.SortedIntersectCount(
+        org.apache.spark.sql.GraftSqlShim.lazyExpression(a),
+        org.apache.spark.sql.GraftSqlShim.lazyExpression(b)))
 
   /**
    * Drop every document that is (nearly) contained in another — the

@@ -140,56 +140,85 @@ object StreamingOps {
   /** Streaming UPSERT sink via `foreachBatch` — the production merge
     * pattern for sinks without native streaming support: each
     * microbatch's per-key aggregates are combined into a persisted
-    * keyed store. The store is HASH-BUCKETED (`bucket=<b>/` subdirs,
-    * b = pmod(xxhash64(key), numBuckets)): a microbatch reads, merges
-    * and atomically swaps ONLY the buckets its keys hash into, so the
-    * per-batch merge cost is O(|batch keys| + |touched buckets|), not
+    * keyed store. The store is HASH-BUCKETED
+    * (b = pmod(xxhash64(key), numBuckets)): a microbatch reads and
+    * merges ONLY the buckets its keys hash into, so the per-batch
+    * merge cost is O(|batch keys| + |touched buckets|), not
     * O(|store|) — at 100-TB ingest with ~10⁹ store keys a full-store
     * rewrite per trigger is the scale-killer this layout removes
     * (production sizing: numBuckets ≈ store size / target-file-size,
-    * e.g. 1024+; each rename is then one bounded bucket, never the
-    * whole store — the cheapest shape an object store's non-atomic
-    * rename can be given). The aggregates (count / max / sum) are
-    * associative and commutative, so the final store equals the batch
-    * aggregation of the whole stream regardless of trigger batching.
+    * e.g. 1024+). The aggregates (count / max / sum) are associative
+    * and commutative, so the final store equals the batch aggregation
+    * of the whole stream regardless of trigger batching.
+    *
+    * Commit protocol: MANIFEST-POINTER, not rename-swap. Data
+    * directories (`store/data-<batchId>-<attempt>/graft_pb=<b>/`) are
+    * IMMUTABLE once written — all of a batch's touched buckets land in
+    * ONE Spark write job via `partitionBy`. Each bucket is then
+    * published by atomically rewriting a small per-bucket pointer file
+    * (`store/ptr-<b>` → "<relative data path>\t<batchId>"). Readers
+    * resolve pointers, never directory listings, so a half-committed
+    * batch is invisible and rename atomicity of DATA files is a
+    * non-event: on an object store the pointer rewrite is a single
+    * small-object PUT (modeled locally by write-tmp + ATOMIC_MOVE),
+    * which is the only primitive the protocol needs to be atomic.
     *
     * Exactly-once under retries: a microbatch can be REPLAYED after a
-    * failure mid-write, so idempotence is stamped at BOTH grains. A
+    * failure mid-commit, so idempotence is stamped at BOTH grains. A
     * global `last_batch` marker fast-skips fully-applied batches; and
-    * because bucket swaps within one batch are not mutually atomic,
-    * each bucket directory carries its own `_graft_batch` stamp
-    * (underscore-prefixed → invisible to Spark's file listing) written
-    * into the tmp dir BEFORE the swap, so the stamp travels atomically
-    * WITH the data: a batch replayed after crashing mid-way re-merges
-    * only the buckets it had not yet swapped, never double-merging one
-    * it had. The two-rename swap (cur → `.old`, tmp → cur) is healed
-    * on entry: an orphaned `.old` whose bucket is missing is restored,
-    * a leftover one whose bucket exists is dropped.
+    * because pointer publishes within one batch are not mutually
+    * atomic, each pointer carries its own batch stamp: a replayed
+    * batch re-merges only the buckets whose pointer stamp is behind
+    * it, never double-merging one it had already published. There is
+    * NO heal step — a crash at any point leaves every pointer valid
+    * (old or new, each individually consistent), and the replay is
+    * driven by the streaming checkpoint, not by directory forensics.
+    * Data dirs no pointer references are garbage-collected after each
+    * commit.
     *
     * Scale shape: the store carries one NARROW row per key (the 100-TB
     * ingest aggregate, not the events); each merge shuffles only the
-    * batch's per-key rows plus the touched buckets' rows. The
-    * touched-bucket list is a bounded ≤ numBuckets-element collect.
-    * Runs the bounded stream to completion (AvailableNow) and returns
-    * the final store. `checkpointDir` persists the source offsets so a
-    * later call resumes AFTER previously-processed input (pass the
-    * same dir to re-run against a grown source); default is a fresh
-    * temp checkpoint per call (replay-from-zero, stamp-skipped). */
+    * batch's per-key rows plus the touched buckets' rows, and issues a
+    * FIXED number of Spark jobs per batch (one read of all touched
+    * buckets, one partitioned write) rather than one job per bucket.
+    * The touched-bucket list is a bounded ≤ numBuckets-element
+    * collect. Runs the bounded stream to completion (AvailableNow) and
+    * returns the final store. `checkpointDir` persists the source
+    * offsets so a later call resumes AFTER previously-processed input
+    * (pass the same dir to re-run against a grown source); default is
+    * a fresh temp checkpoint per call (replay-from-zero,
+    * stamp-skipped). */
   def upsertAggStore(events: DataFrame, userCol: String, tsCol: String,
       valCol: String, storeDir: String, numBuckets: Int = 8,
       checkpointDir: String = null): DataFrame = {
     val spark = events.sparkSession
     val store = new java.io.File(storeDir, "store")
     val marker = new java.io.File(storeDir, "last_batch")
+    store.mkdirs()
     def rm(f: java.io.File): Unit = {
       val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete()
     }
-    def stampOf(dir: java.io.File): Long = {
-      val f = new java.io.File(dir, "_graft_batch")
-      if (f.exists())
-        new String(java.nio.file.Files.readAllBytes(f.toPath)).toLong
-      else -1L
+    // pointer file: "<data dir relative path>\t<batch stamp>"
+    def readPtr(b: Int): Option[(String, Long)] = {
+      val f = new java.io.File(store, s"ptr-$b")
+      if (!f.exists()) None
+      else {
+        val Array(rel, bid) = new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").split("\t")
+        Some((rel, bid.toLong))
+      }
     }
+    def publishPtr(b: Int, rel: String, bid: Long): Unit = {
+      val tmp = new java.io.File(store, s".ptr-$b.tmp")
+      java.nio.file.Files.write(tmp.toPath, s"$rel\t$bid".getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp.toPath,
+        new java.io.File(store, s"ptr-$b").toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    def livePaths: Seq[String] =
+      (0 until numBuckets).flatMap(readPtr).map(_._1)
+        .map(rel => new java.io.File(store, rel).getPath)
     def aggOf(df: DataFrame): DataFrame =
       df.groupBy(col(userCol))
         .agg(count(lit(1)).as("n_events"), max(col(tsCol)).as("last_ts"),
@@ -200,53 +229,60 @@ object StreamingOps {
       else java.nio.file.Files.createTempDirectory("graft_upsert_ck").toString
     val q = events.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // heal a crash between the two swap renames: `.old-<b>` holds
-        // the pre-swap bucket; restore it if the bucket is missing.
-        val olds = store.listFiles(
-          (_: java.io.File, n: String) => n.startsWith(".old-"))
-        if (olds != null) olds.foreach { o =>
-          val cur = new java.io.File(store, "bucket=" +
-            o.getName.stripPrefix(".old-"))
-          if (!cur.exists()) require(o.renameTo(cur), s"heal failed: $o")
-          else rm(o)
-        }
         val applied = if (marker.exists())
           new String(java.nio.file.Files.readAllBytes(marker.toPath)).toLong
         else -1L
         if (batchId > applied) {
+          // graft_bucket is a REGULAR column in the data files (the
+          // partition dir uses a copy, graft_pb), so bucket dirs read
+          // back standalone still carry their bucket id
           val bAgg = aggOf(batch).withColumn("graft_bucket",
             pmod(xxhash64(col(userCol)), lit(numBuckets)).cast("int"))
             .persist()
           val touched = bAgg.select("graft_bucket").distinct()
             .collect().map(_.getInt(0)).sorted // bounded: ≤ numBuckets
-          // bucket merges are independent (disjoint key sets, disjoint
-          // directories) — run them as concurrent Spark jobs so the
-          // per-job fixed cost doesn't serialize across buckets
-          import scala.concurrent.{Await, Future}
-          import scala.concurrent.ExecutionContext.Implicits.global
-          val merges = touched.toSeq.map { b => Future {
-            val cur = new java.io.File(store, s"bucket=$b")
-            if (batchId > stampOf(cur)) { // partial-replay skip per bucket
-              val rows = bAgg.filter(col("graft_bucket") === b)
-                .drop("graft_bucket")
-              val merged = if (cur.exists())
-                spark.read.parquet(cur.getPath).unionByName(rows)
-                  .groupBy(col(userCol)).agg(reAgg.head, reAgg.tail: _*)
-              else rows
-              val tmp = new java.io.File(store, s".tmp-$b-$batchId")
-              merged.write.mode("overwrite").parquet(tmp.getPath)
-              java.nio.file.Files.write( // stamp rides the swap
-                new java.io.File(tmp, "_graft_batch").toPath,
-                batchId.toString.getBytes("UTF-8"))
-              val old = new java.io.File(store, s".old-$b")
-              if (cur.exists())
-                require(cur.renameTo(old), s"swap-out failed: $cur")
-              require(tmp.renameTo(cur), s"swap-in failed: $tmp")
-              rm(old)
-            }
-          } }
-          merges.foreach(
-            Await.result(_, scala.concurrent.duration.Duration.Inf))
+          // partial-replay skip per bucket: already-published pointers
+          // of THIS batch are final, merge only the ones behind it
+          val toMerge = touched.filter(b =>
+            readPtr(b).forall(_._2 < batchId))
+          if (toMerge.nonEmpty) {
+            val curPaths = toMerge.flatMap(b => readPtr(b).map(_._1))
+              .map(rel => new java.io.File(store, rel).getPath)
+            val batchRows = bAgg
+              .where(col("graft_bucket").isin(toMerge.map(Integer.valueOf): _*))
+            // one shuffle, keyed on the BUCKET: hash(bucket) satisfies
+            // the (user, bucket) clustering the aggregate needs (bucket
+            // is a subset of the grouping key), so the merge agg adds no
+            // exchange of its own — and each bucket is confined to one
+            // task, so the partitioned write emits exactly ONE file per
+            // bucket instead of |tasks| x |buckets| fragments
+            val merged = (if (curPaths.nonEmpty)
+                spark.read.parquet(curPaths.toIndexedSeq: _*)
+                  .unionByName(batchRows)
+              else batchRows)
+              .repartition(col("graft_bucket"))
+              .groupBy(col(userCol), col("graft_bucket"))
+              .agg(reAgg.head, reAgg.tail: _*)
+            // immutable data dir, unique per (batch, attempt): a
+            // crashed attempt's dir may already hold PUBLISHED buckets
+            // — never overwrite it, allocate the next attempt suffix
+            val attempt = Iterator.from(0).find(k =>
+              !new java.io.File(store, s"data-$batchId-$k").exists()).get
+            val dataName = s"data-$batchId-$attempt"
+            merged.withColumn("graft_pb", col("graft_bucket"))
+              .write.partitionBy("graft_pb")
+              .parquet(new java.io.File(store, dataName).getPath)
+            toMerge.foreach(b =>
+              publishPtr(b, s"$dataName/graft_pb=$b", batchId))
+            // GC: data dirs referenced by no pointer are unreachable
+            // (readers resolve pointers only) — drop them
+            val live = (0 until numBuckets).flatMap(readPtr)
+              .map(_._1.split("/")(0)).toSet
+            val datas = store.listFiles(
+              (_: java.io.File, n: String) => n.startsWith("data-"))
+            if (datas != null)
+              datas.filterNot(d => live(d.getName)).foreach(rm)
+          }
           bAgg.unpersist()
           java.nio.file.Files.write(marker.toPath,
             batchId.toString.getBytes("UTF-8"))
@@ -258,9 +294,9 @@ object StreamingOps {
       .start()
     try q.awaitTermination()
     finally if (checkpointDir == null) rm(new java.io.File(ck))
-    // hive-style bucket=<b> dirs surface as a partition column — an
-    // internal layout detail, dropped from the returned frame.
-    spark.read.parquet(store.getPath).drop("bucket")
+    // readers go through the pointers, never a directory listing:
+    // uncommitted data dirs are invisible by construction
+    spark.read.parquet(livePaths: _*).drop("graft_bucket")
   }
 
   /** Stream-STATIC enrichment join — the standard ingest step that tags

@@ -41,11 +41,20 @@ object BenchScale {
     // candidate volume is the quadratic-risk term to watch)
     "q119_importance", "q120_bigram_logprob", "q122_containment",
     // the composed audit-trail pipeline end to end
-    "q127_curation_report")
+    "q127_curation_report",
+    // round-13: the streaming family joins the curve — the bounded
+    // replay of the stream-static interval join, and the bucketed
+    // upsert store driven by the dir's full events table
+    "q79_streaming_join", "q109_streaming_upsert")
 
   def main(args: Array[String]): Unit = {
     val dirs = if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.1", "target/sf1")
+    // optional subset for the second-decade (sf10) run: the full list
+    // at 100x sf0.1 would burn the whole bench window on the long tail
+    val queries = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(",").toSeq.filter(_.nonEmpty))
+      .getOrElse(ScaleQueries)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -68,7 +77,7 @@ object BenchScale {
       Seq("events", "documents").foreach(n =>
         graft.Tables.load(spark, dir, n).count())
       val entries = scala.collection.mutable.ArrayBuffer.empty[String]
-      for (name <- ScaleQueries) {
+      for (name <- queries) {
         val fn = graft.SparkEntry.queries(name)
         val secs = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
@@ -89,6 +98,12 @@ object BenchScale {
       entries += s""""cc_star_scale_rounds":$ccRounds"""
       println(s"SCALE $dir cc_star edges=$ccEdges rounds=$ccRounds " +
         ccSecs.map(fmt).mkString(" "))
+      val (storeKeys, buildSec, probeSec) = upsertScale(spark, dir)
+      entries += s""""upsert_store_keys":$storeKeys"""
+      entries += s""""upsert_store_build":${fmt(buildSec)}"""
+      entries += s""""upsert_probe_batch":${fmt(probeSec)}"""
+      println(s"SCALE $dir upsert keys=$storeKeys build=${fmt(buildSec)} " +
+        s"probe=${fmt(probeSec)}")
       s"""{"dir":"$dir",${entries.mkString(",")}}"""
     }
     val line = s"""{"metric":"scale_curve","points":[${points.mkString(",")}],"loadavg_start":"$loadStart","loadavg_end":"$loadavg","cpus":"$cpus"}"""
@@ -131,6 +146,51 @@ object BenchScale {
     }
     // symmetric edge count = 2 * pairs = 2 * 3/4 * nodes
     (nodes / 2 * 3, rounds, secs)
+  }
+
+  /** Bucketed upsert-store scale point: build a store keyed by EVERY
+    * event id (the key domain rides the dir, 10x rows = 10x store
+    * keys), with `numBuckets` sized to the store (the production
+    * sizing: store size / target file size) — then time one FIXED
+    * 10-key batch against it. The curve to read: `upsert_probe_batch`
+    * stays ~FLAT as the store scales, because a 10-key batch touches
+    * ≤ 10 buckets of ~constant size — the measured form of the
+    * O(|batch keys| + |touched buckets|) claim the layout exists for.
+    * (`upsert_store_build` is the one O(store) batch, expected ~linear.) */
+  private def upsertScale(spark: SparkSession,
+      dir: String): (Long, Double, Double) = {
+    val ev = graft.Tables.load(spark, dir, "events")
+      .select(col("event_id").as("user_id"), col("ts"), col("value"))
+    val nKeys = ev.count() // event_id is unique per row
+    val numBuckets = math.max(8, (nKeys / 12500L).toInt)
+    val watch = java.nio.file.Files.createTempDirectory("graft_scale_in")
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft_scale_store").toString
+    val ck = java.nio.file.Files
+      .createTempDirectory("graft_scale_ck").toString
+    // timing excludes the returned frame's full-store scan: the stream
+    // (and the merge) runs INSIDE upsertAggStore; the result is lazy
+    def run(): org.apache.spark.sql.DataFrame = {
+      val sdf = spark.readStream.schema(ev.schema).parquet(watch.toString)
+      graft.streaming.StreamingOps.upsertAggStore(sdf, "user_id", "ts",
+        "value", storeDir, numBuckets = numBuckets, checkpointDir = ck)
+    }
+    ev.coalesce(8).write.mode("append").parquet(watch.toString)
+    val t0 = System.nanoTime()
+    run()
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    ev.limit(10).coalesce(1).write.mode("append").parquet(watch.toString)
+    val t1 = System.nanoTime()
+    val after = run()
+    val probeSec = (System.nanoTime() - t1) / 1e9
+    require(after.count() == nKeys, "upsert scale store lost keys")
+    Seq(watch.toString, storeDir, ck)
+      .foreach(p => rmTree(new java.io.File(p)))
+    (nKeys, buildSec, probeSec)
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    val cs = f.listFiles(); if (cs != null) cs.foreach(rmTree); f.delete()
   }
 
   /** The Bench flagship keyed-overlap count with the coordinate modulus

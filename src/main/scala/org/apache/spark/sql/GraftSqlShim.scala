@@ -93,7 +93,15 @@ object GraftSqlShim {
     * Recording a layout the rows don't have silently
     * mis-joins downstream, which is why this stays an internal bridge
     * for loops that already pay a keyed exchange and must not pay a
-    * second one just to capture it. */
+    * second one just to capture it.
+    *
+    * Debug guard: with `graft.debug.assertLayout=true` (session conf),
+    * the first rows of every partition are checked against the recorded
+    * layout at materialization time — a row whose
+    * `pmod(murmur3(key), n)` is not its partition id fails the job with
+    * the contract text instead of silently mis-joining. Off by default:
+    * the sampled check is one expression eval per checked row, but the
+    * point of this bridge is adding ZERO work to hot loops. */
   def lazyCheckpointAssumeHashPartitioned(df: Dataset[_],
       key: String, n: Int): DataFrame = {
     val spark = df.sparkSession.asInstanceOf[CSparkSession]
@@ -102,7 +110,32 @@ object GraftSqlShim {
     val resolver = spark.sessionState.conf.resolver
     val attr = output.find(a => resolver(a.name, key)).getOrElse(throw
       new IllegalArgumentException(s"no column named $key in ${output.mkString(",")}"))
-    val rdd = qe.toRdd.map(_.copy()).localCheckpoint()
+    val assertLayout = spark.sessionState.conf
+      .getConfString("graft.debug.assertLayout", "false").toBoolean
+    val base = qe.toRdd
+    val rdd = (if (!assertLayout) base.map(_.copy())
+      else {
+        // the EXACT expression HashPartitioning routes rows with —
+        // asserting anything else would itself be a silent contract
+        val pidExpr = catalyst.plans.physical.HashPartitioning(
+          Seq(catalyst.expressions.BoundReference(output.indexOf(attr),
+            attr.dataType, attr.nullable)), n).partitionIdExpression
+        base.mapPartitionsWithIndex({ (pid, it) =>
+          var checked = 0
+          it.map { row =>
+            if (checked < 16) { // sample: first rows of each partition
+              checked += 1
+              val got = pidExpr.eval(row).asInstanceOf[Int]
+              require(got == pid,
+                s"lazyCheckpointAssumeHashPartitioned contract violated: " +
+                  s"a row in partition $pid hashes to $got under " +
+                  s"hashpartitioning($key, $n) — the input is NOT laid " +
+                  "out as the caller asserted")
+            }
+            row.copy()
+          }
+        }, preservesPartitioning = true)
+      }).localCheckpoint()
     ofRows(spark, execution.LogicalRDD(output, rdd,
       catalyst.plans.physical.HashPartitioning(Seq(attr), n))(spark))
   }

@@ -366,6 +366,30 @@ class DedupGroupsSpec extends SparkTestBase {
     assert(chainIds.forall(id => labels(id) == chainIds.min))
   }
 
+  test("graft.debug.assertLayout fails loud on a wrong hash-layout assume") {
+    import org.apache.spark.sql.GraftSqlShim
+    spark.conf.set("graft.debug.assertLayout", "true")
+    try {
+      // round-robin layout (keyless repartition) is NOT the asserted
+      // hashpartitioning(id, 4) — the sampled check must fail the job
+      // with the contract text, not silently record the wrong layout
+      val wrong = spark.range(0, 1000).toDF("id").repartition(4)
+      val recorded =
+        GraftSqlShim.lazyCheckpointAssumeHashPartitioned(wrong, "id", 4)
+      val ex = intercept[Exception] { recorded.count() }
+      def msgs(t: Throwable): String =
+        if (t == null) "" else t.getMessage + "\n" + msgs(t.getCause)
+      assert(msgs(ex).contains("contract violated"),
+        s"expected the layout-contract failure, got: ${msgs(ex)}")
+      // a CORRECT assume passes with the conf on (and costs only the
+      // sampled evals)
+      val right = spark.range(0, 1000).toDF("id").repartition(4, col("id"))
+      val ok =
+        GraftSqlShim.lazyCheckpointAssumeHashPartitioned(right, "id", 4)
+      assert(ok.count() == 1000)
+    } finally spark.conf.unset("graft.debug.assertLayout")
+  }
+
   test("star engine matches brute force on a random scrambled graph") {
     val rnd = new scala.util.Random(42)
     val n = 600

@@ -149,59 +149,73 @@ class StreamingSpec extends SparkTestBase {
     Seq((x, ts(0), 2.0)).toDF("user_id", "ts", "value")
       .coalesce(1).write.mode("append").parquet(watch.toString)
     run()
-    val bxDir = new java.io.File(storeDir, s"store/bucket=$bx")
-    def snap(d: java.io.File): Map[String, Seq[Byte]] =
+    val store = new java.io.File(storeDir, "store")
+    def ptr(b: Int): String = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(store, s"ptr-$b").toPath), "UTF-8")
+    def snapDir(d: java.io.File): Map[String, Seq[Byte]] =
       d.listFiles.filter(_.isFile).map(f =>
         f.getName -> java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
-    val before = snap(bxDir)
+    val ptrBefore = ptr(bx)
+    val bxData = new java.io.File(store, ptrBefore.split("\t")(0))
+    val dataBefore = snapDir(bxData)
     // second run resumes from the shared checkpoint: only the new file
     // is processed (batch 1), whose key touches ONLY bucket `by`.
     Seq((y, ts(5), 3.0)).toDF("user_id", "ts", "value")
       .coalesce(1).write.mode("append").parquet(watch.toString)
     val got = run()
-    assert(snap(bxDir) == before, "untouched bucket was rewritten")
-    val stamp = new String(java.nio.file.Files.readAllBytes(
-      new java.io.File(storeDir, s"store/bucket=$by/_graft_batch").toPath))
-    assert(stamp.toLong == 1L) // y's bucket written by batch 1, x's by 0
-    assert(before("_graft_batch") == "0".getBytes("UTF-8").toSeq)
+    assert(ptr(bx) == ptrBefore, "untouched bucket's pointer was rewritten")
+    assert(snapDir(bxData) == dataBefore,
+      "untouched bucket's data dir was rewritten")
+    // y's bucket published by batch 1, x's by 0 — per-pointer stamps
+    assert(ptr(by).split("\t")(1).toLong == 1L)
+    assert(ptrBefore.split("\t")(1).toLong == 0L)
     assert(got.toSeq.sortBy(_._1) ==
       Seq((x, 1L, 2.0), (y, 1L, 3.0)).sortBy(_._1))
   }
 
-  test("upsertAggStore heals a crash between the two swap renames") {
-    // simulate dying after `cur -> .old-<b>` but before `tmp -> cur`:
-    // the bucket dir is missing and its pre-swap content sits in
-    // .old-<b>. The next call must restore it BEFORE merging, or the
-    // bucket's history would silently vanish.
+  test("upsertAggStore partial replay skips published buckets, commits the rest") {
+    // crash simulation for the pointer protocol: batch 0 touched two
+    // buckets but "crashed" after publishing only ONE pointer (and
+    // before the global marker). The replay must NOT re-merge the
+    // published bucket (pointer stamp == batchId) and MUST commit the
+    // unpublished one — ending exactly at single-application values.
+    val ub = spark.range(1, 64)
+      .select(col("id"), pmod(xxhash64(col("id")), lit(8)).cast("int").as("b"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val (x, bx) = ub.head
+    val (y, by) = ub.find(_._2 != bx).get
     val watch = java.nio.file.Files.createTempDirectory("graft_upsert_in4")
     val storeDir = java.nio.file.Files
       .createTempDirectory("graft_upsert_store4").toString
-    val ck = java.nio.file.Files
-      .createTempDirectory("graft_upsert_ck4").toString
     def run(): Map[Long, (Long, Double)] = {
+      // fresh checkpoint per call: batch ids restart at 0 = the
+      // replay-after-crash shape
       val sdf = spark.readStream
         .schema(Seq((1L, ts(0), 1.0)).toDF("user_id", "ts", "value").schema)
         .parquet(watch.toString)
       StreamingOps.upsertAggStore(sdf, "user_id", "ts", "value", storeDir,
-          numBuckets = 8, checkpointDir = ck)
+          numBuckets = 8)
         .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3)))
         .toMap
     }
-    Seq((7L, ts(0), 2.0)).toDF("user_id", "ts", "value")
+    Seq((x, ts(0), 2.0), (y, ts(1), 3.0)).toDF("user_id", "ts", "value")
       .coalesce(1).write.mode("append").parquet(watch.toString)
-    run()
+    run() // both pointers published at stamp 0, marker 0
     val store = new java.io.File(storeDir, "store")
-    val bucket = store.listFiles.filter(_.getName.startsWith("bucket=")).head
-    val b = bucket.getName.stripPrefix("bucket=")
-    // crash simulation: swap-out happened, swap-in did not
-    require(bucket.renameTo(new java.io.File(store, s".old-$b")))
-    Seq((7L, ts(5), 3.0)).toDF("user_id", "ts", "value")
-      .coalesce(1).write.mode("append").parquet(watch.toString)
-    val got = run() // batch 1: must heal, then merge
-    assert(got == Map(7L -> (2L, 5.0)),
-      s"pre-crash history lost or double-merged: $got")
-    assert(!store.listFiles.exists(_.getName.startsWith(".old-")),
-      "healed .old dir not cleaned up")
+    // crash state: marker never written, bucket by's pointer never
+    // published (its data dir stays on disk, unreachable — readers
+    // resolve pointers only)
+    assert(new java.io.File(storeDir, "last_batch").delete())
+    assert(new java.io.File(store, s"ptr-$by").delete())
+    val ptrX = java.nio.file.Files.readAllBytes(
+      new java.io.File(store, s"ptr-$bx").toPath).toSeq
+    val got = run() // replay of batch 0
+    assert(got == Map(x -> (1L, 2.0), y -> (1L, 3.0)),
+      s"partial replay lost or double-merged: $got")
+    // the published bucket's pointer survived the replay byte-identical
+    assert(java.nio.file.Files.readAllBytes(
+      new java.io.File(store, s"ptr-$bx").toPath).toSeq == ptrX,
+      "published bucket was re-merged on replay")
   }
 
   test("upsertAggStore replay is idempotent: restamped batches are skipped") {
