@@ -1232,8 +1232,23 @@ object Dedup {
       (edgeCount / 200000L).toInt + 1))
     // node count is bounded by the symmetric edge count; ~300 k nodes
     // of (id, min) rows is the ~10 MB broadcast-threshold ballpark
+    val bigGraph = edgeCount >= 600000L
     val maybeHinted: DataFrame => DataFrame =
-      if (edgeCount >= 600000L) _.hint("shuffle_hash") else identity
+      if (bigGraph) _.hint("shuffle_hash") else identity
+    // AQE pinned OFF for the big-graph loop (saved + restored below):
+    // inside these rounds AQE has nothing left to decide — every
+    // exchange is an explicit-N repartition (exempt from coalescing)
+    // and the join strategy is hint-pinned — but it still costs a
+    // re-optimization fence per query stage, measured at ~15% of round
+    // wall at 1.26 M edges. Small graphs keep AQE: its runtime
+    // broadcast conversion of the node-sized min frame is the win
+    // there. Conf mutation is session-scoped, so this (like the
+    // bench replay's partition pin) assumes no CONCURRENT queries on
+    // the same session during the loop; the restore is try/finally.
+    val spark = edges.sparkSession
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeSaved = spark.conf.get(aqeKey)
+    if (bigGraph) spark.conf.set(aqeKey, "false")
     var it = 0
     var converged = false
     var roundStats = Vector.empty[(Long, Double)]
@@ -1242,7 +1257,7 @@ object Dedup {
     // it is checkpointed (node-sized rows) and reused instead of paying
     // a fresh groupBy pass over the edge list every round
     var prevP: DataFrame = null
-    while (!converged && it < maxIterations) {
+    try while (!converged && it < maxIterations) {
       val roundT0 = System.nanoTime()
       // large-star without symmetrizing: m(u) = min(Γ(u) ∪ {u}) can only
       // be u or a SMALLER neighbor, and the canonical rows already group
@@ -1323,6 +1338,7 @@ object Dedup {
       log.info(f"connectedComponents: star round $it edges=$edgeRows " +
         f"multiParent=$multiParent converged=$converged wall=$wallSec%.2f s")
     }
+    finally if (bigGraph) spark.conf.set(aqeKey, aqeSaved)
     lastStarRounds = roundStats
     shim.unpersistCheckpoint(edges)
     if (prevP != null) shim.unpersistCheckpoint(prevP)

@@ -366,6 +366,23 @@ class DedupGroupsSpec extends SparkTestBase {
     assert(chainIds.forall(id => labels(id) == chainIds.min))
   }
 
+  test("star loop restores spark.sql.adaptive.enabled after big-graph rounds") {
+    val before = spark.conf.get("spark.sql.adaptive.enabled")
+    // 640k symmetric edges: over the big-graph gate, so the loop pins
+    // AQE off for its rounds and must restore it on exit. Scrambled
+    // disjoint 2-chains — stall probe routes to star, converges fast.
+    val pairs = spark.range(0, 320000)
+      .select(xxhash64(col("id") * 2).as("id1"),
+        xxhash64(col("id") * 2 + 1).as("id2"))
+    val n = Dedup.connectedComponents(pairs, microGraphMaxEdges = 1000L)
+      .count()
+    assert(n == 640000L)
+    assert(Dedup.lastEngine == "star",
+      s"expected the star engine, got ${Dedup.lastEngine}")
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == before,
+      "star loop leaked its AQE pin")
+  }
+
   test("graft.debug.assertLayout fails loud on a wrong hash-layout assume") {
     import org.apache.spark.sql.GraftSqlShim
     spark.conf.set("graft.debug.assertLayout", "true")
