@@ -1249,6 +1249,22 @@ object Dedup {
     val aqeKey = "spark.sql.adaptive.enabled"
     val aqeSaved = spark.conf.get(aqeKey)
     if (bigGraph) spark.conf.set(aqeKey, "false")
+    // shuffle-partition pin for the big-graph loop (same try/finally
+    // restore as the AQE pin): the round repartitions are sized to the
+    // edge volume (nStar ~ 200 k rows/partition), but the round's JOIN
+    // and WINDOW exchanges ride the session conf — with conf wider than
+    // nStar every round's exchanges also REPARTITION across widths
+    // (hash(k, nStar) checkpoint layouts never satisfy a hash(k, conf)
+    // requirement), so the recorded layouts only save exchanges when
+    // everything inside the loop agrees on ONE width. Measured on the
+    // bench graphs: 1.26 M edges 13.7 -> 10.5 s warm, 600 k edges
+    // 6.8 -> 5.0 s (same-harness A/B). Once the edge volume saturates
+    // the session conf (nStar == confParts — any real-cluster scale),
+    // the pin is a no-op.
+    val partsKey = "spark.sql.shuffle.partitions"
+    val partsSaved = spark.conf.get(partsKey)
+    val pinParts = bigGraph && nStar < confParts
+    if (pinParts) spark.conf.set(partsKey, nStar.toString)
     var it = 0
     var converged = false
     var roundStats = Vector.empty[(Long, Double)]
@@ -1323,10 +1339,12 @@ object Dedup {
       val edgeRows = if (stats.isNullAt(1)) 0L else stats.getLong(1)
       // second violation clause (a parent that is itself somebody's hi)
       // needs a semi-join — only run it when the first clause passed;
-      // a mid-convergence round skips the job entirely
+      // a mid-convergence round skips the job entirely. The hi set of
+      // `p` IS the hi set of `next` (p groups next by hi), so the probe
+      // side is the node-sized checkpoint, not a fresh edge-list scan.
       converged = multiParent == 0L &&
         p.select(col("p").as("v"))
-          .join(next.select(col("hi").as("v")), "v", "left_semi")
+          .join(p.select(col("hi").as("v")), "v", "left_semi")
           .count() == 0L
       shim.unpersistCheckpoint(c)
       if (prevP != null) shim.unpersistCheckpoint(prevP)
@@ -1338,7 +1356,10 @@ object Dedup {
       log.info(f"connectedComponents: star round $it edges=$edgeRows " +
         f"multiParent=$multiParent converged=$converged wall=$wallSec%.2f s")
     }
-    finally if (bigGraph) spark.conf.set(aqeKey, aqeSaved)
+    finally {
+      if (bigGraph) spark.conf.set(aqeKey, aqeSaved)
+      if (pinParts) spark.conf.set(partsKey, partsSaved)
+    }
     lastStarRounds = roundStats
     shim.unpersistCheckpoint(edges)
     if (prevP != null) shim.unpersistCheckpoint(prevP)

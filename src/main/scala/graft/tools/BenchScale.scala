@@ -79,13 +79,40 @@ object BenchScale {
       val entries = scala.collection.mutable.ArrayBuffer.empty[String]
       for (name <- queries) {
         val fn = graft.SparkEntry.queries(name)
+        var rows = 0L
         val secs = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
-          fn(spark, dir).count()
+          rows = fn(spark, dir).count()
           (System.nanoTime() - t0) / 1e9
         }
+        // output rows ride next to the wall time: on the GenScale dirs
+        // the dup-pair OUTPUT of the near-dup entries grows
+        // quadratically in the copy factor (every source doc becomes a
+        // `copies`-member near-dup family), so those curves must be
+        // read in wall-per-output-row, not wall — a flat ratio is the
+        // candidate/output-linearity claim.
         entries += s""""$name":[${secs.map(fmt).mkString(",")}]"""
-        println(s"SCALE $dir $name " + secs.map(fmt).mkString(" "))
+        entries += s""""${name}_rows":$rows"""
+        println(s"SCALE $dir $name rows=$rows " + secs.map(fmt).mkString(" "))
+      }
+      // q21's denominator is NOT its output (exact-dup pairs, which are
+      // copies-LINEAR): its cost driver is the LSH candidate volume,
+      // quadratic in the copy factor because a `copies`-member near-dup
+      // family collides across whole bands. Emit the candidate count so
+      // the q21 curve reads in wall-per-CANDIDATE.
+      if (queries.contains("q21_dedup_minhash")) {
+        val docs = graft.Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        // same corpus as SparkEntry.dupCorpus(near = false)
+        val corpus = docs.union(docs.where(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+        val t0 = System.nanoTime()
+        val nCand = graft.operators.Dedup
+          .lshCandidatePairs(corpus, "doc_id", "text").count()
+        val candSec = (System.nanoTime() - t0) / 1e9
+        entries += s""""q21_candidates":$nCand"""
+        entries += s""""q21_candidates_sec":${fmt(candSec)}"""
+        println(s"SCALE $dir q21_candidates=$nCand ${fmt(candSec)}")
       }
       val (pairs, fSecs) = flagshipCount(spark, dir)
       entries += s""""flagship_count":[${fSecs.map(fmt).mkString(",")}]"""

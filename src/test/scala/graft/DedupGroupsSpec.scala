@@ -368,9 +368,12 @@ class DedupGroupsSpec extends SparkTestBase {
 
   test("star loop restores spark.sql.adaptive.enabled after big-graph rounds") {
     val before = spark.conf.get("spark.sql.adaptive.enabled")
+    val partsBefore = spark.conf.get("spark.sql.shuffle.partitions")
     // 640k symmetric edges: over the big-graph gate, so the loop pins
-    // AQE off for its rounds and must restore it on exit. Scrambled
-    // disjoint 2-chains — stall probe routes to star, converges fast.
+    // AQE off (and the shuffle-partition width down to the round's
+    // explicit-N density) for its rounds and must restore both on exit.
+    // Scrambled disjoint 2-chains — stall probe routes to star,
+    // converges fast.
     val pairs = spark.range(0, 320000)
       .select(xxhash64(col("id") * 2).as("id1"),
         xxhash64(col("id") * 2 + 1).as("id2"))
@@ -381,6 +384,8 @@ class DedupGroupsSpec extends SparkTestBase {
       s"expected the star engine, got ${Dedup.lastEngine}")
     assert(spark.conf.get("spark.sql.adaptive.enabled") == before,
       "star loop leaked its AQE pin")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == partsBefore,
+      "star loop leaked its shuffle-partition pin")
   }
 
   test("graft.debug.assertLayout fails loud on a wrong hash-layout assume") {
