@@ -1828,6 +1828,17 @@ object SparkEntry {
         "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
       Dedup.sourceLeakage(c, "doc_id", "text", "split",
         threshold = 0.8) }),
+    // size-capped LSH dedup: q21's pipeline with the oversized-bucket
+    // guard armed (cap 64) — the production bound on the quadratic
+    // within-bucket expansion. On this corpus every dup bucket is far
+    // under the cap (bucket profile knee is at 2), so the result is
+    // identical to q21's and the exact-dup oracle pins that the guard
+    // armed does not cost recall here; DedupSpec proves the cap FIRES
+    // on an oversized synthetic family.
+    "q137_dedup_minhash_capped" -> ((s, dir) => { prep(s, dir)
+      val c = dupCorpus(s, dir, near = false)
+      verifyByEquality(Dedup.lshCandidatePairs(c, "doc_id", "text",
+        maxBucketSize = 64), c) }),
     // per-doc shingle novelty: fraction of a doc's distinct 3-gram
     // shingles with corpus df = 1 (singleton ownership via min(doc_id)
     // — no join back to the exploded rows); the diversity-weighting
@@ -2528,6 +2539,7 @@ object SparkEntry {
       "q20_dedup_exact" -> exactDupOracle,
       "q27_fingerprint" -> exactDupOracle,
       "q21_dedup_minhash" -> exactDupOracle,
+      "q137_dedup_minhash_capped" -> exactDupOracle,
       "q22_dedup_simhash" -> exactDupOracle,
       "q23_dedup_jaccard" -> jaccardOracle,
       "q56_dedup_groups" -> dupGroupsOracle,

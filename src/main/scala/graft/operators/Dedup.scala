@@ -76,9 +76,26 @@ object Dedup {
    * Candidate duplicate pairs (id1 < id2) via MinHash-LSH banding.
    * Shuffle shape: explode bands → groupBy(band, bucket) → within-bucket
    * pair expansion → distinct. No crossJoin anywhere.
+   *
+   * `maxBucketSize` is the production guard against the one quadratic
+   * term this shape has: within-bucket pair expansion. A bucket of m
+   * near-identical docs (boilerplate, templated pages, licence headers —
+   * or a synthetic `copies`-member family) emits C(m,2) pairs per band,
+   * so candidate volume grows with the SQUARE of the largest dup-family
+   * size even while the corpus itself grows linearly. Capped runs skip
+   * buckets larger than the cap — the standard trade in large-corpus
+   * dedup pipelines (oversized buckets are overwhelmingly boilerplate
+   * whose members a later pass handles wholesale; dup pairs hidden
+   * ONLY inside oversized buckets in every band are lost, which is the
+   * documented recall cost. Lee et al. 2022, "Deduplicating Training
+   * Data Makes Language Models Better", makes the same bound-the-bucket
+   * argument for suffix-cluster expansion). The filter runs on the
+   * already-aggregated bucket rows, so it adds ZERO exchanges; default
+   * Int.MaxValue = off.
    */
   def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     // NULL texts out before banding: they all share one signature, so a
     // corpus with many NULL rows would put them ALL in the same bucket
     // per band and detonate the quadratic within-bucket expansion
@@ -91,8 +108,30 @@ object Dedup {
       .select(col("id"), col("b.band").as("band"), col("b.bucket").as("bucket"))
     val buckets = banded.groupBy("band", "bucket")
       .agg(collect_list("id").as("ids"))
-      .where(size(col("ids")) > 1)
+      .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucketSize)
     bucketPairs(buckets)
+  }
+
+  /** Bucket-size profile of the MinHash-LSH banding over `docs`: one row
+    * per bucket size with the bucket count at that size — the sizing
+    * input for [[lshCandidatePairs]]'s `maxBucketSize` guard (pick the
+    * cap just above the knee; candidate volume is Σ count·C(size,2)).
+    * Same banding pipeline as the candidate path up to the bucket
+    * aggregate, then collapses to ≤ |distinct sizes| rows map-side —
+    * the profile never materializes a single candidate pair. */
+  def lshBucketProfile(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 64,
+      bands: Int = 16): DataFrame = {
+    val sig = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        minhashSignatureFromHashes(shingleHashes(col(textCol), shingleSize),
+          numHashes).as("sig"))
+    sig.select(col("id"),
+        explode(lshBands(col("sig"), numHashes, bands)).as("b"))
+      .groupBy(col("b.band").as("band"), col("b.bucket").as("bucket"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("bucket_size"))
+      .agg(count(lit(1)).as("buckets"))
   }
 
   /** Within-bucket candidate expansion shared by the MinHash and SRP

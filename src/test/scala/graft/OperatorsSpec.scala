@@ -77,6 +77,34 @@ class OperatorsSpec extends SparkTestBase {
     assert(cands.contains((1L, 2L)))
   }
 
+  test("maxBucketSize skips oversized LSH buckets, keeps small ones") {
+    // a 40-member identical-text family (one oversized bucket per band)
+    // next to an unrelated small exact-dup pair: with the cap armed
+    // below the family size, zero family pairs survive while the small
+    // pair still pairs; unbounded, the family emits all C(40,2) pairs
+    val family = spark.range(100, 140)
+      .select(col("id").as("doc_id"),
+        lit("the same boilerplate licence header text " +
+          "repeated across a mirrored corpus").as("text"))
+    val pairDocs = Seq(
+      (900L, "an unrelated document that appears exactly twice only"),
+      (901L, "an unrelated document that appears exactly twice only"))
+      .toDF("doc_id", "text")
+    val corpus = family.union(pairDocs)
+    val capped = Dedup.lshCandidatePairs(corpus, "doc_id", "text",
+        maxBucketSize = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((900L, 901L)),
+      s"cap must keep only the small bucket's pair, got $capped")
+    val unbounded = Dedup.lshCandidatePairs(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unbounded.size == 40 * 39 / 2 + 1)
+    // the profile the cap is sized from: bucket_size 40 and 2 present
+    val prof = Dedup.lshBucketProfile(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(prof.keySet == Set(40L, 2L), s"profile $prof")
+  }
+
   test("minhashDupPairs: exact dup has jaccard 1.0, near dup found high") {
     val pairs = Dedup.minhashDupPairs(docs, "doc_id", "text", threshold = 0.5)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
