@@ -1839,6 +1839,19 @@ object SparkEntry {
       val c = dupCorpus(s, dir, near = false)
       verifyByEquality(Dedup.lshCandidatePairs(c, "doc_id", "text",
         maxBucketSize = 64), c) }),
+    // q127's composed curation report with the near-dup stage's
+    // oversized-bucket guard armed (cap 64): on this corpus every dup
+    // bucket is far under the cap, so the report is identical to
+    // q127's and the full replay oracle pins that the armed guard
+    // changes nothing — while at the 100x GenScale point the same cap
+    // collapses the report's dominant near-dup term from the family
+    // quadratic back to corpus-linear (SCALE_r13).
+    "q138_curation_capped" -> ((s, dir) => { prep(s, dir)
+      val c = dupCorpus(s, dir, near = true)
+      graft.operators.Curation.curationReport(c, "doc_id", "text",
+        langs = Seq("en"), minQuality = 0.55,
+        nearThreshold = 0.95, containThreshold = 0.9,
+        lshMaxBucketSize = 64) }),
     // per-doc shingle novelty: fraction of a doc's distinct 3-gram
     // shingles with corpus df = 1 (singleton ownership via min(doc_id)
     // — no join back to the exploded rows); the diversity-weighting
@@ -3308,6 +3321,7 @@ object SparkEntry {
       "q122_containment" -> containmentOracle,
       "q123_containment_dedup" -> containmentDedupOracle,
       "q127_curation_report" -> curationReportOracle,
+      "q138_curation_capped" -> curationReportOracle,
       // q136: q62's split CASE over the near corpus + q134's unordered
       // pair counts on the split label — same LSH recall precondition
       "q136_split_leakage" ->

@@ -38,13 +38,24 @@ import org.apache.spark.sql.functions._
  */
 object Curation {
 
+  /** `lshMaxBucketSize` arms [[Dedup.lshCandidatePairs]]'s
+    * oversized-bucket guard inside the near-dup stage. The composed
+    * pipeline inherits LSH's one quadratic term: a corpus whose largest
+    * dup family has m members emits C(m,2) candidates per band, and
+    * each candidate then pays the Jaccard-verify join — measured at the
+    * 100x GenScale point (100-member families), the UNCAPPED near-dup
+    * stage dominates the whole report's wall. Capped runs skip buckets
+    * over the limit: boilerplate-family pairs hidden only inside
+    * oversized buckets are not verified (their members simply stay
+    * uncollapsed), every other stage is unchanged. Default off. */
   def curationReport(docs: DataFrame, idCol: String, textCol: String,
       langs: Seq[String] = Seq("en"), minQuality: Double = 0.5,
       nearThreshold: Double = 0.8,
       containThreshold: Double = 0.9,
       evalDocs: Option[DataFrame] = None,
       evalIdCol: String = "doc_id", evalTextCol: String = "text",
-      decontaminationThreshold: Double = 0.8): DataFrame = {
+      decontaminationThreshold: Double = 0.8,
+      lshMaxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(langs.nonEmpty, "curationReport needs a language allow-list")
     // materialization rule (same as the containment shingle frame):
     // `base` feeds the near-dup pipeline, the containment pipeline and
@@ -65,7 +76,8 @@ object Curation {
     val gated = base.where(col("lang_ok") && col("quality_ok"))
       .select("doc_id", "text")
     val nearPairs = Dedup
-      .minhashDupPairs(gated, "doc_id", "text", nearThreshold)
+      .minhashDupPairs(gated, "doc_id", "text", nearThreshold,
+        maxBucketSize = lshMaxBucketSize)
       .select(col("id1"), col("id2"))
     val nearLosers = Dedup.connectedComponents(nearPairs)
       .where(col("id") =!= col("group_id"))
@@ -116,10 +128,11 @@ object Curation {
       containThreshold: Double = 0.9,
       evalDocs: Option[DataFrame] = None,
       evalIdCol: String = "doc_id", evalTextCol: String = "text",
-      decontaminationThreshold: Double = 0.8): DataFrame = {
+      decontaminationThreshold: Double = 0.8,
+      lshMaxBucketSize: Int = Int.MaxValue): DataFrame = {
     val keepers = curationReport(docs, idCol, textCol, langs, minQuality,
       nearThreshold, containThreshold, evalDocs, evalIdCol, evalTextCol,
-      decontaminationThreshold)
+      decontaminationThreshold, lshMaxBucketSize)
       .where(col("keep")).select(col("doc_id").as("graft_keep_id"))
     docs.join(keepers, docs(idCol) === col("graft_keep_id"), "left_semi")
   }

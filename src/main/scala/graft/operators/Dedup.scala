@@ -165,9 +165,9 @@ object Dedup {
    */
   def minhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleSize: Int = 3, numHashes: Int = 64,
-      bands: Int = 16): DataFrame = {
+      bands: Int = 16, maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val cands = lshCandidatePairs(docs, idCol, textCol, shingleSize,
-      numHashes, bands)
+      numHashes, bands, maxBucketSize)
     // Jaccard over shingle-hash sets == Jaccard over shingle-string sets
     // (64-bit hashing is injective modulo negligible collisions).
     // Materialization rule: the verify joins reference this frame for

@@ -415,6 +415,43 @@ class TextModelSpec extends SparkTestBase {
     assert(kept == Set(5L))
   }
 
+  test("curationReport: lshMaxBucketSize guards the near-dup stage") {
+    import graft.operators.Curation
+    val prose = "the quick brown fox jumps over the lazy dog and it " +
+      "was seen by the river bank at dawn with a friend of the miller"
+    // a 30-member exact-dup family (one oversized LSH bucket per band)
+    // plus one small dup pair of a DIFFERENT text
+    val family = spark.range(0, 30)
+      .select(col("id").as("doc_id"), lit(prose).as("text"))
+    val other = "an entirely different english sentence that the lazy " +
+      "dog did not expect to see printed twice in this test corpus"
+    val docs = family.union(
+      Seq((100L, other), (101L, other)).toDF("doc_id", "text"))
+    // cap below the family: the near-dup stage skips the oversized
+    // bucket, so the family reaches stage 4 — where the CONTAINMENT
+    // backstop still collapses it (identical texts are mutual
+    // containment classes, lowest id survives), just tagged
+    // "contained" instead of "near_dup". The small pair's bucket is
+    // under the cap and still collapses at stage 3.
+    val capped = Curation.curationReport(docs, "doc_id", "text",
+        langs = Seq("en"), minQuality = 0.2,
+        nearThreshold = 0.95, containThreshold = 0.9,
+        lshMaxBucketSize = 8)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) "KEEP" else r.getString(1))).toMap
+    assert(capped(0L) == "KEEP" &&
+      (1L until 30L).forall(capped(_) == "contained"), s"got $capped")
+    assert(capped(100L) == "KEEP" && capped(101L) == "near_dup")
+    // default (unbounded): the family collapses to its min id
+    val full = Curation.curationReport(docs, "doc_id", "text",
+        langs = Seq("en"), minQuality = 0.2,
+        nearThreshold = 0.95, containThreshold = 0.9)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) "KEEP" else r.getString(1))).toMap
+    assert(full(0L) == "KEEP" &&
+      (1L until 30L).forall(full(_) == "near_dup"), s"got $full")
+  }
+
   test("curationReport: eval-set stage tags contaminated LAST") {
     import graft.operators.Curation
     val prose = "the quick brown fox jumps over the lazy dog and it " +
