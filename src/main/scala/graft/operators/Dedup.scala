@@ -1560,6 +1560,20 @@ object Dedup {
    * only, with the documented recall caveat that a probe whose entire
    * sketch is boilerplate finds nothing.
    *
+   * The cap is the SINGLE-KEY STRAGGLER guard, and it must be sized
+   * from the candidate arithmetic, not from "df that feels big": a key
+   * with document frequency d contributes ~d·(probeK/|sh|)·d candidate
+   * rows — QUADRATIC in d — and every one of them lands on ONE reduce
+   * task because they share the join key. AQE's skew split cannot
+   * rescue this: skew detection reads the shuffle INPUT sizes, and a
+   * d = 171 k key ships only ~2.7 MB of 16-byte index rows while its
+   * join OUTPUT is ~8×10⁸ rows (measured: one task with 23 min of CPU
+   * at the 100x GenScale point, every other core idle, via the shared
+   * " graft dup marker" suffix shingle). The 16 k default keeps the
+   * worst single-key output near ~10⁷ rows (~seconds of one core) and
+   * only drops shingles carried by 16 k+ documents — zero containment
+   * evidence at any corpus size worth indexing.
+   *
    * Verification is CANDIDATE-STREAM-linear, not candidate-DISTINCT
    * shaped: the raw probe-join rows flow straight into the verify
    * filter — both shingle arrays attached by doc-keyed lookup and the
@@ -1578,7 +1592,7 @@ object Dedup {
    * inverts once arrays ride an exchange. */
   def containmentDupPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleSize: Int = 3, probeK: Int = 8,
-      maxShingleDf: Long = 1L << 20): DataFrame = {
+      maxShingleDf: Long = 16384L): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0,1] (got $threshold)")
     require(probeK > 0, s"probeK must be positive (got $probeK)")

@@ -212,6 +212,30 @@ class TextModelSpec extends SparkTestBase {
     assert(none.count() == 0)
   }
 
+  test("containmentDupPairs: hot-key cut is recall-invisible here") {
+    // the straggler-guard default (16384) only drops shingles carried
+    // by 16 k+ docs; this pins the recall argument at test scale by
+    // cutting at df > 50 in a 120-doc corpus where EVERY doc shares a
+    // boilerplate trailer (df = 120, the hot key the cap exists for):
+    // every true pair differs by < probeK shingles, so recall rides
+    // the pair's own non-hot probe keys and the cut changes nothing
+    val base = spark.range(0, 60).select(col("id").as("doc_id"),
+      concat(lit("document number "), col("id").cast("string"),
+        lit(" talks about topic "), (col("id") % 7).cast("string"),
+        lit(" at length with shared boilerplate trailer text appended " +
+          "to every single document in this corpus")).as("text"))
+    val copies = base.where(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 1000).as("doc_id"), col("text"))
+    val docs = base.union(copies)
+    def pairs(df: Long) = Dedup
+      .containmentDupPairs(docs, "doc_id", "text", 0.9, maxShingleDf = df)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cut = pairs(50L) // trailer shingles (df 120) dropped from index
+    val unbounded = pairs(1L << 40)
+    assert(cut == unbounded && cut.nonEmpty,
+      s"cut=${cut.size} unbounded=${unbounded.size}")
+  }
+
   test("containmentDupPairs: randomized ≡ brute force (seeded)") {
     // corpus where every qualifying pair sits inside the recall
     // guarantee: contained docs are contiguous slices (diff = 0);
