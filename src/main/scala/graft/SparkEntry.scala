@@ -412,6 +412,8 @@ object SparkEntry {
       "10GB")
     spark.conf.set(
       "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
+    // scale-run knob; unset so a raised gate never leaks between entries
+    spark.conf.unset(Dedup.ContainmentBroadcastMaxBytesConf)
   }
 
   /** The q57/q68 12-node path graph: consecutive documents chained

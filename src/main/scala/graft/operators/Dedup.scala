@@ -1633,7 +1633,10 @@ object Dedup {
             size(col("sh_a")).cast("double"), 6).as("containment"))
         .where(col("containment") >= threshold)
     }
-    if (estBytes <= ContainmentBroadcastMaxBytes)
+    val bcastGate = docs.sparkSession.conf
+      .get(ContainmentBroadcastMaxBytesConf,
+        ContainmentBroadcastMaxBytes.toString).toLong
+    if (estBytes <= bcastGate)
       // candidates stream map-side through two broadcast lookups and
       // the compiled merge; only the survivors are deduplicated
       verified(cands, bcast = true).distinct()
@@ -1645,8 +1648,19 @@ object Dedup {
   /** Broadcast gate for [[containmentDupPairs]]'s verify lookups: the
     * per-doc shingle-array frame is broadcast while its measured size
     * stays under this (the hashed relation is ~2-3× the raw bytes, so
-    * 256 MB keeps the build comfortably inside executor memory).
-    * Above it, the verify falls back to shuffle joins. */
+    * the 256 MB default keeps the build comfortably inside a modest
+    * executor). Above it, the verify falls back to shuffle joins —
+    * and that fallback ships BOTH ~KB-scale arrays per verified pair
+    * across two exchanges, so its cost is output-pairs × array bytes
+    * (measured: the 100x GenScale corpus' ~71 M family pairs × ~5 KB
+    * filled a 75 GB /tmp and killed the job). Deployments whose
+    * executors can host the array frame should RAISE the conf: a
+    * resident broadcast moves each array once per executor instead of
+    * once per pair, which is the only sub-quadratic movement scheme
+    * this verify has. Spark's hard broadcast ceiling (8 GB) still
+    * applies. */
+  val ContainmentBroadcastMaxBytesConf =
+    "spark.graft.dedup.containmentBroadcastMaxBytes"
   val ContainmentBroadcastMaxBytes: Long = 256L << 20
 
   /** Compiled two-pointer intersection size over sorted long arrays

@@ -236,6 +236,35 @@ class TextModelSpec extends SparkTestBase {
       s"cut=${cut.size} unbounded=${unbounded.size}")
   }
 
+  test("containment broadcast gate conf switches path, not results") {
+    val docs = Seq(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "one two three four five six seven eight nine ten eleven"),
+      (3L, "a completely different unrelated document about engines")
+    ).toDF("doc_id", "text")
+    def run() = Dedup.containmentDupPairs(docs, "doc_id", "text", 0.9)
+    // path signature: the over-gate branch dedups CANDIDATES (id_a,
+    // id_b) before the verify joins; the broadcast branch dedups the
+    // verified survivors after (id_contained, id_container). AQE may
+    // still broadcast the tiny test joins, so the aggregate's position
+    // is the branch probe, not the join strategy.
+    def dedupsCandidatesFirst(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.toString
+        .contains("Aggregate [id_a#")
+    val viaBroadcast = run() // tiny frame, under the default gate
+    assert(!dedupsCandidatesFirst(viaBroadcast))
+    val expected = viaBroadcast.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    spark.conf.set(Dedup.ContainmentBroadcastMaxBytesConf, "0")
+    try {
+      val viaShuffle = run() // gate 0 forces the candidates-dedup-first shape
+      assert(dedupsCandidatesFirst(viaShuffle))
+      val got = viaShuffle.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == expected && got.nonEmpty, s"got $got")
+    } finally spark.conf.unset(Dedup.ContainmentBroadcastMaxBytesConf)
+  }
+
   test("containmentDupPairs: randomized ≡ brute force (seeded)") {
     // corpus where every qualifying pair sits inside the recall
     // guarantee: contained docs are contiguous slices (diff = 0);
