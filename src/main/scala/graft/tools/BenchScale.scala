@@ -99,6 +99,41 @@ object BenchScale {
         entries += s""""${name}_rows":$rows"""
         println(s"SCALE $dir $name rows=$rows " + secs.map(fmt).mkString(" "))
       }
+      // gated containment point: the q122 pipeline (same near corpus,
+      // same 0.9 threshold) with the broadcast gate RAISED via
+      // SPARK_GRAFT_CONTAINMENT_BCAST (bytes) — the ledger entry can't
+      // carry the conf (prep() resets graft confs), so the operator is
+      // driven directly. This is the knob's measured claim: a resident
+      // array broadcast keeps the verify map-side where the over-gate
+      // shuffle fallback ships arrays per pair (output-pairs x
+      // array-bytes of exchange — ~350 GB at the 100x point).
+      sys.env.get("SPARK_GRAFT_CONTAINMENT_BCAST").foreach { gate =>
+        val docs = graft.Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val corpus = docs
+          .union(docs.where(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+          .union(docs.where(col("doc_id") % 7 === 0)
+            .select((col("doc_id") + 2000000).as("doc_id"),
+              concat(col("text"), lit(" graft dup marker")).as("text")))
+        spark.conf.set(
+          graft.operators.Dedup.ContainmentBroadcastMaxBytesConf, gate)
+        try {
+          var rows = 0L
+          val secs = (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            rows = graft.operators.Dedup
+              .containmentDupPairs(corpus, "doc_id", "text", 0.9).count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          entries += s""""containment_gated":[${secs.map(fmt).mkString(",")}]"""
+          entries += s""""containment_gated_rows":$rows"""
+          entries += s""""containment_gated_bcast":$gate"""
+          println(s"SCALE $dir containment_gated rows=$rows " +
+            secs.map(fmt).mkString(" "))
+        } finally spark.conf.unset(
+          graft.operators.Dedup.ContainmentBroadcastMaxBytesConf)
+      }
       // q21's denominator is NOT its output (exact-dup pairs, which are
       // copies-LINEAR): its cost driver is the LSH candidate volume,
       // quadratic in the copy factor because a `copies`-member near-dup
