@@ -1888,6 +1888,29 @@ object SparkEntry {
         Tables.load(s, dir, "documents").select("doc_id", "text"),
         "doc_id", "text")
         .orderBy("threshold") }),
+    // adjacent-pair PMI (phrase mining / collocation ranking):
+    // ln(p(w1,w2)/(p(w1)p(w2))) for bigrams seen >= 5 times, computed
+    // as ONE division expression so both engines replay the identical
+    // double arithmetic left to right
+    "q139_pmi_bigrams" -> ((s, dir) => { prep(s, dir)
+      TextStats.pmiBigrams(
+        Tables.load(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", minCount = 5L) }),
+    // Zipf-law least-squares fit over the top-1000 vocab head — the
+    // corpus-naturalness one-glance check (natural prose slope ~ -1);
+    // closed-form regression over vocab-bounded sums
+    "q140_zipf_fit" -> ((s, dir) => { prep(s, dir)
+      TextStats.zipfFit(
+        Tables.load(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", topN = 1000) }),
+    // shared-prefix boilerplate clusters over the near-dup corpus:
+    // md5 of the first-16-token stream, clusters with 2+ members —
+    // the template/mirror first cut before any pairwise similarity
+    // (the near docs append their marker at the END, so every dup
+    // family shares its prefix fingerprint)
+    "q141_prefix_clusters" -> ((s, dir) => { prep(s, dir)
+      TextStats.prefixClusters(dupCorpus(s, dir, near = true),
+        "doc_id", "text", k = 16) }),
     // spikes exactly as a production skew would
     "q132_streaming_drift" -> ((s, dir) => { prep(s, dir)
       val ref = Tables.load(s, dir, "events")
@@ -3316,6 +3339,51 @@ object SparkEntry {
           |JOIN uni u1 ON u1.term = bi.w1
           |JOIN uni u2 ON u2.term = bi.w2, tot
           |GROUP BY bi.doc_id""".stripMargin,
+      // q139: the q120 bigram construction (generate_subscripts +
+      // ws[i-1]) feeding the single-expression PMI; same \s-split twin
+      "q139_pmi_bigrams" ->
+        """WITH w AS (SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws FROM documents),
+          |toks AS (SELECT unnest(ws) AS term FROM w),
+          |uni AS (SELECT term, count(*) AS uc FROM toks GROUP BY term),
+          |bi0 AS (SELECT ws, unnest(ws) AS w2, generate_subscripts(ws, 1) AS i FROM w),
+          |bi AS (SELECT ws[i - 1] AS w1, w2 FROM bi0 WHERE i >= 2),
+          |bcnt AS (SELECT w1, w2, count(*) AS bc FROM bi GROUP BY w1, w2 HAVING count(*) >= 5),
+          |tot AS (SELECT CAST((SELECT sum(uc) FROM uni) AS DOUBLE) AS nuni,
+          |               CAST((SELECT count(*) FROM bi) AS DOUBLE) AS nbi)
+          |SELECT bcnt.w1, bcnt.w2, CAST(bcnt.bc AS BIGINT) AS bc,
+          |       round(ln(CAST(bcnt.bc AS DOUBLE) * nuni * nuni /
+          |             (nbi * CAST(u1.uc AS DOUBLE) * CAST(u2.uc AS DOUBLE))), 6) AS pmi
+          |FROM bcnt
+          |JOIN uni u1 ON u1.term = bcnt.w1
+          |JOIN uni u2 ON u2.term = bcnt.w2, tot""".stripMargin,
+      // q140: rank by (tf DESC, term) exactly as the engine's window,
+      // then the identical closed-form least-squares arithmetic
+      "q140_zipf_fit" ->
+        """WITH cnt AS (SELECT term, count(*) AS tf FROM (
+          |    SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS term
+          |    FROM documents) GROUP BY term),
+          |head AS (SELECT ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(tf AS DOUBLE)) AS y FROM (
+          |    SELECT tf, row_number() OVER (ORDER BY tf DESC, term ASC) AS rk FROM cnt)
+          |  WHERE rk <= 1000),
+          |s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+          |             sum(x * y) AS sxy, sum(x * x) AS sxx FROM head)
+          |SELECT CAST(n AS BIGINT) AS n_terms,
+          |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+          |       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept
+          |FROM s""".stripMargin,
+      // q141: md5 of the space-joined first-16-token slice over the
+      // near corpus — equal token streams give equal hex digests on
+      // both engines
+      "q141_prefix_clusters" -> (corpusNearCte +
+        """,
+          |f AS (SELECT doc_id,
+          |  md5(array_to_string(list_slice(
+          |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> ''),
+          |    1, 16), ' ')) AS prefix_hash
+          |  FROM corpus)
+          |SELECT prefix_hash, CAST(count(*) AS BIGINT) AS n_docs,
+          |       CAST(min(doc_id) AS BIGINT) AS min_doc_id
+          |FROM f GROUP BY prefix_hash HAVING count(*) > 1""".stripMargin),
       // q121: the same recursive-CTE closure as q58, but each group's
       // survivor is the argmax by (quality DESC, doc_id) — quality being
       // the exact q24 formula over the near-dup corpus

@@ -669,6 +669,125 @@ object TextStats {
       .agg(min("rk").as("vocab_size"))
   }
 
+  /**
+   * Pointwise mutual information of adjacent token pairs — the
+   * phrase-mining / collocation primitive (tokenizer merge candidates,
+   * multi-word-expression detection; Church & Hanks 1990). For each
+   * bigram seen at least `minCount` times:
+   * `pmi = ln( p(w1,w2) / (p(w1)·p(w2)) )` with `p(w1,w2) = bc/N_bi`
+   * and `p(w) = uc/N_uni`, computed as the single expression
+   * `ln(bc·N_uni·N_uni / (N_bi·u1c·u2c))` (round 6) so an external
+   * engine replays the identical double arithmetic. High-PMI pairs are
+   * phrases ("san francisco"); frequent-but-independent pairs sit near
+   * 0; the score feeds BPE-style merge ranking where raw pair counts
+   * ([[bpePairStats]]) over-weight stopword collisions.
+   *
+   * Scale shape: bigram pairs are built map-side from the words array
+   * (the [[bigramLogProb]] projection-boundary rule — no self-join, no
+   * window); both count tables are vocabulary-bounded map-side-combined
+   * aggregates; the two unigram joins key on observed bigrams (AQE
+   * broadcasts the smaller side); totals ride a 1-row broadcast. Token
+   * instances never shuffle.
+   */
+  def pmiBigrams(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 5L): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1 (got $minCount)")
+    val w = docs.select(Dedup.words(col(textCol)).as("ws"))
+    val ws = col("ws")
+    val toks = w.select(explode(ws).as("term"))
+    val bi = w
+      .select(explode(when(size(ws) >= 2,
+        transform(sequence(lit(1), size(ws) - 1),
+          i => struct(element_at(ws, i).as("w1"),
+            element_at(ws, i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val uni = toks.groupBy("term").agg(count(lit(1)).as("uc"))
+    val bc = bi.groupBy("w1", "w2").agg(count(lit(1)).as("bc"))
+      .where(col("bc") >= minCount)
+    val tot = uni.agg(sum("uc").cast("double").as("nuni"))
+      .crossJoin(bi.groupBy().agg(count(lit(1)).cast("double").as("nbi")))
+    bc
+      .join(uni.select(col("term").as("w1"), col("uc").as("u1c")), Seq("w1"))
+      .join(uni.select(col("term").as("w2"), col("uc").as("u2c")), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("bc"),
+        round(log(col("bc").cast("double") * col("nuni") * col("nuni") /
+          (col("nbi") * col("u1c").cast("double") *
+            col("u2c").cast("double"))), 6).as("pmi"))
+  }
+
+  /**
+   * Zipf-law fit over the head of the corpus vocabulary — the
+   * one-glance corpus-naturalness check (natural prose fits
+   * `ln tf ≈ a + s·ln rank` with slope s near -1; machine-generated or
+   * template-heavy corpora bend the curve). Least-squares over the
+   * `topN` most frequent terms (ranked by `tf` desc, ties by term):
+   * one row `(n_terms, slope, intercept)` with the closed-form
+   * `s = (n·Σxy - Σx·Σy) / (n·Σxx - Σx·Σx)`, both rounded to 6.
+   *
+   * Scale shape: the corpus collapses to the vocabulary map-side (the
+   * [[vocabCoverage]] bound), the ranking window runs over
+   * vocab-bounded rows (deliberate single-partition global sort, same
+   * documented bound as q135), and the head's regression sums are one
+   * tiny aggregate. Round-6 is safe against partial-aggregation
+   * summation order: the sums are O(10³) terms of O(10)-magnitude
+   * doubles, so reorder error is ~1e-12 relative against a 1e-6
+   * rounding grid.
+   */
+  def zipfFit(docs: DataFrame, idCol: String, textCol: String,
+      topN: Int = 1000): DataFrame = {
+    require(topN >= 2, s"topN must be >= 2 (got $topN)")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("tf").desc, col("term").asc)
+    val head = docs
+      .select(explode(Dedup.words(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("tf"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= topN)
+      .select(log(col("rk").cast("double")).as("x"),
+        log(col("tf").cast("double")).as("y"))
+    head.agg(count(lit(1)).cast("double").as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("n").cast("long").as("n_terms"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+        round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
+          col("n"), 6).as("intercept"))
+  }
+
+  /**
+   * Shared-prefix boilerplate clusters — the template/mirror detector
+   * that catches what shingle dedup rates as "merely similar": group
+   * documents by an md5 fingerprint of their first `k` tokens and
+   * report every cluster with 2+ members (`prefix_hash, n_docs,
+   * min_doc_id`). Scraped boilerplate (cookie banners, licence
+   * headers, generated templates) shares exact prefixes even when
+   * bodies diverge, so prefix clusters are the cheap first cut before
+   * any pairwise similarity. Documents shorter than `k` tokens
+   * cluster by their full token stream (`slice` just truncates).
+   *
+   * Scale shape: one map-side fingerprint per document (tokenize →
+   * slice → md5 — no explode), then a 16-byte-row hash aggregate on
+   * the fingerprint key. Text never shuffles; output is bounded by
+   * the number of duplicated templates, not the corpus.
+   */
+  def prefixClusters(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 16): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        md5(array_join(slice(Dedup.words(col(textCol)), 1, k), " "))
+          .as("prefix_hash"))
+      .groupBy("prefix_hash")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc_id"))
+      .where(col("n_docs") > 1)
+  }
+
   /** Convenience: append the full stats column set. */
   def withStats(docs: DataFrame, textCol: String): DataFrame =
     docs

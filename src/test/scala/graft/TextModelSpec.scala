@@ -663,4 +663,73 @@ class TextModelSpec extends SparkTestBase {
       .select("doc_id").as[Long].collect().toSeq
     assert(canon == Seq(1L))
   }
+
+  private def round6(x: Double): Double = BigDecimal(x)
+    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("pmiBigrams: exact values, minCount cut") {
+    // tokens a,b,a,b,a,c -> uni a=3 b=2 c=1, Nuni=6
+    // bigrams (a,b)x2 (b,a) (a,c) -> Nbi=4
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = TextStats.pmiBigrams(docs, "doc_id", "text", minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    def pmi(bc: Long, u1: Long, u2: Long): Double =
+      round6(math.log(bc.toDouble * 6 * 6 / (4.0 * u1 * u2)))
+    assert(got == Map(
+      ("a", "b") -> (2L, pmi(2, 3, 2)),
+      ("b", "a") -> (1L, pmi(1, 2, 3)),
+      ("a", "c") -> (1L, pmi(1, 3, 1))))
+    // the frequent pair survives the default-style cut alone
+    val cut = TextStats.pmiBigrams(docs, "doc_id", "text", minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(cut == Seq(("a", "b")))
+    intercept[IllegalArgumentException] {
+      TextStats.pmiBigrams(docs, "doc_id", "text", minCount = 0L)
+    }
+  }
+
+  test("zipfFit: closed-form least squares over the ranked head") {
+    // tf: a=4 b=2 c=1 -> ranks 1,2,3
+    val docs = Seq((1L, "a a a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val r = TextStats.zipfFit(docs, "doc_id", "text", topN = 1000).head()
+    val xs = Seq(1d, 2d, 3d).map(math.log)
+    val ys = Seq(4d, 2d, 1d).map(math.log)
+    val n = 3d
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val sxx = xs.map(x => x * x).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(r.getLong(0) == 3L)
+    assert(r.getDouble(1) == round6(slope))
+    assert(r.getDouble(2) == round6((sy - slope * sx) / n))
+    // a frequency-halving corpus slopes near -1 by construction
+    assert(r.getDouble(1) < -0.9 && r.getDouble(1) > -1.5)
+    // topN cuts the head: with topN=2 only ranks 1..2 enter the fit
+    val r2 = TextStats.zipfFit(docs, "doc_id", "text", topN = 2).head()
+    assert(r2.getLong(0) == 2L)
+    intercept[IllegalArgumentException] {
+      TextStats.zipfFit(docs, "doc_id", "text", topN = 1)
+    }
+  }
+
+  test("prefixClusters: shared first-k-token fingerprints, singletons cut") {
+    val docs = Seq(
+      (5L, "a b c"), (2L, "a b d"), // share the 2-token prefix "a b"
+      (3L, "x y"),                  // alone
+      (4L, "a")                     // short doc: fingerprint of "a" alone
+    ).toDF("doc_id", "text")
+    val got = TextStats.prefixClusters(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((2L, 2L))) // one cluster: docs {2,5}, min id 2
+    // k larger than every doc: full-text fingerprints, only exact
+    // token-stream dups cluster
+    val dup = Seq((1L, "p q r"), (2L, "p q r"), (3L, "p q")).toDF("doc_id", "text")
+    val g2 = TextStats.prefixClusters(dup, "doc_id", "text", k = 99)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(g2.toSeq == Seq((2L, 1L)))
+    intercept[IllegalArgumentException] {
+      TextStats.prefixClusters(docs, "doc_id", "text", k = 0)
+    }
+  }
 }
