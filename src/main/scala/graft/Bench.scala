@@ -18,6 +18,9 @@ object Bench {
         .split("\\s+").take(3).mkString(",")
       catch { case _: Exception => "" }
     val loadStart = loadavg
+    // fixed-work CPU stamps: loadavg can't see hypervisor throttling
+    // (see graft.Calib) — an inflated calib marks this run's walls
+    val calibStart = Calib.stampJson("_start")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -151,7 +154,7 @@ object Bench {
         String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":${medJson(_._1)},"queries_min":${medJson(_._2)},"queries_max":${medJson(_._3)},"errors":$errs,"gc_sec":$gcs,"loadavg_start":"$loadStart","loadavg_end":"$loadavg","sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":${medJson(_._1)},"queries_min":${medJson(_._2)},"queries_max":${medJson(_._3)},"errors":$errs,"gc_sec":$gcs,"loadavg_start":"$loadStart","loadavg_end":"$loadavg",$calibStart,${Calib.stampJson("_end")},"sf":"$sfDir"}"""
     println(line)
     // also write the line to a file: driver log captures can truncate
     // stdout, and the bench artifact should be self-contained

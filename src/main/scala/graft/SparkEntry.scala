@@ -364,6 +364,10 @@ object SparkEntry {
     // restored only after awaitTermination (batch 0's capture happens
     // asynchronously after start(), so an earlier restore would race).
     // A production deployment sizes this to state volume / throughput.
+    // NOTE: the set/restore mutates SESSION conf — single-threaded
+    // harness code only. Library-ified, this would need a dedicated
+    // session (spark.newSession()) so concurrent queries on the shared
+    // session never observe the pinned width.
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     val q = df.writeStream.format("memory").queryName(name)

@@ -75,6 +75,9 @@ object BenchScale {
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val loadStart = loadavg
+    // fixed-work CPU stamps: loadavg can't see hypervisor throttling
+    // (see graft.Calib) — an inflated calib marks this run's walls
+    val calibStart = graft.Calib.stampJson("_start")
 
     val points = dirs.map { dir =>
       graft.Tables.registerAll(spark, dir)
@@ -187,7 +190,7 @@ object BenchScale {
     // need more than the 8g default (SPARK_DRIVER_MEM), and a stamped
     // xmx makes each run's memory budget self-evidencing
     val xmxGb = Runtime.getRuntime.maxMemory / (1L << 30)
-    val line = s"""{"metric":"scale_curve","points":[${points.mkString(",")}],"loadavg_start":"$loadStart","loadavg_end":"$loadavg","cpus":"$cpus","xmx_gb":$xmxGb}"""
+    val line = s"""{"metric":"scale_curve","points":[${points.mkString(",")}],"loadavg_start":"$loadStart","loadavg_end":"$loadavg",$calibStart,${graft.Calib.stampJson("_end")},"cpus":"$cpus","xmx_gb":$xmxGb}"""
     println(line)
     val out = java.nio.file.Paths.get("target", "bench_sf1.json")
     java.nio.file.Files.createDirectories(out.getParent)
