@@ -1915,6 +1915,15 @@ object SparkEntry {
     "q141_prefix_clusters" -> ((s, dir) => { prep(s, dir)
       TextStats.prefixClusters(dupCorpus(s, dir, near = true),
         "doc_id", "text", k = 16) }),
+    // token-budget mixture plan (the pretraining "data recipe" table):
+    // per-source token inventory, temperature-flattened share of a
+    // 100k-token budget (tau = 0.5, the q131 knob), and the epochs the
+    // share implies — quantized-integer weights keep the arithmetic
+    // bit-replayable
+    "q142_token_budget_plan" -> ((s, dir) => { prep(s, dir)
+      Sampling.tokenBudgetPlan(
+        Tables.load(s, dir, "documents").select("text", "source"),
+        "text", "source", budgetTokens = 100000L, tau = 0.5) }),
     // spikes exactly as a production skew would
     "q132_streaming_drift" -> ((s, dir) => { prep(s, dir)
       val ref = Tables.load(s, dir, "events")
@@ -3388,6 +3397,25 @@ object SparkEntry {
           |SELECT prefix_hash, CAST(count(*) AS BIGINT) AS n_docs,
           |       CAST(min(doc_id) AS BIGINT) AS min_doc_id
           |FROM f GROUP BY prefix_hash HAVING count(*) > 1""".stripMargin),
+      // q142: the q88 token-count twin per source, q131's quantized
+      // integer weights, left-to-right share arithmetic
+      "q142_token_budget_plan" ->
+        """WITH cnt AS (
+          |  SELECT source, count(*) AS n_docs,
+          |    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+          |      ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) END) AS BIGINT)
+          |      AS tokens_avail
+          |  FROM documents GROUP BY source),
+          |q AS (SELECT source, n_docs, tokens_avail,
+          |        CAST(round(pow(CAST(tokens_avail AS DOUBLE), 0.5) * 1000000.0) AS BIGINT) AS qw
+          |      FROM cnt),
+          |tot AS (SELECT CAST(sum(qw) AS DOUBLE) AS qt FROM q)
+          |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, tokens_avail,
+          |       CAST(round(100000.0 * CAST(qw AS DOUBLE) / qt) AS BIGINT) AS tokens_target,
+          |       CASE WHEN tokens_avail = 0 THEN NULL
+          |            ELSE round(CAST(CAST(round(100000.0 * CAST(qw AS DOUBLE) / qt) AS BIGINT) AS DOUBLE)
+          |                 / CAST(tokens_avail AS DOUBLE), 6) END AS epochs
+          |FROM q, tot""".stripMargin,
       // q121: the same recursive-CTE closure as q58, but each group's
       // survivor is the argmax by (quality DESC, doc_id) — quality being
       // the exact q24 formula over the near-dup corpus

@@ -198,6 +198,51 @@ object Sampling {
   }
 
   /**
+   * Token-budget mixture plan — the "data recipe" table a pretraining
+   * run is configured from: per source, its document/token inventory,
+   * the temperature-weighted share of a global token budget, and the
+   * epochs (passes over the source) that share implies. `w_g ∝
+   * tokens_g^tau` (tau = 1 → proportional; tau < 1 flattens toward
+   * uniform — the mT5/UniMax knob); `tokens_target = round(budget ·
+   * q_g / Σq)`; `epochs = round(target / avail, 6)` — epochs > 1
+   * flags up-sampling (repetition) a curator may want to cap, the
+   * complement of [[temperatureMixture]] which SELECTS docs under an
+   * already-chosen budget.
+   *
+   * Determinism: weights quantize to integer micro-units
+   * (`round(avail^tau · 1e6)`, the q131 discipline) so the share
+   * arithmetic is bit-replayable; divisions run left to right in
+   * doubles and round at fixed scales. Zero-token sources get NULL
+   * epochs rather than an engine-dependent 0/0.
+   *
+   * Scale shape: the corpus collapses map-side to one row per source
+   * (token counting is an in-row kernel — text never shuffles); the
+   * totals frame is one broadcast row; output is |sources| rows.
+   */
+  def tokenBudgetPlan(docs: DataFrame, textCol: String, sourceCol: String,
+      budgetTokens: Long, tau: Double = 1.0): DataFrame = {
+    require(budgetTokens > 0,
+      s"budgetTokens must be positive (got $budgetTokens)")
+    require(tau >= 0 && tau <= 1, s"tau must be in [0,1] (got $tau)")
+    val counts = docs.groupBy(sourceCol).agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextStats.tokenCount(col(textCol)).cast("long"))
+          .as("tokens_avail"))
+      .withColumn("__q",
+        round(pow(col("tokens_avail").cast("double"), tau) * 1000000.0, 0)
+          .cast("long"))
+    val tot = counts.agg(sum("__q").cast("double").as("__qt"))
+    counts.crossJoin(broadcast(tot))
+      .select(col(sourceCol), col("n_docs"), col("tokens_avail"),
+        round(lit(budgetTokens).cast("double") * col("__q").cast("double") /
+          col("__qt"), 0).cast("long").as("tokens_target"))
+      .withColumn("epochs",
+        when(col("tokens_avail") === 0, lit(null).cast("double"))
+          .otherwise(round(col("tokens_target").cast("double") /
+            col("tokens_avail").cast("double"), 6)))
+  }
+
+  /**
    * Deterministic sequence packing (concat-then-chunk, the GPT-style
    * pretraining layout): rows are bucketed by a hash prefix for
    * parallelism, deterministically ordered within each bucket by

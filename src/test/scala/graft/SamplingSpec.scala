@@ -199,4 +199,29 @@ class SamplingSpec extends SparkTestBase {
       Sampling.hashSplit(df, "id", Seq("only" -> 1.0))
     }
   }
+
+  test("tokenBudgetPlan: exact shares, epochs, NULL for zero tokens") {
+    val docs = Seq(
+      ("t1 t2 t3 t4", "a"), ("t5 t6", "a"), // 6 tokens
+      ("x", "b"),                           // 1 token
+      ("", "c")                             // 0 tokens
+    ).toDF("text", "source")
+    // tau = 1: q_a = 6e6, q_b = 1e6, q_c = 0 -> qt = 7e6
+    val got = Sampling.tokenBudgetPlan(docs, "text", "source",
+        budgetTokens = 70L, tau = 1.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) null else Double.box(r.getDouble(4)))).toMap
+    assert(got("a") == ((2L, 6L, 60L, Double.box(10.0))))
+    assert(got("b") == ((1L, 1L, 10L, Double.box(10.0))))
+    assert(got("c") == ((1L, 0L, 0L, null)))
+    // tau = 0.5 flattens: a's share falls, b's rises
+    val flat = Sampling.tokenBudgetPlan(docs, "text", "source",
+        budgetTokens = 70L, tau = 0.5)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(flat("a") == 50L && flat("b") == 20L)
+    intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetPlan(docs, "text", "source", budgetTokens = 0L)
+    }
+  }
 }
