@@ -154,15 +154,33 @@ object Bench {
         String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":${medJson(_._1)},"queries_min":${medJson(_._2)},"queries_max":${medJson(_._3)},"errors":$errs,"gc_sec":$gcs,"loadavg_start":"$loadStart","loadavg_end":"$loadavg",$calibStart,${Calib.stampJson("_end")},"sf":"$sfDir"}"""
+    val calibEnd = Calib.stampJson("_end")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":${medJson(_._1)},"queries_min":${medJson(_._2)},"queries_max":${medJson(_._3)},"errors":$errs,"gc_sec":$gcs,"loadavg_start":"$loadStart","loadavg_end":"$loadavg",$calibStart,$calibEnd,"sf":"$sfDir"}"""
+    // The full ledger line is ~10 KB and the driver's capture keeps
+    // only the last 2000 chars — four rounds running it recorded
+    // `parsed: null` off a mid-map tail. Bracket the full line with a
+    // SHORT summary line (total + the 10 slowest entries + health
+    // stamps, well under the capture window) so a head-scan finds a
+    // parseable record at the first line and a tail-capture finds one
+    // at the last; the full ledger stays on stdout for continuity and
+    // in target/bench.json as the self-contained artifact.
+    val top10 = results.collect { case (k, v) if v >= 0 => (k, v) }
+      .sortBy(-_._2).take(10)
+      .map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val nerr = errors.size
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","queries_n":${results.size},"errors_n":$nerr,"top":$top10,"loadavg_start":"$loadStart","loadavg_end":"$loadavg",$calibStart,$calibEnd,"sf":"$sfDir","full":"target/bench.json"}"""
+    println(summary)
     println(line)
+    println(summary)
     // also write the line to a file: driver log captures can truncate
     // stdout, and the bench artifact should be self-contained
     try {
       val out = java.nio.file.Paths.get("target", "bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out,
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (line + "\n" + summary + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Exception => () } // file copy is best-effort
     spark.stop()
   }

@@ -48,14 +48,17 @@ object Calib {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** `"calib_single<sfx>":x,"calib_multi16<sfx>":y` — splice into a
-    * JSON stamp (sfx = "_start" / "_end"). */
-  def stampJson(sfx: String): String = {
+  /** `"calib_single<sfx>":x,"calib_multi<threads><sfx>":y` — splice
+    * into a JSON stamp (sfx = "_start" / "_end"). The multi key is
+    * derived from the thread count so a non-default probe can never
+    * mislabel its stamp. */
+  def stampJson(sfx: String, threads: Int = 16): String = {
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f",
       Double.box(v))
     // JIT warmup so the _start stamp doesn't bill interpreter time
     // that the _end stamp won't pay
     single(); single()
-    s""""calib_single$sfx":${fmt(single())},"calib_multi16$sfx":${fmt(multi())}"""
+    s""""calib_single$sfx":${fmt(single())},""" +
+      s""""calib_multi$threads$sfx":${fmt(multi(threads))}"""
   }
 }

@@ -1846,18 +1846,21 @@ object SparkEntry {
       verifyByEquality(Dedup.lshCandidatePairs(c, "doc_id", "text",
         maxBucketSize = 64), c) }),
     // q127's composed curation report with the near-dup stage's
-    // oversized-bucket guard armed (cap 64): on this corpus every dup
-    // bucket is far under the cap, so the report is identical to
-    // q127's and the full replay oracle pins that the armed guard
-    // changes nothing — while at the 100x GenScale point the same cap
-    // collapses the report's dominant near-dup term from the family
-    // quadratic back to corpus-linear (SCALE_r13).
+    // oversized-bucket guard armed in AUTO-CAP mode: the cap comes
+    // from the measured bucket profile (largest size whose cumulative
+    // candidate volume fits a 1 M-candidate budget, floored by the
+    // 64 constant) instead of a caller guess. On this corpus every
+    // dup bucket sits far under both bounds, so the report is
+    // identical to q127's and the full replay oracle pins that the
+    // armed guard changes nothing — while at the 100x GenScale point
+    // the same budget collapses the report's dominant near-dup term
+    // from the family quadratic back to corpus-linear (SCALE_r13).
     "q138_curation_capped" -> ((s, dir) => { prep(s, dir)
       val c = dupCorpus(s, dir, near = true)
       graft.operators.Curation.curationReport(c, "doc_id", "text",
         langs = Seq("en"), minQuality = 0.55,
         nearThreshold = 0.95, containThreshold = 0.9,
-        lshMaxBucketSize = 64) }),
+        lshMaxBucketSize = 64, lshCandidateBudget = 1000000L) }),
     // per-doc shingle novelty: fraction of a doc's distinct 3-gram
     // shingles with corpus df = 1 (singleton ownership via min(doc_id)
     // — no join back to the exploded rows); the diversity-weighting
@@ -1898,15 +1901,15 @@ object SparkEntry {
     // double arithmetic left to right
     "q139_pmi_bigrams" -> ((s, dir) => { prep(s, dir)
       TextStats.pmiBigrams(
-        Tables.load(s, dir, "documents").select("doc_id", "text"),
-        "doc_id", "text", minCount = 5L) }),
+        Tables.load(s, dir, "documents").select("text"),
+        "text", minCount = 5L) }),
     // Zipf-law least-squares fit over the top-1000 vocab head — the
     // corpus-naturalness one-glance check (natural prose slope ~ -1);
     // closed-form regression over vocab-bounded sums
     "q140_zipf_fit" -> ((s, dir) => { prep(s, dir)
       TextStats.zipfFit(
-        Tables.load(s, dir, "documents").select("doc_id", "text"),
-        "doc_id", "text", topN = 1000) }),
+        Tables.load(s, dir, "documents").select("text"),
+        "text", topN = 1000) }),
     // shared-prefix boilerplate clusters over the near-dup corpus:
     // md5 of the first-16-token stream, clusters with 2+ members —
     // the template/mirror first cut before any pairwise similarity
@@ -3379,11 +3382,14 @@ object SparkEntry {
           |    SELECT tf, row_number() OVER (ORDER BY tf DESC, term ASC) AS rk FROM cnt)
           |  WHERE rk <= 1000),
           |s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
-          |             sum(x * y) AS sxy, sum(x * x) AS sxx FROM head)
+          |             sum(x * y) AS sxy, sum(x * x) AS sxx FROM head),
+          |fit AS (SELECT n, sx, sy,
+          |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+          |       ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS sl FROM s)
           |SELECT CAST(n AS BIGINT) AS n_terms,
-          |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-          |       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept
-          |FROM s""".stripMargin,
+          |       round(sl, 6) AS slope,
+          |       round((sy - sl * sx) / n, 6) AS intercept
+          |FROM fit""".stripMargin,
       // q141: md5 of the space-joined first-16-token slice over the
       // near corpus — equal token streams give equal hex digests on
       // both engines
@@ -3393,7 +3399,7 @@ object SparkEntry {
           |  md5(array_to_string(list_slice(
           |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> ''),
           |    1, 16), ' ')) AS prefix_hash
-          |  FROM corpus)
+          |  FROM corpus WHERE text IS NOT NULL)
           |SELECT prefix_hash, CAST(count(*) AS BIGINT) AS n_docs,
           |       CAST(min(doc_id) AS BIGINT) AS min_doc_id
           |FROM f GROUP BY prefix_hash HAVING count(*) > 1""".stripMargin),
@@ -3411,9 +3417,11 @@ object SparkEntry {
           |      FROM cnt),
           |tot AS (SELECT CAST(sum(qw) AS DOUBLE) AS qt FROM q)
           |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, tokens_avail,
-          |       CAST(round(100000.0 * CAST(qw AS DOUBLE) / qt) AS BIGINT) AS tokens_target,
+          |       CASE WHEN qt = 0 THEN 0
+          |            ELSE CAST(round(100000.0 * CAST(qw AS DOUBLE) / qt) AS BIGINT) END AS tokens_target,
           |       CASE WHEN tokens_avail = 0 THEN NULL
-          |            ELSE round(CAST(CAST(round(100000.0 * CAST(qw AS DOUBLE) / qt) AS BIGINT) AS DOUBLE)
+          |            ELSE round(CAST(CASE WHEN qt = 0 THEN 0
+          |                 ELSE CAST(round(100000.0 * CAST(qw AS DOUBLE) / qt) AS BIGINT) END AS DOUBLE)
           |                 / CAST(tokens_avail AS DOUBLE), 6) END AS epochs
           |FROM q, tot""".stripMargin,
       // q121: the same recursive-CTE closure as q58, but each group's

@@ -47,7 +47,15 @@ object Curation {
     * stage dominates the whole report's wall. Capped runs skip buckets
     * over the limit: boilerplate-family pairs hidden only inside
     * oversized buckets are not verified (their members simply stay
-    * uncollapsed), every other stage is unchanged. Default off. */
+    * uncollapsed), every other stage is unchanged. Default off.
+    *
+    * `lshCandidateBudget` is the AUTO-CAP mode: when > 0, the cap is
+    * picked from the measured bucket profile of the gated corpus
+    * ([[Dedup.lshAutoCap]] — the largest size whose cumulative
+    * candidate volume fits the budget) instead of requiring the caller
+    * to know the family-size distribution in advance; the effective
+    * cap is `min(lshMaxBucketSize, autoCap)`. Costs one extra profile
+    * aggregation over the gate survivors. Default off. */
   def curationReport(docs: DataFrame, idCol: String, textCol: String,
       langs: Seq[String] = Seq("en"), minQuality: Double = 0.5,
       nearThreshold: Double = 0.8,
@@ -55,7 +63,8 @@ object Curation {
       evalDocs: Option[DataFrame] = None,
       evalIdCol: String = "doc_id", evalTextCol: String = "text",
       decontaminationThreshold: Double = 0.8,
-      lshMaxBucketSize: Int = Int.MaxValue): DataFrame = {
+      lshMaxBucketSize: Int = Int.MaxValue,
+      lshCandidateBudget: Long = 0L): DataFrame = {
     require(langs.nonEmpty, "curationReport needs a language allow-list")
     // materialization rule (same as the containment shingle frame):
     // `base` feeds the near-dup pipeline, the containment pipeline and
@@ -75,9 +84,14 @@ object Curation {
       .localCheckpoint()
     val gated = base.where(col("lang_ok") && col("quality_ok"))
       .select("doc_id", "text")
+    val effectiveCap =
+      if (lshCandidateBudget <= 0L) lshMaxBucketSize
+      else math.min(lshMaxBucketSize,
+        Dedup.lshAutoCap(gated, "doc_id", "text",
+          candidateBudget = lshCandidateBudget))
     val nearPairs = Dedup
       .minhashDupPairs(gated, "doc_id", "text", nearThreshold,
-        maxBucketSize = lshMaxBucketSize)
+        maxBucketSize = effectiveCap)
       .select(col("id1"), col("id2"))
     val nearLosers = Dedup.connectedComponents(nearPairs)
       .where(col("id") =!= col("group_id"))
@@ -129,10 +143,11 @@ object Curation {
       evalDocs: Option[DataFrame] = None,
       evalIdCol: String = "doc_id", evalTextCol: String = "text",
       decontaminationThreshold: Double = 0.8,
-      lshMaxBucketSize: Int = Int.MaxValue): DataFrame = {
+      lshMaxBucketSize: Int = Int.MaxValue,
+      lshCandidateBudget: Long = 0L): DataFrame = {
     val keepers = curationReport(docs, idCol, textCol, langs, minQuality,
       nearThreshold, containThreshold, evalDocs, evalIdCol, evalTextCol,
-      decontaminationThreshold, lshMaxBucketSize)
+      decontaminationThreshold, lshMaxBucketSize, lshCandidateBudget)
       .where(col("keep")).select(col("doc_id").as("graft_keep_id"))
     docs.join(keepers, docs(idCol) === col("graft_keep_id"), "left_semi")
   }

@@ -134,6 +134,45 @@ object Dedup {
       .agg(count(lit(1)).as("buckets"))
   }
 
+  /** Pick [[lshCandidatePairs]]'s `maxBucketSize` from the measured
+    * bucket profile instead of a caller constant: the largest bucket
+    * size whose CUMULATIVE candidate volume (Σ buckets·C(size,2) over
+    * all sizes up to it, ascending) stays within `candidateBudget`.
+    * Buckets above the returned cap are exactly the ones past the
+    * profile's knee — the quadratic dup-family tail — so the armed
+    * guard bounds verify-join input at the budget while keeping every
+    * bucket the budget can afford. Returns 1 (skip every multi-doc
+    * bucket) when even the size-2 buckets exceed the budget, and
+    * caps at Int.MaxValue. Cost: one extra profile aggregation; the
+    * collect is ≤ |distinct bucket sizes| rows (a few dozen), the same
+    * driver-side footprint class as the documented centroid sample.
+    * Deterministic — the profile is a pure function of the corpus. */
+  def lshAutoCap(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      candidateBudget: Long = 10L * 1000 * 1000): Int = {
+    require(candidateBudget > 0,
+      s"candidateBudget must be positive (got $candidateBudget)")
+    val prof = lshBucketProfile(docs, idCol, textCol, shingleSize,
+        numHashes, bands)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    // stop at the FIRST size past the budget: the cap is a prefix rule
+    // (every bucket ≤ cap is admitted), so a later size fitting the
+    // leftover budget could not be admitted without the blown one
+    var cum = 0L
+    var cap = 1L
+    val it = prof.iterator
+    var stopped = false
+    while (it.hasNext && !stopped) {
+      val (size, buckets) = it.next()
+      val vol = buckets * (size * (size - 1) / 2)
+      if (vol < 0 || cum + vol < 0 || cum + vol > candidateBudget)
+        stopped = true
+      else { cum += vol; cap = size }
+    }
+    math.min(cap, Int.MaxValue.toLong).toInt
+  }
+
   /** Within-bucket candidate expansion shared by the MinHash and SRP
     * paths: explode each bucket's id list twice, keep ordered pairs,
     * distinct across buckets. */
@@ -1248,18 +1287,22 @@ object Dedup {
       edges.select(col("src").as("id")).distinct())
     nodes.count()
     // canonical orientation (hi > lo): each undirected edge once;
-    // self-loops drop out (their nodes live on in `nodes`)
-    // canonical orientation rides the edges checkpoint's hash(src)
-    // layout: filter/project are alias-aware partition-preserving, so
-    // hash(src)=hash(hi) already satisfies the dedup's (hi, lo)
-    // clustering — the canonicalization adds ZERO exchanges and the
-    // captured layout feeds round 1's exchange-free min-aggregate.
+    // self-loops drop out (their nodes live on in `nodes`). Round 1's
+    // canonical list is a VIEW over the symmetrize checkpoint, not its
+    // own materialization: filter/project are alias-aware partition-
+    // preserving, so hash(src)=hash(hi) still feeds round 1's
+    // exchange-free min-aggregate (ClusteredDistribution is width-
+    // agnostic), while the former round-1-only checkpoint paid a full
+    // |E|-row write+read just to pre-dedup rows the round's OWN
+    // dropDuplicates collapses anyway (min-aggregation is idempotent
+    // to duplicate edges, same argument as the symmetrize comment).
     val confParts =
       edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    var c = shim.lazyCheckpointAssumeHashPartitioned(
-      edges.where(col("src") > col("dst"))
-        .select(col("src").as("hi"), col("dst").as("lo"))
-        .dropDuplicates("hi", "lo"), "hi", confParts)
+    var c: DataFrame = edges.where(col("src") > col("dst"))
+      .select(col("src").as("hi"), col("dst").as("lo"))
+    // round 1's c shares the `edges` checkpoint blocks — unpersisting
+    // it would sever the lineage everything else still reads
+    var cIsView = true
     // round partition count sized to the edge volume: an explicit-N
     // repartition is exempt from AQE coalescing (that is what lets the
     // checkpoint RECORD its layout), so a small graph must not be
@@ -1381,11 +1424,16 @@ object Dedup {
       // a mid-convergence round skips the job entirely. The hi set of
       // `p` IS the hi set of `next` (p groups next by hi), so the probe
       // side is the node-sized checkpoint, not a fresh edge-list scan.
-      converged = multiParent == 0L &&
+      // Round 1 skips the semi-join outright: this engine is only
+      // reached through the no-locality route, where the input is
+      // never already star-shaped, so a round-1 multiParent == 0 is a
+      // coincidence of degrees, not convergence — and a genuinely
+      // star-shaped input merely spends one extra (tiny) round.
+      converged = multiParent == 0L && it > 0 &&
         p.select(col("p").as("v"))
           .join(p.select(col("hi").as("v")), "v", "left_semi")
           .count() == 0L
-      shim.unpersistCheckpoint(c)
+      if (cIsView) cIsView = false else shim.unpersistCheckpoint(c)
       if (prevP != null) shim.unpersistCheckpoint(prevP)
       prevP = p
       c = next
@@ -1587,9 +1635,9 @@ object Dedup {
    * output-sized. When the per-doc array frame is small enough (gated
    * by the measured checkpoint size, [[ContainmentBroadcastMaxBytes]])
    * the lookups are BROADCAST hash joins, so candidates never shuffle
-   * at all; above the gate, candidates dedup first and the arrays
-   * attach through shuffle joins — the duplicate-shipping trade
-   * inverts once arrays ride an exchange. */
+   * at all; above the gate, candidates dedup first and the verify
+   * COUNTS shared hashes per pair from the 16-byte inverted-index
+   * rows — arrays never ride an exchange on either path. */
   def containmentDupPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleSize: Int = 3, probeK: Int = 8,
       maxShingleDf: Long = 16384L): DataFrame = {
@@ -1640,25 +1688,58 @@ object Dedup {
       // candidates stream map-side through two broadcast lookups and
       // the compiled merge; only the survivors are deduplicated
       verified(cands, bcast = true).distinct()
-    else
-      // arrays ride exchanges here, so duplicates dedup BEFORE the join
-      verified(cands.distinct(), bcast = false)
+    else {
+      // Over the gate, NEVER attach arrays through an exchange — the
+      // retired shuffle-join fallback shipped BOTH ~KB shingle arrays
+      // per candidate pair and was measured filling 252 GB of disk at
+      // the 100x GenScale point before killing the JVM. Instead count
+      // shared hashes per pair from the 16-byte inverted-index rows:
+      // re-key the FULL index (hot shingles included, so the count
+      // equals the broadcast path's full-array intersection exactly)
+      // by candidate doc, then an equi-join on (doc, hash) keeps one
+      // row per SHARED shingle and a count-aggregate collapses it to
+      // the intersection size. Shuffle volume is Σ_cand |sh(a)| rows
+      // of ~24 B — arrays never ride an exchange, the widest stream
+      // spreads across executor disks instead of multiplying per pair,
+      // and both joins/aggregates key on doc ids (AQE's skew split
+      // sees real input sizes, unlike the array-shape fallback whose
+      // blowup was in the join OUTPUT). `sh` arrays are sorted
+      // DISTINCT hashes, so index rows are distinct (doc, h) pairs
+      // and the count is exact.
+      val candD = cands.distinct()
+      val sizesA = sh.select(col("id").as("id_a"),
+        size(col("sh")).as("__n_a"))
+      val invA = inv.select(col("id_b").as("id_a"), col("h"))
+      candD
+        .join(invA, Seq("id_a"))
+        .join(inv, Seq("id_b", "h"))
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("__shared"))
+        .join(sizesA, Seq("id_a"))
+        .select(col("id_a").as("id_contained"),
+          col("id_b").as("id_container"),
+          round(col("__shared").cast("double") /
+            col("__n_a").cast("double"), 6).as("containment"))
+        .where(col("containment") >= threshold)
+    }
   }
 
   /** Broadcast gate for [[containmentDupPairs]]'s verify lookups: the
     * per-doc shingle-array frame is broadcast while its measured size
     * stays under this (the hashed relation is ~2-3× the raw bytes, so
     * the 256 MB default keeps the build comfortably inside a modest
-    * executor). Above it, the verify falls back to shuffle joins —
-    * and that fallback ships BOTH ~KB-scale arrays per verified pair
-    * across two exchanges, so its cost is output-pairs × array bytes
-    * (measured: the 100x GenScale corpus' ~71 M family pairs × ~5 KB
-    * filled a 75 GB /tmp and killed the job). Deployments whose
-    * executors can host the array frame should RAISE the conf: a
-    * resident broadcast moves each array once per executor instead of
-    * once per pair, which is the only sub-quadratic movement scheme
-    * this verify has. Spark's hard broadcast ceiling (8 GB) still
-    * applies. */
+    * executor). Above it, the verify switches to counting shared
+    * hashes per candidate pair from the 16-byte inverted-index rows —
+    * shuffle volume Σ_cand |sh(a)| × ~24 B, spread across executor
+    * disks, instead of the retired array-shipping shuffle join whose
+    * cost was candidate-pairs × array bytes (measured: ~71 M family
+    * pairs × ~5 KB filled 252 GB of disk at the 100x GenScale point
+    * and killed the JVM). Both paths compute the SAME containment
+    * values. Deployments whose executors can host the array frame
+    * should still RAISE the conf: a resident broadcast moves each
+    * array once per executor and verifies with one compiled merge per
+    * pair — cheaper than the count path's exchange when it fits.
+    * Spark's hard broadcast ceiling (8 GB) still applies. */
   val ContainmentBroadcastMaxBytesConf =
     "spark.graft.dedup.containmentBroadcastMaxBytes"
   val ContainmentBroadcastMaxBytes: Long = 256L << 20

@@ -234,8 +234,13 @@ object Sampling {
     val tot = counts.agg(sum("__q").cast("double").as("__qt"))
     counts.crossJoin(broadcast(tot))
       .select(col(sourceCol), col("n_docs"), col("tokens_avail"),
-        round(lit(budgetTokens).cast("double") * col("__q").cast("double") /
-          col("__qt"), 0).cast("long").as("tokens_target"))
+        // all-zero-token corpus: every weight is 0, so Σq = 0 and the
+        // share is 0/0 — pin it to 0 rather than an engine-dependent
+        // NaN cast (Spark non-ANSI casts NaN→0L; DuckDB errors)
+        when(col("__qt") === 0.0, lit(0L))
+          .otherwise(round(lit(budgetTokens).cast("double") *
+            col("__q").cast("double") / col("__qt"), 0).cast("long"))
+          .as("tokens_target"))
       .withColumn("epochs",
         when(col("tokens_avail") === 0, lit(null).cast("double"))
           .otherwise(round(col("tokens_target").cast("double") /

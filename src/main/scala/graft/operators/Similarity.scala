@@ -149,14 +149,33 @@ object Similarity {
 
   def semanticDedup(points: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, centIdCol: String, centVecCol: String,
-      threshold: Double, scale: Int = 10000): DataFrame = {
+      threshold: Double, scale: Int = 10000,
+      maxClusterSize: Long = Long.MaxValue): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1] (got $threshold)")
+    require(maxClusterSize >= 1,
+      s"maxClusterSize must be >= 1 (got $maxClusterSize)")
     val assigned = assignWithVec(points, idCol, vecCol,
       centroids, centIdCol, centVecCol, scale)
-    val a = assigned.select(col("cluster_id"), col(idCol).as("__id1"),
+    // `maxClusterSize` is the hot-cluster guard, the same contract as
+    // [[graft.operators.Dedup.lshCandidatePairs]]'s `maxBucketSize`:
+    // the per-cluster pair expansion is |cluster|² and one degenerate
+    // cluster (a collapsed centroid, a boilerplate-dominated corpus)
+    // is a single-task quadratic no AQE split can rescue (the skew is
+    // in the join OUTPUT). Clusters above the cap skip the expansion —
+    // every member is KEPT, surfaced by cluster_id in the result (and
+    // sized in advance via [[semanticClusterProfile]]); default off.
+    // The size frame is ≤ |centroids| rows, so the membership filter
+    // is a broadcast join, never an exchange of the points.
+    val inPlay =
+      if (maxClusterSize == Long.MaxValue) assigned
+      else assigned.join(broadcast(
+        assigned.groupBy("cluster_id").agg(count(lit(1)).as("__csz"))
+          .where(col("__csz") <= maxClusterSize)
+          .select("cluster_id")), Seq("cluster_id"))
+    val a = inPlay.select(col("cluster_id"), col(idCol).as("__id1"),
       col("__vec").as("__v1"))
-    val b = assigned.select(col("cluster_id"), col(idCol).as("__id2"),
+    val b = inPlay.select(col("cluster_id"), col(idCol).as("__id2"),
       col("__vec").as("__v2"))
     val pruned = a.join(b, Seq("cluster_id"))
       .where(col("__id1") < col("__id2") &&
@@ -166,6 +185,19 @@ object Similarity {
     assigned.join(pruned, Seq(idCol), "left_anti")
       .select(col(idCol), col("cluster_id"))
   }
+
+  /** Cluster-size profile of the centroid routing in [[semanticDedup]]:
+    * `(cluster_id, n_points)`, one row per non-empty cluster — the
+    * sizing input for its `maxClusterSize` guard (pair volume is
+    * Σ C(n_points, 2); pick the cap just above the knee). Same
+    * broadcast-argmax assignment as the dedup, then one ≤ |centroids|-
+    * row aggregate — no pair is ever materialized. */
+  def semanticClusterProfile(points: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame, centIdCol: String,
+      centVecCol: String, scale: Int = 10000): DataFrame =
+    assignWithVec(points, idCol, vecCol,
+        centroids, centIdCol, centVecCol, scale)
+      .groupBy("cluster_id").agg(count(lit(1)).as("n_points"))
 
   /**
    * One Lloyd (k-means) iteration over quantized embeddings — the

@@ -689,7 +689,7 @@ object TextStats {
    * broadcasts the smaller side); totals ride a 1-row broadcast. Token
    * instances never shuffle.
    */
-  def pmiBigrams(docs: DataFrame, idCol: String, textCol: String,
+  def pmiBigrams(docs: DataFrame, textCol: String,
       minCount: Long = 5L): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1 (got $minCount)")
     val w = docs.select(Dedup.words(col(textCol)).as("ws"))
@@ -736,7 +736,7 @@ object TextStats {
    * doubles, so reorder error is ~1e-12 relative against a 1e-6
    * rounding grid.
    */
-  def zipfFit(docs: DataFrame, idCol: String, textCol: String,
+  def zipfFit(docs: DataFrame, textCol: String,
       topN: Int = 1000): DataFrame = {
     require(topN >= 2, s"topN must be >= 2 (got $topN)")
     import org.apache.spark.sql.expressions.Window
@@ -748,16 +748,21 @@ object TextStats {
       .where(col("rk") <= topN)
       .select(log(col("rk").cast("double")).as("x"),
         log(col("tf").cast("double")).as("y"))
+    // a single-distinct-term corpus (n = 1) has zero x-variance; the
+    // closed form is 0/0 there — report NULL, not an engine-dependent
+    // NaN (the head never has n = 0 rows when the corpus is non-empty,
+    // and an empty corpus yields the n_terms = 0 row with NULLs)
+    val denom = col("n") * col("sxx") - col("sx") * col("sx")
+    val slope = when(denom === 0.0, lit(null).cast("double"))
+      .otherwise((col("n") * col("sxy") - col("sx") * col("sy")) / denom)
     head.agg(count(lit(1)).cast("double").as("n"),
         sum("x").as("sx"), sum("y").as("sy"),
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"))
       .select(col("n").cast("long").as("n_terms"),
-        round((col("n") * col("sxy") - col("sx") * col("sy")) /
-          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
-        round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
-          (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
-          col("n"), 6).as("intercept"))
+        round(slope, 6).as("slope"),
+        round((col("sy") - slope * col("sx")) / col("n"), 6)
+          .as("intercept"))
   }
 
   /**

@@ -176,6 +176,18 @@ object StreamingOps {
     * Data dirs no pointer references are garbage-collected after each
     * commit.
     *
+    * Writer contract: SINGLE WRITER at a time. Attempt suffixes guard
+    * crashes-and-replays of the one writer, not concurrent writers —
+    * two drivers merging the same bucket concurrently could each build
+    * a merge missing the other's rows, which no publish-time check can
+    * repair. What IS defended is the ZOMBIE writer: each store open
+    * acquires a monotonically-increasing epoch ([[PointerStore]]), and
+    * every pointer publish carries it — a publish whose epoch is older
+    * than the bucket's current pointer epoch throws instead of rolling
+    * the bucket back to a stale merge, so a paused-and-resumed old
+    * driver dies loudly rather than silently undoing a newer writer's
+    * batches.
+    *
     * Scale shape: the store carries one NARROW row per key (the 100-TB
     * ingest aggregate, not the events); each merge shuffles only the
     * batch's per-key rows plus the touched buckets' rows, and issues a
@@ -198,24 +210,12 @@ object StreamingOps {
     def rm(f: java.io.File): Unit = {
       val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete()
     }
-    // pointer file: "<data dir relative path>\t<batch stamp>"
-    def readPtr(b: Int): Option[(String, Long)] = {
-      val f = new java.io.File(store, s"ptr-$b")
-      if (!f.exists()) None
-      else {
-        val Array(rel, bid) = new String(
-          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").split("\t")
-        Some((rel, bid.toLong))
-      }
-    }
-    def publishPtr(b: Int, rel: String, bid: Long): Unit = {
-      val tmp = new java.io.File(store, s".ptr-$b.tmp")
-      java.nio.file.Files.write(tmp.toPath, s"$rel\t$bid".getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp.toPath,
-        new java.io.File(store, s"ptr-$b").toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
+    val ptrs = new PointerStore(store)
+    val epoch = ptrs.acquireEpoch()
+    def readPtr(b: Int): Option[(String, Long)] =
+      ptrs.readPtr(b).map(p => (p._1, p._2))
+    def publishPtr(b: Int, rel: String, bid: Long): Unit =
+      ptrs.publishPtr(b, rel, bid, epoch)
     def livePaths: Seq[String] =
       (0 until numBuckets).flatMap(readPtr).map(_._1)
         .map(rel => new java.io.File(store, rel).getPath)
@@ -329,4 +329,75 @@ object StreamingOps {
       l(tsL) >= r(tsR) - expr(s"INTERVAL $tolerance") &&
       l(tsL) <= r(tsR) + expr(s"INTERVAL $tolerance"))
   }
+}
+
+/** The manifest-pointer files of [[StreamingOps.upsertAggStore]]'s
+  * store, with writer fencing. Pointer payload:
+  * `"<relative data path>\t<batchId>\t<writer epoch>"` (legacy 2-field
+  * pointers read as epoch 0). Epochs are acquired per store open from
+  * the `epoch` file — strictly above every epoch seen before — and a
+  * publish carrying an epoch OLDER than the bucket's current pointer
+  * throws ([[PointerStore.StaleWriterException]]): the zombie-driver
+  * fence. The check-then-move pair is not atomic against a concurrent
+  * racing publish (the store is single-writer by contract; see the
+  * upsertAggStore scaladoc) — the fence targets the
+  * paused-then-resumed stale driver, which arrives seconds-to-hours
+  * after the newer writer took over, not a byte-level race. */
+private[graft] final class PointerStore(store: java.io.File) {
+  import java.nio.file.{Files, StandardCopyOption}
+
+  private val epochFile = new java.io.File(store, "epoch")
+
+  private def atomicWrite(target: java.io.File, payload: String): Unit = {
+    val tmp = new java.io.File(store, s".${target.getName}.tmp")
+    Files.write(tmp.toPath, payload.getBytes("UTF-8"))
+    Files.move(tmp.toPath, target.toPath,
+      StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Epoch currently recorded for the store (0 = never opened). */
+  def currentEpoch(): Long =
+    if (!epochFile.exists()) 0L
+    else new String(Files.readAllBytes(epochFile.toPath), "UTF-8")
+      .trim.toLong
+
+  /** Claim the next writer epoch and record it. */
+  def acquireEpoch(): Long = {
+    val e = currentEpoch() + 1L
+    atomicWrite(epochFile, e.toString)
+    e
+  }
+
+  /** `(relative data path, batchId, writer epoch)` of bucket `b`'s
+    * published pointer, if any. */
+  def readPtr(b: Int): Option[(String, Long, Long)] = {
+    val f = new java.io.File(store, s"ptr-$b")
+    if (!f.exists()) None
+    else new String(Files.readAllBytes(f.toPath), "UTF-8")
+      .split("\t") match {
+        case Array(rel, bid) => Some((rel, bid.toLong, 0L))
+        case Array(rel, bid, ep) => Some((rel, bid.toLong, ep.toLong))
+        case other => throw new IllegalStateException(
+          s"corrupt pointer ptr-$b: ${other.mkString("\\t")}")
+      }
+  }
+
+  /** Atomically publish bucket `b` → (`rel`, `bid`) under `epoch`,
+    * refusing to roll back a pointer a NEWER writer published. */
+  def publishPtr(b: Int, rel: String, bid: Long, epoch: Long): Unit = {
+    readPtr(b).foreach { case (_, curBid, curEpoch) =>
+      if (curEpoch > epoch)
+        throw new PointerStore.StaleWriterException(
+          s"stale writer (epoch $epoch) fenced: bucket $b is owned by " +
+            s"a newer writer (epoch $curEpoch, batch $curBid) — this " +
+            "driver must stop")
+    }
+    atomicWrite(new java.io.File(store, s"ptr-$b"), s"$rel\t$bid\t$epoch")
+  }
+}
+
+private[graft] object PointerStore {
+  final class StaleWriterException(msg: String)
+    extends IllegalStateException(msg)
 }

@@ -78,19 +78,50 @@ object BenchScale {
     // fixed-work CPU stamps: loadavg can't see hypervisor throttling
     // (see graft.Calib) — an inflated calib marks this run's walls
     val calibStart = graft.Calib.stampJson("_start")
+    // calib-gated retry reference: stampJson just warmed the probe, so
+    // one more single() is the run's healthy-host baseline. A probe
+    // after an entry reading > 1.5x this marks the entry's window as
+    // throttled; the entry re-runs ONCE and the artifact records BOTH
+    // attempts — the artifact self-heals instead of shipping with a
+    // read rule (five of six driver bench windows have been hit).
+    val calibRef = graft.Calib.single()
+    def probeHealthy(): (Double, Boolean) = {
+      val p = graft.Calib.single()
+      (p, p <= calibRef * 1.5)
+    }
 
     val points = dirs.map { dir =>
       graft.Tables.registerAll(spark, dir)
       Seq("events", "documents").foreach(n =>
         graft.Tables.load(spark, dir, n).count())
       val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+      // run `attempt` (2 reps inside), then the calib probe; on an
+      // unhealthy probe re-run once, keeping the throttled attempt in
+      // the artifact under `<name>_attempt1` with its probe value
+      def timedEntry(name: String)(attempt: () => Seq[Double])
+          : Seq[Double] = {
+        var secs = attempt()
+        val (p1, ok1) = probeHealthy()
+        if (!ok1) {
+          entries += s""""${name}_attempt1":[${secs.map(fmt).mkString(",")}]"""
+          entries += s""""${name}_attempt1_calib":${fmt(p1)}"""
+          println(s"SCALE $dir $name throttled window " +
+            s"(calib ${fmt(p1)} vs ref ${fmt(calibRef)}), retrying once")
+          secs = attempt()
+          val (p2, _) = probeHealthy()
+          entries += s""""${name}_retry_calib":${fmt(p2)}"""
+        }
+        secs
+      }
       for (name <- queries) {
         val fn = graft.SparkEntry.queries(name)
         var rows = 0L
-        val secs = (1 to 2).map { _ =>
-          val t0 = System.nanoTime()
-          rows = fn(spark, dir).count()
-          (System.nanoTime() - t0) / 1e9
+        val secs = timedEntry(name) { () =>
+          (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            rows = fn(spark, dir).count()
+            (System.nanoTime() - t0) / 1e9
+          }
         }
         // output rows ride next to the wall time: on the GenScale dirs
         // the dup-pair OUTPUT of the near-dup entries grows
@@ -166,18 +197,31 @@ object BenchScale {
         println(p)
         p
       } else {
-      val (pairs, fSecs) = flagshipCount(spark, dir)
+      var pairs = 0L
+      val fSecs = timedEntry("flagship_count") { () =>
+        val (p, s) = flagshipCount(spark, dir); pairs = p; s
+      }
       entries += s""""flagship_count":[${fSecs.map(fmt).mkString(",")}]"""
       entries += s""""flagship_pairs":$pairs"""
       println(s"SCALE $dir flagship pairs=$pairs " +
         fSecs.map(fmt).mkString(" "))
-      val (ccEdges, ccRounds, ccSecs) = ccStarScale(spark, dir)
+      var ccEdges = 0L
+      var ccRounds = 0
+      val ccSecs = timedEntry("cc_star_scale") { () =>
+        val (e, r, s) = ccStarScale(spark, dir)
+        ccEdges = e; ccRounds = r; s
+      }
       entries += s""""cc_star_scale":[${ccSecs.map(fmt).mkString(",")}]"""
       entries += s""""cc_star_scale_edges":$ccEdges"""
       entries += s""""cc_star_scale_rounds":$ccRounds"""
       println(s"SCALE $dir cc_star edges=$ccEdges rounds=$ccRounds " +
         ccSecs.map(fmt).mkString(" "))
-      val (storeKeys, buildSec, probeSec) = upsertScale(spark, dir)
+      var storeKeys = 0L
+      val upSecs = timedEntry("upsert_scale") { () =>
+        val (k, b, p) = upsertScale(spark, dir)
+        storeKeys = k; Seq(b, p)
+      }
+      val (buildSec, probeSec) = (upSecs(0), upSecs(1))
       entries += s""""upsert_store_keys":$storeKeys"""
       entries += s""""upsert_store_build":${fmt(buildSec)}"""
       entries += s""""upsert_probe_batch":${fmt(probeSec)}"""

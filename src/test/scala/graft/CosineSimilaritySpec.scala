@@ -342,6 +342,36 @@ class CosineSimilaritySpec extends SparkTestBase {
     assert(got == Set((10L, 0L), (20L, 1L)))
   }
 
+  test("semanticDedup: maxClusterSize skips the hot cluster, keeps members") {
+    def at(deg: Double) = Seq(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    // cluster 0 is a planted hot cluster: 4 near-identical members the
+    // pair expansion would collapse to one; cluster 1 is small with one
+    // prunable dup. cap = 3 skips cluster 0's expansion entirely (all
+    // 4 members kept — surfaced by their shared cluster_id) while
+    // cluster 1 still dedups.
+    val pts = Seq(10L -> at(0), 11L -> at(1), 12L -> at(2), 13L -> at(3),
+      20L -> at(180), 21L -> at(181)).toDF("vec_id", "embedding")
+    val cents = Seq(0L -> at(1), 1L -> at(180)).toDF("vec_id", "embedding")
+    def run(cap: Long) = Similarity.semanticDedup(pts, "vec_id",
+        "embedding", cents, "vec_id", "embedding", threshold = 0.9,
+        maxClusterSize = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run(3L) ==
+      Set((10L, 0L), (11L, 0L), (12L, 0L), (13L, 0L), (20L, 1L)))
+    // cap off: the hot cluster collapses to its lowest id as before
+    assert(run(Long.MaxValue) == Set((10L, 0L), (20L, 1L)))
+    // the profile is the sizing input: one row per non-empty cluster
+    val prof = Similarity.semanticClusterProfile(pts, "vec_id",
+        "embedding", cents, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(prof == Set((0L, 4L), (1L, 2L)))
+    intercept[IllegalArgumentException] {
+      Similarity.semanticDedup(pts, "vec_id", "embedding", cents,
+        "vec_id", "embedding", threshold = 0.9, maxClusterSize = 0L)
+    }
+  }
+
   test("semanticDedup agrees with a driver-side brute force on random data") {
     val rnd = new scala.util.Random(7)
     val base = Seq.tabulate(200)(i => (i.toLong, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))

@@ -223,5 +223,13 @@ class SamplingSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Sampling.tokenBudgetPlan(docs, "text", "source", budgetTokens = 0L)
     }
+    // all-zero-token corpus: Σq = 0 and every share is 0/0 — targets
+    // pin to 0 (never a NaN cast), epochs stay NULL
+    val empty = Seq(("", "a"), ("  ", "b")).toDF("text", "source")
+    val z = Sampling.tokenBudgetPlan(empty, "text", "source",
+        budgetTokens = 70L, tau = 1.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(3), r.isNullAt(4)))).toMap
+    assert(z == Map("a" -> ((0L, true)), "b" -> ((0L, true))))
   }
 }

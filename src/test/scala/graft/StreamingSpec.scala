@@ -218,6 +218,37 @@ class StreamingSpec extends SparkTestBase {
       "published bucket was re-merged on replay")
   }
 
+  test("pointer store fences a stale writer's publish") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ptr_fence").toFile
+    val ps = new graft.streaming.PointerStore(dir)
+    assert(ps.currentEpoch() == 0L)
+    val e1 = ps.acquireEpoch()
+    assert(e1 == 1L)
+    ps.publishPtr(0, "data-0-0/graft_pb=0", 0L, e1)
+    assert(ps.readPtr(0).contains(("data-0-0/graft_pb=0", 0L, e1)))
+    // a newer writer takes over the store and republishes the bucket
+    val e2 = ps.acquireEpoch()
+    assert(e2 == 2L)
+    ps.publishPtr(0, "data-1-0/graft_pb=0", 1L, e2)
+    // the zombie (epoch 1) wakes up and tries to roll the bucket back
+    val ex = intercept[graft.streaming.PointerStore.StaleWriterException] {
+      ps.publishPtr(0, "data-0-1/graft_pb=0", 0L, e1)
+    }
+    assert(ex.getMessage.contains("fenced"))
+    // the newer writer's pointer survived untouched
+    assert(ps.readPtr(0).contains(("data-1-0/graft_pb=0", 1L, e2)))
+    // same-epoch republish (crash-replay of the CURRENT writer) is fine
+    ps.publishPtr(0, "data-1-1/graft_pb=0", 1L, e2)
+    assert(ps.readPtr(0).contains(("data-1-1/graft_pb=0", 1L, e2)))
+    // legacy 2-field pointer reads as epoch 0: any acquired epoch wins
+    java.nio.file.Files.write(new java.io.File(dir, "ptr-3").toPath,
+      "data-9-0/graft_pb=3\t9".getBytes("UTF-8"))
+    assert(ps.readPtr(3).contains(("data-9-0/graft_pb=3", 9L, 0L)))
+    ps.publishPtr(3, "data-10-0/graft_pb=3", 10L, e2)
+    assert(ps.readPtr(3).contains(("data-10-0/graft_pb=3", 10L, e2)))
+  }
+
   test("upsertAggStore replay is idempotent: restamped batches are skipped") {
     val watch = java.nio.file.Files.createTempDirectory("graft_upsert_in2")
     val storeDir = java.nio.file.Files

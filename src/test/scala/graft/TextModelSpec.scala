@@ -257,9 +257,14 @@ class TextModelSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     spark.conf.set(Dedup.ContainmentBroadcastMaxBytesConf, "0")
     try {
-      val viaShuffle = run() // gate 0 forces the candidates-dedup-first shape
-      assert(dedupsCandidatesFirst(viaShuffle))
-      val got = viaShuffle.collect()
+      val viaCount = run() // gate 0 forces the candidates-dedup-first shape
+      assert(dedupsCandidatesFirst(viaCount))
+      // the over-gate path verifies by COUNTING inverted-index rows —
+      // the shingle arrays must never appear downstream of the
+      // candidate join (the retired array-shipping fallback died of
+      // exactly that at scale)
+      assert(!viaCount.queryExecution.optimizedPlan.toString.contains("sh_a"))
+      val got = viaCount.collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       assert(got == expected && got.nonEmpty, s"got $got")
     } finally spark.conf.unset(Dedup.ContainmentBroadcastMaxBytesConf)
@@ -671,7 +676,7 @@ class TextModelSpec extends SparkTestBase {
     // tokens a,b,a,b,a,c -> uni a=3 b=2 c=1, Nuni=6
     // bigrams (a,b)x2 (b,a) (a,c) -> Nbi=4
     val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
-    val got = TextStats.pmiBigrams(docs, "doc_id", "text", minCount = 1L)
+    val got = TextStats.pmiBigrams(docs, "text", minCount = 1L)
       .collect().map(r => (r.getString(0), r.getString(1)) ->
         (r.getLong(2), r.getDouble(3))).toMap
     def pmi(bc: Long, u1: Long, u2: Long): Double =
@@ -681,18 +686,18 @@ class TextModelSpec extends SparkTestBase {
       ("b", "a") -> (1L, pmi(1, 2, 3)),
       ("a", "c") -> (1L, pmi(1, 3, 1))))
     // the frequent pair survives the default-style cut alone
-    val cut = TextStats.pmiBigrams(docs, "doc_id", "text", minCount = 2L)
+    val cut = TextStats.pmiBigrams(docs, "text", minCount = 2L)
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
     assert(cut == Seq(("a", "b")))
     intercept[IllegalArgumentException] {
-      TextStats.pmiBigrams(docs, "doc_id", "text", minCount = 0L)
+      TextStats.pmiBigrams(docs, "text", minCount = 0L)
     }
   }
 
   test("zipfFit: closed-form least squares over the ranked head") {
     // tf: a=4 b=2 c=1 -> ranks 1,2,3
     val docs = Seq((1L, "a a a b"), (2L, "a b c")).toDF("doc_id", "text")
-    val r = TextStats.zipfFit(docs, "doc_id", "text", topN = 1000).head()
+    val r = TextStats.zipfFit(docs, "text", topN = 1000).head()
     val xs = Seq(1d, 2d, 3d).map(math.log)
     val ys = Seq(4d, 2d, 1d).map(math.log)
     val n = 3d
@@ -706,10 +711,15 @@ class TextModelSpec extends SparkTestBase {
     // a frequency-halving corpus slopes near -1 by construction
     assert(r.getDouble(1) < -0.9 && r.getDouble(1) > -1.5)
     // topN cuts the head: with topN=2 only ranks 1..2 enter the fit
-    val r2 = TextStats.zipfFit(docs, "doc_id", "text", topN = 2).head()
+    val r2 = TextStats.zipfFit(docs, "text", topN = 2).head()
     assert(r2.getLong(0) == 2L)
+    // single-distinct-term corpus: zero x-variance, the closed form is
+    // 0/0 — the fit reports NULL, never NaN
+    val r1 = TextStats.zipfFit(
+      Seq((1L, "a a a")).toDF("doc_id", "text"), "text").head()
+    assert(r1.getLong(0) == 1L && r1.isNullAt(1) && r1.isNullAt(2))
     intercept[IllegalArgumentException] {
-      TextStats.zipfFit(docs, "doc_id", "text", topN = 1)
+      TextStats.zipfFit(docs, "text", topN = 1)
     }
   }
 
