@@ -1927,6 +1927,28 @@ object SparkEntry {
       Sampling.tokenBudgetPlan(
         Tables.load(s, dir, "documents").select("text", "source"),
         "text", "source", budgetTokens = 100000L, tau = 0.5) }),
+    // BM25 top-k retrieval JOIN (training-data attribution / targeted
+    // decontamination): best 10 docs per query row, per-term scores
+    // quantized to integer micro-units at the row level so the
+    // per-(query, doc) SUM is order-independent and engine-exact —
+    // corpus prunes against the broadcast query vocabulary before its
+    // one narrow shuffle; the per-query cut is a WindowGroupLimit
+    "q143_bm25_retrieve" -> ((s, dir) => { prep(s, dir)
+      import s.implicits._
+      val qs = Seq((1L, "spark table join scan"),
+        (2L, "slow query merge vector"),
+        (3L, "data window group sort")).toDF("query_id", "query_text")
+      TextStats.bm25Retrieve(
+        Tables.load(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", qs, "query_id", "query_text", k = 10) }),
+    // per-source template mining: the 5 trigrams carried by the most
+    // documents of each source (df ties broken by gram) — the
+    // boilerplate-inventory table removal rules are written from;
+    // grams dedup in-row, the one exchange is gram-vocabulary-bounded
+    "q144_template_ngrams" -> ((s, dir) => { prep(s, dir)
+      TextStats.templateNgrams(
+        Tables.load(s, dir, "documents").select("doc_id", "text", "source"),
+        "doc_id", "text", "source", n = 3, k = 5) }),
     // spikes exactly as a production skew would
     "q132_streaming_drift" -> ((s, dir) => { prep(s, dir)
       val ref = Tables.load(s, dir, "events")
@@ -3424,6 +3446,54 @@ object SparkEntry {
           |                 ELSE CAST(round(100000.0 * CAST(qw AS DOUBLE) / qt) AS BIGINT) END AS DOUBLE)
           |                 / CAST(tokens_avail AS DOUBLE), 6) END AS epochs
           |FROM q, tot""".stripMargin,
+      // q143: identical IDF/tf expression shape as the q85 twin, each
+      // term score quantized to integer micro-units BEFORE the
+      // per-(query, doc) sum — the integer sum is order-independent,
+      // so the ranking replays exactly on any engine or partitioning
+      "q143_bm25_retrieve" ->
+        """WITH q AS (SELECT * FROM (VALUES
+          |    (1, 'spark table join scan'),
+          |    (2, 'slow query merge vector'),
+          |    (3, 'data window group sort')) AS t(query_id, qtext)),
+          |qt AS (SELECT query_id,
+          |    unnest(list_distinct(list_filter(regexp_split_to_array(lower(trim(qtext)), '\s+'), x -> x <> ''))) AS term
+          |  FROM q),
+          |w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws FROM documents),
+          |st AS (SELECT count(*) AS n, avg(CAST(len(ws) AS BIGINT)) AS avgdl FROM w),
+          |ti AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, unnest(ws) AS term FROM w),
+          |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM ti
+          |       WHERE term IN (SELECT DISTINCT term FROM qt)
+          |       GROUP BY doc_id, dl, term),
+          |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+          |sc AS (SELECT qt.query_id, tf.doc_id,
+          |         CAST(round(ln(1.0 + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+          |           * CAST(tf AS DOUBLE) * (1.2 + 1.0)
+          |           / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+          |           * 1000000.0) AS BIGINT) AS s
+          |       FROM tf JOIN dfx USING (term) JOIN qt USING (term), st),
+          |agg AS (SELECT query_id, doc_id, CAST(sum(s) AS BIGINT) AS score_q FROM sc GROUP BY query_id, doc_id),
+          |r AS (SELECT query_id, doc_id, score_q,
+          |        row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id ASC) AS rank FROM agg)
+          |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_q,
+          |       CAST(rank AS BIGINT) AS rank
+          |FROM r WHERE rank <= 10""".stripMargin,
+      // q144: the shingle-CTE trigram construction per (doc, source),
+      // df over distinct-per-doc grams, per-source top-5 by (df DESC,
+      // gram ASC)
+      "q144_template_ngrams" ->
+        """WITH w AS (SELECT doc_id, source, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws FROM documents),
+          |s AS (SELECT doc_id, source,
+          |        CASE WHEN len(ws) >= 3
+          |             THEN list_distinct(list_transform(range(1, len(ws) - 1),
+          |                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+          |             ELSE [array_to_string(ws, ' ')] END AS sh
+          |      FROM w),
+          |d AS (SELECT source, unnest(sh) AS gram FROM s),
+          |g AS (SELECT source, gram, count(*) AS df FROM d GROUP BY source, gram),
+          |r AS (SELECT source, gram, df,
+          |        row_number() OVER (PARTITION BY source ORDER BY df DESC, gram ASC) AS rank FROM g)
+          |SELECT source, gram, df, CAST(rank AS BIGINT) AS rank
+          |FROM r WHERE rank <= 5""".stripMargin,
       // q121: the same recursive-CTE closure as q58, but each group's
       // survivor is the argmax by (quality DESC, doc_id) — quality being
       // the exact q24 formula over the near-dup corpus

@@ -1287,22 +1287,22 @@ object Dedup {
       edges.select(col("src").as("id")).distinct())
     nodes.count()
     // canonical orientation (hi > lo): each undirected edge once;
-    // self-loops drop out (their nodes live on in `nodes`). Round 1's
-    // canonical list is a VIEW over the symmetrize checkpoint, not its
-    // own materialization: filter/project are alias-aware partition-
-    // preserving, so hash(src)=hash(hi) still feeds round 1's
-    // exchange-free min-aggregate (ClusteredDistribution is width-
-    // agnostic), while the former round-1-only checkpoint paid a full
-    // |E|-row write+read just to pre-dedup rows the round's OWN
-    // dropDuplicates collapses anyway (min-aggregation is idempotent
-    // to duplicate edges, same argument as the symmetrize comment).
+    // self-loops drop out (their nodes live on in `nodes`)
+    // canonical orientation rides the edges checkpoint's hash(src)
+    // layout: filter/project are alias-aware partition-preserving, so
+    // hash(src)=hash(hi) already satisfies the dedup's (hi, lo)
+    // clustering — the canonicalization adds ZERO exchanges and the
+    // captured layout feeds round 1's exchange-free min-aggregate.
+    // (A round-1 VIEW over the symmetrize checkpoint — skipping this
+    // materialization — was tried in round 14 and reverted: measured
+    // NEUTRAL on warm walls, and the compact round-1 checkpoint keeps
+    // the loop's inputs eviction-cheap, so the simpler claim stays.)
     val confParts =
       edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    var c: DataFrame = edges.where(col("src") > col("dst"))
-      .select(col("src").as("hi"), col("dst").as("lo"))
-    // round 1's c shares the `edges` checkpoint blocks — unpersisting
-    // it would sever the lineage everything else still reads
-    var cIsView = true
+    var c: DataFrame = shim.lazyCheckpointAssumeHashPartitioned(
+      edges.where(col("src") > col("dst"))
+        .select(col("src").as("hi"), col("dst").as("lo"))
+        .dropDuplicates("hi", "lo"), "hi", confParts)
     // round partition count sized to the edge volume: an explicit-N
     // repartition is exempt from AQE coalescing (that is what lets the
     // checkpoint RECORD its layout), so a small graph must not be
@@ -1411,9 +1411,14 @@ object Dedup {
       // p-aggregate checkpoint (reused as next round's min — see prevP),
       // and computes the multi-parent violation count plus the round's
       // edge count in one agg pass (the edge count is the shrink signal
-      // the r10 verdict asked to see per round)
-      val p = shim.lazyCheckpointNoStats(next.groupBy("hi")
-        .agg(min("lo").as("p"), count(lit(1)).as("deg")))
+      // the r10 verdict asked to see per round). The aggregate runs
+      // exchange-free on next's recorded hash(hi, nStar) layout, so
+      // its output provably carries the same layout — RECORD it
+      // (assume variant, validated under graft.debug.assertLayout in
+      // DedupGroupsSpec) so the next round's join probes `mn` without
+      // re-exchanging the node-sized frame every round.
+      val p = shim.lazyCheckpointAssumeHashPartitioned(next.groupBy("hi")
+        .agg(min("lo").as("p"), count(lit(1)).as("deg")), "hi", nStar)
       val stats = p.agg(
         sum(when(col("deg") > 1, 1L).otherwise(0L)).as("multi"),
         sum("deg").as("edges")).head()
@@ -1424,16 +1429,11 @@ object Dedup {
       // a mid-convergence round skips the job entirely. The hi set of
       // `p` IS the hi set of `next` (p groups next by hi), so the probe
       // side is the node-sized checkpoint, not a fresh edge-list scan.
-      // Round 1 skips the semi-join outright: this engine is only
-      // reached through the no-locality route, where the input is
-      // never already star-shaped, so a round-1 multiParent == 0 is a
-      // coincidence of degrees, not convergence — and a genuinely
-      // star-shaped input merely spends one extra (tiny) round.
-      converged = multiParent == 0L && it > 0 &&
+      converged = multiParent == 0L &&
         p.select(col("p").as("v"))
           .join(p.select(col("hi").as("v")), "v", "left_semi")
           .count() == 0L
-      if (cIsView) cIsView = false else shim.unpersistCheckpoint(c)
+      shim.unpersistCheckpoint(c)
       if (prevP != null) shim.unpersistCheckpoint(prevP)
       prevP = p
       c = next

@@ -245,6 +245,124 @@ object TextStats {
       round(terms.indices.map(termScore).reduce(_ + _), 4).as("score"))
   }
 
+  /**
+   * BM25 top-`k` retrieval JOIN: the best `k` documents for EVERY row
+   * of a query table at once — the corpus-search primitive behind
+   * training-data attribution ("which documents match this eval
+   * question"), targeted decontamination and retrieval-based data
+   * selection. Same k1/b scoring model as [[bm25]] (distinct query
+   * terms; IDF `ln(1 + (N - df + 0.5)/(df + 0.5))` over the WHOLE
+   * corpus), ranked per query by (score desc, doc_id asc). Returns
+   * `(query_id, doc_id, score_q, rank)`.
+   *
+   * Determinism across engines AND partitionings: [[bm25]] keeps its
+   * double sum engine-exact by evaluating ONE row-level expression in
+   * fixed term order — impossible here, where a document's matched
+   * terms meet in an aggregation whose addition order follows the
+   * shuffle. Instead each per-term score quantizes to integer
+   * micro-units at the row level (`round(term_score · 1e6)`, the
+   * q131/q142 discipline) and the per-(query, doc) score is an exact
+   * integer SUM — bit-identical on any engine, cluster size or
+   * partitioning. `score_q` is that integer (units of 1e-6).
+   *
+   * Scale shape: token instances prune against the broadcast query
+   * vocabulary BEFORE the per-(doc, term) collapse, so the one
+   * corpus-sized shuffle carries only matched-term rows (~|matched
+   * docs| × |query terms| narrow rows, not the corpus); df/N/avgdl
+   * ride 1-row-to-vocab-bounded broadcasts; the final per-query top-k
+   * is a WindowGroupLimit cut, never a global sort of the scores.
+   */
+  def bm25Retrieve(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qIdCol: String, qTextCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive (got $k)")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"),
+      Dedup.words(col(textCol)).as("toks"))
+    // whole-corpus stats (matching or not), the q85 contract: one
+    // map-side-collapsed agg; avg over exact long dl is sum/count —
+    // engine-exact
+    val stats = toks.agg(count(lit(1)).as("n"),
+      avg(size(col("toks")).cast("long")).as("avgdl"))
+    val qTerms = queries.select(col(qIdCol).cast("long").as("query_id"),
+      explode(array_distinct(Dedup.words(col(qTextCol)))).as("term"))
+    val qVocab = qTerms.select("term").distinct()
+    // prune token instances against the (broadcast) query vocabulary
+    // BEFORE the (doc, term) collapse: the aggregate's exchange then
+    // carries only matched rows
+    val tf = toks
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .join(broadcast(qVocab), Seq("term"))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+    // per-term document frequency over the whole corpus, computed on
+    // the already-pruned rows (one row here per matching (doc, term))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // row-level quantized term score — operation order mirrors the
+    // oracle SQL exactly (see the q85 expression shape)
+    val idf = log(lit(1.0) +
+      (col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val tfd = col("tf").cast("double")
+    val termScore = idf * tfd * lit(k1 + 1.0) /
+      (tfd + lit(k1) * (lit(1.0 - b) + lit(b) *
+        col("dl").cast("double") / col("avgdl")))
+    val scored = tf
+      .join(broadcast(df), Seq("term"))
+      .join(broadcast(qTerms), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        round(termScore * lit(1000000.0), 0).cast("long").as("s"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("s").as("score_q"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_q").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /**
+   * Per-source template mining: the `k` word n-grams carried by the
+   * MOST documents of each source (df = documents containing the gram
+   * at least once, ties broken by gram asc). High-df grams are the
+   * shared boilerplate a scraped source stamps onto its pages (cookie
+   * banners, licence headers, nav text) — this is the table a curator
+   * reads to write removal rules, the complement of
+   * [[graft.operators.Dedup.repeatedSpans]] (which finds spans
+   * repeated ACROSS docs pairwise, not per-source inventory). Returns
+   * `(source, gram, df, rank)`. Documents shorter than `n` tokens
+   * contribute their full token stream as one gram.
+   *
+   * Scale shape: grams dedup map-side inside each document (one
+   * in-row distinct transform — token instances never shuffle); the
+   * one exchange carries (source, gram) rows bounded by the observed
+   * gram vocabulary, and the per-source top-k is a WindowGroupLimit
+   * cut over the vocabulary-bounded aggregate, never a global sort.
+   */
+  def templateNgrams(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, n: Int = 3, k: Int = 5): DataFrame = {
+    require(n >= 1, s"n must be >= 1 (got $n)")
+    require(k > 0, s"k must be positive (got $k)")
+    import org.apache.spark.sql.expressions.Window
+    val ws = Dedup.words(col(textCol))
+    // distinct n-gram strings per document, same construction as the
+    // shingle oracle CTE (short docs collapse to one full-stream gram)
+    val grams = when(size(ws) >= n,
+      array_distinct(transform(sequence(lit(1), size(ws) - (n - 1)),
+        i => concat_ws(" ",
+          (0 until n).map(j => element_at(ws, i + lit(j))): _*))))
+      .otherwise(array(array_join(ws, " ")))
+    val df = docs.where(col(textCol).isNotNull)
+      .select(col(sourceCol).as("source"), explode(grams).as("gram"))
+      .groupBy("source", "gram")
+      .agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("df").desc, col("gram").asc)
+    df.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** Token count under a trained BPE merge list — the real ranked
     * greedy merge loop per whitespace word (see
     * [[graft.functions.BpeTokenCount]]); pure map-side, merge table

@@ -412,6 +412,23 @@ class DedupGroupsSpec extends SparkTestBase {
     } finally spark.conf.unset("graft.debug.assertLayout")
   }
 
+  test("star rounds' layout assumes hold under the debug checker") {
+    // every lazyCheckpointAssumeHashPartitioned inside starLoop (the
+    // round edge list AND the carried p-aggregate) is validated by the
+    // sampled per-partition check — a wrong assume fails the job loud
+    spark.conf.set("graft.debug.assertLayout", "true")
+    try {
+      val pairs = (0 until 500).map(i => (mix(i.toLong), mix(i.toLong + 1)))
+      val labels = Dedup.connectedComponents(
+          pairs.toDF("id1", "id2"), microGraphMaxEdges = 10L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(Dedup.lastEngine == "star",
+        s"expected star engine, got ${Dedup.lastEngine}")
+      val ids = (0L to 500L).map(mix)
+      assert(labels == ids.map(_ -> ids.min).toMap)
+    } finally spark.conf.unset("graft.debug.assertLayout")
+  }
+
   test("star engine matches brute force on a random scrambled graph") {
     val rnd = new scala.util.Random(42)
     val n = 600

@@ -723,6 +723,58 @@ class TextModelSpec extends SparkTestBase {
     }
   }
 
+  test("bm25Retrieve: quantized per-term scores, exact ranking, k cut") {
+    val docs = Seq((1L, "a b a"), (2L, "a c"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val qs = Seq((10L, "a b"), (20L, "z z"), (30L, "missing"))
+      .toDF("query_id", "query_text")
+    // replicate the engine's double arithmetic exactly (same op order)
+    val avgdl = 8.0 / 3
+    def ts(tf: Long, df: Long, dl: Long): Long =
+      math.round(math.log(1.0 + (3.0 - df.toDouble + 0.5) /
+          (df.toDouble + 0.5)) *
+        tf.toDouble * 2.2 /
+        (tf.toDouble + 1.2 * (0.25 + 0.75 * dl.toDouble / avgdl)) *
+        1000000.0)
+    val got = TextStats.bm25Retrieve(docs, "doc_id", "text",
+        qs, "query_id", "query_text", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val d1 = ts(2, 2, 3) + ts(1, 1, 3) // "a"x2 (df 2) + "b" (df 1)
+    val d2 = ts(1, 2, 2)
+    assert(got == Map(
+      (10L, 1L) -> (d1, 1L), (10L, 2L) -> (d2, 2L),
+      (20L, 3L) -> (ts(1, 1, 3), 1L))) // dup query terms dedup; no
+    // row at all for the all-miss query 30
+    // k cuts: with k = 1 only the top doc per query survives
+    val k1 = TextStats.bm25Retrieve(docs, "doc_id", "text",
+        qs, "query_id", "query_text", k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(k1 == Set((10L, 1L), (20L, 3L)))
+    intercept[IllegalArgumentException] {
+      TextStats.bm25Retrieve(docs, "doc_id", "text",
+        qs, "query_id", "query_text", k = 0)
+    }
+  }
+
+  test("templateNgrams: per-source df ranking, short docs, tie order") {
+    val docs = Seq(
+      (1L, "c1 c2 c3 foo", "s1"), (2L, "c1 c2 c3 bar", "s1"),
+      (3L, "hi", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = TextStats.templateNgrams(docs, "doc_id", "text", "source",
+        n = 3, k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      ("s1", "c1 c2 c3", 2L, 1L),
+      ("s1", "c2 c3 bar", 1L, 2L), // df-1 ties break by gram asc
+      ("s2", "hi", 1L, 1L)))       // short doc: full-stream gram
+    intercept[IllegalArgumentException] {
+      TextStats.templateNgrams(docs, "doc_id", "text", "source", n = 0)
+    }
+  }
+
   test("prefixClusters: shared first-k-token fingerprints, singletons cut") {
     val docs = Seq(
       (5L, "a b c"), (2L, "a b d"), // share the 2-token prefix "a b"
