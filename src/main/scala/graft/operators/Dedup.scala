@@ -1706,22 +1706,93 @@ object Dedup {
       // blowup was in the join OUTPUT). `sh` arrays are sorted
       // DISTINCT hashes, so index rows are distinct (doc, h) pairs
       // and the count is exact.
-      val candD = cands.distinct()
       val sizesA = sh.select(col("id").as("id_a"),
         size(col("sh")).as("__n_a"))
       val invA = inv.select(col("id_b").as("id_a"), col("h"))
-      candD
-        .join(invA, Seq("id_a"))
-        .join(inv, Seq("id_b", "h"))
-        .groupBy("id_a", "id_b")
-        .agg(count(lit(1)).as("__shared"))
-        .join(sizesA, Seq("id_a"))
-        .select(col("id_a").as("id_contained"),
-          col("id_b").as("id_container"),
-          round(col("__shared").cast("double") /
-            col("__n_a").cast("double"), 6).as("containment"))
-        .where(col("containment") >= threshold)
+      def countVerified(pairs: DataFrame): DataFrame =
+        pairs.distinct()
+          .join(invA, Seq("id_a"))
+          .join(inv, Seq("id_b", "h"))
+          .groupBy("id_a", "id_b")
+          .agg(count(lit(1)).as("__shared"))
+          .join(sizesA, Seq("id_a"))
+          .select(col("id_a").as("id_contained"),
+            col("id_b").as("id_container"),
+            round(col("__shared").cast("double") /
+              col("__n_a").cast("double"), 6).as("containment"))
+          .where(col("containment") >= threshold)
+      // BOUNDED-SCRATCH batching: that Σ_cand |sh(a)| stream is still
+      // the quadratic-family term, and a run whose aggregate shuffle
+      // scratch can't hold it in one wave must not die mid-exchange
+      // (measured on the single-box sf10 capture: one wave wants
+      // >77 GB). Size the wave count from a PAIR-FREE upper bound —
+      // raw candidates ≤ Σ_h probeDf(h)·indexDf(h), one vocab-bounded
+      // aggregate, never a materialized pair — against the scratch
+      // budget, then verify candidates in k disjoint hash(id_a)
+      // batches, each eagerly materialized (16-byte survivor rows)
+      // before the next starts. k = 1 (any real cluster: executor
+      // disks aggregate far past this) keeps today's single lazy plan.
+      val dfp = probes.groupBy("h").agg(count(lit(1)).as("__np"))
+      val dfi = invKept.groupBy("h").agg(count(lit(1)).as("__ni"))
+      val ubRow = dfp.join(dfi, Seq("h"))
+        .agg(sum(col("__np") * col("__ni"))).head()
+      val candUB = if (ubRow.isNullAt(0)) 0L else ubRow.getLong(0)
+      val nDocs = stats.getLong(0)
+      val avgSh =
+        if (nDocs == 0L || stats.isNullAt(1)) 0.0
+        else stats.getLong(1).toDouble / nDocs
+      val spark = docs.sparkSession
+      val scratch = spark.conf.get(ContainmentScratchBytesConf,
+        defaultScratchBytes(spark).toString).toLong
+      val estWide = candUB.toDouble * avgSh * 24.0
+      val k = math.min(256, math.max(1,
+        math.ceil(estWide / math.max(1L, scratch).toDouble).toInt))
+      if (k <= 1) countVerified(cands)
+      else {
+        log.info(s"containmentDupPairs: over-gate verify in $k " +
+          s"bounded-scratch batches (candidate upper bound $candUB, " +
+          s"est ${(estWide / (1L << 30)).toInt} GiB vs scratch " +
+          s"${scratch / (1L << 30)} GiB)")
+        val shimSql = org.apache.spark.sql.GraftSqlShim
+        val parts = (0 until k).map { i =>
+          val before = shimSql.registeredShuffleIds(spark)
+          val part = countVerified(
+            cands.where(pmod(xxhash64(col("id_a")), lit(k)) === i))
+            .localCheckpoint() // eager: batches run SEQUENTIALLY
+          // the finished batch's shuffles are provably dead (its only
+          // consumer was just eagerly checkpointed), so drop their
+          // files SYNCHRONOUSLY — the bound is lost if batch i+1's
+          // scratch stacks on batch i's, and the async ContextCleaner
+          // path (System.gc() nudge) was measured stalling a 48 GiB
+          // heap past the executor heartbeat timeout
+          shimSql.cleanupShuffles(spark,
+            shimSql.registeredShuffleIds(spark) -- before)
+          part
+        }
+        parts.reduce(_.unionByName(_))
+      }
     }
+  }
+
+  /** Scratch budget (bytes) for [[containmentDupPairs]]'s over-gate
+    * bounded-scratch batching: the estimated one-wave shuffle volume
+    * is divided by this to pick the batch count. Defaults to half the
+    * usable space of the local scratch dir (driver-side measurement —
+    * right for local mode; CLUSTER deployments should set this to the
+    * per-wave volume their executors' aggregate shuffle disks absorb,
+    * typically high enough that k stays 1). */
+  val ContainmentScratchBytesConf =
+    "spark.graft.dedup.containmentScratchBytes"
+
+  private def defaultScratchBytes(
+      spark: org.apache.spark.sql.SparkSession): Long = {
+    val dir = spark.conf.getOption("spark.local.dir")
+      .orElse(sys.props.get("spark.local.dir"))
+      .getOrElse(System.getProperty("java.io.tmpdir", "/tmp"))
+      .split(",").head
+    val usable = try new java.io.File(dir).getUsableSpace
+      catch { case _: Exception => 0L }
+    math.max(4L << 30, usable / 2)
   }
 
   /** Broadcast gate for [[containmentDupPairs]]'s verify lookups: the
@@ -1734,8 +1805,11 @@ object Dedup {
     * disks, instead of the retired array-shipping shuffle join whose
     * cost was candidate-pairs × array bytes (measured: ~71 M family
     * pairs × ~5 KB filled 252 GB of disk at the 100x GenScale point
-    * and killed the JVM). Both paths compute the SAME containment
-    * values. Deployments whose executors can host the array frame
+    * and killed the JVM) — and when even that stream exceeds the
+    * scratch budget ([[ContainmentScratchBytesConf]]), the verify
+    * runs in bounded hash(id_a) batches instead of dying mid-exchange.
+    * All paths compute the SAME containment values. Deployments whose
+    * executors can host the array frame
     * should still RAISE the conf: a resident broadcast moves each
     * array once per executor and verifies with one compiled merge per
     * pair — cheaper than the count path's exchange when it fits.

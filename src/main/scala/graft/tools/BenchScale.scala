@@ -60,6 +60,14 @@ object BenchScale {
       .map(_.split(",").toSeq.filter(_.nonEmpty))
       .getOrElse(ScaleQueries)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // rep count per entry (default 2: first-invocation vs steady
+    // state). Single-box runs of the scratch-heaviest sf10 entries set
+    // 1: one q122-at-sf10 rep shuffles ~40-60 GB and a second rep's
+    // files overlap the first's until the ContextCleaner's async GC
+    // catches up — on a 78 GB scratch disk that overlap is the
+    // difference between completing and ENOSPC (the per-entry rep
+    // count is stamped into the artifact via the secs array length).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -117,7 +125,7 @@ object BenchScale {
         val fn = graft.SparkEntry.queries(name)
         var rows = 0L
         val secs = timedEntry(name) { () =>
-          (1 to 2).map { _ =>
+          (1 to reps).map { _ =>
             val t0 = System.nanoTime()
             rows = fn(spark, dir).count()
             (System.nanoTime() - t0) / 1e9
@@ -154,7 +162,7 @@ object BenchScale {
           graft.operators.Dedup.ContainmentBroadcastMaxBytesConf, gate)
         try {
           var rows = 0L
-          val secs = (1 to 2).map { _ =>
+          val secs = (1 to reps).map { _ =>
             val t0 = System.nanoTime()
             rows = graft.operators.Dedup
               .containmentDupPairs(corpus, "doc_id", "text", 0.9).count()

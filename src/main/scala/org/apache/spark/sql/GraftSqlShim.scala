@@ -25,6 +25,30 @@ object GraftSqlShim {
   /** Wrap a Catalyst Expression back into a Column. */
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
 
+  /** Shuffle ids currently registered with the map-output tracker —
+    * snapshot before/after a bounded-scratch batch to identify exactly
+    * the shuffles that batch created. */
+  def registeredShuffleIds(spark: SparkSession): Set[Int] =
+    org.apache.spark.SparkEnv.get.mapOutputTracker match {
+      case m: org.apache.spark.MapOutputTrackerMaster =>
+        m.shuffleStatuses.keys.map(k => k: Int).toSet
+      case _ => Set.empty
+    }
+
+  /** Synchronously drop the given shuffles' map outputs and files —
+    * the deterministic form of "these shuffle files are no longer
+    * reachable". The async ContextCleaner only deletes on a GC notice,
+    * and nudging it with System.gc() on a large heap is a
+    * stop-the-world pause long enough to trip the executor heartbeat
+    * timeout (measured: 137 s on a 48 GiB heap — the heartbeat
+    * receiver killed the executor). Callers OWN the proof that no
+    * live plan still reads these shuffles (e.g. every consumer was
+    * eagerly checkpointed). */
+  def cleanupShuffles(spark: SparkSession, ids: Iterable[Int]): Unit =
+    spark.sparkContext.cleaner.foreach { c =>
+      ids.foreach(id => c.doCleanupShuffle(id, blocking = true))
+    }
+
   /** Eager `repartition(key).localCheckpoint()` whose result plan
     * CARRIES `hashpartitioning(key, n)` — even under AQE, where
     * `Dataset.localCheckpoint` records UnknownPartitioning (the adaptive

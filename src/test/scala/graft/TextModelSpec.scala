@@ -267,6 +267,15 @@ class TextModelSpec extends SparkTestBase {
       val got = viaCount.collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       assert(got == expected && got.nonEmpty, s"got $got")
+      // bounded-scratch mode: a 1-byte scratch budget forces the
+      // candidate batching (k > 1, eager per-batch materialization) —
+      // the union of batch survivors must still be the exact result
+      spark.conf.set(Dedup.ContainmentScratchBytesConf, "1")
+      try {
+        val batched = run().collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(batched == expected, s"batched got $batched")
+      } finally spark.conf.unset(Dedup.ContainmentScratchBytesConf)
     } finally spark.conf.unset(Dedup.ContainmentBroadcastMaxBytesConf)
   }
 
