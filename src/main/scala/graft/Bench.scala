@@ -98,6 +98,13 @@ object Bench {
           Option(t.getMessage).getOrElse(t.getClass.getName).take(200)
         Seq.empty
       }
+    } ++ {
+      try bm25Retrieval1k(spark, sfDir, timed)
+      catch { case t: Throwable =>
+        errors("bm25_1k_setup") =
+          Option(t.getMessage).getOrElse(t.getClass.getName).take(200)
+        Seq.empty
+      }
     }
     // 3-sample medians for the gate-watched sub-3 s queries: this box
     // shows ±2× wall variance at that scale (it has cost two rounds of
@@ -173,14 +180,20 @@ object Bench {
     println(summary)
     println(line)
     println(summary)
-    // also write the line to a file: driver log captures can truncate
-    // stdout, and the bench artifact should be self-contained
+    // also write to files: driver log captures can truncate stdout, and
+    // the bench artifact should be self-contained. bench.json keeps the
+    // full ledger line ONLY (one JSON document — r14 packed both lines
+    // into it, which breaks any consumer that parses the file as one
+    // object); the short summary gets its own fixed tiny file a
+    // length-capped capture can always read whole.
     try {
       val out = java.nio.file.Paths.get("target", "bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out,
-        (line + "\n" + summary + "\n")
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("target", "bench_summary.json"),
+        (summary + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Exception => () } // file copy is best-effort
     spark.stop()
   }
@@ -380,5 +393,38 @@ object Bench {
         (ok(ok.size / 2), ok.head, ok.last))
     }
     Seq(first)
+  }
+
+  /** BM25 retrieval at a REAL query load: q143's ledger entry runs 3
+    * query rows, but the operator's pitch is decontamination-scale
+    * (thousands of eval prompts against the corpus) — this entry drives
+    * [[graft.operators.TextStats.bm25Retrieve]] with ~1 k synthetic
+    * queries (every 5th document's first 4 tokens: realistic vocabulary,
+    * deterministic) so the broadcast-vocab prune and the WindowGroupLimit
+    * top-k cut are measured where the qTerms broadcast actually has
+    * weight (~4 k (query, term) rows; the prune-side qVocab stays ≤ that).
+    * Query-count ceiling: qTerms broadcasts |queries|·|distinct terms per
+    * query| narrow rows — at ~8 B/term-row plus string bytes, ~10 M query
+    * terms (~2-3 M queries of eval-prompt length) is where the broadcast
+    * nears Spark's comfort zone and qTerms should switch to a shuffled
+    * term-keyed join; the prune join's qVocab broadcast (distinct terms
+    * only) survives an order of magnitude past that. */
+  private def bm25Retrieval1k(spark: SparkSession, sfDir: String,
+      timed: String => (=> Unit) => (String, Double))
+      : Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val qs = docs
+      .where(col("text").isNotNull && col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(graft.operators.Dedup.words(col("text")), 1, 4),
+          " ").as("query_text"))
+      .localCheckpoint() // queries are input, not the measured work
+    qs.count()
+    Seq(timed("bm25_retrieve_1k") {
+      graft.operators.TextStats.bm25Retrieve(docs, "doc_id", "text",
+        qs, "query_id", "query_text", k = 10).count()
+    })
   }
 }

@@ -3458,7 +3458,7 @@ object SparkEntry {
           |qt AS (SELECT query_id,
           |    unnest(list_distinct(list_filter(regexp_split_to_array(lower(trim(qtext)), '\s+'), x -> x <> ''))) AS term
           |  FROM q),
-          |w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws FROM documents),
+          |w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws FROM documents WHERE text IS NOT NULL),
           |st AS (SELECT count(*) AS n, avg(CAST(len(ws) AS BIGINT)) AS avgdl FROM w),
           |ti AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, unnest(ws) AS term FROM w),
           |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM ti
@@ -3481,7 +3481,7 @@ object SparkEntry {
       // df over distinct-per-doc grams, per-source top-5 by (df DESC,
       // gram ASC)
       "q144_template_ngrams" ->
-        """WITH w AS (SELECT doc_id, source, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws FROM documents),
+        """WITH w AS (SELECT doc_id, source, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws FROM documents WHERE text IS NOT NULL),
           |s AS (SELECT doc_id, source,
           |        CASE WHEN len(ws) >= 3
           |             THEN list_distinct(list_transform(range(1, len(ws) - 1),

@@ -870,6 +870,13 @@ object Dedup {
   @volatile private[graft] var lastStarRounds: Vector[(Long, Double)] =
     Vector.empty
 
+  /** Bounded-scratch batch count of the last [[containmentDupPairs]]
+    * over-gate verify on this JVM (1 = single wave; only set when the
+    * over-gate path runs). Diagnostics only, like [[lastIterations]] —
+    * the scale harness stamps it next to the containment walls so the
+    * artifact records WHICH path a measurement exercised. */
+  @volatile private[graft] var lastContainmentBatches: Int = -1
+
   /** Default [[connectedComponents]] `microGraphMaxEdges`: a 1 M-edge
     * graph is ~2 M union-find operations and ≤ ~200 MB of boxed hash map
     * on ONE task (2 M entries × ~96 B) — well inside any executor and
@@ -1747,6 +1754,7 @@ object Dedup {
       val estWide = candUB.toDouble * avgSh * 24.0
       val k = math.min(256, math.max(1,
         math.ceil(estWide / math.max(1L, scratch).toDouble).toInt))
+      lastContainmentBatches = k
       if (k <= 1) countVerified(cands)
       else {
         log.info(s"containmentDupPairs: over-gate verify in $k " +
@@ -1755,18 +1763,20 @@ object Dedup {
           s"${scratch / (1L << 30)} GiB)")
         val shimSql = org.apache.spark.sql.GraftSqlShim
         val parts = (0 until k).map { i =>
-          val before = shimSql.registeredShuffleIds(spark)
-          val part = countVerified(
-            cands.where(pmod(xxhash64(col("id_a")), lit(k)) === i))
-            .localCheckpoint() // eager: batches run SEQUENTIALLY
-          // the finished batch's shuffles are provably dead (its only
-          // consumer was just eagerly checkpointed), so drop their
-          // files SYNCHRONOUSLY — the bound is lost if batch i+1's
-          // scratch stacks on batch i's, and the async ContextCleaner
-          // path (System.gc() nudge) was measured stalling a 48 GiB
-          // heap past the executor heartbeat timeout
-          shimSql.cleanupShuffles(spark,
-            shimSql.registeredShuffleIds(spark) -- before)
+          // eager checkpoint: batches run SEQUENTIALLY. The finished
+          // batch's shuffles are provably dead (its only consumer was
+          // just eagerly checkpointed) AND provably OURS (the id set
+          // comes from this batch's own RDD lineage, not a global
+          // registry diff — a concurrent query on a shared session
+          // keeps its live shuffles), so drop their files
+          // SYNCHRONOUSLY — the bound is lost if batch i+1's scratch
+          // stacks on batch i's, and the async ContextCleaner path
+          // (System.gc() nudge) was measured stalling a 48 GiB heap
+          // past the executor heartbeat timeout
+          val (part, ownedShuffles) = shimSql.eagerCheckpointWithShuffleIds(
+            countVerified(
+              cands.where(pmod(xxhash64(col("id_a")), lit(k)) === i)))
+          shimSql.cleanupShuffles(spark, ownedShuffles)
           part
         }
         parts.reduce(_.unionByName(_))

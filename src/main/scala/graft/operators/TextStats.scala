@@ -277,8 +277,12 @@ object TextStats {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k > 0, s"k must be positive (got $k)")
     import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col(idCol).as("doc_id"),
-      Dedup.words(col(textCol)).as("toks"))
+    // NULL texts drop out (the q141 pattern): words(NULL) is NULL and
+    // size(NULL) = -1 under legacy sizeOfNull, which would silently
+    // corrupt avgdl while every SQL oracle's avg() ignores NULLs
+    val toks = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        Dedup.words(col(textCol)).as("toks"))
     // whole-corpus stats (matching or not), the q85 contract: one
     // map-side-collapsed agg; avg over exact long dl is sum/count —
     // engine-exact
@@ -335,10 +339,24 @@ object TextStats {
    * contribute their full token stream as one gram.
    *
    * Scale shape: grams dedup map-side inside each document (one
-   * in-row distinct transform — token instances never shuffle); the
-   * one exchange carries (source, gram) rows bounded by the observed
-   * gram vocabulary, and the per-source top-k is a WindowGroupLimit
-   * cut over the vocabulary-bounded aggregate, never a global sort.
+   * in-row distinct transform — token instances never shuffle), then
+   * the df aggregation keys on `xxhash64(gram)` so its exchange
+   * carries 8-byte hashes, never gram STRINGS (distinct grams grow
+   * near-linearly with corpus tokens — at 100 TB a string-keyed
+   * aggregate is a corpus-scale string shuffle; hashes cut the
+   * exchange bytes 3-5× — the repo's hash-first-resolve-winners
+   * dedup discipline). The per-source top-k cut runs on the hashed
+   * frame keeping df ties at the boundary (rank() ≤ k, so the
+   * string-order tie-break resolves EXACTLY), and only the
+   * ≤ |sources|·k + ties winning hashes are resolved back to gram
+   * strings by one broadcast join against a second map-side gram
+   * pass — winner strings ride the one small final exchange.
+   * Degenerate bound: a source whose k-th template has df = 1 admits
+   * its full singleton vocabulary as boundary ties — not a
+   * template-mining shape (boilerplate is high-df by construction),
+   * and in that regime the pre-hash exchange already dominates.
+   * Hash collisions merge two grams' df with probability ~|grams|²/2⁶⁴
+   * (the q133 negligible-collision equivalence rule).
    */
   def templateNgrams(docs: DataFrame, idCol: String, textCol: String,
       sourceCol: String, n: Int = 3, k: Int = 5): DataFrame = {
@@ -353,13 +371,34 @@ object TextStats {
         i => concat_ws(" ",
           (0 until n).map(j => element_at(ws, i + lit(j))): _*))))
       .otherwise(array(array_join(ws, " ")))
-    val df = docs.where(col(textCol).isNotNull)
+    // two map-side passes over the same gram construction: pass 1
+    // feeds the hash-keyed df aggregate (strings die before the
+    // exchange), pass 2 re-derives strings only to resolve the
+    // broadcast winner set — recomputing beats persisting a
+    // corpus-sized gram frame
+    def base = docs.where(col(textCol).isNotNull)
       .select(col(sourceCol).as("source"), explode(grams).as("gram"))
-      .groupBy("source", "gram")
+    val hashed = base
+      .select(col("source"), xxhash64(col("gram")).as("gh"))
+      .groupBy("source", "gh")
       .agg(count(lit(1)).as("df"))
+    // keep ALL boundary ties (rank(), not row_number()): equal-df grams
+    // order by gram ASC, which only the resolved strings can decide
+    val wh = Window.partitionBy("source").orderBy(col("df").desc)
+    val cand = hashed.withColumn("__r", rank().over(wh))
+      .where(col("__r") <= k)
+      .select(col("source"), col("gh"), col("df"))
+    // resolve winner strings: broadcast the candidate hashes against
+    // the re-derived gram stream; each (source, gram) winner appears
+    // once per carrying doc, collapsed by the final (tiny) aggregate
+    val resolved = base
+      .select(col("source"), col("gram"), xxhash64(col("gram")).as("gh"))
+      .join(broadcast(cand), Seq("source", "gh"))
+      .groupBy("source", "gram")
+      .agg(max("df").as("df"))
     val w = Window.partitionBy("source")
       .orderBy(col("df").desc, col("gram").asc)
-    df.withColumn("rank", row_number().over(w).cast("long"))
+    resolved.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
   }
 
@@ -825,7 +864,8 @@ object TextStats {
     val bc = bi.groupBy("w1", "w2").agg(count(lit(1)).as("bc"))
       .where(col("bc") >= minCount)
     val tot = uni.agg(sum("uc").cast("double").as("nuni"))
-      .crossJoin(bi.groupBy().agg(count(lit(1)).cast("double").as("nbi")))
+      .crossJoin(broadcast(
+        bi.groupBy().agg(count(lit(1)).cast("double").as("nbi"))))
     bc
       .join(uni.select(col("term").as("w1"), col("uc").as("u1c")), Seq("w1"))
       .join(uni.select(col("term").as("w2"), col("uc").as("u2c")), Seq("w2"))

@@ -334,15 +334,19 @@ object StreamingOps {
 /** The manifest-pointer files of [[StreamingOps.upsertAggStore]]'s
   * store, with writer fencing. Pointer payload:
   * `"<relative data path>\t<batchId>\t<writer epoch>"` (legacy 2-field
-  * pointers read as epoch 0). Epochs are acquired per store open from
-  * the `epoch` file — strictly above every epoch seen before — and a
-  * publish carrying an epoch OLDER than the bucket's current pointer
-  * throws ([[PointerStore.StaleWriterException]]): the zombie-driver
-  * fence. The check-then-move pair is not atomic against a concurrent
-  * racing publish (the store is single-writer by contract; see the
-  * upsertAggStore scaladoc) — the fence targets the
-  * paused-then-resumed stale driver, which arrives seconds-to-hours
-  * after the newer writer took over, not a byte-level race. */
+  * pointers read as epoch 0). Epochs are acquired per store open by
+  * ATOMICALLY creating a numbered `epoch-<n>` marker file
+  * (`Files.createFile`, retrying upward on
+  * FileAlreadyExistsException) — two drivers opening the store
+  * near-simultaneously can never share an epoch, so exactly one of
+  * them is fenced. A publish carrying an epoch OLDER than the
+  * bucket's current pointer throws
+  * ([[PointerStore.StaleWriterException]]): the zombie-driver fence.
+  * The publish check-then-move pair is not atomic against a
+  * concurrent racing publish (the store is single-writer by
+  * contract; see the upsertAggStore scaladoc) — with unique epochs
+  * the loser of any near-simultaneous takeover is deterministically
+  * the lower epoch, which the fence rejects on its next publish. */
 private[graft] final class PointerStore(store: java.io.File) {
   import java.nio.file.{Files, StandardCopyOption}
 
@@ -356,16 +360,55 @@ private[graft] final class PointerStore(store: java.io.File) {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Epoch currently recorded for the store (0 = never opened). */
-  def currentEpoch(): Long =
-    if (!epochFile.exists()) 0L
-    else new String(Files.readAllBytes(epochFile.toPath), "UTF-8")
-      .trim.toLong
+  /** Epoch currently recorded for the store (0 = never opened):
+    * the highest claimed `epoch-<n>` marker, falling back to the
+    * legacy single `epoch` file written by pre-marker stores. */
+  def currentEpoch(): Long = {
+    val markers = store.listFiles()
+    val fromMarkers =
+      if (markers == null) 0L
+      else markers.iterator.map(_.getName)
+        .filter(_.startsWith("epoch-"))
+        .flatMap(n => scala.util.Try(n.stripPrefix("epoch-").toLong).toOption)
+        .foldLeft(0L)(math.max)
+    val fromLegacy =
+      if (!epochFile.exists()) 0L
+      else new String(Files.readAllBytes(epochFile.toPath), "UTF-8")
+        .trim.toLong
+    math.max(fromMarkers, fromLegacy)
+  }
 
-  /** Claim the next writer epoch and record it. */
+  /** Claim the next writer epoch: atomically create the `epoch-<n>`
+    * marker, retrying upward while another opener holds n — concurrent
+    * opens are guaranteed DISTINCT epochs (createFile is atomic on
+    * POSIX and object-store-backed NFS alike), so equal-epoch
+    * double-ownership (both writers unfenced) cannot arise. Markers
+    * below the claimed epoch are garbage-collected best-effort; the
+    * claimed marker itself is the durable record. */
   def acquireEpoch(): Long = {
-    val e = currentEpoch() + 1L
-    atomicWrite(epochFile, e.toString)
+    var e = currentEpoch() + 1L
+    var claimed = false
+    while (!claimed) {
+      try {
+        Files.createFile(new java.io.File(store, s"epoch-$e").toPath)
+        claimed = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => e += 1L
+      }
+    }
+    // legacy single-file record for downgrade readers; informational
+    // only (the marker is authoritative), so best-effort
+    try atomicWrite(epochFile, e.toString)
+    catch { case _: java.io.IOException => () }
+    val stale = store.listFiles()
+    if (stale != null) stale.iterator
+      .filter { f =>
+        val n = f.getName
+        n.startsWith("epoch-") &&
+          scala.util.Try(n.stripPrefix("epoch-").toLong)
+            .toOption.exists(_ < e)
+      }
+      .foreach(f => f.delete()) // best-effort GC
     e
   }
 

@@ -176,6 +176,69 @@ object BenchScale {
         } finally spark.conf.unset(
           graft.operators.Dedup.ContainmentBroadcastMaxBytesConf)
       }
+      // bounded-scratch batched containment point: the q122 pipeline
+      // (default broadcast gate, so the COUNT-based over-gate verify
+      // runs) with the scratch budget FORCED low enough via
+      // SPARK_GRAFT_CONTAINMENT_SCRATCH (bytes) that the verify splits
+      // into k >= 2 sequential hash(id_a) batches with synchronous
+      // shuffle cleanup between them — the degradation path a real
+      // cluster hits when one wave outgrows its executors' aggregate
+      // shuffle disks. The artifact records the batch count actually
+      // taken and the PEAK scratch consumed (sampled usable-space
+      // delta on the Spark local dir, 250 ms cadence) so the "peak
+      // stays under the budget x batches-don't-stack" claim is a
+      // recorded number, not an assertion.
+      sys.env.get("SPARK_GRAFT_CONTAINMENT_SCRATCH").foreach { budget =>
+        val docs = graft.Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val corpus = docs
+          .union(docs.where(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+          .union(docs.where(col("doc_id") % 7 === 0)
+            .select((col("doc_id") + 2000000).as("doc_id"),
+              concat(col("text"), lit(" graft dup marker")).as("text")))
+        spark.conf.set(
+          graft.operators.Dedup.ContainmentScratchBytesConf, budget)
+        val scratchDir = new java.io.File(
+          spark.conf.getOption("spark.local.dir")
+            .orElse(sys.props.get("spark.local.dir"))
+            .getOrElse(System.getProperty("java.io.tmpdir", "/tmp"))
+            .split(",").head)
+        @volatile var minUsable = scratchDir.getUsableSpace
+        @volatile var sampling = true
+        val sampler = new Thread(() => {
+          while (sampling) {
+            minUsable = math.min(minUsable, scratchDir.getUsableSpace)
+            Thread.sleep(250)
+          }
+        }, "graft-scratch-sampler")
+        sampler.setDaemon(true)
+        try {
+          var rows = 0L
+          val usable0 = scratchDir.getUsableSpace
+          sampler.start()
+          val secs = (1 to reps).map { _ =>
+            val t0 = System.nanoTime()
+            rows = graft.operators.Dedup
+              .containmentDupPairs(corpus, "doc_id", "text", 0.9).count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          sampling = false
+          val peak = math.max(0L, usable0 - minUsable)
+          val batches = graft.operators.Dedup.lastContainmentBatches
+          entries += s""""containment_batched":[${secs.map(fmt).mkString(",")}]"""
+          entries += s""""containment_batched_rows":$rows"""
+          entries += s""""containment_batched_k":$batches"""
+          entries += s""""containment_batched_budget":$budget"""
+          entries += s""""containment_batched_peak_scratch":$peak"""
+          println(s"SCALE $dir containment_batched rows=$rows k=$batches " +
+            s"peak_scratch=$peak " + secs.map(fmt).mkString(" "))
+        } finally {
+          sampling = false
+          spark.conf.unset(
+            graft.operators.Dedup.ContainmentScratchBytesConf)
+        }
+      }
       // q21's denominator is NOT its output (exact-dup pairs, which are
       // copies-LINEAR): its cost driver is the LSH candidate volume,
       // quadratic in the copy factor because a `copies`-member near-dup

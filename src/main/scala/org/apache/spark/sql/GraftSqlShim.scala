@@ -25,15 +25,43 @@ object GraftSqlShim {
   /** Wrap a Catalyst Expression back into a Column. */
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
 
-  /** Shuffle ids currently registered with the map-output tracker —
-    * snapshot before/after a bounded-scratch batch to identify exactly
-    * the shuffles that batch created. */
-  def registeredShuffleIds(spark: SparkSession): Set[Int] =
-    org.apache.spark.SparkEnv.get.mapOutputTracker match {
-      case m: org.apache.spark.MapOutputTrackerMaster =>
-        m.shuffleStatuses.keys.map(k => k: Int).toSet
-      case _ => Set.empty
+  /** Eagerly materialize `df` as a local checkpoint and return it with
+    * the shuffle ids OWNED by this execution — collected by walking the
+    * executed RDD's lineage for `ShuffleDependency` ids before the
+    * checkpoint truncates it. Unlike a before/after registry diff on
+    * the (SparkContext-global) MapOutputTracker, a concurrent query's
+    * shuffles can never be swept into the result, so the returned set
+    * is safe to hand to [[cleanupShuffles]] even on a shared session.
+    * Under AQE the stages have already executed when `toRdd` returns
+    * (AdaptiveSparkPlanExec materializes them inside execute()), so the
+    * final RDD's lineage reaches every stage's dependency. */
+  def eagerCheckpointWithShuffleIds(df: Dataset[_])
+      : (DataFrame, Set[Int]) = {
+    val spark = df.sparkSession.asInstanceOf[CSparkSession]
+    val qe = df.queryExecution
+    val raw = qe.toRdd
+    val ids = {
+      val seen = scala.collection.mutable.Set.empty[Int]
+      val visited = scala.collection.mutable.Set.empty[Int]
+      def walk(r: org.apache.spark.rdd.RDD[_]): Unit =
+        if (visited.add(r.id)) r.dependencies.foreach { d =>
+          d match {
+            case s: org.apache.spark.ShuffleDependency[_, _, _] =>
+              seen += s.shuffleId
+            case _ => ()
+          }
+          walk(d.rdd)
+        }
+      walk(raw)
+      seen.toSet
     }
+    // same shape as Dataset.localCheckpoint: copy reused UnsafeRows,
+    // checkpoint, materialize eagerly (batches must run sequentially)
+    val rdd = raw.map(_.copy()).localCheckpoint()
+    rdd.count()
+    (ofRows(spark, execution.LogicalRDD(qe.analyzed.output, rdd)(spark)),
+      ids)
+  }
 
   /** Synchronously drop the given shuffles' map outputs and files —
     * the deterministic form of "these shuffle files are no longer
