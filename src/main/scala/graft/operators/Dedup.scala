@@ -1286,13 +1286,28 @@ object Dedup {
   private[graft] def starLoop(edges: DataFrame, edgeCount: Long,
       maxIterations: Int): DataFrame = {
     val shim = org.apache.spark.sql.GraftSqlShim
-    // node inventory for the final labeling: every node of the symmetric
-    // list appears as src. Forced eagerly — edges' checkpoint blocks are
-    // freed before labels are consumed, and a lazy plan would then read
-    // a severed lineage.
-    val nodes = shim.lazyCheckpointNoStats(
-      edges.select(col("src").as("id")).distinct())
-    nodes.count()
+    // node inventory for the final labeling — needed ONLY when the input
+    // carries self-loops: (u, u) canonicalizes away below (hi > lo is
+    // strict), so a node with ONLY self-loop edges would otherwise
+    // vanish from the round state entirely. Every OTHER node survives
+    // every round (large-star rewrites a row's lo, never drops its hi;
+    // small-star re-emits every group member as hi or lo), so at the
+    // fixed point the star forest itself is a complete inventory:
+    // non-roots appear exactly once as hi, roots as lo — the final
+    // labeling is then the forest plus its distinct roots, skipping
+    // both this edge-sized distinct+materialize+count and the final
+    // edge-sized left join. The probe is one early-exit scan of the
+    // already-materialized edges checkpoint. When the inventory IS
+    // built it is forced eagerly — edges' checkpoint blocks are freed
+    // before labels are consumed, and a lazy plan would then read a
+    // severed lineage.
+    val nodes = if (edges.where(col("src") === col("dst")).isEmpty) null
+      else {
+        val n = shim.lazyCheckpointNoStats(
+          edges.select(col("src").as("id")).distinct())
+        n.count()
+        n
+      }
     // canonical orientation (hi > lo): each undirected edge once;
     // self-loops drop out (their nodes live on in `nodes`)
     // canonical orientation rides the edges checkpoint's hash(src)
@@ -1375,6 +1390,12 @@ object Dedup {
       // m(u)" is a left join of the edge rows (hi = v, lo = u) against
       // it, coalescing to u itself for nodes with no smaller neighbor.
       // One output row per input row — no distinct needed at this stage.
+      // (A min-map pointer-jump — mn composed with itself before this
+      // join — was tried in round 15 and reverted: small-star flattens
+      // every group each round, so the pointer forest never exceeds
+      // depth ~2 and m+(m+(u)) == m+(u) almost everywhere; measured
+      // rounds stayed at 6 on the 20 k x 64-chain bench graph while the
+      // extra node-sized self-join added ~0.5 s/round.)
       val mn = (if (prevP != null) prevP.select(col("hi"), col("p").as("m"))
         else c.groupBy("hi").agg(min("lo").as("m")))
         .select(col("hi").as("u"), col("m"))
@@ -1426,20 +1447,29 @@ object Dedup {
       // re-exchanging the node-sized frame every round.
       val p = shim.lazyCheckpointAssumeHashPartitioned(next.groupBy("hi")
         .agg(min("lo").as("p"), count(lit(1)).as("deg")), "hi", nStar)
+      // single convergence job per round: the multi-parent/edge-count
+      // aggregate AND the second violation clause (a parent that is
+      // itself somebody's hi — a semi-join of p-values against the hi
+      // set) run as subtrees of ONE 1-row frame, so each round pays one
+      // job-scheduling barrier instead of two (the semi-join previously
+      // ran as its own job whenever the first clause passed — on
+      // near-star graphs that is MOST rounds). The semi-join is
+      // shuffle-hash-hinted on big graphs: its build side (the hi
+      // projection) rides p's recorded hash(hi, nStar) layout
+      // exchange-free and nothing sorts; only the node-sized p-value
+      // projection exchanges. Both violation subtrees scan the p
+      // checkpoint, never the edge list.
+      val viol2 = p.select(col("p").as("v"))
+        .join(maybeHinted(p.select(col("hi").as("v"))), Seq("v"),
+          "left_semi")
+        .agg(count(lit(1)).as("chained"))
       val stats = p.agg(
-        sum(when(col("deg") > 1, 1L).otherwise(0L)).as("multi"),
-        sum("deg").as("edges")).head()
+          sum(when(col("deg") > 1, 1L).otherwise(0L)).as("multi"),
+          sum("deg").as("edges"))
+        .crossJoin(viol2).head()
       val multiParent = if (stats.isNullAt(0)) 0L else stats.getLong(0)
       val edgeRows = if (stats.isNullAt(1)) 0L else stats.getLong(1)
-      // second violation clause (a parent that is itself somebody's hi)
-      // needs a semi-join — only run it when the first clause passed;
-      // a mid-convergence round skips the job entirely. The hi set of
-      // `p` IS the hi set of `next` (p groups next by hi), so the probe
-      // side is the node-sized checkpoint, not a fresh edge-list scan.
-      converged = multiParent == 0L &&
-        p.select(col("p").as("v"))
-          .join(p.select(col("hi").as("v")), "v", "left_semi")
-          .count() == 0L
+      converged = multiParent == 0L && stats.getLong(2) == 0L
       shim.unpersistCheckpoint(c)
       if (prevP != null) shim.unpersistCheckpoint(prevP)
       prevP = p
@@ -1460,16 +1490,23 @@ object Dedup {
     lastIterations = it
     if (!converged) {
       shim.unpersistCheckpoint(c)
-      shim.unpersistCheckpoint(nodes)
+      if (nodes != null) shim.unpersistCheckpoint(nodes)
       throw new IllegalStateException(
         s"connectedComponents star rounds did not converge after " +
           s"$maxIterations rounds; raise maxIterations")
     }
     // at the fixed point every hi has exactly one lo = its component
-    // minimum; roots and singletons label themselves
-    nodes.join(c.select(col("hi").as("id"), col("lo").as("lbl")),
-        Seq("id"), "left")
-      .select(col("id"), coalesce(col("lbl"), col("id")).as("group_id"))
+    // minimum; roots and self-loop singletons label themselves. Without
+    // self-loops the forest is its own node inventory (see the probe
+    // above) — no nodes checkpoint, no edge-sized left join.
+    if (nodes != null)
+      nodes.join(c.select(col("hi").as("id"), col("lo").as("lbl")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("lbl"), col("id")).as("group_id"))
+    else
+      c.select(col("hi").as("id"), col("lo").as("group_id"))
+        .unionByName(
+          c.select(col("lo").as("id"), col("lo").as("group_id")).distinct())
   }
 
   /** Iterative min-label propagation over a checkpointed symmetric edge
