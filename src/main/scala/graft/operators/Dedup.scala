@@ -1753,10 +1753,32 @@ object Dedup {
       val sizesA = sh.select(col("id").as("id_a"),
         size(col("sh")).as("__n_a"))
       val invA = inv.select(col("id_b").as("id_a"), col("h"))
+      // middle tier — broadcast the 16-byte INDEX rows even though the
+      // array frame is over its gate: the index costs ~invRows x 16 B
+      // (sf10 GenScale: 573 MB for a corpus whose array frame is past
+      // 256 MB), and with BOTH index sides resident the verify's
+      // Σ_cand |sh(a)| explosion never crosses an exchange — it streams
+      // through two broadcast-hash probes and the pair-count aggregate
+      // partial-collapses map-side ONTO the candidate distinct's
+      // (id_a, id_b) layout, so the candidate DISTINCT becomes the one
+      // wide exchange of the whole verify (measured at the 10x
+      // GenScale decade: the distinct is ~16 B x |distinct candidates|
+      // while the exploded join stream is ~50x that — the r14 sf10
+      // single-wave ENOSPC was exactly that stream hitting disk).
+      // Above the index gate (the true 100 TB regime) the shuffled
+      // shape below remains, with executor fleets absorbing the wave.
+      val invBytes =
+        (if (stats.isNullAt(1)) 0L else stats.getLong(1)) * 16L
+      val invGate = docs.sparkSession.conf
+        .get(ContainmentIndexBroadcastMaxBytesConf,
+          ContainmentIndexBroadcastMaxBytes.toString).toLong
+      val invResident = invBytes <= invGate
+      val invB = if (invResident) broadcast(inv) else inv
+      val invAB = if (invResident) broadcast(invA) else invA
       def countVerified(pairs: DataFrame): DataFrame =
         pairs.distinct()
-          .join(invA, Seq("id_a"))
-          .join(inv, Seq("id_b", "h"))
+          .join(invAB, Seq("id_a"))
+          .join(invB, Seq("id_b", "h"))
           .groupBy("id_a", "id_b")
           .agg(count(lit(1)).as("__shared"))
           .join(sizesA, Seq("id_a"))
@@ -1765,38 +1787,67 @@ object Dedup {
             round(col("__shared").cast("double") /
               col("__n_a").cast("double"), 6).as("containment"))
           .where(col("containment") >= threshold)
-      // BOUNDED-SCRATCH batching: that Σ_cand |sh(a)| stream is still
+      // BOUNDED-SCRATCH batching: the verify's widest exchange is still
       // the quadratic-family term, and a run whose aggregate shuffle
       // scratch can't hold it in one wave must not die mid-exchange
-      // (measured on the single-box sf10 capture: one wave wants
-      // >77 GB). Size the wave count from a PAIR-FREE upper bound —
-      // raw candidates ≤ Σ_h probeDf(h)·indexDf(h), one vocab-bounded
-      // aggregate, never a materialized pair — against the scratch
-      // budget, then verify candidates in k disjoint hash(id_a)
-      // batches, each eagerly materialized (16-byte survivor rows)
-      // before the next starts. k = 1 (any real cluster: executor
-      // disks aggregate far past this) keeps today's single lazy plan.
-      val dfp = probes.groupBy("h").agg(count(lit(1)).as("__np"))
-      val dfi = invKept.groupBy("h").agg(count(lit(1)).as("__ni"))
-      val ubRow = dfp.join(dfi, Seq("h"))
-        .agg(sum(col("__np") * col("__ni"))).head()
-      val candUB = if (ubRow.isNullAt(0)) 0L else ubRow.getLong(0)
-      val nDocs = stats.getLong(0)
-      val avgSh =
-        if (nDocs == 0L || stats.isNullAt(1)) 0.0
-        else stats.getLong(1).toDouble / nDocs
+      // (measured on the single-box sf10 capture: one wave filled the
+      // disk). Size the wave count from a SAMPLED measurement of what
+      // actually crosses an exchange in the chosen tier: 1/64 of the
+      // id_a hash domain (the filter pushes below the candidate join,
+      // so the sample job exchanges ~1/64 of the raw candidate rows),
+      // distinct'd and joined to the per-doc sizes. With the index
+      // resident the one wide exchange is the candidate distinct
+      // (16 B x |distinct candidates|); in the shuffled tier the
+      // exploded (pair, shingle) stream (24 B x Σ|sh(a)|) rides on top
+      // of it. 1.5x headroom for sampling skew. The r14 pair-free
+      // upper bound (Σ_h probeDf·indexDf x avg|sh|) modeled the
+      // exploded stream even when the index broadcast kept it off
+      // disk entirely — at sf10 it drove k to the 256-batch cap,
+      // turning a handful of waves into a multi-hour crawl of full
+      // index re-scans; sequential batches are only cheap when k is
+      // what the disk actually requires. An empty sample falls back
+      // to that upper bound (conservative, and only reachable when
+      // the candidate set is ~empty anyway). k = 1 (any real cluster:
+      // executor disks aggregate far past this) keeps today's single
+      // lazy plan; each batch is eagerly materialized (16-byte
+      // survivor rows) before the next starts.
+      val SampleMod = 64
+      val sampleRow = cands
+        .where(pmod(xxhash64(col("id_a")), lit(SampleMod)) === 0)
+        .distinct()
+        .join(sizesA, Seq("id_a"))
+        .agg(count(lit(1)).as("__sn"), sum("__n_a").as("__ss")).head()
       val spark = docs.sparkSession
       val scratch = spark.conf.get(ContainmentScratchBytesConf,
         defaultScratchBytes(spark).toString).toLong
-      val estWide = candUB.toDouble * avgSh * 24.0
+      val estWide =
+        if (!sampleRow.isNullAt(0) && sampleRow.getLong(0) > 0L) {
+          val sPairs = sampleRow.getLong(0).toDouble * SampleMod
+          val sShA =
+            (if (sampleRow.isNullAt(1)) 0L else sampleRow.getLong(1))
+              .toDouble * SampleMod
+          (if (invResident) sPairs * 16.0
+           else sPairs * 16.0 + sShA * 24.0) * 1.5
+        } else {
+          val dfp = probes.groupBy("h").agg(count(lit(1)).as("__np"))
+          val dfi = invKept.groupBy("h").agg(count(lit(1)).as("__ni"))
+          val ubRow = dfp.join(dfi, Seq("h"))
+            .agg(sum(col("__np") * col("__ni"))).head()
+          val candUB = if (ubRow.isNullAt(0)) 0L else ubRow.getLong(0)
+          val nDocs = stats.getLong(0)
+          val avgSh =
+            if (nDocs == 0L || stats.isNullAt(1)) 0.0
+            else stats.getLong(1).toDouble / nDocs
+          candUB.toDouble * avgSh * 24.0
+        }
       val k = math.min(256, math.max(1,
         math.ceil(estWide / math.max(1L, scratch).toDouble).toInt))
       lastContainmentBatches = k
       if (k <= 1) countVerified(cands)
       else {
         log.info(s"containmentDupPairs: over-gate verify in $k " +
-          s"bounded-scratch batches (candidate upper bound $candUB, " +
-          s"est ${(estWide / (1L << 30)).toInt} GiB vs scratch " +
+          s"bounded-scratch batches (sampled wave estimate " +
+          s"${(estWide / (1L << 20)).toLong} MiB vs scratch " +
           s"${scratch / (1L << 30)} GiB)")
         val shimSql = org.apache.spark.sql.GraftSqlShim
         val parts = (0 until k).map { i =>
@@ -1864,6 +1915,23 @@ object Dedup {
   val ContainmentBroadcastMaxBytesConf =
     "spark.graft.dedup.containmentBroadcastMaxBytes"
   val ContainmentBroadcastMaxBytes: Long = 256L << 20
+
+  /** Middle-tier gate for the over-gate verify: broadcast the 16-byte
+    * inverted-INDEX rows (id, hash) while their measured bytes stay
+    * under this, even though the array frame is past
+    * [[ContainmentBroadcastMaxBytesConf]] — the index is ~2-4x smaller
+    * than the array frame it indexes, and with both index sides
+    * resident the exploded (pair, shingle) verify stream never crosses
+    * an exchange: the candidate distinct becomes the verify's ONE wide
+    * shuffle and the pair-count aggregate rides its layout. 512 MB of
+    * raw rows hashes to a ~1.5-2 GB relation — inside a modest
+    * executor and far under Spark's 8 GB broadcast ceiling. Above it
+    * (the true 100 TB regime) the verify shuffles the index too, and
+    * the scratch batching sizes its waves off the full exploded
+    * stream. */
+  val ContainmentIndexBroadcastMaxBytesConf =
+    "spark.graft.dedup.containmentIndexBroadcastMaxBytes"
+  val ContainmentIndexBroadcastMaxBytes: Long = 512L << 20
 
   /** Compiled two-pointer intersection size over sorted long arrays
     * (see [[graft.functions.SortedIntersectCount]]). */

@@ -199,6 +199,15 @@ object BenchScale {
               concat(col("text"), lit(" graft dup marker")).as("text")))
         spark.conf.set(
           graft.operators.Dedup.ContainmentScratchBytesConf, budget)
+        // the batched path only exists ABOVE the broadcast gate — at
+        // decades where the shingle frame still fits the 256 MB default
+        // (sf1: ~80 MB) the verify would ride the broadcast and the
+        // scratch budget would be moot (a first capture recorded k=-1
+        // this way). Force the gate low so the entry exercises the same
+        // over-gate count path sf10 data reaches naturally.
+        spark.conf.set(
+          graft.operators.Dedup.ContainmentBroadcastMaxBytesConf,
+          (1L << 20).toString)
         val scratchDir = new java.io.File(
           spark.conf.getOption("spark.local.dir")
             .orElse(sys.props.get("spark.local.dir"))
@@ -237,6 +246,8 @@ object BenchScale {
           sampling = false
           spark.conf.unset(
             graft.operators.Dedup.ContainmentScratchBytesConf)
+          spark.conf.unset(
+            graft.operators.Dedup.ContainmentBroadcastMaxBytesConf)
         }
       }
       // q21's denominator is NOT its output (exact-dup pairs, which are

@@ -276,6 +276,17 @@ class TextModelSpec extends SparkTestBase {
           .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
         assert(batched == expected, s"batched got $batched")
       } finally spark.conf.unset(Dedup.ContainmentScratchBytesConf)
+      // third tier: the index-broadcast gate at 0 forces the fully
+      // SHUFFLED verify (the 100-TB regime where even the 16-byte
+      // index rows are too big to ship) — same results again
+      spark.conf.set(Dedup.ContainmentIndexBroadcastMaxBytesConf, "0")
+      try {
+        val shuffled = run()
+        assert(dedupsCandidatesFirst(shuffled))
+        val got3 = shuffled.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(got3 == expected, s"shuffled-tier got $got3")
+      } finally spark.conf.unset(Dedup.ContainmentIndexBroadcastMaxBytesConf)
     } finally spark.conf.unset(Dedup.ContainmentBroadcastMaxBytesConf)
   }
 
