@@ -26,15 +26,27 @@ object Dedup {
   def words(text: Column): Column =
     filter(split(lower(trim(text)), "\\s+"), t => t =!= lit(""))
 
-  /** Distinct word n-gram shingles; documents shorter than `n` words
-    * collapse to a single whole-document shingle. */
-  def wordShingles(text: Column, n: Int = 3): Column = {
-    val ws = words(text)
+  /** Distinct word n-gram shingles over an ALREADY-TOKENIZED word
+    * array. Callers must pass a BOUND array (a projected column or a
+    * lambda variable): higher-order lambdas evaluate interpreted with
+    * no subexpression elimination, so an inline `words(text)` here
+    * would re-run the regex split once per gram element (the q144
+    * pathology — measured 2x a whole query's wall). */
+  private[graft] def shinglesOfWords(ws: Column, n: Int): Column =
     when(size(ws) >= n,
       array_distinct(transform(sequence(lit(0), size(ws) - n),
         i => concat_ws(" ", slice(ws, i + 1, lit(n))))))
       .otherwise(array(concat_ws(" ", ws)))
-  }
+
+  /** Distinct word n-gram shingles; documents shorter than `n` words
+    * collapse to a single whole-document shingle. The token array is
+    * LET-BOUND through a single-element `transform` so the split runs
+    * once per row even though the shingle lambda reads it per
+    * element — the Column-expression form of the projection-boundary
+    * rule (works anywhere a Column works, no projection needed). */
+  def wordShingles(text: Column, n: Int = 3): Column =
+    element_at(transform(array(words(text)),
+      ws => shinglesOfWords(ws, n)), 1)
 
   /** Sorted distinct 64-bit shingle hashes in ONE compiled pass — the
     * preferred input to MinHash/SimHash/Jaccard (see
@@ -1923,15 +1935,18 @@ object Dedup {
     * than the array frame it indexes, and with both index sides
     * resident the exploded (pair, shingle) verify stream never crosses
     * an exchange: the candidate distinct becomes the verify's ONE wide
-    * shuffle and the pair-count aggregate rides its layout. 512 MB of
-    * raw rows hashes to a ~1.5-2 GB relation — inside a modest
-    * executor and far under Spark's 8 GB broadcast ceiling. Above it
+    * shuffle and the pair-count aggregate rides its layout. 1 GiB of
+    * raw rows hashes to a ~2.5-3.5 GB relation — inside a typical
+    * 8-16 GB executor and under Spark's 8 GB broadcast ceiling (the
+    * 100x GenScale decade measures 574 MB of index for a corpus whose
+    * array frame is past the 256 MB gate — the regime this tier
+    * exists for). Above it
     * (the true 100 TB regime) the verify shuffles the index too, and
     * the scratch batching sizes its waves off the full exploded
     * stream. */
   val ContainmentIndexBroadcastMaxBytesConf =
     "spark.graft.dedup.containmentIndexBroadcastMaxBytes"
-  val ContainmentIndexBroadcastMaxBytes: Long = 512L << 20
+  val ContainmentIndexBroadcastMaxBytes: Long = 1024L << 20
 
   /** Compiled two-pointer intersection size over sorted long arrays
     * (see [[graft.functions.SortedIntersectCount]]). */

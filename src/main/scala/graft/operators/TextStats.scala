@@ -87,11 +87,15 @@ object TextStats {
     * not pass a `repetitionRatio < x` quality gate as pristine prose).
     * Pure map-side column work, no kernel needed. */
   def repetitionRatio(text: Column, n: Int = 2): Column = {
-    val ws = Dedup.words(text)
-    val total = when(size(ws) >= n, size(ws) - (n - 1)).otherwise(lit(1))
-    val distinctGrams = size(Dedup.wordShingles(text, n))
-    when(text.isNull, lit(null).cast("double")).otherwise(
-      round((total - distinctGrams).cast("double") / total.cast("double"), 6))
+    // let-bind the token array (the wordShingles trick): the shingle
+    // lambda reads it per element and HOFs get no subexpression
+    // elimination, so an unbound reference re-splits per gram
+    val ratio = element_at(transform(array(Dedup.words(text)), ws => {
+      val total = when(size(ws) >= n, size(ws) - (n - 1)).otherwise(lit(1))
+      val distinctGrams = size(Dedup.shinglesOfWords(ws, n))
+      round((total - distinctGrams).cast("double") / total.cast("double"), 6)
+    }), 1)
+    when(text.isNull, lit(null).cast("double")).otherwise(ratio)
   }
 
   /** Winnowing-style document fingerprint: min over all `k`-shingle
@@ -363,21 +367,28 @@ object TextStats {
     require(n >= 1, s"n must be >= 1 (got $n)")
     require(k > 0, s"k must be positive (got $k)")
     import org.apache.spark.sql.expressions.Window
-    val ws = Dedup.words(col(textCol))
-    // distinct n-gram strings per document, same construction as the
-    // shingle oracle CTE (short docs collapse to one full-stream gram)
-    val grams = when(size(ws) >= n,
-      array_distinct(transform(sequence(lit(1), size(ws) - (n - 1)),
+    // the token array binds to a REAL column under the Generate node:
+    // inside a higher-order `transform` lambda every element_at(expr,…)
+    // re-evaluates its child, so referencing the words() split directly
+    // would re-run the regex split PER GRAM ELEMENT (O(grams x n) full
+    // splits per document — measured 2x the whole query's wall once the
+    // two-pass shape landed). An attribute reference makes it one split
+    // per row; explode's Generate keeps its child projection, so the
+    // optimizer cannot collapse the alias back into the lambda.
+    def gramsOf(w: Column) = when(size(w) >= n,
+      array_distinct(transform(sequence(lit(1), size(w) - (n - 1)),
         i => concat_ws(" ",
-          (0 until n).map(j => element_at(ws, i + lit(j))): _*))))
-      .otherwise(array(array_join(ws, " ")))
+          (0 until n).map(j => element_at(w, i + lit(j))): _*))))
+      .otherwise(array(array_join(w, " ")))
     // two map-side passes over the same gram construction: pass 1
     // feeds the hash-keyed df aggregate (strings die before the
     // exchange), pass 2 re-derives strings only to resolve the
     // broadcast winner set — recomputing beats persisting a
     // corpus-sized gram frame
     def base = docs.where(col(textCol).isNotNull)
-      .select(col(sourceCol).as("source"), explode(grams).as("gram"))
+      .select(col(sourceCol).as("source"),
+        Dedup.words(col(textCol)).as("__ws"))
+      .select(col("source"), explode(gramsOf(col("__ws"))).as("gram"))
     val hashed = base
       .select(col("source"), xxhash64(col("gram")).as("gh"))
       .groupBy("source", "gh")

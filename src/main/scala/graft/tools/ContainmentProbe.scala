@@ -18,6 +18,12 @@ import org.apache.spark.sql.functions._
 object ContainmentProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("target/sf1")
+    // batch modulus for the measured verify batch (1/mod of the id_a
+    // hash domain) and a flag to skip the exact full-corpus sums (at
+    // the 100x decade the exact pass is itself a multi-minute job;
+    // the sampled estimate is the number the operator actually uses)
+    val batchMod = if (args.length > 1) args(1).toInt else 16
+    val skipExact = args.length > 2 && args(2) == "sampled-only"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -56,12 +62,14 @@ object ContainmentProbe {
     val nDocs = sh.count()
     val sumSh = sh.agg(sum(size(col("sh")))).head().getLong(0)
     println(s"PROBE docs=$nDocs sumSh=$sumSh avgSh=${sumSh / nDocs}")
-    val raw = cands.count()
-    println(s"PROBE rawCand=$raw")
-    val dc = cands.distinct()
-    val exact = dc.join(sizesA, Seq("id_a")).agg(
-      count(lit(1)).as("n"), sum("na").as("s")).head()
-    println(s"PROBE distinctCand=${exact.getLong(0)} sumShA=${exact.getLong(1)}")
+    if (!skipExact) {
+      val raw = cands.count()
+      println(s"PROBE rawCand=$raw")
+      val dc = cands.distinct()
+      val exact = dc.join(sizesA, Seq("id_a")).agg(
+        count(lit(1)).as("n"), sum("na").as("s")).head()
+      println(s"PROBE distinctCand=${exact.getLong(0)} sumShA=${exact.getLong(1)}")
+    }
     val sampled = cands
       .where(pmod(xxhash64(col("id_a")), lit(64)) === 0)
       .distinct().join(sizesA, Seq("id_a"))
@@ -79,17 +87,23 @@ object ContainmentProbe {
     }
     spark.sparkContext.addSparkListener(listener)
     val before = 0L
-    val batch = cands.where(pmod(xxhash64(col("id_a")), lit(16)) === 0)
+    val t0 = System.nanoTime()
+    // resident index sides, mirroring the operator's middle tier
+    val batch = cands
+      .where(pmod(xxhash64(col("id_a")), lit(batchMod)) === 0)
       .distinct()
-      .join(invA, Seq("id_a"))
-      .join(inv, Seq("id_b", "h"))
+      .join(broadcast(invA), Seq("id_a"))
+      .join(broadcast(inv), Seq("id_b", "h"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("shared"))
       .count()
+    val wall = (System.nanoTime() - t0) / 1e9
     // listener events are async; give the bus a moment to drain
     Thread.sleep(2000)
     val after = acc.get()
-    println(s"PROBE batch16 pairs=$batch shuffleWriteBytes=${after - before}" +
+    println(f"PROBE batch$batchMod%d pairs=$batch%d wall=$wall%.1f s " +
+      s"(full ~ ${(wall * batchMod / 60).toInt} min) " +
+      s"shuffleWriteBytes=${after - before}" +
       s" (~${(after - before) / (1L << 20)} MiB)")
     spark.stop()
   }
