@@ -1,5 +1,13 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
+// No "[success] Total time: ..." footer: the bench driver captures
+// stdout and parses its LAST line as JSON — graft.Bench prints the
+// compact summary line last, and the footer (the only sbt output after
+// a forked run's stdout) is what kept BENCH_r{1..15}.json at
+// "parsed": null. Exit codes still carry success/failure.
+Global / showSuccess := false
+// consumed by the command engine, not a task — exempt from lintUnused
+Global / excludeLintKeys += showSuccess
 name := "sequilanativespark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")

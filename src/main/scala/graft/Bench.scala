@@ -28,6 +28,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // roomy driver for the containment resident-tier index broadcast
+      // (the gate self-clamps to 80% of maxResultSize; see
+      // Dedup.ContainmentIndexBroadcastMaxBytesConf)
+      .config("spark.driver.maxResultSize", "4g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.install(spark)

@@ -84,14 +84,19 @@ object Curation {
       .localCheckpoint()
     val gated = base.where(col("lang_ok") && col("quality_ok"))
       .select("doc_id", "text")
-    val effectiveCap =
-      if (lshCandidateBudget <= 0L) lshMaxBucketSize
-      else math.min(lshMaxBucketSize,
-        Dedup.lshAutoCap(gated, "doc_id", "text",
+    // auto-cap mode rides ONE banding pass ([[Dedup
+    // .minhashDupPairsBudgeted]]): lshAutoCap-then-minhashDupPairs ran
+    // the shingle+MinHash+banding pipeline twice over the gate
+    // survivors, and at the 100x GenScale decade the second pass cost
+    // more than the cap saved (q138 393.5 s vs q127 345.9 s, r15
+    // SCALE). The effective cap and emitted pairs are identical.
+    val nearPairs = (if (lshCandidateBudget <= 0L)
+        Dedup.minhashDupPairs(gated, "doc_id", "text", nearThreshold,
+          maxBucketSize = lshMaxBucketSize)
+      else
+        Dedup.minhashDupPairsBudgeted(gated, "doc_id", "text",
+          nearThreshold, maxBucketSize = lshMaxBucketSize,
           candidateBudget = lshCandidateBudget))
-    val nearPairs = Dedup
-      .minhashDupPairs(gated, "doc_id", "text", nearThreshold,
-        maxBucketSize = effectiveCap)
       .select(col("id1"), col("id2"))
     val nearLosers = Dedup.connectedComponents(nearPairs)
       .where(col("id") =!= col("group_id"))

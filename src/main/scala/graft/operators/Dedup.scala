@@ -107,21 +107,28 @@ object Dedup {
    */
   def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    // NULL texts out before banding: they all share one signature, so a
-    // corpus with many NULL rows would put them ALL in the same bucket
-    // per band and detonate the quadratic within-bucket expansion
+      maxBucketSize: Int = Int.MaxValue): DataFrame =
+    bucketPairs(lshBucketsFrame(docs, idCol, textCol, shingleSize,
+      numHashes, bands).where(size(col("ids")) <= maxBucketSize))
+
+  /** The shared banding pass: one multi-member bucket row per (band,
+    * bucket) with its id list. NULL texts out before banding: they all
+    * share one signature, so a corpus with many NULL rows would put
+    * them ALL in the same bucket per band and detonate the quadratic
+    * within-bucket expansion. */
+  private def lshBucketsFrame(docs: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int, numHashes: Int,
+      bands: Int): DataFrame = {
     val sig = docs.where(col(textCol).isNotNull)
       .select(col(idCol).as("id"),
         minhashSignatureFromHashes(shingleHashes(col(textCol), shingleSize),
           numHashes).as("sig"))
-    val banded = sig.select(col("id"),
-      explode(lshBands(col("sig"), numHashes, bands)).as("b"))
+    sig.select(col("id"),
+        explode(lshBands(col("sig"), numHashes, bands)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.bucket").as("bucket"))
-    val buckets = banded.groupBy("band", "bucket")
+      .groupBy("band", "bucket")
       .agg(collect_list("id").as("ids"))
-      .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucketSize)
-    bucketPairs(buckets)
+      .where(size(col("ids")) > 1)
   }
 
   /** Bucket-size profile of the MinHash-LSH banding over `docs`: one row
@@ -168,9 +175,16 @@ object Dedup {
         numHashes, bands)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
       .sortBy(_._1)
-    // stop at the FIRST size past the budget: the cap is a prefix rule
-    // (every bucket ≤ cap is admitted), so a later size fitting the
-    // leftover budget could not be admitted without the blown one
+    capFromProfile(prof, candidateBudget)
+  }
+
+  /** The prefix-budget cap rule shared by [[lshAutoCap]] and the
+    * single-pass [[minhashDupPairsBudgeted]]: stop at the FIRST size
+    * past the budget — the cap is a prefix rule (every bucket ≤ cap is
+    * admitted), so a later size fitting the leftover budget could not
+    * be admitted without the blown one. */
+  private def capFromProfile(prof: Array[(Long, Long)],
+      candidateBudget: Long): Int = {
     var cum = 0L
     var cap = 1L
     val it = prof.iterator
@@ -183,6 +197,39 @@ object Dedup {
       else { cum += vol; cap = size }
     }
     math.min(cap, Int.MaxValue.toLong).toInt
+  }
+
+  /** [[minhashDupPairs]] with the cap picked by [[lshAutoCap]]'s budget
+    * rule from the SAME banding pass — the capped-curation fix (r15
+    * verdict #4): calling `lshAutoCap` then `minhashDupPairs` runs the
+    * shingle+MinHash+banding pipeline TWICE over the corpus, and at the
+    * 100x GenScale decade that second pass cost MORE than the cap saved
+    * (q138 393.5 s vs q127 uncapped 345.9 s — the cap's insurance
+    * premium inverted). Here the multi-member bucket frame is built
+    * once and checkpointed (its rows are (band, bucket, ids) — ~bands
+    * id entries per doc, no text), the profile collapses from it
+    * (≤ |distinct sizes| driver rows, the lshAutoCap footprint class),
+    * and the candidate expansion reads the same checkpointed frame with
+    * the cap applied. The effective cap and the emitted pairs are
+    * EXACTLY what the two-pass form produces — same profile, same
+    * prefix rule, same bucket filter — so oracles are unchanged. */
+  def minhashDupPairsBudgeted(docs: DataFrame, idCol: String,
+      textCol: String, threshold: Double, shingleSize: Int = 3,
+      numHashes: Int = 64, bands: Int = 16,
+      maxBucketSize: Int = Int.MaxValue,
+      candidateBudget: Long): DataFrame = {
+    require(candidateBudget > 0,
+      s"candidateBudget must be positive (got $candidateBudget)")
+    val buckets = lshBucketsFrame(docs, idCol, textCol, shingleSize,
+      numHashes, bands).localCheckpoint()
+    val prof = buckets
+      .groupBy(size(col("ids")).cast("long").as("bucket_size"))
+      .agg(count(lit(1)).as("buckets"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    val cap = math.min(maxBucketSize, capFromProfile(prof, candidateBudget))
+    val cands = bucketPairs(buckets.where(size(col("ids")) <= cap))
+    verifyJaccardPairs(docs, idCol, textCol, threshold, shingleSize, cands)
   }
 
   /** Within-bucket candidate expansion shared by the MinHash and SRP
@@ -216,14 +263,21 @@ object Dedup {
    */
   def minhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleSize: Int = 3, numHashes: Int = 64,
-      bands: Int = 16, maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    val cands = lshCandidatePairs(docs, idCol, textCol, shingleSize,
-      numHashes, bands, maxBucketSize)
-    // Jaccard over shingle-hash sets == Jaccard over shingle-string sets
-    // (64-bit hashing is injective modulo negligible collisions).
-    // Materialization rule: the verify joins reference this frame for
-    // BOTH pair sides — without the checkpoint the shingle kernel runs
-    // over the full corpus twice here (on top of the LSH pass's own).
+      bands: Int = 16, maxBucketSize: Int = Int.MaxValue): DataFrame =
+    verifyJaccardPairs(docs, idCol, textCol, threshold, shingleSize,
+      lshCandidatePairs(docs, idCol, textCol, shingleSize,
+        numHashes, bands, maxBucketSize))
+
+  /** Exact-Jaccard verification of candidate `(id1, id2)` pairs.
+    * Jaccard over shingle-hash sets == Jaccard over shingle-string sets
+    * (64-bit hashing is injective modulo negligible collisions).
+    * Materialization rule: the verify joins reference the shingle frame
+    * for BOTH pair sides — without the checkpoint the shingle kernel
+    * runs over the full corpus twice here (on top of the LSH pass's
+    * own). */
+  private def verifyJaccardPairs(docs: DataFrame, idCol: String,
+      textCol: String, threshold: Double, shingleSize: Int,
+      cands: DataFrame): DataFrame = {
     val sh = docs.select(col(idCol).as("id"),
       shingleHashes(col(textCol), shingleSize).as("sh"))
       .localCheckpoint()
@@ -1779,11 +1833,30 @@ object Dedup {
       // single-wave ENOSPC was exactly that stream hitting disk).
       // Above the index gate (the true 100 TB regime) the shuffled
       // shape below remains, with executor fleets absorbing the wave.
+      // driver-side cost of making the index resident: a
+      // BroadcastExchange COLLECTS the rows to the driver as
+      // UnsafeRows — a (long, long) row is 24 B (8 B null-bitset word
+      // + 2×8 B fields), not the 16 B logical — and that collect is
+      // subject to spark.driver.maxResultSize (default 1g). Gate on
+      // the COLLECTED bytes and self-clamp the gate to 80% of
+      // maxResultSize, so an index in the former 0.7-1 GiB blind spot
+      // routes to the shuffled tier instead of aborting the whole
+      // query mid-broadcast with a maxResultSize SparkException.
+      // Deployments with roomy drivers raise BOTH knobs
+      // (Bench/BenchScale set maxResultSize=4g at session build, which
+      // keeps the measured sf10 GenScale index — 35.9 M rows ≈ 861 MB
+      // collected — on the resident tier).
       val invBytes =
-        (if (stats.isNullAt(1)) 0L else stats.getLong(1)) * 16L
-      val invGate = docs.sparkSession.conf
+        (if (stats.isNullAt(1)) 0L else stats.getLong(1)) * 24L
+      val confGate = docs.sparkSession.conf
         .get(ContainmentIndexBroadcastMaxBytesConf,
           ContainmentIndexBroadcastMaxBytes.toString).toLong
+      val maxResultBytes = org.apache.spark.network.util.JavaUtils
+        .byteStringAsMb(docs.sparkSession.conf
+          .get("spark.driver.maxResultSize", "1g")) << 20
+      val invGate =
+        if (maxResultBytes <= 0L) confGate // 0 = unlimited collects
+        else math.min(confGate, maxResultBytes / 5L * 4L)
       val invResident = invBytes <= invGate
       val invB = if (invResident) broadcast(inv) else inv
       val invAB = if (invResident) broadcast(invA) else invA
@@ -1823,23 +1896,35 @@ object Dedup {
       // executor disks aggregate far past this) keeps today's single
       // lazy plan; each batch is eagerly materialized (16-byte
       // survivor rows) before the next starts.
+      // one sample job measures BOTH the raw candidate rows (what the
+      // distinct's shuffle WRITE carries: duplicates of a pair arrive
+      // from different shingle-hash partitions, so map-side partial
+      // aggregation cannot collapse them — on dup-dense corpora
+      // raw/distinct approaches probeK) and the distinct pairs + their
+      // Σ|sh(a)| (what the verify stages downstream of the distinct
+      // carry). The wave is sized from the LARGER of the two (r16
+      // ADVICE: the previous distinct-only estimate undersized the
+      // wave by up to probeK× and only matched measured disk because
+      // shuffle compression canceled the multiplier).
       val SampleMod = 64
       val sampleRow = cands
         .where(pmod(xxhash64(col("id_a")), lit(SampleMod)) === 0)
-        .distinct()
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("__dup"))
         .join(sizesA, Seq("id_a"))
-        .agg(count(lit(1)).as("__sn"), sum("__n_a").as("__ss")).head()
+        .agg(count(lit(1)).as("__sn"), sum("__n_a").as("__ss"),
+          sum("__dup").as("__sraw")).head()
       val spark = docs.sparkSession
       val scratch = spark.conf.get(ContainmentScratchBytesConf,
         defaultScratchBytes(spark).toString).toLong
       val estWide =
         if (!sampleRow.isNullAt(0) && sampleRow.getLong(0) > 0L) {
           val sPairs = sampleRow.getLong(0).toDouble * SampleMod
+          val sRaw = sampleRow.getLong(2).toDouble * SampleMod
           val sShA =
             (if (sampleRow.isNullAt(1)) 0L else sampleRow.getLong(1))
               .toDouble * SampleMod
-          (if (invResident) sPairs * 16.0
-           else sPairs * 16.0 + sShA * 24.0) * 1.5
+          (if (invResident) math.max(sPairs, sRaw) * 16.0
+           else math.max(sPairs, sRaw) * 16.0 + sShA * 24.0) * 1.5
         } else {
           val dfp = probes.groupBy("h").agg(count(lit(1)).as("__np"))
           val dfi = invKept.groupBy("h").agg(count(lit(1)).as("__ni"))
@@ -1852,7 +1937,16 @@ object Dedup {
             else stats.getLong(1).toDouble / nDocs
           candUB.toDouble * avgSh * 24.0
         }
-      val k = math.min(256, math.max(1,
+      // resident-tier batches each REBUILD the inv/invA broadcasts
+      // (broadcast exchanges are not reused across separate actions:
+      // every batch re-collects and re-hashes a relation that can be
+      // several GB in executor memory), so the resident tier caps k at
+      // 32 — if the candidate-distinct wave alone wants more waves
+      // than that while the index fits in one broadcast, the corpus is
+      // dup-dense far past what the tier was sized for and the
+      // per-batch rebuild tax would dominate (r16 ADVICE)
+      val kCap = if (invResident) 32 else 256
+      val k = math.min(kCap, math.max(1,
         math.ceil(estWide / math.max(1L, scratch).toDouble).toInt))
       lastContainmentBatches = k
       if (k <= 1) countVerified(cands)
@@ -1860,7 +1954,9 @@ object Dedup {
         log.info(s"containmentDupPairs: over-gate verify in $k " +
           s"bounded-scratch batches (sampled wave estimate " +
           s"${(estWide / (1L << 20)).toLong} MiB vs scratch " +
-          s"${scratch / (1L << 30)} GiB)")
+          s"${scratch / (1L << 30)} GiB)" +
+          (if (invResident) s"; resident tier re-broadcasts the " +
+            s"${invBytes / (1L << 20)} MiB index per batch" else ""))
         val shimSql = org.apache.spark.sql.GraftSqlShim
         val parts = (0 until k).map { i =>
           // eager checkpoint: batches run SEQUENTIALLY. The finished
@@ -1928,22 +2024,28 @@ object Dedup {
     "spark.graft.dedup.containmentBroadcastMaxBytes"
   val ContainmentBroadcastMaxBytes: Long = 256L << 20
 
-  /** Middle-tier gate for the over-gate verify: broadcast the 16-byte
-    * inverted-INDEX rows (id, hash) while their measured bytes stay
-    * under this, even though the array frame is past
-    * [[ContainmentBroadcastMaxBytesConf]] — the index is ~2-4x smaller
-    * than the array frame it indexes, and with both index sides
-    * resident the exploded (pair, shingle) verify stream never crosses
-    * an exchange: the candidate distinct becomes the verify's ONE wide
-    * shuffle and the pair-count aggregate rides its layout. 1 GiB of
-    * raw rows hashes to a ~2.5-3.5 GB relation — inside a typical
-    * 8-16 GB executor and under Spark's 8 GB broadcast ceiling (the
-    * 100x GenScale decade measures 574 MB of index for a corpus whose
-    * array frame is past the 256 MB gate — the regime this tier
-    * exists for). Above it
-    * (the true 100 TB regime) the verify shuffles the index too, and
-    * the scratch batching sizes its waves off the full exploded
-    * stream. */
+  /** Middle-tier gate for the over-gate verify: broadcast the
+    * inverted-INDEX rows (id, hash) while their measured DRIVER-
+    * COLLECTED bytes (24 B per UnsafeRow — null-bitset word + two
+    * longs, not the 16 B logical) stay under this, even though the
+    * array frame is past [[ContainmentBroadcastMaxBytesConf]] — the
+    * index is ~2-4x smaller than the array frame it indexes, and with
+    * both index sides resident the exploded (pair, shingle) verify
+    * stream never crosses an exchange: the candidate distinct becomes
+    * the verify's ONE wide shuffle and the pair-count aggregate rides
+    * its layout. The effective gate additionally self-clamps to 80%
+    * of `spark.driver.maxResultSize` (the broadcast physically
+    * collects the rows to the driver first — an index over that limit
+    * would abort the query, where the shuffled tier completes; r16
+    * ADVICE). 1 GiB of collected rows hashes to a ~2-3 GB relation —
+    * inside a typical 8-16 GB executor and under Spark's 8 GB
+    * broadcast ceiling (the 100x GenScale decade measures 35.9 M
+    * index rows ≈ 861 MB collected for a corpus whose array frame is
+    * past the 256 MB gate — the regime this tier exists for; the
+    * bench/scale harnesses raise maxResultSize to 4g at session build
+    * to keep that point resident). Above the gate (the true 100 TB
+    * regime) the verify shuffles the index too, and the scratch
+    * batching sizes its waves off the full exploded stream. */
   val ContainmentIndexBroadcastMaxBytesConf =
     "spark.graft.dedup.containmentIndexBroadcastMaxBytes"
   val ContainmentIndexBroadcastMaxBytes: Long = 1024L << 20

@@ -275,6 +275,16 @@ object TextStats {
    * docs| × |query terms| narrow rows, not the corpus); df/N/avgdl
    * ride 1-row-to-vocab-bounded broadcasts; the final per-query top-k
    * is a WindowGroupLimit cut, never a global sort of the scores.
+   * The Σ_term df·qf score fan-out happens INSIDE
+   * [[graft.functions.Bm25ScoreQueries]] — a compiled per-document
+   * kernel against the driver-built term → query-ids table — so the
+   * fan-out rows never cross an exchange and the former
+   * high-cardinality (query, doc) hash aggregate (7-9 s of the 16.1 s
+   * r15 bench entry on its own) is gone; only ≤ |doc, matched term|
+   * 16-byte entries shuffle into the per-doc collapse. The query side
+   * is collected once on the driver to build the table — the same
+   * |query, term| ceiling it already paid as a broadcast (documented
+   * in [[graft.Bench]]: ~2-3 M queries of eval-prompt length).
    */
   def bm25Retrieve(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qIdCol: String, qTextCol: String, k: Int,
@@ -294,19 +304,31 @@ object TextStats {
       avg(size(col("toks")).cast("long")).as("avgdl"))
     val qTerms = queries.select(col(qIdCol).cast("long").as("query_id"),
       explode(array_distinct(Dedup.words(col(qTextCol)))).as("term"))
-    val qVocab = qTerms.select("term").distinct()
+    // driver-built query vocabulary: term -> dense tid (sorted for
+    // determinism) + tid -> query-ids inverted table. The collect is
+    // the query SIDE (the small side by contract — it was already
+    // broadcast whole before this shape existed, same ceiling).
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qGroups = qTerms.groupBy("term")
+      .agg(collect_list("query_id").as("qids"))
+      .as[(String, Seq[Long])].collect().sortBy(_._1)
+    val qidsByTid: Array[Array[Long]] = qGroups.map(_._2.toArray)
+    val vocabTid = spark.createDataset(
+      qGroups.iterator.map(_._1).zipWithIndex.toSeq).toDF("term", "tid")
     // prune token instances against the (broadcast) query vocabulary
     // BEFORE the (doc, term) collapse: the aggregate's exchange then
-    // carries only matched rows
+    // carries only matched rows — and the term string dies at this
+    // join (the hash-first discipline: downstream keys are int tids)
     val tf = toks
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
         explode(col("toks")).as("term"))
-      .join(broadcast(qVocab), Seq("term"))
-      .groupBy("doc_id", "dl", "term")
+      .join(broadcast(vocabTid), Seq("term"))
+      .groupBy("doc_id", "dl", "tid")
       .agg(count(lit(1)).as("tf"))
     // per-term document frequency over the whole corpus, computed on
     // the already-pruned rows (one row here per matching (doc, term))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val df = tf.groupBy("tid").agg(count(lit(1)).as("df"))
     // row-level quantized term score — operation order mirrors the
     // oracle SQL exactly (see the q85 expression shape)
     val idf = log(lit(1.0) +
@@ -316,14 +338,26 @@ object TextStats {
     val termScore = idf * tfd * lit(k1 + 1.0) /
       (tfd + lit(k1) * (lit(1.0 - b) + lit(b) *
         col("dl").cast("double") / col("avgdl")))
-    val scored = tf
-      .join(broadcast(df), Seq("term"))
-      .join(broadcast(qTerms), Seq("term"))
+    // collapse each doc's matched (s, tid) entries into one row and
+    // run the Σ_term df·qf fan-out inside the compiled kernel — no
+    // (query, doc) aggregate, no fan-out exchange (see
+    // [[graft.functions.Bm25ScoreQueries]])
+    val docEntries = tf
+      .join(broadcast(df), Seq("tid"))
       .crossJoin(broadcast(stats))
-      .select(col("query_id"), col("doc_id"),
-        round(termScore * lit(1000000.0), 0).cast("long").as("s"))
-      .groupBy("query_id", "doc_id")
-      .agg(sum("s").as("score_q"))
+      .select(col("doc_id"),
+        struct(round(termScore * lit(1000000.0), 0).cast("long").as("s"),
+          col("tid")).as("e"))
+      .groupBy("doc_id")
+      .agg(collect_list(col("e")).as("entries"))
+    val scoreArr = org.apache.spark.sql.GraftSqlShim.column(
+      graft.functions.Bm25ScoreQueries(
+        org.apache.spark.sql.GraftSqlShim.lazyExpression(col("entries")),
+        qidsByTid))
+    val scored = docEntries
+      .select(col("doc_id"), explode(scoreArr).as("qs"))
+      .select(col("qs.query_id").as("query_id"), col("doc_id"),
+        col("qs.score_q").as("score_q"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score_q").desc, col("doc_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))

@@ -73,6 +73,10 @@ object BenchScale {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // roomy driver for the containment resident-tier index broadcast
+      // (the gate self-clamps to 80% of maxResultSize; see
+      // Dedup.ContainmentIndexBroadcastMaxBytesConf)
+      .config("spark.driver.maxResultSize", "4g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.GraftSession.install(spark)
@@ -287,6 +291,26 @@ object BenchScale {
       entries += s""""flagship_pairs":$pairs"""
       println(s"SCALE $dir flagship pairs=$pairs " +
         fSecs.map(fmt).mkString(" "))
+      // the SAME workload with the 100-TB execution mode pinned: both
+      // sides exchange on (contig, bin) and each partition builds its
+      // own index — no broadcast anywhere. q13 pins this mode at ledger
+      // scale for correctness; this entry gives the mode its own scale
+      // curve (r15 verdict: the default-strategy curve was the only
+      // decade record). Read it against flagship_count: partitioned
+      // mode pays the two exchanges up front, so small decades show a
+      // fixed gap that amortizes away as the pair volume grows.
+      var pairsPart = 0L
+      val fpSecs = timedEntry("flagship_count_partitioned") { () =>
+        spark.conf.set(graft.GraftSession.IntervalJoinForceMode,
+          "partitioned")
+        try { val (p, s) = flagshipCount(spark, dir); pairsPart = p; s }
+        finally spark.conf.set(graft.GraftSession.IntervalJoinForceMode, "")
+      }
+      require(pairsPart == pairs,
+        s"partitioned flagship disagrees: $pairsPart vs $pairs")
+      entries += s""""flagship_count_partitioned":[${fpSecs.map(fmt).mkString(",")}]"""
+      println(s"SCALE $dir flagship_partitioned pairs=$pairsPart " +
+        fpSecs.map(fmt).mkString(" "))
       var ccEdges = 0L
       var ccRounds = 0
       val ccSecs = timedEntry("cc_star_scale") { () =>

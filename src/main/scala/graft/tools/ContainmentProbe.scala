@@ -60,7 +60,13 @@ object ContainmentProbe {
     val sizesA = sh.select(col("id").as("id_a"), size(col("sh")).as("na"))
 
     val nDocs = sh.count()
-    val sumSh = sh.agg(sum(size(col("sh")))).head().getLong(0)
+    if (nDocs == 0L) {
+      println(s"PROBE no non-null documents under $dir — nothing to size")
+      spark.stop()
+      return
+    }
+    val sumShRow = sh.agg(sum(size(col("sh")))).head()
+    val sumSh = if (sumShRow.isNullAt(0)) 0L else sumShRow.getLong(0)
     println(s"PROBE docs=$nDocs sumSh=$sumSh avgSh=${sumSh / nDocs}")
     if (!skipExact) {
       val raw = cands.count()
@@ -70,10 +76,11 @@ object ContainmentProbe {
         count(lit(1)).as("n"), sum("na").as("s")).head()
       println(s"PROBE distinctCand=${exact.getLong(0)} sumShA=${exact.getLong(1)}")
     }
-    val sampled = cands
+    val sampledRow = cands
       .where(pmod(xxhash64(col("id_a")), lit(64)) === 0)
       .distinct().join(sizesA, Seq("id_a"))
-      .agg(sum("na")).head().getLong(0)
+      .agg(sum("na")).head()
+    val sampled = if (sampledRow.isNullAt(0)) 0L else sampledRow.getLong(0)
     println(s"PROBE sampledSumShA=${sampled}  x64=${sampled * 64}")
 
     // one 1/16 batch of the count-verify, with actual shuffle write
@@ -98,8 +105,9 @@ object ContainmentProbe {
       .agg(count(lit(1)).as("shared"))
       .count()
     val wall = (System.nanoTime() - t0) / 1e9
-    // listener events are async; give the bus a moment to drain
-    Thread.sleep(2000)
+    // listener events are async; block until the bus is actually
+    // drained (a fixed sleep under-reported on loaded boxes)
+    org.apache.spark.sql.GraftSqlShim.waitListenerBusEmpty(spark)
     val after = acc.get()
     println(f"PROBE batch$batchMod%d pairs=$batch%d wall=$wall%.1f s " +
       s"(full ~ ${(wall * batchMod / 60).toInt} min) " +

@@ -25,6 +25,13 @@ object GraftSqlShim {
   /** Wrap a Catalyst Expression back into a Column. */
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
 
+  /** Block until the async listener bus has delivered every queued
+    * event — for tools that read SparkListener-accumulated metrics
+    * right after an action (a fixed sleep under-reports on loaded
+    * boxes; `listenerBus` is `private[spark]`). */
+  def waitListenerBusEmpty(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Eagerly materialize `df` as a local checkpoint and return it with
     * the shuffle ids OWNED by this execution — collected by walking the
     * executed RDD's lineage for `ShuffleDependency` ids before the

@@ -249,6 +249,33 @@ class StreamingSpec extends SparkTestBase {
     assert(ps.readPtr(3).contains(("data-10-0/graft_pb=3", 10L, e2)))
   }
 
+  test("epoch marker compaction: stale markers GC'd, epoch + fence survive") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ptr_compact").toFile
+    val ps = new graft.streaming.PointerStore(dir)
+    // many historical takeovers: each acquire claims marker n and GCs
+    // the ones below it, so the directory never accumulates markers
+    val epochs = (1 to 25).map(_ => ps.acquireEpoch())
+    assert(epochs == (1L to 25L), s"non-sequential epochs: $epochs")
+    val markers = dir.listFiles().map(_.getName)
+      .filter(_.startsWith("epoch-")).toSeq
+    assert(markers == Seq("epoch-25"),
+      s"stale markers survived compaction: $markers")
+    // the compacted directory still reports the durable epoch...
+    assert(ps.currentEpoch() == 25L)
+    // ...a fresh opener (post-compaction takeover) claims the next one
+    val ps2 = new graft.streaming.PointerStore(dir)
+    val e26 = ps2.acquireEpoch()
+    assert(e26 == 26L, s"compaction rolled the epoch back: claimed $e26")
+    // ...and the fence still rejects a pre-compaction zombie
+    ps2.publishPtr(0, "data-26-0/graft_pb=0", 0L, e26)
+    val ex = intercept[graft.streaming.PointerStore.StaleWriterException] {
+      ps.publishPtr(0, "data-7-0/graft_pb=0", 0L, 7L)
+    }
+    assert(ex.getMessage.contains("fenced"))
+    assert(ps2.readPtr(0).contains(("data-26-0/graft_pb=0", 0L, e26)))
+  }
+
   test("upsertAggStore replay is idempotent: restamped batches are skipped") {
     val watch = java.nio.file.Files.createTempDirectory("graft_upsert_in2")
     val storeDir = java.nio.file.Files
