@@ -1398,13 +1398,28 @@ object Dedup {
     // 32 near-empty tasks is pure scheduler overhead (the q70 63 k-edge
     // entry ran ~1.7x slower that way). ~100 k canonical rows per
     // partition, capped at the session conf for big graphs.
-    val nStar = math.max(1, math.min(confParts,
-      (edgeCount / 200000L).toInt + 1))
+    val nStar = {
+      val conf = edges.sparkSession.conf
+        .get(StarPartitionsConf, "0").toInt
+      if (conf > 0) math.min(confParts, conf)
+      else math.max(1, math.min(confParts,
+        (edgeCount / 200000L).toInt + 1))
+    }
     // node count is bounded by the symmetric edge count; ~300 k nodes
     // of (id, min) rows is the ~10 MB broadcast-threshold ballpark
     val bigGraph = edgeCount >= 600000L
     val maybeHinted: DataFrame => DataFrame =
       if (bigGraph) _.hint("shuffle_hash") else identity
+    // (A node-frame BROADCAST tier — ship the (node, min) frame to
+    // every task so the large-star join and the small-star window both
+    // ride the checkpoint's hash(hi) layout, cutting a round's
+    // edge-sized exchanges 3 → 1 — was tried in round 16 and reverted:
+    // interleaved A/B on the 1.26 M-edge cc_star graph measured warm
+    // walls IDENTICAL (10.5-11.7 s off vs 10.3-11.5 s on), because at
+    // this scale the 20 MB hash exchanges are not where round wall
+    // goes — the per-round broadcast rebuild costs what the exchanges
+    // saved. Round wall is stage-barrier + window-sort bound; see the
+    // StarFloor probe.)
     // AQE pinned OFF for the big-graph loop (saved + restored below):
     // inside these rounds AQE has nothing left to decide — every
     // exchange is an explicit-N repartition (exempt from coalescing)
@@ -1979,6 +1994,14 @@ object Dedup {
       }
     }
   }
+
+  /** Explicit round-partition width for [[starLoop]] (0 = derive from
+    * the edge volume: ~200 k canonical rows per partition, capped at
+    * the session shuffle width). The heuristic was tuned on SMALL
+    * graphs (32 near-empty tasks cost q70 ~1.7×); at the 1.26 M-edge
+    * bench point it picks 7 of 32 cores — this knob exists so the
+    * width can be measured per shape (see CcBench). */
+  val StarPartitionsConf = "spark.graft.dedup.starPartitions"
 
   /** Scratch budget (bytes) for [[containmentDupPairs]]'s over-gate
     * bounded-scratch batching: the estimated one-wave shuffle volume

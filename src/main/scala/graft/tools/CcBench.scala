@@ -13,6 +13,7 @@ object CcBench {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val reps = if (args.length > 1) args(1).toInt else 3
+    val nStar = if (args.length > 2) args(2).toInt else 0
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -21,6 +22,8 @@ object CcBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.GraftSession.install(spark)
+    if (nStar > 0) spark.conf.set(
+      graft.operators.Dedup.StarPartitionsConf, nStar.toString)
     val J = 64
     val pairs = graft.Tables.load(spark, dir, "events")
       .select(col("event_id").cast("long").as("e"))
