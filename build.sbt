@@ -8,6 +8,10 @@ ThisBuild / version := "0.1.0"
 Global / showSuccess := false
 // consumed by the command engine, not a task — exempt from lintUnused
 Global / excludeLintKeys += showSuccess
+// Forward the forked run JVM's stdout RAW (no "[info] " logger prefix):
+// the bench driver parses the last stdout line as JSON, and a prefixed
+// line is as unparseable as the footer was.
+run / outputStrategy := Some(StdoutOutput)
 name := "sequilanativespark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")
