@@ -45,9 +45,12 @@ object Curation {
     * each candidate then pays the Jaccard-verify join — measured at the
     * 100x GenScale point (100-member families), the UNCAPPED near-dup
     * stage dominates the whole report's wall. Capped runs skip buckets
-    * over the limit: boilerplate-family pairs hidden only inside
-    * oversized buckets are not verified (their members simply stay
-    * uncollapsed), every other stage is unchanged. Default off.
+    * over the limit — but BYTE-EQUAL family members still collapse,
+    * because exact-duplicate star edges ([[Dedup.exactDupStars]],
+    * corpus-linear) always ride along with the LSH pairs; the recall
+    * cost falls only on NON-exact near-dup pairs hidden inside
+    * oversized buckets in every band. Every other stage is unchanged.
+    * Default off.
     *
     * `lshCandidateBudget` is the AUTO-CAP mode: when > 0, the cap is
     * picked from the measured bucket profile of the gated corpus
@@ -90,6 +93,20 @@ object Curation {
     // survivors, and at the 100x GenScale decade the second pass cost
     // more than the cap saved (q138 393.5 s vs q127 345.9 s, r15
     // SCALE). The effective cap and emitted pairs are identical.
+    // exact-duplicate STAR edges ride along at corpus-LINEAR cost
+    // ([[Dedup.exactDupStars]]): byte-equal copies are Jaccard 1 —
+    // members of a >= nearThreshold dup group BY DEFINITION — and at
+    // scale they are exactly what oversized LSH buckets are made of.
+    // Under an armed cap the LSH stage skips those buckets, and
+    // without this union the pipeline paid the saved quadratic back
+    // downstream: measured at the 100x GenScale decade (r16 probe),
+    // the capped report left 2.6x survivors into the containment
+    // stage, which then found 12x the pairs and cost MORE than the
+    // uncapped report (q138 531 s vs q127 344 s). With the stars, the
+    // cap's documented recall cost falls ONLY on non-exact near-dups
+    // hidden in skipped buckets. Uncapped runs are unchanged (LSH
+    // already finds every exact pair) beyond the linear pass.
+    val exactStars = Dedup.exactDupStars(gated, "doc_id", "text")
     val nearPairs = (if (lshCandidateBudget <= 0L)
         Dedup.minhashDupPairs(gated, "doc_id", "text", nearThreshold,
           maxBucketSize = lshMaxBucketSize)
@@ -98,6 +115,7 @@ object Curation {
           nearThreshold, maxBucketSize = lshMaxBucketSize,
           candidateBudget = lshCandidateBudget))
       .select(col("id1"), col("id2"))
+      .unionByName(exactStars)
     val nearLosers = Dedup.connectedComponents(nearPairs)
       .where(col("id") =!= col("group_id"))
       .select(col("id").as("doc_id"), lit(true).as("near_loser"))

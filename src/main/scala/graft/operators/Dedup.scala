@@ -772,6 +772,29 @@ object Dedup {
       .select("id1", "id2")
   }
 
+  /** Exact-duplicate STAR edges — each non-minimal member of a
+    * byte-equal class paired with the class minimum — at corpus-LINEAR
+    * cost: the spanning form of [[exactDupPairs]] for consumers that
+    * only need the duplicate GROUPS (connected components), where the
+    * all-pairs form's C(m,2) explosion on an m-member family buys
+    * nothing. One fingerprint-keyed exchange (text rides as a VALUE,
+    * same as exactDupPairs — never a key), one window min per class.
+    * Same full-text-verify discipline: a fingerprint collision drops
+    * the member from the star instead of mislinking it. */
+  def exactDupStars(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("fp").orderBy("id")
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), col(textCol).as("t"),
+        TextStats.contentFingerprint(col(textCol)).as("fp"))
+      .withColumn("id1", first("id").over(w))
+      .withColumn("t1", first("t").over(w))
+      .where(col("id") =!= col("id1") &&
+        coalesce(col("t") === col("t1"), lit(false)))
+      .select(col("id1"), col("id").as("id2"))
+  }
+
   /** `shiftright` with a Column shift amount (the Scala helper only
     * accepts a literal Int). */
   private def shr(v: Column, bits: Column): Column =

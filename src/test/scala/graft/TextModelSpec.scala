@@ -505,12 +505,15 @@ class TextModelSpec extends SparkTestBase {
       "dog did not expect to see printed twice in this test corpus"
     val docs = family.union(
       Seq((100L, other), (101L, other)).toDF("doc_id", "text"))
-    // cap below the family: the near-dup stage skips the oversized
-    // bucket, so the family reaches stage 4 — where the CONTAINMENT
-    // backstop still collapses it (identical texts are mutual
-    // containment classes, lowest id survives), just tagged
-    // "contained" instead of "near_dup". The small pair's bucket is
-    // under the cap and still collapses at stage 3.
+    // cap below the family: the near-dup stage's LSH skips the
+    // oversized bucket, but BYTE-EQUAL members still collapse at
+    // stage 3 via the corpus-linear exact-dup star edges
+    // (Dedup.exactDupStars rides along with the LSH pairs in every
+    // curationReport run — r16: without it the capped report paid the
+    // saved LSH quadratic back as containment work on the
+    // uncollapsed families). The guard's skip itself is pinned by
+    // OperatorsSpec's capped lshCandidatePairs count; here the pin is
+    // that the cap's recall cost falls only on NON-exact near-dups.
     val capped = Curation.curationReport(docs, "doc_id", "text",
         langs = Seq("en"), minQuality = 0.2,
         nearThreshold = 0.95, containThreshold = 0.9,
@@ -518,7 +521,7 @@ class TextModelSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) ->
         (if (r.isNullAt(1)) "KEEP" else r.getString(1))).toMap
     assert(capped(0L) == "KEEP" &&
-      (1L until 30L).forall(capped(_) == "contained"), s"got $capped")
+      (1L until 30L).forall(capped(_) == "near_dup"), s"got $capped")
     assert(capped(100L) == "KEEP" && capped(101L) == "near_dup")
     // default (unbounded): the family collapses to its min id
     val full = Curation.curationReport(docs, "doc_id", "text",
