@@ -58,7 +58,17 @@ object Curation {
     * candidate volume fits the budget) instead of requiring the caller
     * to know the family-size distribution in advance; the effective
     * cap is `min(lshMaxBucketSize, autoCap)`. Costs one extra profile
-    * aggregation over the gate survivors. Default off. */
+    * aggregation over the gate survivors. Default off.
+    *
+    * When to arm it: for SURVIVAL, not small-decade speed. In the
+    * composed report, families the cap skips that are NOT byte-equal
+    * (the exact-star edges collapse byte-equal ones linearly) defer to
+    * the containment stage, whose guarded per-family work can cost
+    * more than the skipped LSH verify at decades where the uncapped
+    * verify still completes (measured r16 at 100x GenScale, whose
+    * copies are deliberately suffix-perturbed: capped 496-546 s vs
+    * uncapped 344 s cold). The cap's value is at the decades where
+    * C(m,2) makes the uncapped stage not complete at all. */
   def curationReport(docs: DataFrame, idCol: String, textCol: String,
       langs: Seq[String] = Seq("en"), minQuality: Double = 0.5,
       nearThreshold: Double = 0.8,
