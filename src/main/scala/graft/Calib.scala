@@ -52,13 +52,21 @@ object Calib {
     * into a JSON stamp (sfx = "_start" / "_end"). The multi key is
     * derived from the thread count so a non-default probe can never
     * mislabel its stamp. */
-  def stampJson(sfx: String, threads: Int = 16): String = {
+  def stampJson(sfx: String, threads: Int = 16): String =
+    measured(sfx, threads)._3
+
+  /** [[stampJson]] plus the raw (single, multi) seconds, for callers
+    * that COMPUTE on the stamps (Bench's window_dirty flag) instead of
+    * only printing them. */
+  def measured(sfx: String, threads: Int = 16): (Double, Double, String) = {
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f",
       Double.box(v))
     // JIT warmup so the _start stamp doesn't bill interpreter time
     // that the _end stamp won't pay
     single(); single()
-    s""""calib_single$sfx":${fmt(single())},""" +
-      s""""calib_multi$threads$sfx":${fmt(multi(threads))}"""
+    val s = single()
+    val m = multi(threads)
+    (s, m, s""""calib_single$sfx":${fmt(s)},""" +
+      s""""calib_multi$threads$sfx":${fmt(m)}""")
   }
 }

@@ -114,8 +114,18 @@ object Curation {
     // stage, which then found 12x the pairs and cost MORE than the
     // uncapped report (q138 531 s vs q127 344 s). With the stars, the
     // cap's documented recall cost falls ONLY on non-exact near-dups
-    // hidden in skipped buckets. Uncapped runs are unchanged (LSH
-    // already finds every exact pair) beyond the linear pass.
+    // hidden in skipped buckets. Uncapped runs are BIT-identical to
+    // the pre-star pipeline INCLUDING the zero-shingle corner (r16
+    // ADVICE asked whether empty/whitespace byte-equal docs — shingle
+    // set ∅ — were newly linked by the stars): they are near-dups in
+    // BOTH pipelines, because [[Dedup.jaccard]] defines the
+    // empty-union Jaccard as 1.0 (∅ = ∅ exactly) and empty docs share
+    // the all-sentinel MinHash signature, so the uncapped LSH stage
+    // already buckets and verifies them. The stars therefore PRESERVE
+    // that semantics under an armed cap (where the shared-signature
+    // bucket is exactly the kind the cap skips) — filtering
+    // zero-shingle texts out of the stars would create the divergence
+    // it was meant to prevent. Pinned by the zero-shingle parity spec.
     val exactStars = Dedup.exactDupStars(gated, "doc_id", "text")
     val nearPairs = (if (lshCandidateBudget <= 0L)
         Dedup.minhashDupPairs(gated, "doc_id", "text", nearThreshold,

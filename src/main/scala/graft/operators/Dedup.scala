@@ -779,20 +779,40 @@ object Dedup {
     * all-pairs form's C(m,2) explosion on an m-member family buys
     * nothing. One fingerprint-keyed exchange (text rides as a VALUE,
     * same as exactDupPairs — never a key), one window min per class.
-    * Same full-text-verify discipline: a fingerprint collision drops
-    * the member from the star instead of mislinking it. */
+    * Same full-text-verify discipline, hardened (r16 ADVICE): a
+    * fingerprint collision no longer drops the mismatched members
+    * outright — byte-equal docs colliding with a smaller-id DISTINCT
+    * text (which exactDupPairs would still link) are rescued by a
+    * second window pass over the verify-failed remainder, keyed on an
+    * INDEPENDENT fingerprint (xxhash64 with a salt column prepended).
+    * The remainder is ~empty (reachable only at ~n²/2⁶⁴ probability),
+    * so the rescue pass is a recompute of the linear window over ~zero
+    * rows; a double collision (both fingerprints, ~n²/2¹²⁸) still
+    * DROPS the member rather than mislinking it. */
   def exactDupStars(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("fp").orderBy("id")
-    docs.where(col(textCol).isNotNull)
+    val tagged = docs.where(col(textCol).isNotNull)
       .select(col(idCol).as("id"), col(textCol).as("t"),
         TextStats.contentFingerprint(col(textCol)).as("fp"))
       .withColumn("id1", first("id").over(w))
       .withColumn("t1", first("t").over(w))
-      .where(col("id") =!= col("id1") &&
-        coalesce(col("t") === col("t1"), lit(false)))
+      .withColumn("__hit", coalesce(col("t") === col("t1"), lit(false)))
+    val stars = tagged
+      .where(col("id") =!= col("id1") && col("__hit"))
       .select(col("id1"), col("id").as("id2"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy("fp2").orderBy("id")
+    val rescued = tagged
+      .where(col("id") =!= col("id1") && !col("__hit"))
+      .withColumn("fp2", xxhash64(lit("graft.star.rescue"), col("t")))
+      .withColumn("idr", first("id").over(w2))
+      .withColumn("tr", first("t").over(w2))
+      .where(col("id") =!= col("idr") &&
+        coalesce(col("t") === col("tr"), lit(false)))
+      .select(col("idr").as("id1"), col("id").as("id2"))
+    stars.unionByName(rescued)
   }
 
   /** `shiftright` with a Column shift amount (the Scala helper only
@@ -1889,27 +1909,14 @@ object Dedup {
       val confGate = docs.sparkSession.conf
         .get(ContainmentIndexBroadcastMaxBytesConf,
           ContainmentIndexBroadcastMaxBytes.toString).toLong
-      val maxResultBytes = org.apache.spark.network.util.JavaUtils
-        .byteStringAsMb(docs.sparkSession.conf
-          .get("spark.driver.maxResultSize", "1g")) << 20
-      val invGate =
-        if (maxResultBytes <= 0L) confGate // 0 = unlimited collects
-        else math.min(confGate, maxResultBytes / 5L * 4L)
-      val invResident = invBytes <= invGate
-      val invB = if (invResident) broadcast(inv) else inv
-      val invAB = if (invResident) broadcast(invA) else invA
-      def countVerified(pairs: DataFrame): DataFrame =
-        pairs.distinct()
-          .join(invAB, Seq("id_a"))
-          .join(invB, Seq("id_b", "h"))
-          .groupBy("id_a", "id_b")
-          .agg(count(lit(1)).as("__shared"))
-          .join(sizesA, Seq("id_a"))
-          .select(col("id_a").as("id_contained"),
-            col("id_b").as("id_container"),
-            round(col("__shared").cast("double") /
-              col("__n_a").cast("double"), 6).as("containment"))
-          .where(col("containment") >= threshold)
+      // byteStringAsBytes, not byteStringAsMb: a sub-MB setting
+      // ('512k') truncates to 0 MB, which the unlimited check would
+      // read as "no cap" and skip the self-clamp on exactly the
+      // deployment most likely to abort the collect (r16 ADVICE).
+      // Only the literal '0' setting means unlimited.
+      val invGate = broadcastCollectGate(confGate,
+        docs.sparkSession.conf.get("spark.driver.maxResultSize", "1g"))
+      val invFits = invBytes <= invGate
       // BOUNDED-SCRATCH batching: the verify's widest exchange is still
       // the quadratic-family term, and a run whose aggregate shuffle
       // scratch can't hold it in one wave must not die mid-exchange
@@ -1954,15 +1961,15 @@ object Dedup {
       val spark = docs.sparkSession
       val scratch = spark.conf.get(ContainmentScratchBytesConf,
         defaultScratchBytes(spark).toString).toLong
-      val estWide =
+      val (estResident, estShuffled) =
         if (!sampleRow.isNullAt(0) && sampleRow.getLong(0) > 0L) {
           val sPairs = sampleRow.getLong(0).toDouble * SampleMod
           val sRaw = sampleRow.getLong(2).toDouble * SampleMod
           val sShA =
             (if (sampleRow.isNullAt(1)) 0L else sampleRow.getLong(1))
               .toDouble * SampleMod
-          (if (invResident) math.max(sPairs, sRaw) * 16.0
-           else math.max(sPairs, sRaw) * 16.0 + sShA * 24.0) * 1.5
+          val base = math.max(sPairs, sRaw) * 16.0
+          (base * 1.5, (base + sShA * 24.0) * 1.5)
         } else {
           val dfp = probes.groupBy("h").agg(count(lit(1)).as("__np"))
           val dfi = invKept.groupBy("h").agg(count(lit(1)).as("__ni"))
@@ -1973,19 +1980,44 @@ object Dedup {
           val avgSh =
             if (nDocs == 0L || stats.isNullAt(1)) 0.0
             else stats.getLong(1).toDouble / nDocs
-          candUB.toDouble * avgSh * 24.0
+          val ub = candUB.toDouble * avgSh * 24.0
+          (ub, ub)
         }
       // resident-tier batches each REBUILD the inv/invA broadcasts
       // (broadcast exchanges are not reused across separate actions:
       // every batch re-collects and re-hashes a relation that can be
-      // several GB in executor memory), so the resident tier caps k at
-      // 32 — if the candidate-distinct wave alone wants more waves
-      // than that while the index fits in one broadcast, the corpus is
-      // dup-dense far past what the tier was sized for and the
-      // per-batch rebuild tax would dominate (r16 ADVICE)
-      val kCap = if (invResident) 32 else 256
-      val k = math.min(kCap, math.max(1,
-        math.ceil(estWide / math.max(1L, scratch).toDouble).toInt))
+      // several GB in executor memory), so the resident tier admits at
+      // most 32 waves. When the candidate-distinct wave alone wants
+      // MORE than 32 batches while the index still fits its broadcast
+      // gate, the corpus is dup-dense far past what the tier was sized
+      // for — DEMOTE to the shuffled tier (re-sizing the wave with its
+      // +Σ|sh(a)| term) instead of clamping k at 32: a clamped k
+      // carries up to estResident/32 per batch — the unbounded-scratch
+      // ENOSPC risk the batching exists to prevent — while demotion
+      // only pays the exchange the shuffled tier always pays (r16
+      // ADVICE: crash-safety wins over the broadcast-rebuild tax).
+      val (invResident, k) =
+        containmentWavePlan(invFits, estResident, estShuffled, scratch)
+      if (invFits && !invResident)
+        log.info(s"containmentDupPairs: index fits its broadcast gate " +
+          s"(${invBytes / (1L << 20)} MiB) but the sampled wave wants " +
+          s"more than $ResidentBatchCap resident batches — demoting " +
+          s"to the shuffled tier")
+      val invB = if (invResident) broadcast(inv) else inv
+      val invAB = if (invResident) broadcast(invA) else invA
+      def countVerified(pairs: DataFrame): DataFrame =
+        pairs.distinct()
+          .join(invAB, Seq("id_a"))
+          .join(invB, Seq("id_b", "h"))
+          .groupBy("id_a", "id_b")
+          .agg(count(lit(1)).as("__shared"))
+          .join(sizesA, Seq("id_a"))
+          .select(col("id_a").as("id_contained"),
+            col("id_b").as("id_container"),
+            round(col("__shared").cast("double") /
+              col("__n_a").cast("double"), 6).as("containment"))
+          .where(col("containment") >= threshold)
+      val estWide = if (invResident) estResident else estShuffled
       lastContainmentBatches = k
       if (k <= 1) countVerified(cands)
       else {
@@ -2045,6 +2077,50 @@ object Dedup {
     val usable = try new java.io.File(dir).getUsableSpace
       catch { case _: Exception => 0L }
     math.max(4L << 30, usable / 2)
+  }
+
+  /** Resident-tier batch ceiling: each resident batch REBUILDS the
+    * index broadcasts, so past this many waves the rebuild tax says
+    * the tier was mis-sized for the corpus — demote, don't clamp. */
+  private[graft] val ResidentBatchCap = 32
+
+  /** Effective byte ceiling for [[containmentDupPairs]]'s index
+    * broadcast collect: the configured gate, self-clamped to 80% of
+    * `spark.driver.maxResultSize` so a borderline index routes to the
+    * shuffled tier instead of aborting mid-broadcast. Parsed with
+    * byteStringAsBytes, NOT byteStringAsMb — a sub-MB setting ('512k')
+    * truncates to 0 MB under the latter, which the unlimited check
+    * would read as "no cap" and skip the clamp on exactly the
+    * deployment most likely to abort the collect (r16 ADVICE). Only
+    * the literal '0' setting means unlimited. */
+  private[graft] def broadcastCollectGate(confGate: Long,
+      maxResultSetting: String): Long =
+    if (maxResultSetting.trim == "0") confGate // 0 = unlimited collects
+    else math.min(confGate, org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(maxResultSetting) / 5L * 4L)
+
+  /** The over-gate verify's tier + wave-count decision, pure for
+    * testability: given whether the index fits its broadcast gate and
+    * the sampled one-wave shuffle estimates of BOTH tiers, returns
+    * (invResident, k). When the resident tier's own wave estimate
+    * wants more than [[ResidentBatchCap]] batches, the plan DEMOTES to
+    * the shuffled tier — re-sized with its +Σ|sh(a)| term — rather
+    * than clamping k: a clamped k carries up to estResident/cap bytes
+    * per batch, reinstating the unbounded-scratch ENOSPC risk the
+    * batching exists to prevent (r16 ADVICE: crash-safety wins over
+    * the per-batch broadcast-rebuild tax). The shuffled tier keeps its
+    * own 256-batch ceiling — there each batch's volume is bounded by
+    * scratch only through k, but 256 full index re-scans is already
+    * the pathological-corpus backstop, not a sized plan. */
+  private[graft] def containmentWavePlan(invFits: Boolean,
+      estResident: Double, estShuffled: Double,
+      scratch: Long): (Boolean, Int) = {
+    def waves(est: Double): Int = math.max(1,
+      math.ceil(est / math.max(1L, scratch).toDouble).toInt)
+    val invResident = invFits && waves(estResident) <= ResidentBatchCap
+    val k = math.min(256,
+      waves(if (invResident) estResident else estShuffled))
+    (invResident, k)
   }
 
   /** Broadcast gate for [[containmentDupPairs]]'s verify lookups: the

@@ -310,6 +310,33 @@ object TextStats {
     // broadcast whole before this shape existed, same ceiling).
     val spark = docs.sparkSession
     import spark.implicits._
+    // FAIL-LOUD table gate (r16 verdict #3): past the documented
+    // ~2-3 M-query ceiling the collect below died as a driver OOM
+    // mid-query with no actionable message. One aggregation over the
+    // query side (small by contract — this job is bounded by the same
+    // table it gates) prices the driver-resident table — boxed qid
+    // cells plus UTF-16 term bytes, generous constants so the gate
+    // trips before the heap does — against the configured ceiling,
+    // self-clamped to 80% of spark.driver.maxResultSize exactly like
+    // the containment index gate. Refusing cleanly names the remedy;
+    // there is deliberately no silent fallback (a shuffled term-keyed
+    // join would also abandon the compiled kernel's zero-exchange
+    // fan-out — that switch should be an explicit caller decision).
+    val qStats = qTerms.agg(count(lit(1)).as("n"),
+      sum(length(col("term"))).as("chars")).head()
+    val qRows = if (qStats.isNullAt(0)) 0L else qStats.getLong(0)
+    val qChars = if (qStats.isNullAt(1)) 0L else qStats.getLong(1)
+    val estBytes = qRows * 48L + qChars * 2L
+    val tableGate = Dedup.broadcastCollectGate(
+      spark.conf.get(Bm25QueryTableMaxBytesConf,
+        Bm25QueryTableMaxBytes.toString).toLong,
+      spark.conf.get("spark.driver.maxResultSize", "1g"))
+    require(estBytes <= tableGate,
+      s"bm25Retrieve query-term table would hold ~$qRows (query, term) " +
+        s"entries (~${estBytes / (1L << 20)} MiB driver-resident, gate " +
+        s"${tableGate / (1L << 20)} MiB): split the query batch into " +
+        s"smaller bm25Retrieve calls, or raise " +
+        s"$Bm25QueryTableMaxBytesConf / spark.driver.maxResultSize")
     val qGroups = qTerms.groupBy("term")
       .agg(collect_list("query_id").as("qids"))
       .as[(String, Seq[Long])].collect().sortBy(_._1)
@@ -358,11 +385,63 @@ object TextStats {
       .select(col("doc_id"), explode(scoreArr).as("qs"))
       .select(col("qs.query_id").as("query_id"), col("doc_id"),
         col("qs.score_q").as("score_q"))
+    // per-partition heap-bounded partial top-k (the knnJoin pattern,
+    // r16 verdict #3): the rank<=k window alone was over half the
+    // kernel-path wall (r16 stage profile: ~3.8 s of 7.5) because its
+    // partial stage SORTS every (query, matched doc) row; the heaps
+    // cut that to an O(n log k) streaming pass in the SAME stage as
+    // the kernel explode — the fan-out rows still never cross an
+    // exchange, and only ≤ |queries in partition|·k survivors reach
+    // the final window. Heap tie-break mirrors the window order
+    // exactly (score desc, doc_id asc NULLS FIRST), so the cut keeps
+    // precisely the rows the window would rank <= k. Long-id corpora
+    // only (the common contract — documents.doc_id is BIGINT); any
+    // other id type keeps the plain window, identical semantics.
     val w = Window.partitionBy("query_id")
       .orderBy(col("score_q").desc, col("doc_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
+    val pruned = scored.schema("doc_id").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // max of this ordering = the WORST kept row (evicted first):
+        // worse = lower score, then larger doc_id, with NULL doc_id
+        // ranking best (asc_nulls_first, the window's default)
+        val worstFirst = new Ordering[(Long, Option[Long])] {
+          def compare(a: (Long, Option[Long]),
+              b: (Long, Option[Long])): Int = {
+            val c = java.lang.Long.compare(b._1, a._1)
+            if (c != 0) c
+            else (a._2, b._2) match {
+              case (Some(x), Some(y)) => java.lang.Long.compare(x, y)
+              case (None, Some(_)) => -1
+              case (Some(_), None) => 1
+              case (None, None) => 0
+            }
+          }
+        }
+        scored.as[(Long, Option[Long], Long)].mapPartitions { it =>
+          val heaps = scala.collection.mutable.HashMap.empty[Long,
+            scala.collection.mutable.PriorityQueue[(Long, Option[Long])]]
+          it.foreach { case (qid, did, s) =>
+            val h = heaps.getOrElseUpdate(qid,
+              scala.collection.mutable.PriorityQueue.empty(worstFirst))
+            h.enqueue((s, did))
+            if (h.size > k) h.dequeue()
+          }
+          heaps.iterator.flatMap { case (qid, h) =>
+            h.iterator.map { case (s, did) => (qid, did, s) }
+          }
+        }.toDF("query_id", "doc_id", "score_q")
+      case _ => scored
+    }
+    pruned.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
   }
+
+  /** Conf: byte ceiling for [[bm25Retrieve]]'s driver-built term →
+    * query-ids table (estimated driver-resident size; self-clamped to
+    * 80% of `spark.driver.maxResultSize`). Past it the call refuses
+    * cleanly instead of OOMing the driver mid-collect. */
+  val Bm25QueryTableMaxBytesConf = "spark.graft.text.bm25QueryTableMaxBytes"
+  private val Bm25QueryTableMaxBytes: Long = 1L << 30
 
   /**
    * Per-source template mining: the `k` word n-grams carried by the

@@ -780,6 +780,71 @@ class TextModelSpec extends SparkTestBase {
     }
   }
 
+  test("bm25Retrieve: heap prune ≡ plain window, ties and k boundary") {
+    // dup-heavy corpus: many docs sharing identical text (equal scores)
+    // so the rank<=k cut decides on the doc_id tie-break — exactly
+    // where a heap whose ordering diverged from the window's would
+    // silently drop the wrong doc. String-id twin runs the plain
+    // window path (non-long ids keep the pre-prune shape), so
+    // long-vs-string equality IS heap-vs-window equality.
+    val texts = (1L to 12L).map(i =>
+      i -> (if (i % 3 == 0) "alpha beta gamma" else "alpha delta"))
+    val docs = texts.toDF("doc_id", "text")
+    val docsStr = texts.map { case (i, t) => (i.toString, t) }
+      .toDF("doc_id", "text")
+    val qs = Seq((1L, "alpha"), (2L, "beta gamma"), (3L, "delta alpha"))
+      .toDF("query_id", "query_text")
+    for (k <- Seq(1, 3, 5, 100)) {
+      val viaHeap = TextStats.bm25Retrieve(docs, "doc_id", "text",
+          qs, "query_id", "query_text", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val viaWindow = TextStats.bm25Retrieve(docsStr, "doc_id", "text",
+          qs, "query_id", "query_text", k)
+        .collect().map(r => (r.getLong(0), r.getString(1).toLong,
+          r.getLong(2), r.getLong(3))).toSet
+      // string "10" sorts before "2": compare RANK-free content per
+      // query on the non-tied prefix? No — make ids single-digit-safe
+      // instead: with 12 docs the lexicographic tie-break diverges, so
+      // restrict the cross-check to score multisets per query (order-
+      // independent) and check the long path's tie-break directly.
+      val heapScores = viaHeap.groupBy(_._1).view
+        .mapValues(_.toSeq.map(_._3).sorted).toMap
+      val winScores = viaWindow.groupBy(_._1).view
+        .mapValues(_.toSeq.map(_._3).sorted).toMap
+      assert(heapScores == winScores, s"k=$k")
+      // long-path tie-break: within a query, equal scores rank by
+      // doc_id asc — recompute the expected cut from the full k=100
+      // result ordered (score desc, doc_id asc)
+      if (k < 100) {
+        val full = TextStats.bm25Retrieve(docs, "doc_id", "text",
+            qs, "query_id", "query_text", k = 100)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        val expect = full.groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+          rows.toSeq.sortBy(r => (-r._3, r._2)).take(k).zipWithIndex
+            .map { case ((_, d, s), i) => (q, d, s, i + 1L) }
+        }.toSet
+        assert(viaHeap == expect, s"k=$k")
+      }
+    }
+  }
+
+  test("bm25Retrieve: oversized query table refuses cleanly") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val qs = Seq((10L, "a b"), (20L, "c d")).toDF("query_id", "query_text")
+    spark.conf.set(TextStats.Bm25QueryTableMaxBytesConf, "64")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        TextStats.bm25Retrieve(docs, "doc_id", "text",
+          qs, "query_id", "query_text", k = 5)
+      }
+      // the clean error names the size, the gate and the remedy —
+      // never a driver OOM mid-collect (r16 verdict #3)
+      assert(e.getMessage.contains("query-term table"), e.getMessage)
+      assert(e.getMessage.contains("split the query batch"), e.getMessage)
+    } finally spark.conf.unset(TextStats.Bm25QueryTableMaxBytesConf)
+  }
+
   test("templateNgrams: per-source df ranking, short docs, tie order") {
     val docs = Seq(
       (1L, "c1 c2 c3 foo", "s1"), (2L, "c1 c2 c3 bar", "s1"),
@@ -815,6 +880,100 @@ class TextModelSpec extends SparkTestBase {
     assert(g2.toSeq == Seq((2L, 1L)))
     intercept[IllegalArgumentException] {
       TextStats.prefixClusters(docs, "doc_id", "text", k = 0)
+    }
+  }
+
+  test("exactDupStars: class-min star edges, CC-equivalent to all-pairs") {
+    val docs = Seq(
+      (7L, "alpha beta gamma"), (3L, "alpha beta gamma"),
+      (9L, "alpha beta gamma"),                    // family min = 3
+      (20L, "delta epsilon"), (21L, "delta epsilon"), // family min = 20
+      (30L, "a singleton text"),
+      (40L, null.asInstanceOf[String]), (41L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val stars = Dedup.exactDupStars(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every non-min member paired with its class min; NULLs and
+    // singletons emit nothing (the rescue pass sees an empty remainder)
+    assert(stars == Set((3L, 7L), (3L, 9L), (20L, 21L)))
+    // star edges span the same components as the C(m,2) pair form
+    val pairGroups = Dedup.connectedComponents(
+      Dedup.exactDupPairs(docs, "doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val starGroups = Dedup.connectedComponents(
+      Dedup.exactDupStars(docs, "doc_id", "text").toDF("id1", "id2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(starGroups == pairGroups)
+  }
+
+  test("broadcastCollectGate: sub-MB maxResultSize clamps, only '0' lifts") {
+    val confGate = 256L << 20
+    // r16 ADVICE: '512k' truncated to 0 MB under byteStringAsMb and was
+    // read as unlimited — the exact config most likely to abort the
+    // collect got no protection
+    assert(Dedup.broadcastCollectGate(confGate, "512k") ==
+      512L * 1024 / 5 * 4)
+    assert(Dedup.broadcastCollectGate(confGate, "0") == confGate)
+    assert(Dedup.broadcastCollectGate(confGate, "1g") ==
+      math.min(confGate, (1L << 30) / 5 * 4))
+    // a roomy driver keeps the configured gate
+    assert(Dedup.broadcastCollectGate(confGate, "4g") == confGate)
+  }
+
+  test("containmentWavePlan: over-cap resident wave demotes, not clamps") {
+    val scratch = 1L << 30
+    // resident wave fits in a handful of batches: stay resident
+    assert(Dedup.containmentWavePlan(invFits = true,
+      estResident = 3.5 * scratch, estShuffled = 9.0 * scratch,
+      scratch) == ((true, 4)))
+    // resident wave alone wants > ResidentBatchCap batches while the
+    // index still fits its gate: DEMOTE to the shuffled tier and size
+    // k from the shuffled estimate (with its +shingle-stream term) —
+    // clamping k at the cap would carry estResident/32 per batch,
+    // reinstating the ENOSPC the batching exists to prevent (r16)
+    val (res, k) = Dedup.containmentWavePlan(invFits = true,
+      estResident = 40.0 * scratch, estShuffled = 90.0 * scratch,
+      scratch)
+    assert(!res && k == 90)
+    // index over its gate: shuffled regardless of wave count
+    assert(Dedup.containmentWavePlan(invFits = false,
+      estResident = 1.0, estShuffled = 2.5 * scratch,
+      scratch) == ((false, 3)))
+    // shuffled tier keeps its own 256 backstop
+    assert(Dedup.containmentWavePlan(invFits = false,
+      estResident = 1.0, estShuffled = 1e6 * scratch,
+      scratch) == ((false, 256)))
+  }
+
+  test("curationReport: zero-shingle byte-equal docs — capped ≡ uncapped") {
+    import graft.operators.Curation
+    val prose = "the quick brown fox jumps over the lazy dog and it " +
+      "was seen by the river bank at dawn with a friend of the miller"
+    // the zero-shingle corner (r16 ADVICE): only EMPTY/whitespace text
+    // has shingle set ∅ (short docs collapse to a whole-doc shingle).
+    // Byte-equal empty docs are near-dups in BOTH pipelines — jaccard
+    // defines the empty-union case as 1.0 and empty docs share the
+    // all-sentinel MinHash signature, so the uncapped LSH stage links
+    // them itself; under an armed cap (their shared-signature bucket
+    // is exactly what a cap skips) the exact-dup star edges preserve
+    // the same outcome. This parity is the invariant — NOT "empty docs
+    // stay KEEP". langId("") = "und", qualityScore("") ≈ 0.333, so the
+    // "und" allow-list entry walks the empty docs through the gate.
+    val docs = Seq(
+      (1L, ""), (2L, ""), (3L, ""),
+      (10L, prose), (11L, prose)
+    ).toDF("doc_id", "text")
+    for (cap <- Seq(Int.MaxValue, 2)) {
+      val rep = Curation.curationReport(docs, "doc_id", "text",
+          langs = Seq("en", "und"), minQuality = 0.2,
+          nearThreshold = 0.9, containThreshold = 0.9,
+          lshMaxBucketSize = cap)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) "KEEP" else r.getString(1))).toMap
+      assert(rep(1L) == "KEEP" && rep(2L) == "near_dup" &&
+        rep(3L) == "near_dup", s"cap=$cap got $rep")
+      assert(rep(10L) == "KEEP" && rep(11L) == "near_dup",
+        s"cap=$cap got $rep")
     }
   }
 }
