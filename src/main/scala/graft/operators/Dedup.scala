@@ -1493,6 +1493,31 @@ object Dedup {
     val partsSaved = spark.conf.get(partsKey)
     val pinParts = bigGraph && nStar < confParts
     if (pinParts) spark.conf.set(partsKey, nStar.toString)
+    // relabel-key variant (r16 verdict #2, the one untried structural
+    // lever — MEASURED WORSE in r17, default stays "hi"): key the
+    // round's relabel exchange by LO (the new parent) instead of HI.
+    // hash(lo) still satisfies the dedup's ClusteredDistribution(hi,
+    // lo), and the NEXT round's large-star join probes on c.lo — so
+    // with the checkpoint recording hash(lo) that join runs
+    // exchange-free on BOTH sides (mn rides p's hash(hi) record). The
+    // cost moves to the p-aggregate, which under a hash(lo) layout
+    // pays its own hash(hi) exchange of partially aggregated (hi, min,
+    // cnt) rows. Net per-round serial barrier count is UNCHANGED (the
+    // exchange moved, not vanished), the moved exchange's rows are
+    // 24 B vs the join re-key's 16 B, and the partial aggregation
+    // cannot collapse them (a hi's rows co-locate only with its
+    // parents' hash — post-dedup most his carry one row anyway).
+    // Order-swapped settled A/B on the 1.26 M-edge cc_star graph
+    // (CcBench, r17): warm lo 12.2-15.4 s vs warm hi 10.8-12.4 s —
+    // a 15-25% regression, consistent with that analysis. The knob
+    // stays for measurement reproducibility; DedupGroupsSpec pins the
+    // variant's label-correctness and layout contracts. big-graph
+    // only: the p record's width contract (exchange lands at the
+    // pinned nStar width, AQE off) only holds there, and small graphs
+    // resolve off the micro/contraction paths anyway.
+    val relabelByLo = bigGraph &&
+      spark.conf.get(StarRelabelKeyConf, "hi") == "lo"
+    val relKey = if (relabelByLo) "lo" else "hi"
     var it = 0
     var converged = false
     var roundStats = Vector.empty[(Long, Double)]
@@ -1557,8 +1582,8 @@ object Dedup {
           .select(when(col("lo") === col("m2"), col("hi"))
             .otherwise(col("lo")).as("hi"), // lo > m2 / hi > m2
             col("m2").as("lo"))
-          .repartition(nStar, col("hi"))
-          .dropDuplicates("hi", "lo"), "hi", nStar)
+          .repartition(nStar, col(relKey))
+          .dropDuplicates("hi", "lo"), relKey, nStar)
       // first job of the round: materializes the edge checkpoint AND the
       // p-aggregate checkpoint (reused as next round's min — see prevP),
       // and computes the multi-parent violation count plus the round's
@@ -1568,7 +1593,11 @@ object Dedup {
       // its output provably carries the same layout — RECORD it
       // (assume variant, validated under graft.debug.assertLayout in
       // DedupGroupsSpec) so the next round's join probes `mn` without
-      // re-exchanging the node-sized frame every round.
+      // re-exchanging the node-sized frame every round. Under the
+      // relabel-by-lo variant the aggregate instead pays its own
+      // exchange — which lands at hash(hi, nStar) too (width pinned,
+      // AQE off in the big-graph regime the variant is restricted to),
+      // so the same record stays valid.
       val p = shim.lazyCheckpointAssumeHashPartitioned(next.groupBy("hi")
         .agg(min("lo").as("p"), count(lit(1)).as("deg")), "hi", nStar)
       // single convergence job per round: the multi-parent/edge-count
@@ -2057,6 +2086,14 @@ object Dedup {
     * bench point it picks 7 of 32 cores — this knob exists so the
     * width can be measured per shape (see CcBench). */
   val StarPartitionsConf = "spark.graft.dedup.starPartitions"
+
+  /** Which column keys [[starLoop]]'s per-round relabel exchange:
+    * "hi" (default — the dedup/min-agg ride it exchange-free, the
+    * next round's join re-keys) or "lo" (the next round's join rides
+    * it exchange-free, the p-aggregate re-keys its partial rows).
+    * Same results either way — an A/B knob for the round-shape
+    * measurement (see the relabelByLo note in starLoop). */
+  val StarRelabelKeyConf = "spark.graft.dedup.starRelabelKey"
 
   /** Scratch budget (bytes) for [[containmentDupPairs]]'s over-gate
     * bounded-scratch batching: the estimated one-wave shuffle volume

@@ -14,6 +14,7 @@ object CcBench {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val reps = if (args.length > 1) args(1).toInt else 3
     val nStar = if (args.length > 2) args(2).toInt else 0
+    val relKey = if (args.length > 3) args(3) else ""
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -24,6 +25,8 @@ object CcBench {
     graft.GraftSession.install(spark)
     if (nStar > 0) spark.conf.set(
       graft.operators.Dedup.StarPartitionsConf, nStar.toString)
+    if (relKey.nonEmpty) spark.conf.set(
+      graft.operators.Dedup.StarRelabelKeyConf, relKey)
     val J = 64
     val pairs = graft.Tables.load(spark, dir, "events")
       .select(col("event_id").cast("long").as("e"))

@@ -1,0 +1,154 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cold-vs-warm STAGE attribution for the composed curation report
+  * (r16 verdict #4: sf10 q127 ran 344.3 s cold but 119.6 s on a warm
+  * second run in the same JVM — two-thirds of the cold wall is
+  * something reusable, and nobody had attributed it). Runs the
+  * pipeline's stages with a localCheckpoint barrier between each (so a
+  * stage's wall bills ONLY its own work, not upstream recompute) for
+  * `passes` passes in one JVM; the per-stage pass-1 minus pass-2 delta
+  * IS the attribution. Checkpoints are freed between passes, so pass 2
+  * measures true warm re-execution (JIT/codegen + page cache + heap
+  * sizing), never block reuse. Prints one JSON line per pass plus a
+  * delta line. Same session shape as BenchScale (local[32], 32
+  * shuffle partitions, 4g maxResultSize) and the same q127 corpus
+  * derivation (near-dup + exact-dup families over `documents`).
+  */
+object CurationColdProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("target/sf10")
+    val passes = if (args.length > 1) args(1).toInt else 2
+    def loadavg: String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split("\\s+").take(3).mkString(",")
+      catch { case _: Exception => "" }
+    val loadStart = loadavg
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.maxResultSize", "4g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.GraftSession.install(spark)
+    val shim = org.apache.spark.sql.GraftSqlShim
+    import graft.operators.{Dedup, TextStats}
+
+    def corpus: DataFrame = {
+      val docs = graft.Tables.load(spark, dir, "documents")
+        .select("doc_id", "text")
+      val exact = docs.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      val nearDf = docs.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(col("text"), lit(" graft dup marker")).as("text"))
+      docs.union(exact).union(nearDf)
+    }
+
+    val allPasses =
+      scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Double)]]
+    for (p <- 1 to passes) {
+      val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+      def timed[T](name: String)(body: => T): T = {
+        val t0 = System.nanoTime()
+        val r = body
+        val w = (System.nanoTime() - t0) / 1e9
+        stages += (name -> w)
+        println(f"CURCOLD pass=$p stage=$name wall=$w%.2f")
+        r
+      }
+      val ckpts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      def ck(df: DataFrame): DataFrame = {
+        val c = df.localCheckpoint(); ckpts += c; c
+      }
+      // stage 1: corpus scan + langId/quality kernels (q127's `base`)
+      val base = timed("base_kernels") {
+        val b = ck(corpus
+          .withColumn("lang_ok", TextStats.langId(col("text")) === "en")
+          .withColumn("quality_ok",
+            TextStats.qualityScore(col("text")) >= 0.55))
+        b.count(); b
+      }
+      val gated = base.where(col("lang_ok") && col("quality_ok"))
+        .select("doc_id", "text")
+      // stage 2: exact-dup star edges (fingerprint window)
+      val stars = timed("exact_stars") {
+        val s = ck(Dedup.exactDupStars(gated, "doc_id", "text"))
+        s.count(); s
+      }
+      // stage 3: MinHash banding + Jaccard verify (uncapped, q127)
+      val near = timed("lsh_verify") {
+        val n = ck(Dedup.minhashDupPairs(gated, "doc_id", "text", 0.95)
+          .select("id1", "id2"))
+        n.count(); n
+      }
+      // stage 4: connected components over the near-dup graph
+      val nearLosers = timed("cc") {
+        val l = ck(Dedup.connectedComponents(near.unionByName(stars))
+          .where(col("id") =!= col("group_id"))
+          .select(col("id").as("doc_id")))
+        l.count(); l
+      }
+      // stage 5: survivor anti-join
+      val survivors = timed("survivors") {
+        val s = ck(gated.join(nearLosers, Seq("doc_id"), "left_anti"))
+        s.count(); s
+      }
+      // stage 6: containment (3-tier verify)
+      val contPairs = timed("containment") {
+        val c = ck(Dedup.containmentDupPairs(survivors, "doc_id", "text",
+          0.9))
+        c.count(); c
+      }
+      // stage 7: loser resolution + final report joins
+      // (containmentLosers is private[operators]; same rule inlined —
+      // a (contained, container) row eliminates `contained` unless the
+      // reverse row exists and contained has the lower id)
+      timed("report_joins") {
+        val rev = contPairs.select(
+          col("id_contained").as("r_container"),
+          col("id_container").as("r_contained"))
+        val contLosers = contPairs
+          .join(rev, col("id_contained") === col("r_contained") &&
+            col("id_container") === col("r_container"), "left")
+          .where(col("r_contained").isNull ||
+            col("id_contained") > col("id_container"))
+          .select(col("id_contained").as("doc_id"))
+          .distinct()
+          .withColumn("cont_loser", lit(true))
+        base
+          .join(nearLosers.withColumn("near_loser", lit(true)),
+            Seq("doc_id"), "left")
+          .join(contLosers, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(!col("lang_ok"), "lang")
+              .when(!col("quality_ok"), "quality")
+              .when(col("near_loser"), "near_dup")
+              .when(col("cont_loser"), "contained")
+              .as("dropped"))
+          .count()
+      }
+      allPasses += stages.toSeq
+      ckpts.foreach(shim.unpersistCheckpoint)
+    }
+    def fmt(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    def js(stages: Seq[(String, Double)]) = stages
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    allPasses.zipWithIndex.foreach { case (s, i) =>
+      println(s"""{"metric":"curation_cold","pass":${i + 1},"stages":${js(s)},"total":${fmt(s.map(_._2).sum)},"dir":"$dir","loadavg_start":"$loadStart","loadavg_now":"$loadavg"}""")
+    }
+    if (allPasses.size >= 2) {
+      val cold = allPasses.head.toMap
+      val warm = allPasses(1)
+      val delta = warm.map { case (k, w) => k -> (cold(k) - w) }
+      println(s"""{"metric":"curation_cold_delta","cold_minus_warm":${js(delta)},"total_delta":${fmt(delta.map(_._2).sum)}}""")
+    }
+    spark.stop()
+  }
+}

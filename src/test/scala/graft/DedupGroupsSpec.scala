@@ -429,6 +429,44 @@ class DedupGroupsSpec extends SparkTestBase {
     } finally spark.conf.unset("graft.debug.assertLayout")
   }
 
+  test("relabel-by-lo variant: identical labels, layout assumes hold") {
+    // the r17 round-shape A/B knob: keying the relabel exchange by LO
+    // must be result-identical to the default (hash(lo) satisfies the
+    // dedup clustering; the next round's join rides the recorded
+    // layout; the p-aggregate pays its own pinned-width exchange whose
+    // hash(hi, nStar) record the debug checker validates here). Graph
+    // must cross the big-graph gate (the variant is restricted to it):
+    // 60 k scrambled 7-node chains = 720 k symmetric edges, depth 6 so
+    // several rounds run under the variant, not just the first.
+    spark.conf.set(Dedup.StarRelabelKeyConf, "lo")
+    spark.conf.set("graft.debug.assertLayout", "true")
+    try {
+      val L = 7
+      val nodes = spark.range(0, 60000)
+        .select(col("id").as("e"),
+          explode(sequence(lit(0), lit(L - 1))).as("j"))
+        .select(col("e"), col("j"),
+          xxhash64(col("e") * L + col("j")).as("node"))
+      val pairs = nodes.where(col("j") > 0)
+        .select(xxhash64(col("e") * L + col("j") - 1).as("id1"),
+          col("node").as("id2"))
+      val labels = Dedup.connectedComponents(pairs,
+        microGraphMaxEdges = 10L)
+      val expected = nodes.groupBy("e").agg(min("node").as("exp"))
+      val bad = labels.join(
+          nodes.join(expected, "e")
+            .select(col("node").as("id"), col("exp")), "id")
+        .where(col("group_id") =!= col("exp")).count()
+      assert(Dedup.lastEngine == "star",
+        s"expected star engine, got ${Dedup.lastEngine}")
+      assert(bad == 0L, s"$bad nodes labeled off the chain minimum")
+      assert(labels.count() == 420000L)
+    } finally {
+      spark.conf.unset(Dedup.StarRelabelKeyConf)
+      spark.conf.unset("graft.debug.assertLayout")
+    }
+  }
+
   test("star engine matches brute force on a random scrambled graph") {
     val rnd = new scala.util.Random(42)
     val n = 600
