@@ -19,6 +19,11 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
 MAIN="$1"; shift
-exec java -Xmx"${XMX:-8g}" $OPENS \
+# XMS pre-commits the heap (-Xms -XX:+AlwaysPreTouch) — the fleet-
+# standard -Xms=-Xmx shape; used to separate first-pass heap-growth/
+# page-commitment cost from JIT in cold-vs-warm attribution probes.
+XMSOPT=""
+if [ -n "${XMS:-}" ]; then XMSOPT="-Xms$XMS -XX:+AlwaysPreTouch"; fi
+exec java -Xmx"${XMX:-8g}" $XMSOPT $OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" "$MAIN" "$@"
