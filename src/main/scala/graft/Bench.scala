@@ -17,7 +17,15 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
         .split("\\s+").take(3).mkString(",")
       catch { case _: Exception => "" }
-    val loadStart = loadavg
+    // prefer the launcher's pre-JVM stamp when present: with a
+    // pre-touched heap (run_timed.sh XMS=...) the in-JVM read lands
+    // AFTER AlwaysPreTouch's multi-thread page-zeroing burst and
+    // reads our own warmup as foreign load (r17: an idle-gated launch
+    // stamped loadavg_start 9.3 thirty seconds after the gate saw
+    // < 1.0)
+    val loadStart =
+      sys.env.get("GRAFT_PREJVM_LOADAVG").filter(_.nonEmpty)
+        .getOrElse(loadavg)
     // fixed-work CPU stamps: loadavg can't see hypervisor throttling
     // (see graft.Calib) — an inflated calib marks this run's walls
     val (calS0, calM0, calibStart) = Calib.measured("_start")

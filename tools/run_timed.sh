@@ -24,6 +24,11 @@ MAIN="$1"; shift
 # page-commitment cost from JIT in cold-vs-warm attribution probes.
 XMSOPT=""
 if [ -n "${XMS:-}" ]; then XMSOPT="-Xms$XMS -XX:+AlwaysPreTouch"; fi
+# pre-JVM loadavg: AlwaysPreTouch zeroes the whole heap with a
+# multi-thread burst BEFORE main runs, so an in-JVM loadavg_start
+# stamp partly reads our own pre-touch. Capture the truth here and
+# pass it through; graft.Bench prefers it for its stamp + dirty flag.
+export GRAFT_PREJVM_LOADAVG="$(cut -d' ' -f1-3 /proc/loadavg | tr ' ' ',')"
 exec java -Xmx"${XMX:-8g}" $XMSOPT $OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" "$MAIN" "$@"
