@@ -86,7 +86,13 @@ object BenchScale {
       catch { case _: Exception => "" }
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val loadStart = loadavg
+    // prefer run_timed.sh's pre-JVM stamp: with XMS pre-touch the
+    // in-JVM read bills our own page-zeroing burst as foreign load
+    // (see graft.Bench; r17 sf10 run stamped 19.6 in-JVM vs 0.16
+    // pre-JVM on an idle entry)
+    val loadStart =
+      sys.env.get("GRAFT_PREJVM_LOADAVG").filter(_.nonEmpty)
+        .getOrElse(loadavg)
     // fixed-work CPU stamps: loadavg can't see hypervisor throttling
     // (see graft.Calib) — an inflated calib marks this run's walls
     val calibStart = graft.Calib.stampJson("_start")
