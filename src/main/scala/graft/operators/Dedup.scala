@@ -2128,13 +2128,19 @@ object Dedup {
     * byteStringAsBytes, NOT byteStringAsMb — a sub-MB setting ('512k')
     * truncates to 0 MB under the latter, which the unlimited check
     * would read as "no cap" and skip the clamp on exactly the
-    * deployment most likely to abort the collect (r16 ADVICE). Only
-    * the literal '0' setting means unlimited. */
+    * deployment most likely to abort the collect (r16 ADVICE).
+    * Unlimited is anything that PARSES to 0 bytes — Spark's own
+    * semantics: '0', '0k', '0m', '0g' all disable the collect cap
+    * (r17 ADVICE: comparing the trimmed string to "0" demoted every
+    * index to the shuffled tier under '0m'-style settings on a driver
+    * with no cap at all). */
   private[graft] def broadcastCollectGate(confGate: Long,
-      maxResultSetting: String): Long =
-    if (maxResultSetting.trim == "0") confGate // 0 = unlimited collects
-    else math.min(confGate, org.apache.spark.network.util.JavaUtils
-      .byteStringAsBytes(maxResultSetting) / 5L * 4L)
+      maxResultSetting: String): Long = {
+    val capBytes = org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(maxResultSetting.trim)
+    if (capBytes == 0L) confGate // 0 bytes = unlimited collects
+    else math.min(confGate, capBytes / 5L * 4L)
+  }
 
   /** The over-gate verify's tier + wave-count decision, pure for
     * testability: given whether the index fits its broadcast gate and

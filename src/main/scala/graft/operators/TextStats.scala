@@ -302,8 +302,15 @@ object TextStats {
     // engine-exact
     val stats = toks.agg(count(lit(1)).as("n"),
       avg(size(col("toks")).cast("long")).as("avgdl"))
+    // persisted across the TWO driver jobs below (the fail-loud gate
+    // aggregation, then the qGroups collect): without it the query
+    // side's whole lineage — tokenize + explode plus whatever produced
+    // `queries` — recomputes once per job even when the gate never
+    // trips (r17 ADVICE). MEMORY_AND_DISK: the frame is small by the
+    // same contract that lets it collect
     val qTerms = queries.select(col(qIdCol).cast("long").as("query_id"),
-      explode(array_distinct(Dedup.words(col(qTextCol)))).as("term"))
+        explode(array_distinct(Dedup.words(col(qTextCol)))).as("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // driver-built query vocabulary: term -> dense tid (sorted for
     // determinism) + tid -> query-ids inverted table. The collect is
     // the query SIDE (the small side by contract — it was already
@@ -337,9 +344,10 @@ object TextStats {
         s"${tableGate / (1L << 20)} MiB): split the query batch into " +
         s"smaller bm25Retrieve calls, or raise " +
         s"$Bm25QueryTableMaxBytesConf / spark.driver.maxResultSize")
-    val qGroups = qTerms.groupBy("term")
-      .agg(collect_list("query_id").as("qids"))
-      .as[(String, Seq[Long])].collect().sortBy(_._1)
+    val qGroups = try qTerms.groupBy("term")
+        .agg(collect_list("query_id").as("qids"))
+        .as[(String, Seq[Long])].collect().sortBy(_._1)
+      finally qTerms.unpersist(blocking = false)
     val qidsByTid: Array[Array[Long]] = qGroups.map(_._2.toArray)
     val vocabTid = spark.createDataset(
       qGroups.iterator.map(_._1).zipWithIndex.toSeq).toDF("term", "tid")
@@ -356,6 +364,22 @@ object TextStats {
     // per-term document frequency over the whole corpus, computed on
     // the already-pruned rows (one row here per matching (doc, term))
     val df = tf.groupBy("tid").agg(count(lit(1)).as("df"))
+    // conf-gated dense fan-out cap (r17 verdict #4): the kernel's
+    // explode emits Σ_t df(t)·|qids(t)| rows — linear and UNBOUNDED in
+    // queries×docs when a query term is corpus-dense (SCALE_r17's
+    // 30-dense-term synthetic: 63 → 529 s for 10 k → 50 k queries at
+    // sf1; real vocabularies are heavy-tailed but an adversarial batch
+    // isn't). Mirroring `maxShingleDf`'s discipline in containment, a
+    // term whose corpus df exceeds the cap is dropped from scoring
+    // entirely — deterministic stopword semantics: the result is
+    // bit-identical to running the SAME queries with those terms
+    // deleted from the query text (n/avgdl/df of surviving terms are
+    // corpus stats, computed before the cap; spec-pinned). Dense terms
+    // carry near-zero IDF anyway, so the cap trades the least signal
+    // for the hardest bound. Default 0 = off (exact contract path).
+    val maxTermDf = spark.conf.get(Bm25MaxTermDfConf, "0").toLong
+    val dfKept = if (maxTermDf > 0) df.where(col("df") <= maxTermDf)
+      else df
     // row-level quantized term score — operation order mirrors the
     // oracle SQL exactly (see the q85 expression shape)
     val idf = log(lit(1.0) +
@@ -370,7 +394,7 @@ object TextStats {
     // (query, doc) aggregate, no fan-out exchange (see
     // [[graft.functions.Bm25ScoreQueries]])
     val docEntries = tf
-      .join(broadcast(df), Seq("tid"))
+      .join(broadcast(dfKept), Seq("tid"))
       .crossJoin(broadcast(stats))
       .select(col("doc_id"),
         struct(round(termScore * lit(1000000.0), 0).cast("long").as("s"),
@@ -394,43 +418,101 @@ object TextStats {
     // exchange, and only ≤ |queries in partition|·k survivors reach
     // the final window. Heap tie-break mirrors the window order
     // exactly (score desc, doc_id asc NULLS FIRST), so the cut keeps
-    // precisely the rows the window would rank <= k. Long-id corpora
-    // only (the common contract — documents.doc_id is BIGINT); any
-    // other id type keeps the plain window, identical semantics.
+    // precisely the rows the window would rank <= k. Covers every
+    // integral and string doc-id type (r17 verdict #5 — string-id
+    // corpora previously paid the full window sort silently; string
+    // compare is UTF8String binary order, matching the window's sort
+    // of StringType exactly). Exotic id types keep the plain window,
+    // identical semantics. The per-partition state is BUDGETED (r17
+    // ADVICE): unlike the window's UnsafeExternalSorter the heap map
+    // can't spill, so past `bm25HeapBudgetEntries` live entries the
+    // pass flushes every heap downstream and starts fresh — flushed
+    // supersets stay correct because the final window re-cuts
+    // rank<=k; the flush only costs extra survivor rows, never
+    // wrong ones.
     val w = Window.partitionBy("query_id")
       .orderBy(col("score_q").desc, col("doc_id").asc)
-    val pruned = scored.schema("doc_id").dataType match {
-      case org.apache.spark.sql.types.LongType =>
+    val heapBudget = math.max(1L, spark.conf.get(Bm25HeapBudgetConf,
+      Bm25HeapBudgetEntries.toString).toLong)
+    // external-row compare for the doc_id slot, window-order-exact:
+    // asc NULLS FIRST, strings in UTF8String BINARY order (Java
+    // String.compareTo diverges above the BMP — UTF-16 code-unit
+    // order ranks surrogates below U+E000..U+FFFF; the window sorts
+    // UTF8String bytes)
+    val idCmp: Option[(Any, Any) => Int] = {
+      import org.apache.spark.sql.types._
+      def cmpNum(f: (Any, Any) => Int): Option[(Any, Any) => Int] =
+        Some { (a, b) =>
+          if (a == null && b == null) 0
+          else if (a == null) -1 else if (b == null) 1 else f(a, b)
+        }
+      scored.schema("doc_id").dataType match {
+        case LongType => cmpNum((a, b) => java.lang.Long.compare(
+          a.asInstanceOf[Long], b.asInstanceOf[Long]))
+        case IntegerType => cmpNum((a, b) => java.lang.Integer.compare(
+          a.asInstanceOf[Int], b.asInstanceOf[Int]))
+        case ShortType => cmpNum((a, b) => java.lang.Short.compare(
+          a.asInstanceOf[Short], b.asInstanceOf[Short]))
+        case ByteType => cmpNum((a, b) => java.lang.Byte.compare(
+          a.asInstanceOf[Byte], b.asInstanceOf[Byte]))
+        case StringType => cmpNum((a, b) =>
+          org.apache.spark.unsafe.types.UTF8String
+            .fromString(a.asInstanceOf[String]).compareTo(
+              org.apache.spark.unsafe.types.UTF8String
+                .fromString(b.asInstanceOf[String])))
+        case _ => None
+      }
+    }
+    val pruned = idCmp match {
+      case Some(cmp) =>
         // max of this ordering = the WORST kept row (evicted first):
         // worse = lower score, then larger doc_id, with NULL doc_id
         // ranking best (asc_nulls_first, the window's default)
-        val worstFirst = new Ordering[(Long, Option[Long])] {
-          def compare(a: (Long, Option[Long]),
-              b: (Long, Option[Long])): Int = {
+        val worstFirst = new Ordering[(Long, Any)] {
+          def compare(a: (Long, Any), b: (Long, Any)): Int = {
             val c = java.lang.Long.compare(b._1, a._1)
-            if (c != 0) c
-            else (a._2, b._2) match {
-              case (Some(x), Some(y)) => java.lang.Long.compare(x, y)
-              case (None, Some(_)) => -1
-              case (Some(_), None) => 1
-              case (None, None) => 0
-            }
+            if (c != 0) c else cmp(a._2, b._2)
           }
         }
-        scored.as[(Long, Option[Long], Long)].mapPartitions { it =>
-          val heaps = scala.collection.mutable.HashMap.empty[Long,
-            scala.collection.mutable.PriorityQueue[(Long, Option[Long])]]
-          it.foreach { case (qid, did, s) =>
-            val h = heaps.getOrElseUpdate(qid,
-              scala.collection.mutable.PriorityQueue.empty(worstFirst))
-            h.enqueue((s, did))
-            if (h.size > k) h.dequeue()
+        val schema = scored.schema
+        scored.mapPartitions { it =>
+          new scala.collection.AbstractIterator[org.apache.spark.sql.Row] {
+            private val heaps = scala.collection.mutable.HashMap.empty[
+              Long,
+              scala.collection.mutable.PriorityQueue[(Long, Any)]]
+            private var live = 0L
+            private val out =
+              scala.collection.mutable.Queue.empty[org.apache.spark.sql.Row]
+            private def drain(): Unit = {
+              heaps.foreach { case (qid, h) =>
+                h.foreach { case (s, did) =>
+                  out.enqueue(org.apache.spark.sql.Row(qid, did, s))
+                }
+              }
+              heaps.clear(); live = 0L
+            }
+            private def pump(): Unit = {
+              while (out.isEmpty && it.hasNext) {
+                val r = it.next()
+                val h = heaps.getOrElseUpdate(r.getLong(0),
+                  scala.collection.mutable.PriorityQueue.empty(worstFirst))
+                h.enqueue((r.getLong(2), r.get(1)))
+                if (h.size > k) h.dequeue() else live += 1
+                // budget flush: the map's survivors (≤ |qids|·k boxed
+                // tuples) are unspillable heap — emit them all and
+                // reset rather than OOM where the old sort degraded
+                // gracefully; the final window re-cuts the union
+                if (live > heapBudget) drain()
+              }
+              if (out.isEmpty && !it.hasNext && heaps.nonEmpty) drain()
+            }
+            def hasNext: Boolean = { pump(); out.nonEmpty }
+            def next(): org.apache.spark.sql.Row = {
+              pump(); out.dequeue()
+            }
           }
-          heaps.iterator.flatMap { case (qid, h) =>
-            h.iterator.map { case (s, did) => (qid, did, s) }
-          }
-        }.toDF("query_id", "doc_id", "score_q")
-      case _ => scored
+        }(org.apache.spark.sql.Encoders.row(schema))
+      case None => scored
     }
     pruned.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
@@ -442,6 +524,24 @@ object TextStats {
     * cleanly instead of OOMing the driver mid-collect. */
   val Bm25QueryTableMaxBytesConf = "spark.graft.text.bm25QueryTableMaxBytes"
   private val Bm25QueryTableMaxBytes: Long = 1L << 30
+
+  /** Conf: live-entry ceiling for [[bm25Retrieve]]'s per-partition
+    * top-k heap map. Each live entry is one boxed (score, doc_id)
+    * tuple the heap pass holds un-spillably; past the budget the pass
+    * flushes all current heaps downstream (correct supersets — the
+    * final window re-cuts rank<=k) and starts fresh. Default 1M
+    * entries ≈ tens of MB per task. */
+  val Bm25HeapBudgetConf = "spark.graft.text.bm25HeapBudgetEntries"
+  private val Bm25HeapBudgetEntries: Long = 1L << 20
+
+  /** Conf: corpus-df ceiling per query term in [[bm25Retrieve]]
+    * (0 = off). A term whose document frequency exceeds it is dropped
+    * from scoring entirely — deterministic stopword semantics
+    * (bit-identical to deleting the term from the query text; corpus
+    * stats n/avgdl and surviving terms' df are unaffected). Bounds the
+    * kernel fan-out Σ_t df(t)·|qids(t)| against corpus-dense query
+    * terms, mirroring `maxShingleDf` in containment dedup. */
+  val Bm25MaxTermDfConf = "spark.graft.text.bm25MaxTermDf"
 
   /**
    * Per-source template mining: the `k` word n-grams carried by the

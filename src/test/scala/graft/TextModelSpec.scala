@@ -784,9 +784,13 @@ class TextModelSpec extends SparkTestBase {
     // dup-heavy corpus: many docs sharing identical text (equal scores)
     // so the rank<=k cut decides on the doc_id tie-break — exactly
     // where a heap whose ordering diverged from the window's would
-    // silently drop the wrong doc. String-id twin runs the plain
-    // window path (non-long ids keep the pre-prune shape), so
-    // long-vs-string equality IS heap-vs-window equality.
+    // silently drop the wrong doc. Both the long-id and string-id
+    // twins ride the pruned path (r17 verdict #5 widened the prune to
+    // every integral + string id type), so each is checked against
+    // its own expected cut recomputed from the full k=100 result under
+    // that type's window ordering (string ids are single-digit-unsafe:
+    // "10" < "2" lexicographically — the expectation sorts the same
+    // way).
     val texts = (1L to 12L).map(i =>
       i -> (if (i % 3 == 0) "alpha beta gamma" else "alpha delta"))
     val docs = texts.toDF("doc_id", "text")
@@ -794,39 +798,118 @@ class TextModelSpec extends SparkTestBase {
       .toDF("doc_id", "text")
     val qs = Seq((1L, "alpha"), (2L, "beta gamma"), (3L, "delta alpha"))
       .toDF("query_id", "query_text")
-    for (k <- Seq(1, 3, 5, 100)) {
+    val fullLong = TextStats.bm25Retrieve(docs, "doc_id", "text",
+        qs, "query_id", "query_text", k = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val fullStr = TextStats.bm25Retrieve(docsStr, "doc_id", "text",
+        qs, "query_id", "query_text", k = 100)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // same scores per query regardless of id type
+    assert(fullLong.groupBy(_._1).view
+        .mapValues(_.toSeq.map(_._3).sorted).toMap ==
+      fullStr.groupBy(_._1).view
+        .mapValues(_.toSeq.map(_._3).sorted).toMap)
+    for (k <- Seq(1, 3, 5)) {
+      // long-path tie-break: within a query, equal scores rank by
+      // doc_id asc — recompute the expected cut from the full result
       val viaHeap = TextStats.bm25Retrieve(docs, "doc_id", "text",
           qs, "query_id", "query_text", k)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
           r.getLong(3))).toSet
-      val viaWindow = TextStats.bm25Retrieve(docsStr, "doc_id", "text",
+      val expect = fullLong.groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+        rows.toSeq.sortBy(r => (-r._3, r._2)).take(k).zipWithIndex
+          .map { case ((_, d, s), i) => (q, d, s, i + 1L) }
+      }.toSet
+      assert(viaHeap == expect, s"k=$k")
+      // string-path tie-break: equal scores rank by doc_id asc in
+      // UTF8String binary order — lexicographic for these ASCII ids
+      val viaHeapStr = TextStats.bm25Retrieve(docsStr, "doc_id", "text",
           qs, "query_id", "query_text", k)
-        .collect().map(r => (r.getLong(0), r.getString(1).toLong,
-          r.getLong(2), r.getLong(3))).toSet
-      // string "10" sorts before "2": compare RANK-free content per
-      // query on the non-tied prefix? No — make ids single-digit-safe
-      // instead: with 12 docs the lexicographic tie-break diverges, so
-      // restrict the cross-check to score multisets per query (order-
-      // independent) and check the long path's tie-break directly.
-      val heapScores = viaHeap.groupBy(_._1).view
-        .mapValues(_.toSeq.map(_._3).sorted).toMap
-      val winScores = viaWindow.groupBy(_._1).view
-        .mapValues(_.toSeq.map(_._3).sorted).toMap
-      assert(heapScores == winScores, s"k=$k")
-      // long-path tie-break: within a query, equal scores rank by
-      // doc_id asc — recompute the expected cut from the full k=100
-      // result ordered (score desc, doc_id asc)
-      if (k < 100) {
-        val full = TextStats.bm25Retrieve(docs, "doc_id", "text",
-            qs, "query_id", "query_text", k = 100)
-          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-        val expect = full.groupBy(_._1).toSeq.flatMap { case (q, rows) =>
-          rows.toSeq.sortBy(r => (-r._3, r._2)).take(k).zipWithIndex
-            .map { case ((_, d, s), i) => (q, d, s, i + 1L) }
-        }.toSet
-        assert(viaHeap == expect, s"k=$k")
-      }
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val expectStr = fullStr.groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+        rows.toSeq.sortBy(r => (r._3, r._2))(
+            Ordering.Tuple2(Ordering.Long.reverse, Ordering.String))
+          .take(k).zipWithIndex
+          .map { case ((_, d, s), i) => (q, d, s, i + 1L) }
+      }.toSet
+      assert(viaHeapStr == expectStr, s"k=$k (string ids)")
     }
+    // path pinning: string ids ride the heap prune (MapPartitions in
+    // the plan); an unsupported id type (decimal) keeps the plain
+    // window — identical semantics, no silent mis-route either way
+    def planOf(d: org.apache.spark.sql.DataFrame): String =
+      TextStats.bm25Retrieve(d, "doc_id", "text",
+        qs, "query_id", "query_text", k = 3)
+        .queryExecution.optimizedPlan.toString
+    assert(planOf(docsStr).contains("MapPartitions"))
+    val docsDec = docs.select(
+      col("doc_id").cast("decimal(20,0)").as("doc_id"), col("text"))
+    assert(!planOf(docsDec).contains("MapPartitions"))
+    val viaWindowDec = TextStats.bm25Retrieve(docsDec, "doc_id", "text",
+        qs, "query_id", "query_text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getDecimal(1).longValue(),
+        r.getLong(2), r.getLong(3))).toSet
+    val viaHeap3 = TextStats.bm25Retrieve(docs, "doc_id", "text",
+        qs, "query_id", "query_text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(viaWindowDec == viaHeap3)
+  }
+
+  test("bm25Retrieve: heap budget flush keeps results identical") {
+    // r17 ADVICE: the heap map is unspillable per-partition state —
+    // past the budget it must FLUSH supersets downstream, never OOM.
+    // A budget of 2 live entries forces a flush nearly every row on a
+    // 12-doc corpus; the final window re-cuts, so results must be
+    // bit-identical to the unbudgeted path at every k.
+    val texts = (1L to 12L).map(i =>
+      i -> (if (i % 3 == 0) "alpha beta gamma" else "alpha delta"))
+    val docs = texts.toDF("doc_id", "text")
+    val qs = Seq((1L, "alpha"), (2L, "beta gamma"), (3L, "delta alpha"))
+      .toDF("query_id", "query_text")
+    def run(k: Int) = TextStats.bm25Retrieve(docs, "doc_id", "text",
+        qs, "query_id", "query_text", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val unbudgeted = Seq(1, 3, 5, 100).map(k => k -> run(k)).toMap
+    spark.conf.set(TextStats.Bm25HeapBudgetConf, "2")
+    try Seq(1, 3, 5, 100).foreach { k =>
+      assert(run(k) == unbudgeted(k), s"k=$k")
+    } finally spark.conf.unset(TextStats.Bm25HeapBudgetConf)
+  }
+
+  test("bm25Retrieve: maxTermDf cap == deleting dense terms from queries") {
+    // "alpha" is corpus-dense (df 4); "beta"/"delta" are rare (df 1).
+    // With the cap below 4, capped retrieval must be bit-identical to
+    // running the SAME call with "alpha" deleted from the query text —
+    // corpus stats (n, avgdl) and surviving terms' df are unaffected,
+    // and a query whose every term is capped vanishes entirely.
+    val docs = Seq((1L, "alpha beta x"), (2L, "alpha delta"),
+      (3L, "alpha y z"), (4L, "alpha")).toDF("doc_id", "text")
+    val qs = Seq((1L, "alpha beta"), (2L, "alpha"), (3L, "delta alpha"))
+      .toDF("query_id", "query_text")
+    val qsStripped = Seq((1L, "beta"), (2L, ""), (3L, "delta"))
+      .toDF("query_id", "query_text")
+    def collect(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val stripped = collect(TextStats.bm25Retrieve(docs, "doc_id", "text",
+      qsStripped, "query_id", "query_text", k = 10))
+    spark.conf.set(TextStats.Bm25MaxTermDfConf, "3")
+    try {
+      val capped = collect(TextStats.bm25Retrieve(docs, "doc_id", "text",
+        qs, "query_id", "query_text", k = 10))
+      assert(capped == stripped)
+      // query 2 ("alpha" only) vanished; queries 1 and 3 kept their
+      // rare term's scoring
+      assert(capped.map(_._1) == Set(1L, 3L))
+    } finally spark.conf.unset(TextStats.Bm25MaxTermDfConf)
+    // default path (cap off) still scores the dense term
+    val uncapped = collect(TextStats.bm25Retrieve(docs, "doc_id", "text",
+      qs, "query_id", "query_text", k = 10))
+    assert(uncapped.map(_._1) == Set(1L, 2L, 3L))
+    assert(uncapped != stripped)
   }
 
   test("bm25Retrieve: oversized query table refuses cleanly") {
@@ -906,7 +989,7 @@ class TextModelSpec extends SparkTestBase {
     assert(starGroups == pairGroups)
   }
 
-  test("broadcastCollectGate: sub-MB maxResultSize clamps, only '0' lifts") {
+  test("broadcastCollectGate: sub-MB maxResultSize clamps, 0-bytes lifts") {
     val confGate = 256L << 20
     // r16 ADVICE: '512k' truncated to 0 MB under byteStringAsMb and was
     // read as unlimited — the exact config most likely to abort the
@@ -914,6 +997,11 @@ class TextModelSpec extends SparkTestBase {
     assert(Dedup.broadcastCollectGate(confGate, "512k") ==
       512L * 1024 / 5 * 4)
     assert(Dedup.broadcastCollectGate(confGate, "0") == confGate)
+    // r17 ADVICE: Spark treats ANY setting parsing to 0 bytes as
+    // unlimited — '0m'/'0g' must lift the clamp too, not gate at 0
+    assert(Dedup.broadcastCollectGate(confGate, "0m") == confGate)
+    assert(Dedup.broadcastCollectGate(confGate, "0g") == confGate)
+    assert(Dedup.broadcastCollectGate(confGate, " 0k ") == confGate)
     assert(Dedup.broadcastCollectGate(confGate, "1g") ==
       math.min(confGate, (1L << 30) / 5 * 4))
     // a roomy driver keeps the configured gate
