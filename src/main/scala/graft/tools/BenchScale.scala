@@ -95,7 +95,7 @@ object BenchScale {
         .getOrElse(loadavg)
     // fixed-work CPU stamps: loadavg can't see hypervisor throttling
     // (see graft.Calib) — an inflated calib marks this run's walls
-    val calibStart = graft.Calib.stampJson("_start")
+    val (calS0, calM0, calibStart) = graft.Calib.measured("_start")
     // calib-gated retry reference: stampJson just warmed the probe, so
     // one more single() is the run's healthy-host baseline. A probe
     // after an entry reading > 1.5x this marks the entry's window as
@@ -346,7 +346,17 @@ object BenchScale {
     // need more than the 8g default (SPARK_DRIVER_MEM), and a stamped
     // xmx makes each run's memory budget self-evidencing
     val xmxGb = Runtime.getRuntime.maxMemory / (1L << 30)
-    val line = s"""{"metric":"scale_curve","points":[${points.mkString(",")}],"loadavg_start":"$loadStart","loadavg_end":"$loadavg",$calibStart,${graft.Calib.stampJson("_end")},"cpus":"$cpus","xmx_gb":$xmxGb}"""
+    // machine-visible window health, same rubric as graft.Bench
+    // (r17 verdict #7: the dirty flag belongs in SCALE artifacts too —
+    // the bm25_scale dirty cell was only catchable from its stamps)
+    val (calS1, calM1, calibEnd) = graft.Calib.measured("_end")
+    def drift(a: Double, b: Double): Double =
+      if (math.min(a, b) <= 0) 0.0 else math.abs(a - b) / math.min(a, b)
+    val load1 = loadStart.split(",").headOption
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(0.0)
+    val windowDirty = load1 > 2.0 ||
+      drift(calS0, calS1) > 0.15 || drift(calM0, calM1) > 0.15
+    val line = s"""{"metric":"scale_curve","points":[${points.mkString(",")}],"loadavg_start":"$loadStart","loadavg_end":"$loadavg",$calibStart,$calibEnd,"window_dirty":$windowDirty,"cpus":"$cpus","xmx_gb":$xmxGb}"""
     println(line)
     val out = java.nio.file.Paths.get("target", "bench_sf1.json")
     java.nio.file.Files.createDirectories(out.getParent)

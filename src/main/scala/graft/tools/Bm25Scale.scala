@@ -21,7 +21,10 @@ object Bm25Scale {
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
         .split("\\s+").take(3).mkString(",")
       catch { case _: Exception => "" }
-    val loadStart = loadavg
+    val loadStart =
+      sys.env.get("GRAFT_PREJVM_LOADAVG").filter(_.nonEmpty)
+        .getOrElse(loadavg)
+    val (calS0, calM0, calibStart) = graft.Calib.measured("_start")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -90,7 +93,17 @@ object Bm25Scale {
       println(s"BM25SCALE $cell")
       cells += cell
     }
-    println(s"""{"metric":"bm25_scale","cells":[${cells.mkString(",")}],"loadavg_start":"$loadStart","loadavg_end":"$loadavg"}""")
+    // window_dirty, same rubric as graft.Bench/BenchScale (r17 verdict
+    // #7: the r17 bm25_scale sf0.1-stride1 dirty cell — warm 37.9 s >
+    // cold 20.7 s — was only catchable from its stamps)
+    val (calS1, calM1, calibEnd) = graft.Calib.measured("_end")
+    def drift(a: Double, b: Double): Double =
+      if (math.min(a, b) <= 0) 0.0 else math.abs(a - b) / math.min(a, b)
+    val load1 = loadStart.split(",").headOption
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(0.0)
+    val windowDirty = load1 > 2.0 ||
+      drift(calS0, calS1) > 0.15 || drift(calM0, calM1) > 0.15
+    println(s"""{"metric":"bm25_scale","cells":[${cells.mkString(",")}],"loadavg_start":"$loadStart","loadavg_end":"$loadavg",$calibStart,$calibEnd,"window_dirty":$windowDirty}""")
     spark.stop()
   }
 }
