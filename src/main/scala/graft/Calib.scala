@@ -57,15 +57,27 @@ object Calib {
 
   /** [[stampJson]] plus the raw (single, multi) seconds, for callers
     * that COMPUTE on the stamps (Bench's window_dirty flag) instead of
-    * only printing them. */
+    * only printing them.
+    *
+    * Each stamp is the MIN of several probe runs, not one draw: r18
+    * measured single-draw walls of the fixed workload fluctuating
+    * 0.45–0.96 s inside one JVM on this box (scheduler noise + the
+    * box's recurring exogenous bursts), so a one-draw start-vs-end
+    * drift check fired on its own sampling noise — including on a
+    * capture whose END was FASTER than its start (0.506 → 0.393,
+    * post-pre-touch warmup). The min is the host's CAPABILITY at stamp
+    * time: instant noise can only inflate a draw, never deflate it, so
+    * min-of-N converges on capability while a SUSTAINED hypervisor
+    * throttle — the contamination the stamp exists to catch — still
+    * inflates every draw including the min. */
   def measured(sfx: String, threads: Int = 16): (Double, Double, String) = {
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f",
       Double.box(v))
     // JIT warmup so the _start stamp doesn't bill interpreter time
     // that the _end stamp won't pay
     single(); single()
-    val s = single()
-    val m = multi(threads)
+    val s = (1 to 4).map(_ => single()).min
+    val m = (1 to 3).map(_ => multi(threads)).min
     (s, m, s""""calib_single$sfx":${fmt(s)},""" +
       s""""calib_multi$threads$sfx":${fmt(m)}""")
   }

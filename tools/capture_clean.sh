@@ -45,7 +45,11 @@ load1() { cut -d' ' -f1 /proc/loadavg; }
 below_gate() { awk -v l="$1" -v g="$GATE" 'BEGIN{exit !(l < g)}'; }
 
 calib_once() {
-  tools/run_timed.sh graft.tools.CalibProbe 2>/dev/null | tail -1
+  # tiny heap, NO pre-touch: the probe must not inherit the capture's
+  # XMS=16g+AlwaysPreTouch — zeroing 16 GB per probe is itself a
+  # multi-thread burst that spikes the loadavg the gate is watching
+  XMS= XMX=256m tools/run_timed.sh graft.tools.CalibProbe 2>/dev/null |
+    tail -1
 }
 
 calib_stable() {
