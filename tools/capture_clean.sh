@@ -73,20 +73,39 @@ sys.exit(0 if drift('$s1','$s2') < $CALIB_DRIFT and
              drift('$m1','$m2') < $CALIB_DRIFT else 1)"
 }
 
+# Order matters: the calib probes are themselves multi-thread bursts
+# that raise the 1-min loadavg the launch stamp reads (first wiring
+# launched at loadavg 2.51 — instantly dirty — because the probes ran
+# AFTER the loadavg gate). Probe calib FIRST, then require the loadavg
+# to settle below the gate on two polls, then launch with nothing in
+# between.
 wait_idle() {
   local waited=0 l
   while [ "$waited" -lt "$MAX_IDLE_SECS" ]; do
     l="$(load1)"
     if below_gate "$l"; then
-      sleep 15; waited=$((waited + 15))
-      l="$(load1)"
-      if below_gate "$l"; then
-        log "loadavg gate passed: $l < $GATE (two polls)"
-        if calib_stable; then return 0; fi
+      if calib_stable; then
+        # let the probes' own burst decay back under the gate
+        while [ "$waited" -lt "$MAX_IDLE_SECS" ]; do
+          sleep 20; waited=$((waited + 20))
+          l="$(load1)"
+          if below_gate "$l"; then
+            sleep 10; waited=$((waited + 10))
+            l="$(load1)"
+            if below_gate "$l"; then
+              log "gate passed: calib stable, loadavg $l < $GATE"
+              return 0
+            fi
+          fi
+        done
+        log "probe burst never decayed (loadavg $(load1)); re-gating"
+      else
         log "calib unstable, re-idling"
+        sleep 30; waited=$((waited + 30))
       fi
+    else
+      sleep 15; waited=$((waited + 15))
     fi
-    sleep 15; waited=$((waited + 30))
   done
   log "idle gate TIMED OUT after ${MAX_IDLE_SECS}s (loadavg $(load1))"
   return 1
