@@ -111,7 +111,7 @@ object Bench {
         Seq.empty
       }
     } ++ {
-      try bm25Retrieval1k(spark, sfDir, timed)
+      try bm25Retrieval1k(spark, sfDir, timed, ccMedians)
       catch { case t: Throwable =>
         errors("bm25_1k_setup") =
           Option(t.getMessage).getOrElse(t.getClass.getName).take(200)
@@ -434,7 +434,8 @@ object Bench {
     * term-keyed join; the prune join's qVocab broadcast (distinct terms
     * only) survives an order of magnitude past that. */
   private def bm25Retrieval1k(spark: SparkSession, sfDir: String,
-      timed: String => (=> Unit) => (String, Double))
+      timed: String => (=> Unit) => (String, Double),
+      medianSink: scala.collection.mutable.ArrayBuffer[(String, (Double, Double, Double))])
       : Seq[(String, Double)] = {
     import org.apache.spark.sql.functions._
     val docs = Tables.load(spark, sfDir, "documents")
@@ -446,9 +447,25 @@ object Bench {
           " ").as("query_text"))
       .localCheckpoint() // queries are input, not the measured work
     qs.count()
-    Seq(timed("bm25_retrieve_1k") {
+    def body(): Unit =
       graft.operators.TextStats.bm25Retrieve(docs, "doc_id", "text",
         qs, "query_id", "query_text", k = 10).count()
-    })
+    // 3-sample median alongside the single-shot (the r18 lesson: the
+    // first invocation bills the heap-prune path's codegen/JIT —
+    // +3-4 s that a same-session Bm25Scale warm rep doesn't pay; the
+    // artifact should separate the two like flagship/cc do)
+    val first = timed("bm25_retrieve_1k")(body())
+    if (first._2 >= 0) {
+      def rep(): Double = {
+        val t0 = System.nanoTime(); body()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val samples = try Seq(first._2, rep(), rep()) catch {
+        case scala.util.control.NonFatal(_) => Seq(first._2)
+      }
+      val s = samples.sorted
+      medianSink += ("bm25_retrieve_1k" -> (s(s.size / 2), s.head, s.last))
+    }
+    Seq(first)
   }
 }
