@@ -64,7 +64,8 @@ def main():
     attempts = []
     for log, reps in (("target/ccbench_r18.log", 4),
                       ("target/ccbench_r18b.log", 8),
-                      ("target/ccbench_r18c.log", 12)):
+                      ("target/ccbench_r18c.log", 12),
+                      ("target/ccbench_r18d.log", 8)):
         walls, rounds = cc_walls(log)
         attempts.append({"log": log, "reps": reps, "rounds": rounds,
                          "walls": walls})
@@ -80,10 +81,12 @@ def main():
         "attempts": attempts,
         "note": "r17 verdict #3 closing evidence: with SCALE_r17 run 7's "
                 "undisturbed window (19.10/9.56/9.45/8.89 - the touch), "
-                "four gated pre-touched windows exist; none after it "
+                "five gated pre-touched windows exist; none after it "
                 "yields a settled 3-rep median <= 9 s (best 9.28, reps "
-                "6-8 of the 8-rep series); settled medians 9.3-11.8 s "
-                "all hold the <= 12 s re-baseline, which stands as FINAL",
+                "6-8 of the first 8-rep series; the last window's best "
+                "single wall 8.106 is the all-time min but its medians "
+                "sit 9.56-9.88); settled medians 9.3-11.8 s all hold "
+                "the <= 12 s re-baseline, which stands as FINAL",
     })
 
     merged = {
