@@ -21,6 +21,13 @@ object CurationColdProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("target/sf10")
     val passes = if (args.length > 1) args(1).toInt else 2
+    // "capped" switches stage 3 to q138's exact shape (budgeted
+    // single-pass banding, maxBucketSize=64, 1 M candidate budget) so
+    // the q138-vs-q127 premium gets a per-stage attribution instead of
+    // an end-to-end subtraction (r18: pre-touched sf10 reads q138
+    // 188.9 s vs q127 72.4 — WHERE the deferred-family cost lands is
+    // the question this mode answers)
+    val capped = args.length > 2 && args(2) == "capped"
     def loadavg: String =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
         .split("\\s+").take(3).mkString(",")
@@ -119,10 +126,14 @@ object CurationColdProbe {
         val s = ck(Dedup.exactDupStars(gated, "doc_id", "text"))
         s.count(); s
       }
-      // stage 3: MinHash banding + Jaccard verify (uncapped, q127)
+      // stage 3: MinHash banding + Jaccard verify — uncapped (q127) or
+      // q138's budgeted capped shape
       val near = timed("lsh_verify") {
-        val n = ck(Dedup.minhashDupPairs(gated, "doc_id", "text", 0.95)
-          .select("id1", "id2"))
+        val pairs = if (capped)
+          Dedup.minhashDupPairsBudgeted(gated, "doc_id", "text", 0.95,
+            maxBucketSize = 64, candidateBudget = 1000000L)
+        else Dedup.minhashDupPairs(gated, "doc_id", "text", 0.95)
+        val n = ck(pairs.select("id1", "id2"))
         n.count(); n
       }
       // stage 4: connected components over the near-dup graph
@@ -180,7 +191,7 @@ object CurationColdProbe {
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     allPasses.zipWithIndex.foreach { case (s, i) =>
-      println(s"""{"metric":"curation_cold","pass":${i + 1},"stages":${js(s)},"total":${fmt(s.map(_._2).sum)},"dir":"$dir","loadavg_start":"$loadStart","loadavg_now":"$loadavg"}""")
+      println(s"""{"metric":"curation_cold","pass":${i + 1},"capped":$capped,"stages":${js(s)},"total":${fmt(s.map(_._2).sum)},"dir":"$dir","loadavg_start":"$loadStart","loadavg_now":"$loadavg"}""")
     }
     if (allPasses.size >= 2) {
       val cold = allPasses.head.toMap

@@ -33,6 +33,34 @@ def cc_walls(path):
     return walls, rounds
 
 
+CURCOLD = re.compile(
+    r"CURCOLD pass=(\d+) stage=(\w+) wall=([\d.]+)"
+    r" runSec=([\d.]+) gcSec=([\d.]+) spillMemMB=(\d+)"
+    r" spillDiskMB=(\d+) shufWriteMB=(\d+) shufReadMB=(\d+)")
+
+
+def parse_curcold(path):
+    passes, meta = {}, []
+    with open(path) as f:
+        for line in f:
+            m = CURCOLD.search(line)
+            if m:
+                passes.setdefault(int(m.group(1)), []).append({
+                    "stage": m.group(2), "wall_sec": float(m.group(3)),
+                    "run_sec": float(m.group(4)),
+                    "gc_sec": float(m.group(5)),
+                    "spill_mem_mb": int(m.group(6)),
+                    "spill_disk_mb": int(m.group(7)),
+                    "shuffle_write_mb": int(m.group(8)),
+                    "shuffle_read_mb": int(m.group(9))})
+            elif line.startswith('{"metric":"curation_cold'):
+                meta.append(json.loads(line.strip()))
+    return {"metric": "curation_cold_probe", "log": path,
+            "passes": [{"pass": p, "stages": sts}
+                       for p, sts in sorted(passes.items())],
+            "summary_lines": meta}
+
+
 def last_json_line(path, key):
     out = None
     with open(path) as f:
@@ -88,6 +116,29 @@ def main():
                 "sit 9.56-9.88); settled medians 9.3-11.8 s all hold "
                 "the <= 12 s re-baseline, which stands as FINAL",
     })
+
+    cap = parse_curcold("target/curcold_r18_capped.log")
+    cap["heap"] = "XMX=48g XMS=48g AlwaysPreTouch"
+    cap["note"] = (
+        "q138's CAPPED pipeline decomposed per stage at sf10 (idle-"
+        "gated entry, loadavg 0.75 pre-JVM; the in-JVM 20.5 stamp is "
+        "the 48 GB pre-touch): the capped lsh_verify stage runs "
+        "15.8/13.9 s - 9x cheaper than the uncapped ~147 s (SCALE_r17 "
+        "pre-touched probe) - and the ENTIRE q138-vs-q127 premium is "
+        "the containment stage verifying the cap-deferred suffix-"
+        "perturbed 100-member families: 177.4 s pass 1 (83% of the "
+        "213.8 s total) with 31.2 GB mem-spill / 2.9 GB disk-spill / "
+        "4.0 GB shuffle vs 6.9-27.7 s on uncapped survivors. Pass 2's "
+        "276 s hit a mid-run burst (loadavg 23 at end); the "
+        "attribution stands on the spill/shuffle volumes, which are "
+        "workload-determined. Guidance: arming the LSH cap moves the "
+        "deferred-family cost into containment's guarded-but-spilling "
+        "verify - size executor scratch for it, or tighten "
+        "maxShingleDf. Candidate r19 lever: curationReport only needs "
+        "per-contained-doc losers, not the full quadratic containment "
+        "pair set - a per-doc top-1 reduction inside the verify would "
+        "cut the deferred-family output volume.")
+    runs.append(cap)
 
     merged = {
         "metric": "scale_evidence",
