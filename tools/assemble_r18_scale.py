@@ -134,10 +134,13 @@ def main():
         "workload-determined. Guidance: arming the LSH cap moves the "
         "deferred-family cost into containment's guarded-but-spilling "
         "verify - size executor scratch for it, or tighten "
-        "maxShingleDf. Candidate r19 lever: curationReport only needs "
-        "per-contained-doc losers, not the full quadratic containment "
-        "pair set - a per-doc top-1 reduction inside the verify would "
-        "cut the deferred-family output volume.")
+        "maxShingleDf. Candidate r19 lever (corrected against the "
+        "verify's cost shape - the spill is verification-side, in the "
+        "candidate distinct + per-pair shared-hash count over the "
+        "exploded stream, NOT in the output pairs): a per-probe-doc "
+        "candidate cap - bound each contained-side doc to its top-N "
+        "index matches by shared-probe-hash count before verification; "
+        "for the report's loser decision one true container suffices.")
     runs.append(cap)
 
     merged = {
