@@ -416,8 +416,10 @@ object SparkEntry {
       "10GB")
     spark.conf.set(
       "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
-    // scale-run knob; unset so a raised gate never leaks between entries
+    // scale-run knobs; unset so a raised gate / armed cap never leaks
+    // between entries
     spark.conf.unset(Dedup.ContainmentBroadcastMaxBytesConf)
+    spark.conf.unset(Dedup.ContainmentMaxCandidatesConf)
   }
 
   /** The q57/q68 12-node path graph: consecutive documents chained

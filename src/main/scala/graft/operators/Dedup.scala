@@ -1861,6 +1861,24 @@ object Dedup {
     val cands = probes.join(invKept, Seq("h"))
       .where(col("id_a") =!= col("id_b"))
       .select("id_a", "id_b")
+    // conf-gated per-contained-doc candidate cap (r18; see
+    // [[ContainmentMaxCandidatesConf]]): collapse the raw candidate
+    // stream to distinct pairs carrying their shared-probe-hash count
+    // (the same (id_a, id_b)-keyed exchange the uncapped distinct
+    // pays) and keep each id_a's top-N by (count desc, id_b asc). The
+    // result is already distinct. Applied identically on BOTH verify
+    // tiers so results never depend on the internal tier choice.
+    val capN = docs.sparkSession.conf
+      .get(ContainmentMaxCandidatesConf, "0").toInt
+    def capPairs(pairs: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id_a")
+        .orderBy(col("__nsh").desc, col("id_b").asc)
+      pairs.groupBy("id_a", "id_b").agg(count(lit(1)).as("__nsh"))
+        .withColumn("__rk", row_number().over(w))
+        .where(col("__rk") <= capN)
+        .select("id_a", "id_b")
+    }
     // broadcast gate off the checkpoint's exact sizes (one tiny job):
     // the array frame costs ~8 B/shingle + ~24 B/doc
     val stats = sh.agg(count(lit(1)), sum(size(col("sh")))).head()
@@ -1883,8 +1901,12 @@ object Dedup {
         ContainmentBroadcastMaxBytes.toString).toLong
     if (estBytes <= bcastGate)
       // candidates stream map-side through two broadcast lookups and
-      // the compiled merge; only the survivors are deduplicated
-      verified(cands, bcast = true).distinct()
+      // the compiled merge; only the survivors are deduplicated. An
+      // armed candidate cap adds this tier's only wide exchange (the
+      // cap's rank aggregate) — the exact default keeps the
+      // zero-exchange stream
+      (if (capN > 0) verified(capPairs(cands), bcast = true)
+       else verified(cands, bcast = true)).distinct()
     else {
       // Over the gate, NEVER attach arrays through an exchange — the
       // retired shuffle-join fallback shipped BOTH ~KB shingle arrays
@@ -2035,7 +2057,7 @@ object Dedup {
       val invB = if (invResident) broadcast(inv) else inv
       val invAB = if (invResident) broadcast(invA) else invA
       def countVerified(pairs: DataFrame): DataFrame =
-        pairs.distinct()
+        (if (capN > 0) capPairs(pairs) else pairs.distinct())
           .join(invAB, Seq("id_a"))
           .join(invB, Seq("id_b", "h"))
           .groupBy("id_a", "id_b")
@@ -2104,6 +2126,34 @@ object Dedup {
     * typically high enough that k stays 1). */
   val ContainmentScratchBytesConf =
     "spark.graft.dedup.containmentScratchBytes"
+
+  /** Per-contained-doc candidate ceiling for [[containmentDupPairs]]
+    * (0 = off, the exact default path). When armed, each contained-side
+    * doc keeps only its N strongest candidate containers — ranked by
+    * shared-PROBE-hash count (how many of the doc's bottom-`probeK`
+    * sketch hashes the candidate matched; the candidate generator's own
+    * evidence), ties broken by lower container id — BEFORE the exact
+    * verify attaches arrays or counts index rows. This bounds the
+    * verify's per-doc work the way `maxShingleDf` bounds per-KEY
+    * fan-out one level down: inside a mutually-containing family of m
+    * docs every member probes every other (m−1 candidates each, all at
+    * the max probe-hash count), and the capped verify stream shrinks
+    * from m² to m·N while any N of the family's members is a true
+    * container — the loser decision [[graft.operators.Curation]]
+    * consumes is unchanged. The cap's aggregate rides the SAME
+    * (id_a, id_b) exchange layout as the uncapped path's candidate
+    * distinct (plus one id_a-keyed rank exchange of distinct-pair-sized
+    * rows), and it applies inside each bounded-scratch batch — batches
+    * split on hash(id_a), so every candidate of a doc lands in one
+    * batch and per-batch capping equals global capping. Recall caveat,
+    * deterministic: a true container is missed only when N other
+    * candidates tie-or-beat its shared-probe count AND none of those N
+    * verifies — on dup-dense corpora (where the cap matters) the
+    * high-count candidates are the family itself. Measured r18 at the
+    * 100x GenScale decade (SCALE_r18): the capped-curation containment
+    * stage's 31 GB spill is exactly this uncapped m² stream. */
+  val ContainmentMaxCandidatesConf =
+    "spark.graft.dedup.containmentMaxCandidates"
 
   private def defaultScratchBytes(
       spark: org.apache.spark.sql.SparkSession): Long = {

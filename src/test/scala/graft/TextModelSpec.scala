@@ -290,6 +290,52 @@ class TextModelSpec extends SparkTestBase {
     } finally spark.conf.unset(Dedup.ContainmentBroadcastMaxBytesConf)
   }
 
+  test("containmentDupPairs: candidate cap semantics (r18)") {
+    // family of 6 mutually-containing docs (suffix-perturbed copies of
+    // one base — the GenScale shape the curation cap defers) plus one
+    // genuine subset doc and one unrelated doc
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = ((0 until 6).map(i => (i.toLong, s"$base v$i")) ++
+      Seq((100L, "alpha beta gamma delta epsilon"),
+        (200L, "totally unrelated words about engines and turbines")))
+      .toDF("doc_id", "text")
+    def run() = Dedup.containmentDupPairs(docs, "doc_id", "text", 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = run()
+    // a roomy cap is exact: every doc has < 8 candidates here
+    spark.conf.set(Dedup.ContainmentMaxCandidatesConf, "64")
+    val roomy = try run()
+      finally spark.conf.unset(Dedup.ContainmentMaxCandidatesConf)
+    assert(roomy == uncapped && uncapped.nonEmpty)
+    // cap 1: each contained doc keeps exactly its ONE strongest
+    // candidate (ties by lowest container id), so every doc that HAD a
+    // container still has one — the loser DECISION (is this doc
+    // contained in anything?) is preserved while the pair volume drops
+    // to one per doc
+    spark.conf.set(Dedup.ContainmentMaxCandidatesConf, "1")
+    val capped1 = try run()
+      finally spark.conf.unset(Dedup.ContainmentMaxCandidatesConf)
+    val containedUncapped = uncapped.map(_._1)
+    val containedCapped = capped1.map(_._1)
+    assert(containedCapped == containedUncapped,
+      s"capped contained set $containedCapped vs $containedUncapped")
+    assert(capped1.groupBy(_._1).forall(_._2.size == 1))
+    assert(capped1.subsetOf(uncapped))
+    // deterministic tie-break: family members share all probe hashes,
+    // so each keeps its lowest-id other member (0 keeps 1, others keep 0)
+    val famKept = capped1.filter(p => p._1 < 6 && p._2 < 6)
+    assert(famKept == Set((0L, 1L), (1L, 0L), (2L, 0L), (3L, 0L),
+      (4L, 0L), (5L, 0L)), s"famKept $famKept")
+    // cap applies identically on the over-gate tier
+    spark.conf.set(Dedup.ContainmentBroadcastMaxBytesConf, "0")
+    spark.conf.set(Dedup.ContainmentMaxCandidatesConf, "1")
+    val overGate = try run() finally {
+      spark.conf.unset(Dedup.ContainmentBroadcastMaxBytesConf)
+      spark.conf.unset(Dedup.ContainmentMaxCandidatesConf)
+    }
+    assert(overGate == capped1, s"over-gate capped $overGate vs $capped1")
+  }
+
   test("containmentDupPairs: randomized ≡ brute force (seeded)") {
     // corpus where every qualifying pair sits inside the recall
     // guarantee: contained docs are contiguous slices (diff = 0);

@@ -143,6 +143,51 @@ def main():
         "for the report's loser decision one true container suffices.")
     runs.append(cap)
 
+    runs.append({
+        "metric": "containment_candidate_cap_ab",
+        "knob": "spark.graft.dedup.containmentMaxCandidates (r18, "
+                "default 0 = off)",
+        "semantics": "per-contained-doc top-N candidates by shared-"
+                     "probe-hash count, ties by lower container id, "
+                     "applied before the exact verify on both tiers; "
+                     "spec-pinned (TextModelSpec 'candidate cap "
+                     "semantics')",
+        "sf1_ab": {
+            "uncapped": {"cont_pairs": 148918, "cont_losers": 13226,
+                         "containment_wall_sec": 8.76,
+                         "shuffle_write_mb": 3,
+                         "log": "target/curcold_r18_sf1_cc0.log"},
+            "cap32": {"cont_pairs": 148684, "cont_losers": 13226,
+                      "containment_wall_sec": 10.19,
+                      "shuffle_write_mb": 169,
+                      "log": "target/curcold_r18_sf1_cc32.log"},
+            "reading": "loser SET preserved exactly (13226 == 13226; "
+                       "234 redundant pairs capped away); on the "
+                       "broadcast tier the cap's rank exchange adds "
+                       "169 MB of shuffle to a zero-exchange stream "
+                       "and costs 1.4 s - arm it only where the "
+                       "verify is the bottleneck, as documented"},
+        "sf10_attempt": {
+            "log": "target/curcold_r18_capped_cc32.log",
+            "outcome": "ENOSPC after ~11 min in the containment "
+                       "stage: the window-rank top-N sorts the full "
+                       "distinct-candidate stream and its exchange + "
+                       "sort spill (~79 GB written) stack on the "
+                       "verify's own waves OUTSIDE the bounded-"
+                       "scratch wave-sizing model (capPairs runs "
+                       "inside countVerified, invisible to the "
+                       "sampled estimate). The uncapped run "
+                       "completes the same stage in 177 s with "
+                       "~7 GB on disk.",
+            "verdict": "lever NOT usable at the target decade as "
+                       "integrated; left default-off. r19 path: "
+                       "replace the window rank with a per-partition "
+                       "heap top-N (the bm25_retrieve pattern - "
+                       "O(n log N) streaming, no full sort, no "
+                       "second exchange) and fold the cap's volume "
+                       "into the wave estimate."},
+    })
+
     merged = {
         "metric": "scale_evidence",
         "round": 18,
