@@ -1874,7 +1874,103 @@ object Dedup {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("id_a")
         .orderBy(col("__nsh").desc, col("id_b").asc)
-      pairs.groupBy("id_a", "id_b").agg(count(lit(1)).as("__nsh"))
+      val agg = pairs.groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("__nsh"))
+        .select("id_a", "id_b", "__nsh")
+      // Per-partition budgeted heap prune BEFORE the rank window (the
+      // bm25Retrieve pattern; r18's first integration ranked with the
+      // window alone and its id_a exchange + sort spilled ~79 GB at the
+      // 100x GenScale decade — sorting the FULL distinct-candidate
+      // stream — where the uncapped verify needs ~7 GB, ENOSPC'ing
+      // outside the wave model). The heap pass is O(n log N) streaming
+      // in the SAME stage as the pair-count aggregate: each partition
+      // keeps at most N candidates per id_a seen there (a superset of
+      // the global top-N by construction), so the window's exchange and
+      // sort see ≤ shufflePartitions·N rows per contained doc instead
+      // of the full stream. Heap order mirrors the window exactly
+      // (__nsh desc, id_b asc); the live-entry budget bounds the
+      // unspillable heap map — past it the pass flushes every heap
+      // downstream (still a superset; the window re-cuts) and starts
+      // fresh. Wave-model note: the capped path's widest exchange
+      // remains the pair-count aggregate, which carries the SAME raw
+      // candidate rows the wave sample already measures (__sraw); the
+      // post-prune rank exchange is strictly narrower, so the sampled
+      // estimates stay upper bounds with the cap armed.
+      val idbCmp: Option[(Any, Any) => Int] = {
+        import org.apache.spark.sql.types._
+        def cmpNum(f: (Any, Any) => Int): Option[(Any, Any) => Int] =
+          Some { (a, b) =>
+            if (a == null && b == null) 0
+            else if (a == null) -1 else if (b == null) 1 else f(a, b)
+          }
+        agg.schema("id_b").dataType match {
+          case LongType => cmpNum((a, b) => java.lang.Long.compare(
+            a.asInstanceOf[Long], b.asInstanceOf[Long]))
+          case IntegerType => cmpNum((a, b) => java.lang.Integer.compare(
+            a.asInstanceOf[Int], b.asInstanceOf[Int]))
+          case ShortType => cmpNum((a, b) => java.lang.Short.compare(
+            a.asInstanceOf[Short], b.asInstanceOf[Short]))
+          case ByteType => cmpNum((a, b) => java.lang.Byte.compare(
+            a.asInstanceOf[Byte], b.asInstanceOf[Byte]))
+          case StringType => cmpNum((a, b) =>
+            org.apache.spark.unsafe.types.UTF8String
+              .fromString(a.asInstanceOf[String]).compareTo(
+                org.apache.spark.unsafe.types.UTF8String
+                  .fromString(b.asInstanceOf[String])))
+          case _ => None // exotic id types keep the plain window
+        }
+      }
+      val heapBudget = math.max(1L, docs.sparkSession.conf
+        .get(ContainmentCapHeapBudgetConf,
+          ContainmentCapHeapBudgetEntries.toString).toLong)
+      val prunedAgg = idbCmp match {
+        case Some(cmp) =>
+          // max of this ordering = the WORST kept candidate (evicted
+          // first): worse = fewer shared probe hashes, then larger id_b
+          val worstFirst = new Ordering[(Long, Any)] {
+            def compare(a: (Long, Any), b: (Long, Any)): Int = {
+              val c = java.lang.Long.compare(b._1, a._1)
+              if (c != 0) c else cmp(a._2, b._2)
+            }
+          }
+          val schema = agg.schema
+          agg.mapPartitions { it =>
+            new scala.collection.AbstractIterator[org.apache.spark.sql.Row] {
+              private val heaps = scala.collection.mutable.HashMap.empty[
+                Any,
+                scala.collection.mutable.PriorityQueue[(Long, Any)]]
+              private var live = 0L
+              private val out = scala.collection.mutable.Queue
+                .empty[org.apache.spark.sql.Row]
+              private def drain(): Unit = {
+                heaps.foreach { case (ida, h) =>
+                  h.foreach { case (nsh, idb) =>
+                    out.enqueue(org.apache.spark.sql.Row(ida, idb, nsh))
+                  }
+                }
+                heaps.clear(); live = 0L
+              }
+              private def pump(): Unit = {
+                while (out.isEmpty && it.hasNext) {
+                  val r = it.next()
+                  val h = heaps.getOrElseUpdate(r.get(0),
+                    scala.collection.mutable.PriorityQueue
+                      .empty(worstFirst))
+                  h.enqueue((r.getLong(2), r.get(1)))
+                  if (h.size > capN) h.dequeue() else live += 1
+                  if (live > heapBudget) drain()
+                }
+                if (out.isEmpty && !it.hasNext && heaps.nonEmpty) drain()
+              }
+              def hasNext: Boolean = { pump(); out.nonEmpty }
+              def next(): org.apache.spark.sql.Row = {
+                pump(); out.dequeue()
+              }
+            }
+          }(org.apache.spark.sql.Encoders.row(schema))
+        case None => agg
+      }
+      prunedAgg
         .withColumn("__rk", row_number().over(w))
         .where(col("__rk") <= capN)
         .select("id_a", "id_b")
@@ -2154,6 +2250,16 @@ object Dedup {
     * stage's 31 GB spill is exactly this uncapped m² stream. */
   val ContainmentMaxCandidatesConf =
     "spark.graft.dedup.containmentMaxCandidates"
+
+  /** Conf: live-entry ceiling for the candidate cap's per-partition
+    * top-N heap map (the [[graft.operators.TextStats.bm25Retrieve]]
+    * budget pattern). Each live entry is one boxed (count, id_b) tuple
+    * held un-spillably; past the budget the pass flushes every heap
+    * downstream (correct supersets — the rank window re-cuts) and
+    * starts fresh. Default 1M entries ≈ tens of MB per task. */
+  val ContainmentCapHeapBudgetConf =
+    "spark.graft.dedup.containmentCapHeapBudgetEntries"
+  private val ContainmentCapHeapBudgetEntries: Long = 1L << 20
 
   private def defaultScratchBytes(
       spark: org.apache.spark.sql.SparkSession): Long = {

@@ -334,6 +334,18 @@ class TextModelSpec extends SparkTestBase {
       spark.conf.unset(Dedup.ContainmentMaxCandidatesConf)
     }
     assert(overGate == capped1, s"over-gate capped $overGate vs $capped1")
+    // heap-budget flush identity (r18: the cap's top-N runs as a
+    // per-partition budgeted heap prune before the rank window — the
+    // r19-queued fix for the sf10 window-sort ENOSPC, pulled into r18):
+    // a 1-entry budget flushes after every row, so every heap state is
+    // exercised; flushed supersets must re-cut to the identical result
+    spark.conf.set(Dedup.ContainmentMaxCandidatesConf, "1")
+    spark.conf.set(Dedup.ContainmentCapHeapBudgetConf, "1")
+    val flushed = try run() finally {
+      spark.conf.unset(Dedup.ContainmentMaxCandidatesConf)
+      spark.conf.unset(Dedup.ContainmentCapHeapBudgetConf)
+    }
+    assert(flushed == capped1, s"budget-flushed capped $flushed vs $capped1")
   }
 
   test("containmentDupPairs: randomized ≡ brute force (seeded)") {
