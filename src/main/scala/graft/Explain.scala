@@ -5,10 +5,20 @@ package graft
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
-    val names = if (args.length > 1) args.drop(1).toSeq
+    // args of the form set:key=value become session confs (applied
+    // after each query's own prep/reset, so conf-gated plan variants —
+    // e.g. the containment candidate cap — can be dumped); the rest
+    // are query names
+    val (confArgs, nameArgs) = args.drop(1).toSeq.partition(_.startsWith("set:"))
+    val confs = confArgs.map { a =>
+      val kv = a.stripPrefix("set:").split("=", 2)
+      (kv(0), kv(1))
+    }
+    val names = if (nameArgs.nonEmpty) nameArgs
                 else SparkEntry.queries.keys.toSeq.sorted
     val spark = GraftSession.builder("local[4]").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
     names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       println(s"==== $name ====")

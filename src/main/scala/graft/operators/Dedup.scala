@@ -1877,6 +1877,32 @@ object Dedup {
       val agg = pairs.groupBy("id_a", "id_b")
         .agg(count(lit(1)).as("__nsh"))
         .select("id_a", "id_b", "__nsh")
+      // cap 1 — the survival setting ("one true container suffices for
+      // the loser decision") — is a plain DECLARATIVE argmin: min of
+      // struct(-count, id_b) under Spark's lexicographic struct order
+      // picks exactly the row row_number()=1 would under (__nsh desc,
+      // id_b asc), for ANY orderable id type, with no rank window and
+      // no heap state. Plan reality (plans/r18/q122_containment_cap1):
+      // the struct buffer is not hash-aggregable, so it plans as a
+      // partial/final SortAggregate pair — still collapses map-side to
+      // one row per (partition, id_a) before its exchange and spills
+      // through the sort machinery, but the partial sort walks the
+      // full pair-count stream. Measured sf10 (100x GenScale,
+      // 99-member deferred families, SCALE_r18): cap 1 794/520 s vs
+      // cap 32's 752/752 vs uncapped 211/344 — at that corpus BOTH
+      // capped shapes are dominated by the pair-count aggregate's
+      // exchange (28.5 GB written vs the uncapped distinct's 4.0 GB on
+      // the same candidate stream; attribution of that 7x is an open
+      // r19 item), so the cap is SURVIVAL insurance (it now completes
+      // deterministically inside the wave model where it used to
+      // ENOSPC), not a speedup where the uncapped verify completes.
+      if (capN == 1) {
+        agg
+          .groupBy("id_a")
+          .agg(min(struct((-col("__nsh")).as("__neg"),
+            col("id_b").as("id_b"))).as("__m"))
+          .select(col("id_a"), col("__m.id_b").as("id_b"))
+      } else {
       // Per-partition budgeted heap prune BEFORE the rank window (the
       // bm25Retrieve pattern; r18's first integration ranked with the
       // window alone and its id_a exchange + sort spilled ~79 GB at the
@@ -1887,15 +1913,21 @@ object Dedup {
       // keeps at most N candidates per id_a seen there (a superset of
       // the global top-N by construction), so the window's exchange and
       // sort see ≤ shufflePartitions·N rows per contained doc instead
-      // of the full stream. Heap order mirrors the window exactly
-      // (__nsh desc, id_b asc); the live-entry budget bounds the
-      // unspillable heap map — past it the pass flushes every heap
-      // downstream (still a superset; the window re-cuts) and starts
-      // fresh. Wave-model note: the capped path's widest exchange
-      // remains the pair-count aggregate, which carries the SAME raw
-      // candidate rows the wave sample already measures (__sraw); the
-      // post-prune rank exchange is strictly narrower, so the sampled
-      // estimates stay upper bounds with the cap armed.
+      // of the full stream — an upper bound that only CUTS when a key's
+      // per-partition candidate count exceeds N (measured honesty,
+      // SCALE_r18: GenScale's 99-member families spread ~3 candidates
+      // per key per partition, so at N=32 the prune passes everything
+      // and the win over the first integration is completing at all —
+      // 752 s bounded vs ENOSPC — not the sort volume). Heap order
+      // mirrors the window exactly (__nsh desc, id_b asc); the
+      // live-entry budget bounds the unspillable heap map — past it the
+      // pass flushes every heap downstream (still a superset; the
+      // window re-cuts) and starts fresh. Wave-model note: the capped
+      // path's widest exchange remains the pair-count aggregate, which
+      // carries the SAME raw candidate rows the wave sample already
+      // measures (__sraw); the post-prune rank exchange is strictly
+      // narrower, so the sampled estimates stay upper bounds with the
+      // cap armed.
       val idbCmp: Option[(Any, Any) => Int] = {
         import org.apache.spark.sql.types._
         def cmpNum(f: (Any, Any) => Int): Option[(Any, Any) => Int] =
@@ -1974,6 +2006,7 @@ object Dedup {
         .withColumn("__rk", row_number().over(w))
         .where(col("__rk") <= capN)
         .select("id_a", "id_b")
+      }
     }
     // broadcast gate off the checkpoint's exact sizes (one tiny job):
     // the array frame costs ~8 B/shingle + ~24 B/doc

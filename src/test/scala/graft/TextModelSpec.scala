@@ -334,18 +334,32 @@ class TextModelSpec extends SparkTestBase {
       spark.conf.unset(Dedup.ContainmentMaxCandidatesConf)
     }
     assert(overGate == capped1, s"over-gate capped $overGate vs $capped1")
-    // heap-budget flush identity (r18: the cap's top-N runs as a
-    // per-partition budgeted heap prune before the rank window — the
-    // r19-queued fix for the sf10 window-sort ENOSPC, pulled into r18):
+    // heap-budget flush identity (r18: for N >= 2 the cap's top-N runs
+    // as a per-partition budgeted heap prune before the rank window —
+    // the fix for the sf10 window-sort ENOSPC). Cap 2 keeps the heap
+    // path engaged (cap 1 routes to the declarative argmin aggregate);
     // a 1-entry budget flushes after every row, so every heap state is
     // exercised; flushed supersets must re-cut to the identical result
-    spark.conf.set(Dedup.ContainmentMaxCandidatesConf, "1")
+    spark.conf.set(Dedup.ContainmentMaxCandidatesConf, "2")
+    val capped2 = try run()
+      finally spark.conf.unset(Dedup.ContainmentMaxCandidatesConf)
+    assert(capped2.subsetOf(uncapped) && capped2.map(_._1) == containedUncapped)
+    spark.conf.set(Dedup.ContainmentMaxCandidatesConf, "2")
     spark.conf.set(Dedup.ContainmentCapHeapBudgetConf, "1")
     val flushed = try run() finally {
       spark.conf.unset(Dedup.ContainmentMaxCandidatesConf)
       spark.conf.unset(Dedup.ContainmentCapHeapBudgetConf)
     }
-    assert(flushed == capped1, s"budget-flushed capped $flushed vs $capped1")
+    assert(flushed == capped2, s"budget-flushed capped $flushed vs $capped2")
+    // cap-1 declarative path under a tiny budget conf too: the budget
+    // must be a no-op there (no heap in that plan), same results
+    spark.conf.set(Dedup.ContainmentMaxCandidatesConf, "1")
+    spark.conf.set(Dedup.ContainmentCapHeapBudgetConf, "1")
+    val flushed1 = try run() finally {
+      spark.conf.unset(Dedup.ContainmentMaxCandidatesConf)
+      spark.conf.unset(Dedup.ContainmentCapHeapBudgetConf)
+    }
+    assert(flushed1 == capped1, s"cap-1 under tiny budget $flushed1 vs $capped1")
   }
 
   test("containmentDupPairs: randomized ≡ brute force (seeded)") {
