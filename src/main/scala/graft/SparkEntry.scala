@@ -420,7 +420,19 @@ object SparkEntry {
     // between entries
     spark.conf.unset(Dedup.ContainmentBroadcastMaxBytesConf)
     spark.conf.unset(Dedup.ContainmentMaxCandidatesConf)
+    // debug-tool hook (graft.Explain `set:k=v` args): overrides applied
+    // LAST so they survive the resets above — previously Explain set
+    // them once before the query loop and this reset silently wiped
+    // exactly the conf-gated variants the tool advertises dumping
+    // (r18 ADVICE). Empty in every driver path (Verify/Bench never
+    // populate it), so declared-query behavior is unchanged.
+    confOverrides.foreach { case (k, v) => spark.conf.set(k, v) }
   }
+
+  /** Conf overrides re-applied after every [[resetGraftConfs]] — set
+    * ONLY by debug tools (graft.Explain). Never populated by
+    * Verify/Bench. */
+  @volatile private[graft] var confOverrides: Seq[(String, String)] = Nil
 
   /** The q57/q68 12-node path graph: consecutive documents chained
     * pairwise (diameter 11 — deep iteration for whichever CC path runs). */
